@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Headline benchmark: times representative queries from the registry at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q...": sec, ...}, "sf": ...}
+
+Each query is forced to full materialization with the `noop` sink (no
+driver-side collect, no disk write) so timings measure the distributed
+plan, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative coverage: scans+aggs, broadcast joins, window families,
+# applyInPandas (EMA), merge, dedup (exact + MinHash-verified), text,
+# similarity top-k, streaming-shaped tumbling agg.
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "sma",
+    "rsi_14",
+    "perf_summary",
+    "ema_macd",
+    "upsert_merge",
+    "exact_dedup",
+    "near_dup_pairs",
+    "text_stats",
+    "ann_topk",
+    "tumbling_daily",
+]
+
+
+def main() -> None:
+    from finance_data_pipeline_spark.registry import QUERIES
+    from finance_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # Warm the JVM/parquet footer caches so q1 doesn't pay session startup.
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = QUERIES[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,270 @@
+"""Document deduplication (SURVEY.md X1/X2): exact, MinHash+LSH,
+SimHash, and n-gram Jaccard.
+
+Scale design: every stage is a groupBy/join on bounded keys — no
+driver-side state. At 100 TB the LSH band join shuffles only
+(band, bucket) pairs, not document text; candidate verification joins
+text back by doc_id. Exact-Jaccard verification makes LSH output
+deterministic (LSH only *generates candidates*; the emitted pairs are
+exactly the pairs above the true-Jaccard threshold, modulo the
+vanishing band-miss probability — with 42 bands × 3 rows the miss
+probability at J=0.9 is < 1e-12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# --- normalization / shingling ------------------------------------------
+
+
+def normalized(col="text"):
+    return F.lower(F.trim(F.col(col)))
+
+
+def tokens(col="text"):
+    """Whitespace tokenization of normalized text."""
+    return F.split(normalized(col), r"\s+")
+
+
+def word_shingles(col="text", k: int = 3):
+    """Distinct k-word shingles per document (X2 candidate unit)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    # A doc shorter than k words yields its whole text as one shingle.
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.array_join(toks, " "))))
+
+
+# --- X1: exact dedup ------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id document per normalized-text hash. Hash
+    groupBy — one shuffle on a 128-bit key; never compares text
+    pairwise."""
+    hashed = docs.withColumn("text_hash", F.md5(normalized(text_col)))
+    w = Window.partitionBy("text_hash").orderBy(id_col)
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# --- exact n-gram Jaccard (verification primitive + X2d standalone) -------
+
+
+def shingle_pairs_jaccard(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard over distinct k-shingle sets for candidate pairs.
+
+    Without ``candidates``, uses the shingle inverted index itself as
+    the candidate generator (pairs sharing ≥1 shingle) — exact but
+    O(pairs-sharing-a-shingle); with ``candidates`` (e.g. from LSH),
+    verifies only those pairs. Returns (id_a, id_b, jaccard), id_a < id_b.
+    """
+    sh = (
+        docs.select(F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, k)).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("n_sh"))
+    if candidates is None:
+        pairs = (
+            sh.alias("a")
+            .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a._id") < F.col("b._id")))
+            .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .agg(F.count("*").alias("common"))
+        )
+    else:
+        cand_sh = candidates.join(sh.withColumnRenamed("_id", "id_a"), "id_a").select(
+            "id_a", "id_b", "sh"
+        )
+        pairs = (
+            cand_sh.join(
+                sh.select(F.col("_id").alias("id_b"), F.col("sh")),
+                ["id_b", "sh"],
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("common"))
+        )
+    return (
+        pairs.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))).alias("jaccard"),
+        )
+    )
+
+
+# --- X2: MinHash + LSH ----------------------------------------------------
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to full parallelism when the upstream
+    scan has fewer partitions than cores. Small parquet files arrive as
+    ONE partition; the CPU-bound hash stages below would otherwise run
+    single-threaded. At real scale (many input splits) this is a no-op.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 126,
+) -> DataFrame:
+    """MinHash signature per document: num_hashes permutations via
+    seeded rehash of a base shingle hash; signature[i] = min over
+    shingles.
+
+    Implemented as explode → whole-stage-codegen hash-aggregate with
+    num_hashes ``min`` columns, NOT as nested higher-order-function
+    lambdas: HOF bodies are interpreted row-at-a-time and opaque to
+    Catalyst CSE, so a lambda formulation recomputes tokenize+shingle
+    once per permutation (measured 100×+ slower). Here the text is
+    shingled and string-hashed exactly once; the permutations hash
+    (long, seed) pairs inside codegen. One shuffle on id (with map-side
+    partial agg → one 126-long vector per doc crosses the wire)."""
+    sh = (
+        _spread(docs.select(F.col(id_col).alias("_id"), F.col(text_col)))
+        .select("_id", F.explode(word_shingles(text_col, k)).alias("sh"))
+        .select("_id", F.xxhash64("sh").alias("h"))
+    )
+    aggs = [F.min(F.xxhash64("h", F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
+    return (
+        sh.groupBy("_id")
+        .agg(*aggs)
+        .select("_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"))
+    )
+
+
+def lsh_candidates(signatures: DataFrame, bands: int = 42, rows: int = 3) -> DataFrame:
+    """Band the signatures and self-join on (band, bucket-hash).
+
+    Bucket key is a hash of the band slice → fixed-width shuffle key.
+    Emits distinct (id_a < id_b) candidate pairs.
+    """
+    banded = signatures.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(F.slice("sig", b * rows + 1, rows).cast("string")),
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 126,
+    bands: int = 42,
+    rows: int = 3,
+) -> DataFrame:
+    """X2 end-to-end: MinHash → LSH banding → candidate join → exact
+    Jaccard verification → threshold. Output is deterministic (exact
+    Jaccard decides; LSH only prunes the pair space)."""
+    sigs = minhash_signatures(docs, id_col, text_col, k, num_hashes)
+    cands = lsh_candidates(sigs, bands, rows)
+    verified = shingle_pairs_jaccard(docs, id_col, text_col, k, candidates=cands)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# --- X2c: SimHash ---------------------------------------------------------
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, sum ±1 weighted
+    by token hash bit; sign → bit. Pure array/HOF math, no UDF.
+
+    Implemented as explode → codegen hash-aggregate with 64 conditional
+    sums (one per bit), then a single assembly projection — NOT as HOF
+    folds, which are interpreted and recompute the token hashing per
+    bit (see minhash_signatures). One shuffle on id with map-side
+    partial agg (64 longs per doc per mapper)."""
+    th = (
+        _spread(docs.select(F.col(id_col).alias("_id"), F.col(text_col)))
+        .select("_id", F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+        .select("_id", F.xxhash64("tok").alias("h"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        # 1 << 63 overflows signed long; its two's-complement value is
+        # the sign bit.
+        bit_val = (1 << b) if b < 63 else -(1 << 63)
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"_b{b}") > 0, F.lit(bit_val).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return th.groupBy("_id").agg(*bit_sums).select("_id", sig.alias("simhash"))
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Hamming-ball pairs via 4-block banding (Pigeonhole: distance ≤ 3
+    ⇒ at least one 16-bit block identical) — join on block value, then
+    verify exact Hamming distance via bit_count(xor)."""
+    sigs = simhash(docs, id_col)
+    blocks = sigs.select(
+        "_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)) for i in range(4)
+            ])
+        ).alias("block_idx", "block_val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

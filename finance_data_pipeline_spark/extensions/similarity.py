@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (SURVEY.md X3).
+
+Brute-force cosine top-k is the exact baseline; the LSH-bucketed
+variant (random hyperplanes) is the scale path: at 100 TB the
+brute-force crossJoin is O(Q×N) — fine for small query sets against a
+broadcast, wrong for all-pairs — while LSH buckets cut the candidate
+space to colliding buckets.
+
+All vector math is JVM-side higher-order functions (zip_with +
+aggregate fold, sequential in array order) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from finance_data_pipeline_spark.functions import cosine, dot, l2_norm
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries`` (few rows) is broadcast and crossJoined against the
+    corpus — each executor scans its corpus partition once per batch of
+    queries; top-k via per-query window. Excludes self-matches.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec"))
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("q_vec", "v_vec"), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def hyperplane_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 12,
+    num_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH (sign of dot with
+    seeded pseudo-random planes) → candidates share a bucket in ≥1
+    table → exact cosine re-rank within candidates.
+
+    Planes are generated deterministically JVM-side from (seed, table,
+    plane, dim) hashes — no driver-materialized matrix, so the same
+    code runs at any dimensionality. Scale path: the corpus is hashed
+    once (narrow), the join shuffles only (table, bucket) keys.
+    """
+    dim = F.size(vec_col)
+
+    def plane_component(t, p, i):
+        # Deterministic pseudo-gaussian-ish component in [-1, 1).
+        h = F.xxhash64(F.lit(seed), t, p, i)
+        return (h % 10_000_000).cast("double") / 5_000_000.0 - 1.0
+
+    def bucket_of(col_vec, t):
+        bits = F.transform(
+            F.sequence(F.lit(0), F.lit(num_planes - 1)),
+            lambda p: F.when(
+                F.aggregate(
+                    F.zip_with(
+                        col_vec,
+                        F.sequence(F.lit(0), dim - 1),
+                        lambda x, i: x * plane_component(t, p, i),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        return F.xxhash64(bits.cast("string"), t)
+
+    def with_buckets(df, prefix):
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_vec"),
+            F.posexplode(
+                F.array(*[bucket_of(F.col(vec_col), F.lit(t)) for t in range(num_tables)])
+            ).alias("table_idx", "bucket"),
+        )
+
+    v = with_buckets(vectors, "neighbor")
+    q = with_buckets(queries, "query")
+    cands = (
+        v.join(F.broadcast(q), ["table_idx", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "query_vec", "neighbor_id", "neighbor_vec")
+        .distinct()
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine("query_vec", "neighbor_vec"), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def embedding_stats(vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Vector hygiene scan: dimensionality + L2 norm per vector (the
+    validation pass a 100 TB embedding ingest runs before indexing)."""
+    return vectors.select(
+        F.col(id_col),
+        F.size(vec_col).alias("dim"),
+        F.round(l2_norm(vec_col), 6).alias("l2_norm"),
+    )
+
+
+def pairwise_label_cosine(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Mean intra-label cosine similarity on a sampled self-join —
+    embedding-quality diagnostic (labels should cluster)."""
+    a = vectors.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col("vec_id").alias("id_b"), F.col("label"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("label")
+        .agg(F.round(F.avg(cosine("va", "vb")), 6).alias("mean_intra_cosine"), F.count("*").alias("pairs"))
+    )

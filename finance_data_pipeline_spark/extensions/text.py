@@ -1,0 +1,119 @@
+"""Text analysis over the documents table (SURVEY.md X4): token
+counting, quality scoring, language-ID heuristic, fingerprinting.
+
+Everything is built-in string/array functions — codegen'd, no UDFs, so
+the 100 TB sweep is one narrow map stage over the text column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from finance_data_pipeline_spark.extensions.dedup import normalized, tokens, word_shingles
+
+# Tiny per-language stopword kernels for the n-gram/stopword language
+# heuristic (public common-word lists).
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+
+def token_count(col: str = "text") -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: str = "text") -> Column:
+    """BPE-ish proxy: count word-piece units — runs of letters, digits,
+    or single punctuation — via regex extraction. A deterministic
+    stand-in for a real tokenizer's token count."""
+    pieces = F.regexp_extract_all(F.lower(F.col(col)), F.lit(r"([a-z]+|[0-9]+|[^a-z0-9\s])"), 1)
+    return F.size(pieces)
+
+
+def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document stats: chars, tokens, avg word length, punct ratio."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_computed"),
+        n_tok.alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_pieces"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n_tok, 6
+        ).alias("avg_word_len"),
+        F.round(punct / n_chars, 6).alias("punct_ratio"),
+    )
+
+
+def _marker_hits(toks: Column, words: list[str]) -> Column:
+    """Count of DISTINCT marker words present (sum of membership tests —
+    portable across engines, unlike set-intersection dedup subtleties)."""
+    hit = F.lit(0)
+    for w in words:
+        hit = hit + F.array_contains(toks, w).cast("int")
+    return hit
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]: length band + punctuation
+    sanity + stopword presence (the classic pretraining-filter trio)."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    punct_ratio = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", "")) / n_chars
+    all_stop = [w for ws in _LANG_MARKERS.values() for w in ws]
+    stop_hits = _marker_hits(toks, all_stop)
+    score = (
+        F.when((n_tok >= 10) & (n_tok <= 100_000), 0.4).otherwise(0.0)
+        + F.when(punct_ratio <= 0.2, 0.3).otherwise(0.0)
+        + F.when(stop_hits >= 2, 0.3).otherwise(0.0)
+    )
+    return docs.select(F.col(id_col), F.round(score, 6).alias("quality_score"))
+
+
+def detect_language(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: count marker hits per language,
+    pick the argmax; ties break to the lexicographically largest
+    language code, zero hits → 'und'. A real system uses character
+    n-gram models; the Spark shape (per-language membership counts +
+    deterministic argmax) is identical."""
+    toks = tokens(text_col)
+    hits = {lang: _marker_hits(toks, ws) for lang, ws in _LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    detected = F.when(best == 0, F.lit("und"))
+    for lang in sorted(hits, reverse=True):  # fr > es > en > de
+        detected = detected.when(hits[lang] == best, F.lit(lang))
+    return docs.select(F.col(id_col), detected.alias("detected_lang"))
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """Document fingerprint: lexicographic min of the md5s of the
+    document's k-shingles (a 1-permutation MinHash with a portable,
+    engine-agnostic hash) — stable under shingle reordering."""
+    return docs.select(
+        F.col(id_col),
+        F.array_min(F.transform(word_shingles(text_col, k), F.md5)).alias("fingerprint"),
+    )
+
+
+def token_totals_by_lang(docs: DataFrame) -> DataFrame:
+    """Corpus accounting: docs/tokens/chars per language (the numbers a
+    training-data pipeline reports per shard)."""
+    return (
+        docs.select("lang", token_count("text").alias("n_tok"), F.col("n_chars"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,75 @@
+"""Scalar-function surface (SURVEY.md §2.8, F1-F11).
+
+Every scalar the reference computes in Python maps to a built-in
+``pyspark.sql.functions`` Column expression — JVM-side, codegen'd, no
+UDFs. Exposed as named helpers so the API surface is explicit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def norm_symbol(col: Column | str) -> Column:
+    """F1 — .strip().upper() on ticker input (fetch_and_store.py:356)."""
+    return F.upper(F.trim(col))
+
+
+def fmt_date(col: Column | str, fmt: str = "yyyy-MM-dd") -> Column:
+    """F2 — strftime('%Y-%m-%d') (fetch_and_store_multi.py:158)."""
+    return F.date_format(col, fmt)
+
+
+def parse_date(col: Column | str) -> Column:
+    """F3 — pd.to_datetime (dashboard.py:64)."""
+    return F.to_date(col)
+
+
+def next_day(col: Column | str) -> Column:
+    """F4 — last_date + timedelta(days=1) (fetch_and_store_multi.py:272)."""
+    return F.date_add(col, 1)
+
+
+def days_back_cutoff(n: int) -> Column:
+    """F4 — now − timedelta(days_back) (analyze_visualize.py:73)."""
+    return F.date_sub(F.current_date(), n)
+
+
+def pct_change_expr(new: Column, old: Column) -> Column:
+    """F6 — (new−old)/old (fetch_and_store.py:287)."""
+    return (new - old) / old
+
+
+def sign_color(col: Column | str) -> Column:
+    """F8 — 'green' if x>0 else 'red' (analyze_visualize.py:200)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c > 0, F.lit("green")).otherwise(F.lit("red"))
+
+
+def csv_symbols(col: Column | str) -> Column:
+    """F9 — split comma-separated symbol input, trimmed + uppercased
+    (analyze_visualize.py:395-396)."""
+    return F.transform(F.split(col, ","), lambda s: F.upper(F.trim(s)))
+
+
+def json_prop(col: Column | str, key: str) -> Column:
+    """F11 — JSON field access on events.props."""
+    return F.get_json_object(col, f"$.{key}")
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """F11 — array dot product via higher-order functions (JVM-side,
+    no UDF): fold over zip_with products in array order. Elements are
+    cast to double first so float inputs accumulate identically to the
+    DuckDB oracle's DOUBLE[] math."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

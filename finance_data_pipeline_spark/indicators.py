@@ -1,0 +1,213 @@
+"""Technical-indicator library (SURVEY.md §2.5, W1-W16).
+
+The reference computes thirteen indicator columns per symbol in eager
+pandas (analyze_visualize.py:98-141) and two dashboard MAs
+(dashboard.py:35-38), one symbol at a time. Here every indicator is a
+``Column`` over ``Window.partitionBy(symbol).orderBy(time)`` — one
+shuffle by symbol computes all symbols at once, and Catalyst collapses
+same-frame window expressions into a single WindowExec pass.
+
+Exact pandas semantics preserved (SURVEY.md §7.4):
+
+* ``rolling(n, min_periods=1)`` (SMA, Volume MA) → plain windowed avg
+  (Spark windows are natively min_periods=1).
+* ``rolling(n)`` default ``min_periods=n`` (MA50/200, Bollinger,
+  Volatility) → warm-up mask ``count(x) over frame >= n`` — counting
+  non-null observations exactly like pandas.
+* pandas ``.std()`` is sample std (ddof=1) → ``stddev_samp``.
+* ``ewm(span, adjust=True)`` (EMA/MACD) is not window-expressible →
+  Arrow-batched ``applyInPandas`` per symbol (§2.9); exact parity with
+  pandas, rows-only oracle check.
+* RSI uses the algebraic form ``100*gain/(gain+loss)`` so zero-loss
+  runs yield 100 instead of a div-by-zero null (Spark x/0 is null,
+  pandas gives inf → RSI 100; the rewritten form agrees with both).
+
+Only EMA touches Python; everything else is whole-stage-codegen'd JVM.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def sym_window(time_col: str = "date") -> WindowSpec:
+    """The universal per-symbol time frame (SURVEY.md §1.1)."""
+    return Window.partitionBy("symbol").orderBy(time_col)
+
+
+def rolling(time_col: str, n: int) -> WindowSpec:
+    return sym_window(time_col).rowsBetween(-(n - 1), 0)
+
+
+def sma(col: str, n: int, time_col: str = "date") -> Column:
+    """W1 — rolling(n, min_periods=1).mean() (analyze_visualize.py:106-108)."""
+    return F.avg(col).over(rolling(time_col, n))
+
+
+def _min_periods(col: str, n: int, time_col: str, expr: Column) -> Column:
+    """pandas default min_periods=n: null until the frame holds n
+    non-null observations."""
+    return F.when(F.count(col).over(rolling(time_col, n)) >= n, expr)
+
+
+def ma(col: str, n: int, time_col: str = "date") -> Column:
+    """W2 — rolling(n).mean(), min_periods=n (dashboard.py:36-37)."""
+    return _min_periods(col, n, time_col, F.avg(col).over(rolling(time_col, n)))
+
+
+def rolling_std(col: str, n: int, time_col: str = "date") -> Column:
+    """Sample std over n rows with min_periods=n (W7/W11)."""
+    return _min_periods(col, n, time_col, F.stddev_samp(col).over(rolling(time_col, n)))
+
+
+def bollinger(n: int = 20, k: float = 2.0, col: str = "close", time_col: str = "date") -> dict[str, Column]:
+    """W7 — middle/upper/lower bands (analyze_visualize.py:120-123)."""
+    mid = ma(col, n, time_col)
+    std = rolling_std(col, n, time_col)
+    return {
+        "bb_middle": mid,
+        "bb_upper": mid + k * std,
+        "bb_lower": mid - k * std,
+    }
+
+
+def diff(col: str = "close", time_col: str = "date") -> Column:
+    """W10 — close.diff() (analyze_visualize.py:126)."""
+    return F.col(col) - F.lag(col, 1).over(sym_window(time_col))
+
+
+def daily_return(col: str = "close", time_col: str = "date") -> Column:
+    """W9 — pct_change()*100 (analyze_visualize.py:133)."""
+    return (F.col(col) / F.lag(col, 1).over(sym_window(time_col)) - 1) * 100
+
+
+def rsi(n: int = 14, col: str = "close", time_col: str = "date") -> Column:
+    """W8 — Cutler's RSI (analyze_visualize.py:126-130): simple rolling
+    mean of clamped deltas, NOT Wilder smoothing.
+
+    pandas detail: ``delta.where(delta > 0, 0)`` maps the first-row NaN
+    delta to 0 (NaN > 0 is False), so gain/loss series start at 0, not
+    NaN — the rolling(14) mean is non-null from row 14 onward.
+    """
+    d = diff(col, time_col)
+    gain = F.when(d > 0, d).otherwise(F.lit(0.0))
+    loss = F.when(d < 0, -d).otherwise(F.lit(0.0))
+    avg_gain = F.avg(gain).over(rolling(time_col, n))
+    avg_loss = F.avg(loss).over(rolling(time_col, n))
+    # Row i has i+1 observations of gain/loss (row 0's delta contributes
+    # a 0); pandas rolling(n) needs n rows → mask by row count.
+    warm = F.row_number().over(sym_window(time_col)) >= n
+    return F.when(warm, 100.0 - 100.0 * avg_loss / (avg_gain + avg_loss))
+
+
+def volatility(n: int = 30, time_col: str = "date", ret: Column | None = None) -> Column:
+    """W11 — rolling(30).std() of Daily_Return (analyze_visualize.py:136).
+
+    The first return is null, so the mask counts non-null returns in the
+    frame (pandas min_periods counts observations, not rows).
+    """
+    r = ret if ret is not None else daily_return(time_col=time_col)
+    frame = rolling(time_col, n)
+    return F.when(F.count(r).over(frame) >= n, F.stddev_samp(r).over(frame))
+
+
+def volume_ma(n: int = 20, time_col: str = "date") -> Column:
+    """W12 — rolling(20, min_periods=1).mean() of volume (analyze_visualize.py:139)."""
+    return F.avg("volume").over(rolling(time_col, n))
+
+
+def normalize_to_100(col: str = "close", time_col: str = "date") -> Column:
+    """W13 — close / first close per symbol × 100 (analyze_visualize.py:313-315)."""
+    first = F.first(col).over(sym_window(time_col).rowsBetween(Window.unboundedPreceding, 0))
+    return F.col(col) / first * 100
+
+
+def last_row_per_symbol(df: DataFrame, time_col: str = "date") -> DataFrame:
+    """W14/W15 — latest row per symbol (fetch_and_store.py:208-214)."""
+    w = Window.partitionBy("symbol").orderBy(F.desc(time_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def rank_within_symbol(df: DataFrame, order_col: str, method: str = "rank") -> DataFrame:
+    """W16 — ranking surface (not in reference; built-in completeness)."""
+    w = Window.partitionBy("symbol").orderBy(F.desc(order_col))
+    fn = {"rank": F.rank, "dense_rank": F.dense_rank, "row_number": F.row_number}[method]
+    return df.withColumn(method, fn().over(w))
+
+
+# --- EMA family (W3-W6): exact pandas ewm(adjust=True) ------------------
+
+
+def with_ema_macd(
+    df: DataFrame,
+    spans: Sequence[int] = (12, 26),
+    signal_span: int = 9,
+    col: str = "close",
+    time_col: str = "date",
+) -> DataFrame:
+    """W3-W6 — EMA_12/EMA_26/MACD/Signal/Histogram via applyInPandas.
+
+    pandas ``ewm(span=n, adjust=True)`` computes the finite-weight form
+    EMAₜ = Σᵢ(1−α)ⁱ·xₜ₋ᵢ / Σᵢ(1−α)ⁱ — not the recursive form — and the
+    reference relies on it (analyze_visualize.py:111-117). Running real
+    pandas per symbol partition is the only exact-parity physical plan;
+    symbol partitions are small (≤ thousands of rows) and ship via
+    Arrow. At 100 TB the groupBy keys this to one shuffle.
+    """
+    s1, s2 = spans
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + (
+        f", ema_{s1} double, ema_{s2} double,"
+        " macd double, macd_signal double, macd_histogram double"
+    )
+    sort_cols = [time_col]
+
+    def add_ewm(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols)
+        e1 = pdf[col].ewm(span=s1, adjust=True).mean()
+        e2 = pdf[col].ewm(span=s2, adjust=True).mean()
+        macd = e1 - e2
+        sig = macd.ewm(span=signal_span, adjust=True).mean()
+        return pdf.assign(
+            **{
+                f"ema_{s1}": e1,
+                f"ema_{s2}": e2,
+                "macd": macd,
+                "macd_signal": sig,
+                "macd_histogram": macd - sig,
+            }
+        )
+
+    return df.groupBy("symbol").applyInPandas(add_ewm, schema=out_schema)
+
+
+# --- batched indicator application --------------------------------------
+
+
+def with_indicators(df: DataFrame, time_col: str = "date", include_ema: bool = True) -> DataFrame:
+    """The full EP2 indicator sweep (analyze_visualize.py:98-141) as one
+    lazy plan. All same-frame windows share one WindowExec pass."""
+    ret = daily_return(time_col=time_col)
+    bb = bollinger(time_col=time_col)
+    out = df.withColumns(
+        {
+            "sma_5": sma("close", 5, time_col),
+            "sma_20": sma("close", 20, time_col),
+            "sma_50": sma("close", 50, time_col),
+            "bb_middle": bb["bb_middle"],
+            "bb_upper": bb["bb_upper"],
+            "bb_lower": bb["bb_lower"],
+            "rsi": rsi(14, time_col=time_col),
+            "daily_return": ret,
+            "volatility_30d": volatility(30, time_col=time_col, ret=ret),
+            "volume_ma_20": volume_ma(20, time_col=time_col),
+        }
+    )
+    if include_ema:
+        out = with_ema_macd(out, time_col=time_col)
+    return out

@@ -1,0 +1,84 @@
+"""Parquet sources and sinks.
+
+Replaces the reference's three I/O paths — yfinance HTTP fetch,
+``pd.read_sql`` scans, and row-at-a-time / executemany MySQL writes
+(SURVEY.md §2.1 S1-S7) — with columnar Parquet reads and distributed
+writes. Paths are scheme-agnostic: ``s3a://`` works unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finance_data_pipeline_spark.schemas import DRIVER_TABLES, RENAME_MAP, STOCKS
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver table. Catalyst pushes filters/projections into
+    the Parquet scan (predicate pushdown + row-group skipping), so
+    callers just compose on top (SURVEY.md §4).
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS) parquet, which Spark
+    rejects natively — read it as long and convert. The driver data is
+    µs-aligned (verified: epoch_ns % 1000 == 0 at every sf), so integer
+    division by 1000 is lossless; ``div`` avoids the double-precision
+    loss a float division would hit on epoch-nano magnitudes (~1.7e18
+    > 2^53)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view for ``spark.sql``."""
+    for name in DRIVER_TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def normalize_stocks(df: DataFrame) -> DataFrame:
+    """Schema normalization (SURVEY.md P9, S6).
+
+    The reference flattens yfinance MultiIndex columns and probes four
+    spellings of adj_close (fetch_and_store_multi.py:41-111). Here:
+    rename via a static map, cast to the canonical types, and fill the
+    reference's NaN→0 defaults (P8, fetch_and_store_multi.py:164-169).
+    """
+    renamed = df
+    for src, dst in RENAME_MAP.items():
+        if src in renamed.columns:
+            renamed = renamed.withColumnRenamed(src, dst)
+    cols = []
+    for field in STOCKS.fields:
+        if field.name in renamed.columns:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        elif field.name == "adj_close":
+            # Reference tolerates a missing adj_close column entirely
+            # (fetch_and_store_multi.py:202-214).
+            cols.append(F.col("close").cast("double").alias("adj_close"))
+        else:
+            raise ValueError(f"missing required column: {field.name}")
+    out = renamed.select(*cols)
+    return out.fillna({"volume": 0, "open": 0.0, "high": 0.0, "low": 0.0, "close": 0.0})
+
+
+def write_stocks(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Partitioned columnar write (replaces S4/S5 row-wise inserts).
+
+    Partitioning by symbol gives partition pruning for every
+    ``WHERE symbol = ?`` query the reference issues (dashboard.py:27,
+    analyze_visualize.py:66) — at 100 TB this is the difference between
+    a metadata lookup and a full scan.
+    """
+    df.write.mode(mode).partitionBy("symbol").parquet(path)
+
+
+def export_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV export (S7; reference README.md:99-107 does `aws s3 cp`)."""
+    df.write.mode(mode).option("header", "true").csv(path)

@@ -1,0 +1,119 @@
+"""Relational operator surface (SURVEY.md §2.2-2.4, 2.6-2.7).
+
+The reference's 8 SQL query shapes (SELECTs with equality/range
+predicates, DISTINCT, MAX-per-key, ORDER BY … LIMIT) plus the join menu
+its upsert/validation semantics decompose into. Thin, well-named
+compositions over DataFrame built-ins — the engine's value is that each
+is declared, tested, and oracle-checked; Catalyst supplies pushdown,
+pruning, and join strategy (broadcast vs sort-merge) automatically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --- projections / filters (P1-P5, P7) ----------------------------------
+
+def project(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """P1 — column projection; prunes the Parquet scan to these columns."""
+    return df.select(*cols)
+
+
+def where_symbol(df: DataFrame, symbol: str) -> DataFrame:
+    """P3 — equality predicate (partition-pruned when layout partitions by symbol)."""
+    return df.filter(F.col("symbol") == symbol)
+
+
+def where_since(df: DataFrame, col: str, lower) -> DataFrame:
+    """P4 — lower-bound predicate (analyze_visualize.py:71-75)."""
+    return df.filter(F.col(col) >= lower)
+
+
+def where_between(df: DataFrame, col: str, lo, hi) -> DataFrame:
+    """P5 — between predicate (dashboard.py:64-65)."""
+    return df.filter(F.col(col).between(lo, hi))
+
+
+def validate_membership(df: DataFrame, universe: DataFrame, key: str) -> DataFrame:
+    """P7/J3 — keep rows whose key exists in the universe (left semi)."""
+    return df.join(universe.select(key).distinct(), key, "left_semi")
+
+
+# --- joins (J1-J7) -------------------------------------------------------
+
+def equi_join(left: DataFrame, right: DataFrame, on, how: str = "inner",
+              broadcast_right: bool = False) -> DataFrame:
+    """J1/J2 — equi join; hint broadcast for dimension tables so the fact
+    side never shuffles (at 100 TB, region/nation/customer dims are
+    broadcast-able; lineitem is not)."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on, how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    return left.join(right, on, "left_anti")
+
+
+def theta_join(left: DataFrame, right: DataFrame, cond: Column) -> DataFrame:
+    """J7 — cross join + predicate (nested-loop); the X3 similarity join
+    builds on this with norm-bound pruning."""
+    return left.crossJoin(right).filter(cond)
+
+
+# --- aggregations (A1-A3, A12) -------------------------------------------
+
+def max_per_key(df: DataFrame, key: str, col: str) -> DataFrame:
+    """A1 — SELECT MAX(col) GROUP BY key (fetch_and_store_multi.py:34,
+    all symbols in one pass instead of one query per symbol)."""
+    return df.groupBy(key).agg(F.max(col).alias(f"max_{col}"))
+
+
+def distinct_sorted(df: DataFrame, col: str) -> DataFrame:
+    """A2 — SELECT DISTINCT col ORDER BY col (analyze_visualize.py:43)."""
+    return df.select(col).distinct().orderBy(col)
+
+
+def rollup_agg(df: DataFrame, group_cols: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    """A12 — rollup with grand totals; group cols coalesced to 'ALL' so
+    subtotal rows are unambiguous (and oracle-comparable)."""
+    out = df.rollup(*group_cols).agg(*aggs)
+    for c in group_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit("ALL")))
+    return out
+
+
+def cube_agg(df: DataFrame, group_cols: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    out = df.cube(*group_cols).agg(*aggs)
+    for c in group_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit("ALL")))
+    return out
+
+
+# --- sorts / limits (O1-O4) ----------------------------------------------
+
+def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
+    """O2/O4 — ORDER BY … LIMIT k. Spark plans TakeOrderedAndProject:
+    per-partition heaps + a k-row driver merge — no global sort."""
+    return df.orderBy(*order).limit(k)
+
+
+# --- set ops (§2.7) -------------------------------------------------------
+
+def union_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.unionByName(b)
+
+
+def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.intersect(b)
+
+
+def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.exceptAll(b)

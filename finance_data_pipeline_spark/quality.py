@@ -1,0 +1,114 @@
+"""Data-quality rules (SURVEY.md P6/A11/J2).
+
+The reference's ``DataQualityChecker`` validates row-by-row in Python
+(fetch_and_store.py:60-120), logs violations (:122-168), and summarizes
+counts (:170-185); plus a price-continuity heuristic (:285-294). Here
+each rule is a named boolean ``Column`` — one codegen'd predicate pass
+instead of ``iterrows``; ``flag`` preserves the logging behavior as an
+array column, ``clean`` filters, ``summary`` aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Zero-volume is only an error for major tickers (fetch_and_store.py:117-118).
+MAJOR_SYMBOLS = ("AAPL", "GOOGL", "MSFT", "AMZN", "TSLA")
+
+# Each entry: (violation label, predicate that is TRUE when the rule is
+# VIOLATED). Labels mirror fetch_and_store.py's issue strings.
+def _rules() -> list[tuple[str, Column]]:
+    c = F.col
+    return [
+        ("missing_open", c("open").isNull()),
+        ("missing_high", c("high").isNull()),
+        ("missing_low", c("low").isNull()),
+        ("missing_close", c("close").isNull()),
+        ("missing_volume", c("volume").isNull()),
+        ("nonpositive_open", c("open") <= 0),
+        ("nonpositive_high", c("high") <= 0),
+        ("nonpositive_low", c("low") <= 0),
+        ("nonpositive_close", c("close") <= 0),
+        ("negative_volume", c("volume") < 0),
+        ("high_lt_low", c("high") < c("low")),
+        ("high_lt_open_close", c("high") < F.greatest(c("open"), c("close"))),
+        ("low_gt_open_close", c("low") > F.least(c("open"), c("close"))),
+        ("extreme_move", F.abs(c("close") - c("open")) / c("open") > 0.5),
+        (
+            "zero_volume_major",
+            (c("volume") == 0) & c("symbol").isin(*MAJOR_SYMBOLS),
+        ),
+    ]
+
+
+def violation_array() -> Column:
+    """Array of violated rule names for each row (empty = valid)."""
+    parts = [F.when(pred, F.lit(name)) for name, pred in _rules()]
+    return F.filter(F.array(*parts), lambda x: x.isNotNull())
+
+
+def is_valid() -> Column:
+    """Conjunction of all rules passing — the P6 composed predicate.
+
+    Null-safe: a null predicate (e.g. ``open <= 0`` with null open)
+    counts as violated via its matching missing_* rule, so validity is
+    'no rule fired'."""
+    cond = F.lit(True)
+    for _, pred in _rules():
+        cond = cond & ~F.coalesce(pred, F.lit(True))
+    # missing_* rules make null comparisons explicit; a row with null
+    # open already fails missing_open, so coalesce(pred, True) only
+    # hardens rules whose operands are null.
+    return cond
+
+
+def clean(df: DataFrame) -> DataFrame:
+    """Drop invalid rows (reference filters them out, fetch_and_store.py:122-168)."""
+    return df.filter(is_valid())
+
+
+def flag(df: DataFrame) -> DataFrame:
+    """Annotate rows with their violations (preserves check_dataframe_quality logging)."""
+    return df.withColumn("violations", violation_array())
+
+
+def summary(df: DataFrame) -> DataFrame:
+    """A11 — violation frequency, sorted desc (fetch_and_store.py:170-185)."""
+    return (
+        flag(df)
+        .select(F.explode("violations").alias("violation"))
+        .groupBy("violation")
+        .count()
+        .orderBy(F.desc("count"), "violation")
+    )
+
+
+def continuity_check(new_batch: DataFrame, stored: DataFrame) -> DataFrame:
+    """J2 — price-continuity heuristic (fetch_and_store.py:285-294).
+
+    Compare each symbol's first new ``open`` to its last stored
+    ``close``; flag when the ratio falls outside [0.5, 2.0]. Left join:
+    never-seen symbols are continuous by definition. ``stored`` per-
+    symbol aggregates are tiny → broadcast to avoid shuffling the batch.
+    """
+    last_close = (
+        stored.groupBy("symbol").agg(F.max_by("close", "date").alias("last_close"))
+    )
+    first_new = (
+        new_batch.groupBy("symbol").agg(
+            F.min_by("open", "date").alias("first_open"),
+            F.min("date").alias("first_date"),
+        )
+    )
+    ratio = F.col("first_open") / F.col("last_close")
+    return (
+        first_new.join(F.broadcast(last_close), "symbol", "left")
+        .withColumn(
+            "discontinuous",
+            F.when(F.col("last_close").isNull(), F.lit(False)).otherwise(
+                ~ratio.between(0.5, 2.0)
+            ),
+        )
+        .withColumn("ratio", ratio)
+    )

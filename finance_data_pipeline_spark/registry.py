@@ -1,0 +1,1033 @@
+"""Query registry: every SURVEY.md §2 operator as a (PySpark impl,
+DuckDB oracle SQL) pair, consumed by ``__spark_entry__.py``.
+
+Parity rules (SURVEY.md §7.4 + driver contract):
+
+* Column names identical on both sides (every computed column aliased).
+* Integer widths aligned to BIGINT (DuckDB len/length/rank return
+  BIGINT; Spark int results are cast to long).
+* Sums over doubles go through DECIMAL so the result is exact and
+  order-independent (Spark partial aggregation order ≠ DuckDB's);
+  the final value is cast back to double.
+* Per-row float math (lag ratios, dot products) is identical IEEE
+  double arithmetic in both engines → compared raw; windowed
+  aggregates (sliding avg/stddev) differ in summation order at the
+  last bit → self-rounded on BOTH sides (6 dp for avg-based, 4 dp for
+  stddev/ratio-based) before hashing.
+* EWM/MACD, SimHash, hyperplane-LSH and mapInPandas feature extraction
+  are not plain-SQL-expressible → no oracle entry (driver records the
+  weaker rows-only check; pandas-parity unit tests cover semantics).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from finance_data_pipeline_spark import fixtures, indicators, ingest, quality, summary
+from finance_data_pipeline_spark.extensions import dedup, multimodal, similarity, text
+from finance_data_pipeline_spark.extensions.text import _LANG_MARKERS
+from finance_data_pipeline_spark.io import table
+from finance_data_pipeline_spark.operators import relational as rel
+from finance_data_pipeline_spark.session import tune_session
+from finance_data_pipeline_spark.streaming import daily_event_aggregate
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_session(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+# --- shared constants ----------------------------------------------------
+
+CUTOFF = "2024-01-20"  # batch split point for merge/boundary queries
+OVERLAP_LO, OVERLAP_HI = "2024-01-18", "2024-01-25"
+
+STOCKS = fixtures.STOCKS_CTE
+BARS = fixtures.BARS_HOURLY_CTE
+
+_W_DATE = "PARTITION BY symbol ORDER BY date"
+_W_BAR = "PARTITION BY symbol ORDER BY bar_ts"
+
+
+def _stocks(spark, sf_dir):
+    return fixtures.stocks(spark, sf_dir)
+
+
+def _bars(spark, sf_dir):
+    return fixtures.bars_hourly(spark, sf_dir)
+
+
+def _date(s: str):
+    return F.lit(s).cast("date")
+
+
+# =========================================================================
+# §2.1/§1 — fixtures as queries (validates the derivation itself)
+# =========================================================================
+
+
+@query(
+    "stocks_fixture",
+    f"WITH {STOCKS} SELECT symbol, date, open, high, low, close, volume FROM stocks",
+)
+def q_stocks_fixture(spark, sf_dir):
+    return _stocks(spark, sf_dir)
+
+
+@query(
+    "bars_hourly_fixture",
+    f"WITH {BARS} SELECT symbol, bar_ts, open, high, low, close, volume FROM bars",
+)
+def q_bars_fixture(spark, sf_dir):
+    return _bars(spark, sf_dir)
+
+
+# =========================================================================
+# §2.4 aggregations / §2.6 sorts (A1-A2, W14, O2-O4)
+# =========================================================================
+
+
+@query(
+    "max_date_per_symbol",
+    f"WITH {STOCKS} SELECT symbol, max(date) AS max_date FROM stocks GROUP BY symbol",
+)
+def q_max_date(spark, sf_dir):
+    return rel.max_per_key(_stocks(spark, sf_dir), "symbol", "date")
+
+
+@query(
+    "distinct_symbols",
+    f"WITH {STOCKS} SELECT DISTINCT symbol FROM stocks ORDER BY symbol",
+)
+def q_distinct_symbols(spark, sf_dir):
+    return rel.distinct_sorted(_stocks(spark, sf_dir), "symbol")
+
+
+@query(
+    "latest_close_per_symbol",
+    f"""WITH {STOCKS}
+SELECT symbol, date, close FROM (
+  SELECT symbol, date, close,
+         row_number() OVER (PARTITION BY symbol ORDER BY date DESC) AS rn
+  FROM stocks) WHERE rn = 1""",
+)
+def q_latest_close(spark, sf_dir):
+    return indicators.last_row_per_symbol(_stocks(spark, sf_dir)).select(
+        "symbol", "date", "close"
+    )
+
+
+# =========================================================================
+# §2.3 joins — merge family (J4/J5/J6/J2)
+# =========================================================================
+
+
+@query(
+    "insert_ignore",
+    f"""WITH {STOCKS},
+existing AS (SELECT * FROM stocks WHERE date <= DATE '{CUTOFF}'),
+batch AS (SELECT * FROM stocks WHERE date >= DATE '{OVERLAP_LO}')
+SELECT b.symbol, b.date, b.close FROM batch b
+WHERE NOT EXISTS (
+  SELECT 1 FROM existing e WHERE e.symbol = b.symbol AND e.date = b.date)""",
+)
+def q_insert_ignore(spark, sf_dir):
+    s = _stocks(spark, sf_dir)
+    existing = s.filter(F.col("date") <= _date(CUTOFF))
+    batch = s.filter(F.col("date") >= _date(OVERLAP_LO))
+    return ingest.insert_ignore(batch, existing).select("symbol", "date", "close")
+
+
+@query(
+    "upsert_merge",
+    f"""WITH {STOCKS},
+old AS (SELECT symbol, date, open, high, low, close, volume, 0 AS _src
+        FROM stocks WHERE date <= DATE '{CUTOFF}'),
+new AS (SELECT symbol, date, open, high, low, round(close * 1.5, 6) AS close, volume, 1 AS _src
+        FROM stocks WHERE date BETWEEN DATE '{OVERLAP_LO}' AND DATE '{OVERLAP_HI}'),
+u AS (SELECT *, row_number() OVER (PARTITION BY symbol, date ORDER BY _src DESC) AS rn
+      FROM (SELECT * FROM old UNION ALL SELECT * FROM new))
+SELECT symbol, date, open, high, low, close, volume FROM u WHERE rn = 1""",
+)
+def q_upsert_merge(spark, sf_dir):
+    s = _stocks(spark, sf_dir)
+    old = s.filter(F.col("date") <= _date(CUTOFF))
+    new = s.filter(F.col("date").between(_date(OVERLAP_LO), _date(OVERLAP_HI))).withColumn(
+        "close", F.round(F.col("close") * 1.5, 6)
+    )
+    return ingest.upsert(old, new, key=["symbol", "date"])
+
+
+@query(
+    "incremental_boundary",
+    f"""WITH {STOCKS},
+old AS (SELECT symbol, max(date) AS max_date FROM stocks
+        WHERE date <= DATE '{CUTOFF}' GROUP BY symbol),
+incoming AS (SELECT * FROM stocks WHERE date >= DATE '{OVERLAP_LO}')
+SELECT i.symbol, i.date, i.close
+FROM incoming i LEFT JOIN old o ON i.symbol = o.symbol
+WHERE i.date > o.max_date OR o.max_date IS NULL""",
+)
+def q_incremental_boundary(spark, sf_dir):
+    s = _stocks(spark, sf_dir)
+    old = s.filter(F.col("date") <= _date(CUTOFF))
+    incoming = s.filter(F.col("date") >= _date(OVERLAP_LO))
+    return ingest.incremental_boundary(incoming, old).select("symbol", "date", "close")
+
+
+@query(
+    "continuity_check",
+    f"""WITH {STOCKS},
+stored AS (SELECT symbol, arg_max(close, date) AS last_close
+           FROM stocks WHERE date <= DATE '{CUTOFF}' GROUP BY symbol),
+newb AS (SELECT symbol, arg_min(open, date) AS first_open, min(date) AS first_date
+         FROM stocks WHERE date > DATE '{CUTOFF}' GROUP BY symbol)
+SELECT n.symbol, n.first_open, n.first_date, s.last_close,
+       CASE WHEN s.last_close IS NULL THEN FALSE
+            ELSE NOT (n.first_open / s.last_close BETWEEN 0.5 AND 2.0) END AS discontinuous,
+       round(n.first_open / s.last_close, 6) AS ratio
+FROM newb n LEFT JOIN stored s ON n.symbol = s.symbol""",
+)
+def q_continuity(spark, sf_dir):
+    s = _stocks(spark, sf_dir)
+    stored = s.filter(F.col("date") <= _date(CUTOFF))
+    newb = s.filter(F.col("date") > _date(CUTOFF))
+    return quality.continuity_check(newb, stored).withColumn(
+        "ratio", F.round(F.col("ratio"), 6)
+    )
+
+
+# =========================================================================
+# §2.5 window functions (W1-W15)
+# =========================================================================
+
+
+@query(
+    "sma",
+    f"""WITH {STOCKS}
+SELECT symbol, date, close,
+  round(avg(close) OVER ({_W_DATE} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS sma_5,
+  round(avg(close) OVER ({_W_DATE} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS sma_20,
+  round(avg(close) OVER ({_W_DATE} ROWS BETWEEN 49 PRECEDING AND CURRENT ROW), 6) AS sma_50
+FROM stocks""",
+)
+def q_sma(spark, sf_dir):
+    s = _stocks(spark, sf_dir)
+    return s.select(
+        "symbol",
+        "date",
+        "close",
+        F.round(indicators.sma("close", 5), 6).alias("sma_5"),
+        F.round(indicators.sma("close", 20), 6).alias("sma_20"),
+        F.round(indicators.sma("close", 50), 6).alias("sma_50"),
+    )
+
+
+@query(
+    "ma_warmup",
+    f"""WITH {BARS}
+SELECT symbol, bar_ts, close,
+  CASE WHEN count(close) OVER w50 >= 50
+       THEN round(avg(close) OVER w50, 6) END AS ma_50,
+  CASE WHEN count(close) OVER w200 >= 200
+       THEN round(avg(close) OVER w200, 6) END AS ma_200
+FROM bars
+WINDOW w50 AS ({_W_BAR} ROWS BETWEEN 49 PRECEDING AND CURRENT ROW),
+       w200 AS ({_W_BAR} ROWS BETWEEN 199 PRECEDING AND CURRENT ROW)""",
+)
+def q_ma_warmup(spark, sf_dir):
+    b = _bars(spark, sf_dir)
+    return b.select(
+        "symbol",
+        "bar_ts",
+        "close",
+        F.round(indicators.ma("close", 50, "bar_ts"), 6).alias("ma_50"),
+        F.round(indicators.ma("close", 200, "bar_ts"), 6).alias("ma_200"),
+    )
+
+
+@query(
+    "bollinger",
+    f"""WITH {BARS},
+w AS (SELECT symbol, bar_ts, close,
+        CASE WHEN count(close) OVER w20 >= 20 THEN avg(close) OVER w20 END AS mid,
+        CASE WHEN count(close) OVER w20 >= 20 THEN stddev_samp(close) OVER w20 END AS sd
+      FROM bars
+      WINDOW w20 AS ({_W_BAR} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT symbol, bar_ts, close,
+       round(mid, 4) AS bb_middle,
+       round(mid + 2 * sd, 4) AS bb_upper,
+       round(mid - 2 * sd, 4) AS bb_lower
+FROM w""",
+)
+def q_bollinger(spark, sf_dir):
+    b = _bars(spark, sf_dir)
+    bb = indicators.bollinger(20, 2.0, "close", "bar_ts")
+    return b.select(
+        "symbol",
+        "bar_ts",
+        "close",
+        F.round(bb["bb_middle"], 4).alias("bb_middle"),
+        F.round(bb["bb_upper"], 4).alias("bb_upper"),
+        F.round(bb["bb_lower"], 4).alias("bb_lower"),
+    )
+
+
+@query(
+    "rsi_14",
+    f"""WITH {BARS},
+d AS (SELECT symbol, bar_ts, close,
+        close - lag(close) OVER ({_W_BAR}) AS delta FROM bars),
+gl AS (SELECT symbol, bar_ts, close,
+        CASE WHEN delta > 0 THEN delta ELSE 0 END AS gain,
+        CASE WHEN delta < 0 THEN -delta ELSE 0 END AS loss FROM d),
+r AS (SELECT symbol, bar_ts, close,
+        avg(gain) OVER w14 AS ag, avg(loss) OVER w14 AS al,
+        row_number() OVER ({_W_BAR}) AS rn
+      FROM gl WINDOW w14 AS ({_W_BAR} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT symbol, bar_ts, close,
+       CASE WHEN rn >= 14 THEN round(100 - 100 * al / (ag + al), 4) END AS rsi_14
+FROM r""",
+)
+def q_rsi(spark, sf_dir):
+    b = _bars(spark, sf_dir)
+    return b.select(
+        "symbol",
+        "bar_ts",
+        "close",
+        F.round(indicators.rsi(14, "close", "bar_ts"), 4).alias("rsi_14"),
+    )
+
+
+@query(
+    "daily_return",
+    f"""WITH {STOCKS}
+SELECT symbol, date, close,
+  round((close / lag(close) OVER ({_W_DATE}) - 1) * 100, 6) AS daily_return
+FROM stocks""",
+)
+def q_daily_return(spark, sf_dir):
+    s = _stocks(spark, sf_dir)
+    return s.select(
+        "symbol",
+        "date",
+        "close",
+        F.round(indicators.daily_return("close", "date"), 6).alias("daily_return"),
+    )
+
+
+@query(
+    "volatility_30",
+    f"""WITH {BARS},
+r AS (SELECT symbol, bar_ts,
+        (close / lag(close) OVER ({_W_BAR}) - 1) * 100 AS ret FROM bars)
+SELECT symbol, bar_ts,
+  CASE WHEN count(ret) OVER w30 >= 30
+       THEN round(stddev_samp(ret) OVER w30, 4) END AS volatility_30
+FROM r WINDOW w30 AS ({_W_BAR} ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)""",
+)
+def q_volatility(spark, sf_dir):
+    b = _bars(spark, sf_dir)
+    return b.select(
+        "symbol",
+        "bar_ts",
+        F.round(indicators.volatility(30, "bar_ts"), 4).alias("volatility_30"),
+    )
+
+
+@query(
+    "volume_ma_20",
+    f"""WITH {STOCKS}
+SELECT symbol, date, volume,
+  round(avg(volume) OVER ({_W_DATE} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6)
+    AS volume_ma_20
+FROM stocks""",
+)
+def q_volume_ma(spark, sf_dir):
+    s = _stocks(spark, sf_dir)
+    return s.select(
+        "symbol",
+        "date",
+        "volume",
+        F.round(indicators.volume_ma(20, "date"), 6).alias("volume_ma_20"),
+    )
+
+
+@query(
+    "normalize_100",
+    f"""WITH {STOCKS}
+SELECT symbol, date, close,
+  round(close / first_value(close) OVER ({_W_DATE}) * 100, 6) AS normalized
+FROM stocks""",
+)
+def q_normalize(spark, sf_dir):
+    s = _stocks(spark, sf_dir)
+    return s.select(
+        "symbol",
+        "date",
+        "close",
+        F.round(indicators.normalize_to_100("close", "date"), 6).alias("normalized"),
+    )
+
+
+# =========================================================================
+# §2.4 A3-A9 — performance summary / §3 EP3 dashboard
+# =========================================================================
+
+
+@query(
+    "perf_summary",
+    f"""WITH {STOCKS},
+r AS (SELECT symbol, date, close, high, low, volume,
+        (close / lag(close) OVER ({_W_DATE}) - 1) * 100 AS ret
+      FROM stocks)
+SELECT symbol,
+  count(*) AS trading_days,
+  min(date) AS period_start,
+  max(date) AS period_end,
+  arg_min(close, date) AS first_close,
+  arg_max(close, date) AS last_close,
+  max(high) AS highest_high,
+  min(low) AS lowest_low,
+  round(avg(ret), 4) AS avg_daily_return,
+  round(stddev_samp(ret), 4) AS return_volatility,
+  round(max(ret), 4) AS best_day,
+  round(min(ret), 4) AS worst_day,
+  round(avg(volume), 4) AS avg_volume,
+  max(volume) AS max_volume,
+  round((arg_max(close, date) - arg_min(close, date)) / arg_min(close, date) * 100, 4)
+    AS total_return_pct,
+  round(avg(ret) / stddev_samp(ret), 4) AS sharpe
+FROM r GROUP BY symbol""",
+)
+def q_perf_summary(spark, sf_dir):
+    out = summary.performance_summary(_stocks(spark, sf_dir))
+    for c in (
+        "avg_daily_return",
+        "return_volatility",
+        "best_day",
+        "worst_day",
+        "avg_volume",
+        "total_return_pct",
+        "sharpe",
+    ):
+        out = out.withColumn(c, F.round(F.col(c), 4))
+    return out
+
+
+@query(
+    "dashboard_frame",
+    f"""WITH {BARS},
+f AS (SELECT * FROM bars WHERE symbol = 'H3'
+      AND bar_ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+                     AND TIMESTAMP '2024-01-25 00:00:00')
+SELECT symbol, bar_ts, close,
+  CASE WHEN count(close) OVER w50 >= 50 THEN round(avg(close) OVER w50, 6) END AS ma_50,
+  CASE WHEN count(close) OVER w200 >= 200 THEN round(avg(close) OVER w200, 6) END AS ma_200
+FROM f
+WINDOW w50 AS ({_W_BAR} ROWS BETWEEN 49 PRECEDING AND CURRENT ROW),
+       w200 AS ({_W_BAR} ROWS BETWEEN 199 PRECEDING AND CURRENT ROW)""",
+)
+def q_dashboard(spark, sf_dir):
+    b = _bars(spark, sf_dir)
+    out = summary.dashboard_frame(
+        b, "H3", "2024-01-05 00:00:00", "2024-01-25 00:00:00", (50, 200), "bar_ts"
+    )
+    return out.select(
+        "symbol",
+        "bar_ts",
+        "close",
+        F.round(F.col("ma_50"), 6).alias("ma_50"),
+        F.round(F.col("ma_200"), 6).alias("ma_200"),
+    )
+
+
+@query("ema_macd")  # ewm(adjust=True) is not plain-SQL → rows-only check
+def q_ema_macd(spark, sf_dir):
+    s = _stocks(spark, sf_dir)
+    out = indicators.with_ema_macd(s)
+    return out.select(
+        "symbol",
+        "date",
+        F.round("ema_12", 6).alias("ema_12"),
+        F.round("ema_26", 6).alias("ema_26"),
+        F.round("macd", 6).alias("macd"),
+        F.round("macd_signal", 6).alias("macd_signal"),
+        F.round("macd_histogram", 6).alias("macd_histogram"),
+    )
+
+
+# =========================================================================
+# §2.2 P6 / §5.4 — data-quality rules on the dirty fixture
+# =========================================================================
+
+# Shared literal bad rows (symbol, date, open, high, low, close, volume);
+# each targets specific validate_row rules (fetch_and_store.py:60-120).
+DIRTY_ROWS = [
+    ("BAD1", "2024-02-01", None, 10.0, 5.0, 8.0, 100),
+    ("BAD2", "2024-02-02", 10.0, None, 5.0, 8.0, 100),
+    ("BAD3", "2024-02-03", 10.0, 12.0, None, 8.0, 100),
+    ("BAD4", "2024-02-04", 10.0, 12.0, 5.0, None, 100),
+    ("BAD5", "2024-02-05", 10.0, 12.0, 5.0, 8.0, None),
+    ("BAD6", "2024-02-06", -1.0, 12.0, -2.0, 8.0, 100),
+    ("BAD7", "2024-02-07", -5.0, -1.0, -6.0, -2.0, 100),
+    ("BAD8", "2024-02-08", 10.0, 12.0, 5.0, 8.0, -10),
+    ("BAD9", "2024-02-09", 10.0, 4.0, 5.0, 8.0, 100),
+    ("BAD10", "2024-02-10", 10.0, 9.0, 5.0, 8.0, 100),
+    ("BAD11", "2024-02-11", 10.0, 12.0, 9.0, 8.0, 100),
+    ("BAD12", "2024-02-12", 10.0, 16.0, 9.0, 15.5, 100),
+    ("AAPL", "2024-02-13", 10.0, 12.0, 5.0, 8.0, 0),
+]
+
+_DIRTY_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("date", T.StringType()),
+        T.StructField("open", T.DoubleType()),
+        T.StructField("high", T.DoubleType()),
+        T.StructField("low", T.DoubleType()),
+        T.StructField("close", T.DoubleType()),
+        T.StructField("volume", T.LongType()),
+    ]
+)
+
+
+def dirty_stocks(spark, sf_dir):
+    bad = spark.createDataFrame(DIRTY_ROWS, _DIRTY_SCHEMA).withColumn(
+        "date", F.col("date").cast("date")
+    )
+    return _stocks(spark, sf_dir).unionByName(bad)
+
+
+def _dirty_values_sql() -> str:
+    def num(x):
+        return "CAST(NULL AS DOUBLE)" if x is None else f"CAST({x} AS DOUBLE)"
+
+    rows = []
+    for sym, dt, o, h, lo, c, v in DIRTY_ROWS:
+        vol = "CAST(NULL AS BIGINT)" if v is None else f"CAST({v} AS BIGINT)"
+        rows.append(f"('{sym}', DATE '{dt}', {num(o)}, {num(h)}, {num(lo)}, {num(c)}, {vol})")
+    return ",\n    ".join(rows)
+
+
+_DIRTY_CTE = f"""{STOCKS},
+bad(symbol, date, open, high, low, close, volume) AS (VALUES
+    {_dirty_values_sql()}),
+dirty AS (SELECT * FROM stocks UNION ALL SELECT * FROM bad)"""
+
+_VALID_SQL = """open IS NOT NULL AND high IS NOT NULL AND low IS NOT NULL
+  AND close IS NOT NULL AND volume IS NOT NULL
+  AND open > 0 AND high > 0 AND low > 0 AND close > 0 AND volume >= 0
+  AND high >= low AND high >= greatest(open, close) AND low <= least(open, close)
+  AND abs(close - open) / open <= 0.5
+  AND NOT (volume = 0 AND symbol IN ('AAPL','GOOGL','MSFT','AMZN','TSLA'))"""
+
+_FLAG_SQL = """list_filter([
+  CASE WHEN open IS NULL THEN 'missing_open' END,
+  CASE WHEN high IS NULL THEN 'missing_high' END,
+  CASE WHEN low IS NULL THEN 'missing_low' END,
+  CASE WHEN close IS NULL THEN 'missing_close' END,
+  CASE WHEN volume IS NULL THEN 'missing_volume' END,
+  CASE WHEN open <= 0 THEN 'nonpositive_open' END,
+  CASE WHEN high <= 0 THEN 'nonpositive_high' END,
+  CASE WHEN low <= 0 THEN 'nonpositive_low' END,
+  CASE WHEN close <= 0 THEN 'nonpositive_close' END,
+  CASE WHEN volume < 0 THEN 'negative_volume' END,
+  CASE WHEN high < low THEN 'high_lt_low' END,
+  CASE WHEN high < greatest(open, close) THEN 'high_lt_open_close' END,
+  CASE WHEN low > least(open, close) THEN 'low_gt_open_close' END,
+  CASE WHEN abs(close - open) / open > 0.5 THEN 'extreme_move' END,
+  CASE WHEN volume = 0 AND symbol IN ('AAPL','GOOGL','MSFT','AMZN','TSLA')
+       THEN 'zero_volume_major' END
+], x -> x IS NOT NULL)"""
+
+
+@query(
+    "quality_clean",
+    f"WITH {_DIRTY_CTE}\nSELECT * FROM dirty WHERE {_VALID_SQL}",
+)
+def q_quality_clean(spark, sf_dir):
+    return quality.clean(dirty_stocks(spark, sf_dir))
+
+
+@query(
+    "quality_flag",
+    f"""WITH {_DIRTY_CTE}
+SELECT symbol, date, coalesce(array_to_string({_FLAG_SQL}, ','), '') AS violations FROM dirty""",
+)
+def q_quality_flag(spark, sf_dir):
+    return quality.flag(dirty_stocks(spark, sf_dir)).select(
+        "symbol", "date", F.array_join("violations", ",").alias("violations")
+    )
+
+
+@query(
+    "quality_summary",
+    f"""WITH {_DIRTY_CTE}
+SELECT violation, count(*) AS count
+FROM (SELECT unnest({_FLAG_SQL}) AS violation FROM dirty)
+GROUP BY violation ORDER BY count DESC, violation""",
+)
+def q_quality_summary(spark, sf_dir):
+    return quality.summary(dirty_stocks(spark, sf_dir))
+
+
+# =========================================================================
+# §2.3/2.4/2.6/2.7 — relational surface on the TPC-H-ish tables
+# =========================================================================
+
+
+@query(
+    "pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  count(*) AS count_order,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+  round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def q_pricing_summary(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-12-01 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    # Scale-2 decimal casts of RAW doubles are cross-engine-safe (the
+    # ×100 scaling stays far below double's exact-integer range);
+    # decimal casts of COMPUTED products at high scale are not — those
+    # sums run in double and self-round to the cent instead.
+    out = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(charge), 2).alias("sum_charge"),
+        F.count("*").alias("count_order"),
+        F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double").alias("_sum_disc"),
+    )
+    return (
+        out.withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
+        .withColumn("avg_price", F.round(F.col("sum_base_price") / F.col("count_order"), 6))
+        .withColumn("avg_disc", F.round(F.col("_sum_disc") / F.col("count_order"), 6))
+        .drop("_sum_disc")
+    )
+
+
+@query(
+    "revenue_by_nation",
+    """SELECT n_name,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+  count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name""",
+)
+def q_revenue_by_nation(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # Dimension joins broadcast: only `orders` (the fact side) shuffles,
+    # and with AQE not even that when customer fits the broadcast limit.
+    dims = rel.equi_join(
+        customer,
+        rel.equi_join(
+            nation,
+            region,
+            nation["n_regionkey"] == region["r_regionkey"],
+            broadcast_right=True,
+        ),
+        customer["c_nationkey"] == nation["n_nationkey"],
+        broadcast_right=True,
+    )
+    joined = orders.join(
+        F.broadcast(dims.select("c_custkey", "n_name")),
+        orders["o_custkey"] == F.col("c_custkey"),
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "top_orders",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def q_top_orders(spark, sf_dir):
+    return rel.top_k(
+        table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        10,
+    )
+
+
+@query(
+    "customers_with_orders",
+    """SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""",
+)
+def q_semi(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return rel.semi_join(
+        c, o, c["c_custkey"] == o["o_custkey"]
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "customers_without_f_orders",
+    """SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""",
+)
+def q_anti(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return rel.anti_join(
+        c, o, c["c_custkey"] == o["o_custkey"]
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "orders_rank",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
+  FROM orders) WHERE rnk <= 3""",
+)
+def q_orders_rank(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "segment_rollup",
+    """SELECT coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
+  count(*) AS n_customers,
+  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer GROUP BY ROLLUP(c_mktsegment)""",
+)
+def q_segment_rollup(spark, sf_dir):
+    return rel.rollup_agg(
+        table(spark, sf_dir, "customer"),
+        ["c_mktsegment"],
+        [
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
+        ],
+    )
+
+
+@query(
+    "nations_with_both",
+    """SELECT c_nationkey AS nationkey FROM customer
+INTERSECT SELECT s_nationkey FROM supplier""",
+)
+def q_intersect(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return rel.intersect(c, s)
+
+
+@query(
+    "nations_customers_only",
+    """SELECT c_nationkey AS nationkey FROM customer
+EXCEPT SELECT s_nationkey FROM supplier""",
+)
+def q_except(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@query(
+    "events_json",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events WHERE event_type = 'click'""",
+)
+def q_events_json(spark, sf_dir):
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+@query(
+    "tumbling_daily",
+    """SELECT date_trunc('day', ts) AS day, event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_value
+FROM events GROUP BY 1, 2""",
+)
+def q_tumbling_daily(spark, sf_dir):
+    return daily_event_aggregate(table(spark, sf_dir, "events"))
+
+
+# =========================================================================
+# §2.11 extensions — dedup / text / similarity / multimodal
+# =========================================================================
+
+_NORM_CTE = """norm AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents)"""
+
+_SHINGLES_CTE = f"""{_NORM_CTE},
+shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3
+              THEN [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+              ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM norm),
+sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM shingled)"""
+
+
+@query(
+    "exact_dedup",
+    """SELECT doc_id, text_hash FROM (
+  SELECT doc_id, md5(lower(trim(text))) AS text_hash,
+         row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1""",
+)
+def q_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup(table(spark, sf_dir, "documents")).select("doc_id", "text_hash")
+
+
+@query(
+    "near_dup_pairs",
+    f"""WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(common * 1.0 / (s1.n + s2.n - common), 6) AS jaccard
+FROM pairs
+JOIN sizes s1 ON id_a = s1.doc_id
+JOIN sizes s2 ON id_b = s2.doc_id
+WHERE common * 1.0 / (s1.n + s2.n - common) >= 0.7""",
+)
+def q_near_dup(spark, sf_dir):
+    out = dedup.near_dup_pairs(table(spark, sf_dir, "documents"), threshold=0.7)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("simhash_pairs")  # xxhash64 not reproducible in the oracle → rows-only
+def q_simhash(spark, sf_dir):
+    return dedup.simhash_near_dups(table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@query(
+    "text_stats",
+    f"""WITH {_NORM_CTE}
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_computed,
+  CAST(len(words) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\\s])', 1)) AS BIGINT)
+    AS n_pieces,
+  round(list_sum(list_transform(words, w -> length(w))) * 1.0 / len(words), 6)
+    AS avg_word_len,
+  round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text), 6)
+    AS punct_ratio
+FROM norm""",
+)
+def q_text_stats(spark, sf_dir):
+    out = text.text_stats(table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_chars_computed").cast("long").alias("n_chars_computed"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+        "avg_word_len",
+        "punct_ratio",
+    )
+
+
+def _contains_sum_sql(words: list[str]) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_contains(words, '{w}') THEN 1 ELSE 0 END)" for w in words
+    )
+
+
+_ALL_MARKERS = [w for ws in _LANG_MARKERS.values() for w in ws]
+
+
+@query(
+    "quality_score",
+    f"""WITH {_NORM_CTE}
+SELECT doc_id, round(
+  (CASE WHEN len(words) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+  + (CASE WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text) <= 0.2
+          THEN 0.3 ELSE 0.0 END)
+  + (CASE WHEN ({_contains_sum_sql(_ALL_MARKERS)}) >= 2 THEN 0.3 ELSE 0.0 END), 6)
+  AS quality_score
+FROM norm""",
+)
+def q_quality_score(spark, sf_dir):
+    return text.quality_score(table(spark, sf_dir, "documents"))
+
+
+_H_COLS = ", ".join(
+    f"({_contains_sum_sql(ws)}) AS h_{lang}" for lang, ws in _LANG_MARKERS.items()
+)
+_H_BEST = "greatest(" + ", ".join(f"h_{lang}" for lang in _LANG_MARKERS) + ")"
+_H_CASE = " ".join(
+    f"WHEN h_{lang} = {_H_BEST} THEN '{lang}'" for lang in sorted(_LANG_MARKERS, reverse=True)
+)
+
+
+@query(
+    "detect_language",
+    f"""WITH {_NORM_CTE},
+h AS (SELECT doc_id, {_H_COLS} FROM norm)
+SELECT doc_id,
+  CASE WHEN {_H_BEST} = 0 THEN 'und' {_H_CASE} END AS detected_lang
+FROM h""",
+)
+def q_detect_language(spark, sf_dir):
+    return text.detect_language(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_fingerprint",
+    f"""WITH {_NORM_CTE},
+shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3
+              THEN [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+              ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM norm)
+SELECT doc_id,
+  list_aggregate(list_transform(shingles, s -> md5(s)), 'min') AS fingerprint
+FROM shingled""",
+)
+def q_fingerprint(spark, sf_dir):
+    return text.fingerprint(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "token_totals_by_lang",
+    f"""WITH {_NORM_CTE}
+SELECT d.lang,
+  count(*) AS n_docs,
+  CAST(sum(len(n.words)) AS BIGINT) AS total_tokens,
+  CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+FROM documents d JOIN norm n ON d.doc_id = n.doc_id
+GROUP BY d.lang ORDER BY d.lang""",
+)
+def q_token_totals(spark, sf_dir):
+    return text.token_totals_by_lang(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "embedding_stats",
+    """SELECT vec_id,
+  CAST(len(embedding) AS BIGINT) AS dim,
+  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6)
+    AS l2_norm
+FROM embeddings""",
+)
+def q_embedding_stats(spark, sf_dir):
+    out = similarity.embedding_stats(table(spark, sf_dir, "embeddings"))
+    return out.select("vec_id", F.col("dim").cast("long").alias("dim"), "l2_norm")
+
+
+@query(
+    "ann_topk",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         round(list_dot_product(qe, e)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))), 6)
+           AS cosine_sim
+  FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, cosine_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS rn
+  FROM scored) WHERE rn <= 10""",
+)
+def q_ann_topk(spark, sf_dir):
+    vecs = table(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(vecs, queries, k=10)
+
+
+@query("ann_topk_lsh")  # approximate — rows-only check
+def q_ann_lsh(spark, sf_dir):
+    vecs = table(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 5)
+    return similarity.hyperplane_lsh_topk(vecs, queries, k=10)
+
+
+@query(
+    "intra_label_cosine",
+    """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.label,
+  round(avg(list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))), 6)
+    AS mean_intra_cosine,
+  count(*) AS pairs
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+GROUP BY a.label""",
+)
+def q_intra_label(spark, sf_dir):
+    return similarity.pairwise_label_cosine(table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "media_manifest",
+    """SELECT doc_id AS media_id, 'text' AS modality,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS payload_md5
+FROM documents""",
+)
+def q_media_manifest(spark, sf_dir):
+    media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
+    out = multimodal.media_manifest(media)
+    return out.select(
+        "media_id", "modality", F.col("n_bytes").cast("long").alias("n_bytes"), "payload_md5"
+    )
+
+
+@query("media_features")  # mapInPandas decode plumbing — rows-only check
+def q_media_features(spark, sf_dir):
+    media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)

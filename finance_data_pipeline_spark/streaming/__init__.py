@@ -1,0 +1,13 @@
+from finance_data_pipeline_spark.streaming.pipeline import (
+    daily_event_aggregate,
+    stream_events,
+    stream_ingest_stocks,
+    streaming_daily_aggregate,
+)
+
+__all__ = [
+    "stream_events",
+    "streaming_daily_aggregate",
+    "daily_event_aggregate",
+    "stream_ingest_stocks",
+]

@@ -1,0 +1,99 @@
+"""Structured Streaming restatement of the reference's incremental
+ingest (SURVEY.md §2.10).
+
+The reference's "real-time" is a daily scheduled batch: refetch rows
+newer than MAX(date) per symbol, upsert, recompute
+(fetch_and_store_multi.py:264-306; README.md:91-97). Spark-native:
+
+* checkpointing replaces the MAX(date) bookkeeping,
+* ``withWatermark + dropDuplicates`` replaces refetch-overlap tolerance,
+* ``foreachBatch`` running the J5 merge replaces ON DUPLICATE KEY,
+* tumbling ``window(ts, '1 day')`` replaces the scheduled recompute.
+
+Every transformation here is the same lazy DataFrame code the batch
+path uses — stream/batch equivalence is tested (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finance_data_pipeline_spark.ingest import upsert
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Incremental file source over event parquet — new files are the
+    micro-batches (the reference's daily refetch, without the refetch)."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path_glob)
+
+
+def daily_event_aggregate(events: DataFrame) -> DataFrame:
+    """Tumbling one-day window per event_type: count + value stats.
+    Shared by batch and streaming (identical plan → equivalence test)."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 day").alias("win"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            # Sum in decimal so the result is exact (order-independent)
+            # regardless of partial-aggregation order — bit-identical to
+            # any other engine's decimal sum of the same values.
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .withColumn("avg_value", F.round(F.col("total_value") / F.col("n_events"), 6))
+        .select(
+            F.col("win.start").alias("day"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "avg_value",
+        )
+    )
+
+
+def streaming_daily_aggregate(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming variant: watermark bounds state so late events older
+    than the watermark are dropped and window state is evicted —
+    mandatory for unbounded 100 TB streams."""
+    return daily_event_aggregate(events.withWatermark("ts", watermark))
+
+
+def dedup_in_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon — replaces the
+    reference's tolerate-duplicates-via-upsert behavior."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def stream_ingest_stocks(
+    bars: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """foreachBatch upsert sink: each micro-batch merges into the
+    partitioned store with the same J5 merge the batch path uses.
+
+    Partition-scoped read-merge-overwrite keeps the rewrite bounded by
+    the symbols in the batch, not the store size.
+    """
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            existing = spark.read.parquet(store_path)
+        except Exception:
+            existing = None
+        merged = batch if existing is None else upsert(existing, batch)
+        merged.write.mode("overwrite").partitionBy("symbol").parquet(store_path)
+
+    writer = bars.writeStream.foreachBatch(merge_batch).option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,115 @@
+"""Mini-driver: run every registered query on Spark AND its DuckDB
+oracle on the same parquet, compare order-insensitively — the same
+check the real driver performs at sf0.01 (run here at sf0.001 for
+speed; set PARITY_SF_DIR to widen).
+
+This is the primary correctness gate (SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from finance_data_pipeline_spark.schemas import DRIVER_TABLES
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _oracle_conn():
+    con = duckdb.connect()
+    for t in DRIVER_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(list(df.columns), ignore_index=True)
+    return df
+
+
+def _values_match(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b or math.isclose(a, b, rel_tol=0, abs_tol=0)
+    return a == b
+
+
+def _names():
+    from finance_data_pipeline_spark.registry import ORACLES
+
+    return sorted(ORACLES)
+
+
+@pytest.mark.parametrize("name", _names())
+def test_query_matches_oracle(spark, name):
+    from finance_data_pipeline_spark.registry import ORACLES, QUERIES
+
+    spark_pdf = QUERIES[name](spark, SF_DIR).toPandas()
+    con = _oracle_conn()
+    oracle_pdf = con.sql(ORACLES[name]).df()
+
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs oracle {len(oracle_pdf)}"
+    )
+    assert sorted(spark_pdf.columns.str.lower()) == sorted(
+        oracle_pdf.columns.str.lower()
+    ), f"{name}: columns {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
+
+    spark_pdf.columns = spark_pdf.columns.str.lower()
+    oracle_pdf.columns = oracle_pdf.columns.str.lower()
+    # Normalize temporal types for comparison.
+    for pdf in (spark_pdf, oracle_pdf):
+        for c in pdf.columns:
+            if "datetime" in str(pdf[c].dtype) or str(pdf[c].dtype) == "object" and len(pdf) and hasattr(pdf[c].iloc[0], "isoformat"):
+                pdf[c] = pd.to_datetime(pdf[c]).astype("datetime64[us]")
+    s, o = _canon(spark_pdf), _canon(oracle_pdf)
+
+    mismatches = []
+    for col in s.columns:
+        sv, ov = s[col].tolist(), o[col].tolist()
+        for i, (a, b) in enumerate(zip(sv, ov)):
+            try:
+                fa, fb = float(a), float(b)
+                ok = (math.isnan(fa) and math.isnan(fb)) or fa == fb
+            except (TypeError, ValueError):
+                ok = str(a) == str(b)
+            if not ok:
+                mismatches.append((col, i, a, b))
+                if len(mismatches) >= 5:
+                    break
+        if len(mismatches) >= 5:
+            break
+    assert not mismatches, f"{name}: value mismatches (col,row,spark,oracle): {mismatches}"
+
+
+def test_rows_only_queries_run(spark):
+    """Queries without oracle entries must still execute and return a
+    stable schema (the driver's weaker check)."""
+    from finance_data_pipeline_spark.registry import ORACLES, QUERIES
+
+    for name in sorted(set(QUERIES) - set(ORACLES)):
+        df = QUERIES[name](spark, SF_DIR)
+        n = df.count()
+        assert n >= 0, name
+        assert df.columns, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    out = entrymod.entry(spark)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert "symbol" in out.columns
