@@ -1,5 +1,6 @@
 from finance_data_pipeline_spark.streaming.pipeline import (
     daily_event_aggregate,
+    dedup_in_stream,
     stream_events,
     stream_ingest_stocks,
     streaming_daily_aggregate,
@@ -9,5 +10,6 @@ __all__ = [
     "stream_events",
     "streaming_daily_aggregate",
     "daily_event_aggregate",
+    "dedup_in_stream",
     "stream_ingest_stocks",
 ]

@@ -1,0 +1,123 @@
+"""Structured Streaming tests (SURVEY.md §2.10, M5): the streaming
+restatement must produce exactly the batch results on the same data
+(stream/batch equivalence), dedup within the watermark, and the
+foreachBatch upsert sink must converge to the batch merge.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from finance_data_pipeline_spark import fixtures
+from finance_data_pipeline_spark.io import table
+from finance_data_pipeline_spark.streaming import (
+    daily_event_aggregate,
+    dedup_in_stream,
+    stream_events,
+    stream_ingest_stocks,
+    streaming_daily_aggregate,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _run_stream_to_memory(sdf, name: str, checkpoint: str, output_mode: str):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q
+
+
+def test_stream_batch_equivalence_daily_aggregate(spark, tmp_path):
+    """The streaming tumbling-day aggregate over all files ≡ the batch
+    aggregate on the same parquet (complete mode: every window emitted)."""
+    src = str(tmp_path / "src")  # file stream source must be a directory
+    # Stage via io.table: converts the driver's TIMESTAMP(NANOS) ts to µs
+    # so the staged parquet matches the stream's `ts timestamp` schema.
+    table(spark, SF_DIR, "events").write.parquet(src)
+    stream = stream_events(spark, src)
+    assert stream.isStreaming
+    name = f"agg_{uuid.uuid4().hex[:8]}"
+    _run_stream_to_memory(
+        streaming_daily_aggregate(stream), name, str(tmp_path / "ckpt"), "complete"
+    )
+    got = spark.table(name).orderBy("day", "event_type").collect()
+
+    batch = spark.read.parquet(src)
+    want = daily_event_aggregate(batch).orderBy("day", "event_type").collect()
+    assert got == want
+    assert len(got) > 0
+
+
+def test_stream_dedup_drops_duplicate_event_ids(spark, tmp_path):
+    """dedup_in_stream keeps exactly one row per event_id across
+    micro-batches (the reference's refetch-overlap tolerance)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events = table(spark, SF_DIR, "events").limit(500).cache()
+    # Batch 1: the events; batch 2 arrives later with full overlap.
+    events.write.mode("overwrite").parquet(src)
+
+    def run_once():
+        # File sink (not memory): supports checkpoint recovery, so the
+        # second run resumes dedup state across "restarts".
+        q = (
+            dedup_in_stream(stream_events(spark, src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 500
+
+    events.write.mode("append").parquet(src)  # duplicate files arrive
+    run_once()
+    n2 = spark.read.parquet(out).count()
+    assert n2 == 500, "duplicate event_ids must be dropped across micro-batches"
+
+
+def test_foreachbatch_upsert_converges_to_batch_merge(spark, tmp_path):
+    """stream_ingest_stocks merges micro-batches into the partitioned
+    store; the final store ≡ dedup-by-key over everything ingested."""
+    stocks = fixtures.stocks(spark, SF_DIR).cache()
+    cutoff = F.lit("2024-01-20").cast("date")
+    b1 = stocks.filter(F.col("date") <= cutoff)
+    b2 = stocks.filter(F.col("date") >= F.lit("2024-01-15").cast("date")).withColumn(
+        "close", F.col("close") * 2
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    schema_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in stocks.schema.fields)
+
+    b1.write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(schema_ddl).parquet(src)
+    stream_ingest_stocks(sdf, store, ckpt).awaitTermination(300)
+    assert spark.read.parquet(store).count() == b1.count()
+
+    b2.write.mode("append").parquet(src)
+    sdf = spark.readStream.schema(schema_ddl).parquet(src)
+    stream_ingest_stocks(sdf, store, ckpt).awaitTermination(300)
+
+    got = spark.read.parquet(store)
+    # Key-unique, and overlapping keys carry batch-2 closes (new wins).
+    assert got.groupBy("symbol", "date").count().filter("count > 1").count() == 0
+    assert got.count() == b1.select("symbol", "date").union(b2.select("symbol", "date")).distinct().count()
+    overlap = got.join(b2.select("symbol", "date", F.col("close").alias("c2")), ["symbol", "date"])
+    assert overlap.filter(F.col("close") != F.col("c2")).count() == 0
