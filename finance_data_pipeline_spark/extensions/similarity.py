@@ -123,6 +123,44 @@ def hyperplane_lsh_topk(
     return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
 
 
+def cosine_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (X2e): all (id_a < id_b)
+    pairs with cosine ≥ threshold — semantic dedup over an embedding
+    column.
+
+    Exact all-pairs here (oracle-checkable, deterministic); pre-norm
+    once so the pair stage is a single dot product. At 100 TB scale,
+    prune the pair space first with hyperplane LSH buckets
+    (hyperplane_lsh_topk's bucketing) or an IVF coarse quantizer, then
+    run this verification on candidates only — same verify-exact
+    pattern as MinHash dedup (dedup.near_dup_pairs)."""
+    normed = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(vec_col).alias("_n"),
+    )
+    a = normed.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = normed.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot("_va", "_vb") / (F.col("_na") * F.col("_nb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def embedding_stats(vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Vector hygiene scan: dimensionality + L2 norm per vector (the
     validation pass a 100 TB embedding ingest runs before indexing)."""

@@ -68,6 +68,77 @@ def theta_join(left: DataFrame, right: DataFrame, cond: Column) -> DataFrame:
     return left.crossJoin(right).filter(cond)
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+) -> DataFrame:
+    """J6+ — as-of join: each left row picks the latest right row with
+    ``right.ts <= left.ts`` per key (the reference's "state as of a
+    point in time" pattern behind its incremental boundary,
+    fetch_and_store_multi.py:269-276, generalized).
+
+    Spark-first physical plan: tag + union + last-value-ignorenulls
+    window, NOT a range-predicate join. A naive
+    ``left.join(right, ts >= ts)`` explodes to O(|L|·|R|) per key before
+    a per-row max; the union form is one shuffle on (key, ts) and one
+    linear window pass — the only formulation that survives 100 TB.
+    Equal timestamps match (right sorts before left at the same ts).
+    """
+    from pyspark.sql import Window
+
+    lt = left.select(
+        "*",
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+    ).withColumn("_ts", F.col(left_ts))
+    rt = right.select(
+        F.col(key),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.col(right_ts).alias("_ts"),
+    )
+    # Left rows carry their own columns; right rows only (key, ts, payload).
+    for c in lt.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(dict(lt.dtypes)[c]))
+    unioned = lt.unionByName(rt.select(*lt.columns))
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}_asof")
+            for c in right_cols
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).drop(
+        "_side", "_ts", *[f"_r_{c}" for c in right_cols]
+    )
+
+
+def range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval containment join: point ∈ [lo, hi). The ranges side is
+    broadcast (band tables are small by construction), so each executor
+    scans its point partition once with no shuffle — at 100 TB the fact
+    side never moves."""
+    cond = (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    return points.join(F.broadcast(ranges), cond, how)
+
+
 # --- aggregations (A1-A3, A12) -------------------------------------------
 
 def max_per_key(df: DataFrame, key: str, col: str) -> DataFrame:

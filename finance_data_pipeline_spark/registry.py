@@ -789,6 +789,56 @@ def q_events_json(spark, sf_dir):
 
 
 @query(
+    "asof_join_events_bars",
+    f"""WITH {BARS},
+ev AS (SELECT event_id, 'H' || CAST(user_id % 10 AS VARCHAR) AS symbol, ts, value
+       FROM events)
+SELECT e.event_id, e.symbol, e.ts, e.value, b.close AS close_asof
+FROM ev e ASOF LEFT JOIN bars b
+  ON e.symbol = b.symbol AND e.ts >= b.bar_ts""",
+)
+def q_asof_join(spark, sf_dir):
+    """Each event priced against the latest hourly bar at-or-before its
+    timestamp — the canonical trades-vs-quotes as-of join, expressed as
+    union + last-ignorenulls window (no range-join blowup)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit("H"), (F.col("user_id") % 10).cast("string")).alias("symbol"),
+        "ts",
+        "value",
+    )
+    bars = _bars(spark, sf_dir)
+    out = rel.asof_join(ev, bars, key="symbol", left_ts="ts", right_ts="bar_ts", right_cols=["close"])
+    return out.select("event_id", "symbol", "ts", "value", F.col("close_asof"))
+
+
+_BANDS = [("low", 0.0, 50_000.0), ("mid", 50_000.0, 150_000.0), ("high", 150_000.0, 10_000_000.0)]
+_BANDS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)
+
+
+@query(
+    "orders_price_bands",
+    f"""WITH bands(band, lo, hi) AS (VALUES {_BANDS_SQL})
+SELECT band, count(*) AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band""",
+)
+def q_orders_price_bands(spark, sf_dir):
+    """Interval-containment join of the orders fact against a broadcast
+    band table, then per-band rollup — the fact side never shuffles for
+    the join (broadcast nested loop), only for the 3-group aggregate."""
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    joined = rel.range_join(
+        table(spark, sf_dir, "orders"), bands, "o_totalprice", "lo", "hi"
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+
+
+@query(
     "tumbling_daily",
     """SELECT date_trunc('day', ts) AS day, event_type,
   count(*) AS n_events,
@@ -798,6 +848,39 @@ FROM events GROUP BY 1, 2""",
 )
 def q_tumbling_daily(spark, sf_dir):
     return daily_event_aggregate(table(spark, sf_dir, "events"))
+
+
+@query(
+    "streaming_tumbling_daily",
+    ORACLES["tumbling_daily"],
+)
+def q_streaming_tumbling_daily(spark, sf_dir):
+    """The SAME daily aggregate executed as a real Structured Streaming
+    query (file source → watermark → tumbling window → memory sink,
+    availableNow trigger) — stream/batch equivalence demonstrated
+    against the identical SQL oracle. §2.10."""
+    import tempfile
+    import uuid
+
+    from finance_data_pipeline_spark.streaming import (
+        stream_events,
+        streaming_daily_aggregate,
+    )
+
+    staged = tempfile.mkdtemp(prefix="fdps_events_")
+    table(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
+    name = f"fdps_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_daily_aggregate(stream_events(spark, staged))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fdps_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
 
 
 # =========================================================================
@@ -995,6 +1078,21 @@ def q_ann_lsh(spark, sf_dir):
     vecs = table(spark, sf_dir, "embeddings")
     queries = vecs.filter(F.col("vec_id") < 5)
     return similarity.hyperplane_lsh_topk(vecs, queries, k=10)
+
+
+@query(
+    "cosine_dup_pairs",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT id_a, id_b, cosine_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+           AS cosine_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+WHERE cosine_sim >= 0.45""",
+)
+def q_cosine_dup(spark, sf_dir):
+    return similarity.cosine_dup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
 @query(
