@@ -851,6 +851,81 @@ def q_tumbling_daily(spark, sf_dir):
 
 
 @query(
+    "segment_status_cube",
+    """SELECT coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
+  coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
+  count(*) AS n_customers
+FROM customer GROUP BY CUBE(c_mktsegment, CAST(c_nationkey AS VARCHAR))""",
+)
+def q_segment_cube(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").withColumn(
+        "nation", F.col("c_nationkey").cast("string")
+    )
+    return rel.cube_agg(c, ["c_mktsegment", "nation"], [F.count("*").alias("n_customers")])
+
+
+@query(
+    "sliding_window_events",
+    """WITH s AS (
+  SELECT event_type, value,
+         TIMESTAMP 'epoch' + to_seconds(CAST(floor(epoch(ts) / 43200) * 43200 AS BIGINT)) AS b
+  FROM events),
+w AS (SELECT event_type, value, unnest([b, b - INTERVAL 12 HOUR]) AS win_start FROM s)
+SELECT win_start, event_type, count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM w GROUP BY 1, 2""",
+)
+def q_sliding_window(spark, sf_dir):
+    """24h windows sliding every 12h: each event lands in exactly two
+    windows (Spark window(ts, '1 day', '12 hours')); the oracle
+    reconstructs the window-start arithmetic explicitly."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day", "12 hours").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@query(
+    "session_windows",
+    """WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+s AS (SELECT user_id, ts,
+        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM o)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sess_id""",
+)
+def q_session_windows(spark, sf_dir):
+    """Per-user session windows with a 30-minute inactivity gap —
+    Spark's native session_window; the oracle is the classic
+    gaps-and-islands SQL (lag → new-session flag → running sum)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
     "streaming_tumbling_daily",
     ORACLES["tumbling_daily"],
 )

@@ -1,0 +1,76 @@
+"""I/O layer tests (SURVEY.md §2.1): partitioned write → partition-pruned
+read (the 100 TB story for every ``WHERE symbol = ?`` query the
+reference issues), schema normalization (P9/S6), CSV export (S7).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from finance_data_pipeline_spark import fixtures
+from finance_data_pipeline_spark.io import export_csv, normalize_stocks, write_stocks
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("store") / "stocks")
+    write_stocks(fixtures.stocks(spark, SF_DIR), path)
+    return path
+
+
+def test_partitioned_store_roundtrip(spark, store):
+    orig = fixtures.stocks(spark, SF_DIR)
+    back = spark.read.parquet(store)
+    assert back.count() == orig.count()
+    assert set(back.columns) == set(orig.columns)
+
+
+def test_symbol_filter_is_partition_pruned(spark, store):
+    """WHERE symbol = ? must prune partitions at plan time — a metadata
+    lookup, not a scan (io.write_stocks docstring; SURVEY.md §4)."""
+    df = spark.read.parquet(store).filter(F.col("symbol") == "S7")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # The partition filter must carry the symbol predicate.
+    pf = [line for line in plan.splitlines() if "PartitionFilters" in line][0]
+    assert "S7" in pf, pf
+    assert df.count() > 0
+
+
+def test_normalize_stocks_renames_and_casts(spark):
+    """P9/S6: yfinance-shaped input (MultiIndex-flattened spellings,
+    missing adj_close tolerated) → canonical schema."""
+    raw = spark.createDataFrame(
+        [("aapl", "2024-01-02", "10.5", "11.0", "10.0", "10.8", "1000")],
+        "Symbol string, Date string, Open string, High string, Low string, `Close` string, Volume string",
+    )
+    out = normalize_stocks(raw)
+    row = out.collect()[0]
+    assert row["symbol"] == "aapl"
+    assert isinstance(row["open"], float)
+    assert row["volume"] == 1000
+    assert row["adj_close"] == pytest.approx(10.8)  # falls back to close
+
+
+def test_normalize_stocks_fills_nan_defaults(spark):
+    """P8: NaN→0 coalescing at the ingest boundary
+    (fetch_and_store_multi.py:164-169)."""
+    raw = spark.createDataFrame(
+        [("A", "2024-01-02", None, 11.0, 10.0, 10.8, None)],
+        "symbol string, date string, open double, high double, low double, close double, volume bigint",
+    )
+    row = normalize_stocks(raw).collect()[0]
+    assert row["open"] == 0.0
+    assert row["volume"] == 0
+
+
+def test_csv_export_roundtrip(spark, tmp_path):
+    df = fixtures.stocks(spark, SF_DIR).select("symbol", "date", "close")
+    path = str(tmp_path / "csv_out")
+    export_csv(df, path)
+    back = spark.read.option("header", "true").csv(path)
+    assert back.count() == df.count()
+    assert back.columns == ["symbol", "date", "close"]
