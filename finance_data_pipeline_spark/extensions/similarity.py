@@ -161,6 +161,83 @@ def cosine_dup_pairs(
     )
 
 
+def cosine_dup_pairs_blocked(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Scale path for cosine_dup_pairs: blocked all-pairs GEMM.
+
+    Vectors are hashed into n_blocks; every unordered block pair (i ≤ j)
+    becomes one applyInPandas group holding block i as side A and block
+    j as side B, scored with one numpy matrix multiply (BLAS) instead of
+    per-pair interpreted folds — ~100× the arithmetic throughput of the
+    HOF formulation at identical output (mod last-bit summation order).
+
+    Scale shape: each vector is replicated ~n_blocks times (shuffle
+    volume n_blocks·|V|), every block pair is scored exactly once, and
+    no single task ever holds more than two blocks — pick n_blocks so a
+    block fits executor memory and the replication factor stays ~√tasks.
+    This is the IVF-bucket inner loop: at 100 TB you'd first partition
+    by a coarse quantizer and run this within cells.
+    """
+    import numpy as np
+    import pandas as pd
+
+    v = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("_b"),
+    )
+    # Side A serves block pairs (b, j≥b); side B serves (i≤b, b).
+    a_rep = v.select(
+        "_id", "_v",
+        F.col("_b").alias("ba"),
+        F.explode(F.sequence(F.col("_b"), F.lit(n_blocks - 1))).alias("bb"),
+        F.lit(0).alias("_role"),
+    )
+    b_rep = v.select(
+        "_id", "_v",
+        F.explode(F.sequence(F.lit(0), F.col("_b"))).alias("ba"),
+        F.col("_b").alias("bb"),
+        F.lit(1).alias("_role"),
+    )
+    rep = a_rep.unionByName(b_rep)
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ba, bb = key
+        A = pdf[pdf["_role"] == 0]
+        B = pdf[pdf["_role"] == 1]
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "cosine_sim": pd.Series(dtype="float64")})
+        if not len(A) or not len(B):
+            return empty
+        ma = np.stack(A["_v"].to_numpy())
+        mb = np.stack(B["_v"].to_numpy())
+        ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+        mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+        sim = ma @ mb.T
+        ia, ib = np.nonzero(sim >= threshold)
+        if not len(ia):
+            return empty
+        ids_a = A["_id"].to_numpy()[ia]
+        ids_b = B["_id"].to_numpy()[ib]
+        cs = sim[ia, ib]
+        if ba == bb:  # diagonal block holds both orientations once each
+            keep = ids_a < ids_b
+            ids_a, ids_b, cs = ids_a[keep], ids_b[keep], cs[keep]
+        lo = np.minimum(ids_a, ids_b)
+        hi = np.maximum(ids_a, ids_b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine_sim": np.round(cs, 6)})
+
+    return rep.groupBy("ba", "bb").applyInPandas(
+        kernel, "id_a long, id_b long, cosine_sim double"
+    )
+
+
 def embedding_stats(vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Vector hygiene scan: dimensionality + L2 norm per vector (the
     validation pass a 100 TB embedding ingest runs before indexing)."""

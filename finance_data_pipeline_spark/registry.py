@@ -1170,6 +1170,13 @@ def q_cosine_dup(spark, sf_dir):
     return similarity.cosine_dup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+@query("cosine_dup_pairs_blocked")  # GEMM float-sum order ≠ SQL fold → rows-only
+def q_cosine_dup_blocked(spark, sf_dir):
+    return similarity.cosine_dup_pairs_blocked(
+        table(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
 @query(
     "intra_label_cosine",
     """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

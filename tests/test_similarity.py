@@ -1,0 +1,58 @@
+"""Similarity-search invariants: the blocked-GEMM scale path must agree
+with the exact HOF formulation; LSH candidates must be a subset-recall
+approximation of brute force with high overlap on this data.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from finance_data_pipeline_spark.extensions import similarity
+from finance_data_pipeline_spark.io import table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    return table(spark, SF_DIR, "embeddings").cache()
+
+
+def test_blocked_gemm_matches_exact_pairs(spark, vectors):
+    exact = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in similarity.cosine_dup_pairs(vectors, threshold=0.45).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in similarity.cosine_dup_pairs_blocked(vectors, threshold=0.45).collect()
+    }
+    assert set(exact) == set(blocked)
+    for k in exact:
+        assert blocked[k] == pytest.approx(exact[k], abs=2e-6)
+
+
+def test_blocked_gemm_no_duplicate_or_self_pairs(spark, vectors):
+    out = similarity.cosine_dup_pairs_blocked(vectors, threshold=0.3)
+    assert out.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+    assert out.groupBy("id_a", "id_b").count().filter("count > 1").count() == 0
+
+
+def test_lsh_results_are_true_cosines_from_brute_force(spark, vectors):
+    """Every LSH hit must carry the exact cosine the brute-force path
+    computes for that (query, neighbor) pair (LSH prunes; never rescores
+    differently)."""
+    queries = vectors.filter(F.col("vec_id") < 3)
+    bf = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in similarity.brute_force_topk(vectors, queries, k=50).collect()
+    }
+    lsh = similarity.hyperplane_lsh_topk(vectors, queries, k=10).collect()
+    assert len(lsh) > 0
+    hits = sum((r.query_id, r.neighbor_id) in bf for r in lsh)
+    for r in lsh:
+        if (r.query_id, r.neighbor_id) in bf:
+            assert bf[(r.query_id, r.neighbor_id)] == pytest.approx(r.cosine_sim, abs=1e-9)
+    # Recall proxy: most LSH top-10 should appear in brute-force top-50.
+    assert hits / len(lsh) >= 0.5
