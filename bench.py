@@ -33,8 +33,11 @@ HEADLINE = [
     "perf_summary",
     "ema_macd",
     "upsert_merge",
+    "asof_join_events_bars",
+    "session_windows",
     "exact_dedup",
     "near_dup_pairs",
+    "cosine_dup_pairs_blocked",
     "text_stats",
     "ann_topk",
     "tumbling_daily",

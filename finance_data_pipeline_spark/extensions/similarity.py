@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from finance_data_pipeline_spark.extensions.dedup import _spread
 from finance_data_pipeline_spark.functions import cosine, dot, l2_norm
 
 
@@ -106,7 +107,9 @@ def hyperplane_lsh_topk(
             ).alias("table_idx", "bucket"),
         )
 
-    v = with_buckets(vectors, "neighbor")
+    # The per-vector plane dots are interpreted HOF math — spread the
+    # corpus to full parallelism first (small files scan as 1 partition).
+    v = with_buckets(_spread(vectors), "neighbor")
     q = with_buckets(queries, "query")
     cands = (
         v.join(F.broadcast(q), ["table_idx", "bucket"])
