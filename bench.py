@@ -50,8 +50,26 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # Warm the JVM/parquet footer caches so q1 doesn't pay session startup.
-    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    # Warm the JVM: parquet reader, hash-aggregate/window/join codegen and
+    # the Arrow/pandas worker pool, so per-query timings measure the plans
+    # rather than first-use JIT.
+    import pandas as _pd
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    region = spark.read.parquet(f"{SF_DIR}/region.parquet")
+    region.groupBy("r_name").agg(
+        _F.sum(_F.col("r_regionkey").cast("decimal(18,2)")).cast("double")
+    ).collect()
+    region.select(
+        _F.avg("r_regionkey").over(
+            _W.partitionBy("r_name").orderBy("r_regionkey").rowsBetween(-2, 0)
+        )
+    ).collect()
+    region.join(_F.broadcast(region.select("r_regionkey")), "r_regionkey").count()
+    region.groupBy("r_regionkey").applyInPandas(
+        lambda pdf: pdf, schema=region.schema
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

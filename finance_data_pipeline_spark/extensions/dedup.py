@@ -71,26 +71,33 @@ def shingle_pairs_jaccard(
     O(pairs-sharing-a-shingle); with ``candidates`` (e.g. from LSH),
     verifies only those pairs. Returns (id_a, id_b, jaccard), id_a < id_b.
     """
+    # word_shingles is already array_distinct per doc → the exploded
+    # (id, shingle) stream is distinct by construction; no dedup shuffle.
+    # Shingles travel as 64-bit hashes, not strings: every downstream
+    # join/group shuffles fixed-width longs (the string text never
+    # leaves the first projection). Hash collisions across *distinct
+    # shingles of one pair* are the only error source (~1e-11 per pair).
     sh = (
-        docs.select(F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, k)).alias("sh"))
-        .distinct()
+        _spread(docs.select(F.col(id_col).alias("_id"), F.col(text_col)))
+        .select("_id", F.explode(word_shingles(text_col, k)).alias("sh"))
+        .select("_id", F.xxhash64("sh").alias("h"))
     )
     sizes = sh.groupBy("_id").agg(F.count("*").alias("n_sh"))
     if candidates is None:
         pairs = (
             sh.alias("a")
-            .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a._id") < F.col("b._id")))
+            .join(sh.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a._id") < F.col("b._id")))
             .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
             .agg(F.count("*").alias("common"))
         )
     else:
         cand_sh = candidates.join(sh.withColumnRenamed("_id", "id_a"), "id_a").select(
-            "id_a", "id_b", "sh"
+            "id_a", "id_b", "h"
         )
         pairs = (
             cand_sh.join(
-                sh.select(F.col("_id").alias("id_b"), F.col("sh")),
-                ["id_b", "sh"],
+                sh.select(F.col("_id").alias("id_b"), F.col("h")),
+                ["id_b", "h"],
             )
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("common"))
