@@ -123,6 +123,32 @@ def asof_join(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi join: the skewed (left) side gets a random
+    salt in [0, salt); the right side is replicated once per salt value;
+    the join key becomes (key, salt), splitting each hot key's rows
+    across `salt` shuffle partitions.
+
+    AQE's skew-join handles most cases at runtime; explicit salting is
+    for the pathological single-key hot spot AQE can't split further
+    (one key > one partition's memory). Costs a `salt`× replication of
+    the right side — use with a small-to-medium right side only.
+    """
+    salted_l = left.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+    salted_r = right.join(
+        F.broadcast(right.sparkSession.range(salt).select(F.col("id").cast("int").alias("_salt"))),
+        how="cross",
+    )
+    out = salted_l.join(salted_r, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
 def range_join(
     points: DataFrame,
     ranges: DataFrame,

@@ -958,6 +958,71 @@ def q_streaming_tumbling_daily(spark, sf_dir):
     return spark.table(name)
 
 
+@query(
+    "value_percentiles",
+    """SELECT event_type,
+  count(*) AS n,
+  round(quantile_cont(value, 0.5), 6) AS p50,
+  round(quantile_cont(value, 0.9), 6) AS p90,
+  round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type""",
+)
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per key (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``). At 100 TB swap in ``approx_percentile``
+    (t-digest, mergeable partials) — same call shape, bounded memory."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@query(
+    "segment_status_pivot",
+    """SELECT c_mktsegment,
+  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment""",
+)
+def q_segment_status_pivot(spark, sf_dir):
+    """Pivot (wide conditional aggregation): order-status counts per
+    customer segment. Spark's pivot with an explicit value list is one
+    hash aggregate — no per-value scans."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    out = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return out.select(
+        "c_mktsegment",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    )
+
+
+@query("full_indicator_sweep")  # includes EWM columns → rows-only check
+def q_full_indicator_sweep(spark, sf_dir):
+    """The complete EP2 indicator chain (analyze_visualize.py:98-141) as
+    ONE lazy plan: Catalyst collapses all same-frame windows into a
+    single WindowExec pass, then one applyInPandas for the EMA family."""
+    out = indicators.with_indicators(_bars(spark, sf_dir), time_col="bar_ts")
+    rounded = [
+        F.round(c, 6).alias(c)
+        for c in out.columns
+        if c not in ("symbol", "bar_ts", "open", "high", "low", "close", "volume")
+    ]
+    return out.select("symbol", "bar_ts", "close", *rounded)
+
+
 # =========================================================================
 # §2.11 extensions — dedup / text / similarity / multimodal
 # =========================================================================

@@ -1,0 +1,80 @@
+"""Scale-pattern tests (SURVEY.md §4 / BASELINE north star): the
+mechanisms that keep operators valid at 100 TB — salting for skew,
+bucketed co-located joins, broadcast plans — verified for semantic
+equivalence and for the physical plan shape they promise.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from finance_data_pipeline_spark.io import table
+from finance_data_pipeline_spark.operators import relational as rel
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must never change results — only the shuffle layout."""
+    o = table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = o.join(c, "o_custkey").select("o_orderkey", "c_mktsegment")
+    salted = rel.salted_join(o, c, "o_custkey", salt=4).select("o_orderkey", "c_mktsegment")
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_join_distributes_hot_key(spark):
+    """A single hot key must land in `salt` distinct join partitions:
+    the salted left side carries every salt value for the hot key."""
+    hot = spark.range(10_000).select(F.lit("HOT").alias("k"), F.col("id"))
+    dim = spark.createDataFrame([("HOT", "v")], "k string, payload string")
+    out = rel.salted_join(hot, dim, "k", salt=8)
+    assert out.count() == 10_000
+    salts = (
+        hot.withColumn("_salt", (F.rand(seed=42) * 8).cast("int"))
+        .select("_salt").distinct().count()
+    )
+    assert salts == 8
+
+
+@pytest.mark.filterwarnings("ignore::UserWarning")
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketing both sides by the join key co-locates matching rows at
+    write time: the join plan contains NO shuffle exchange — at 100 TB
+    this converts every repeated fact-fact join into a map-side merge."""
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    o = table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = table(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+    o.write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+    c.write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_broadcast_dim_join_shuffles_only_fact_aggregate(spark):
+    """revenue_by_nation's plan: every dim join is a BroadcastExchange;
+    the only hash shuffle is the final aggregate."""
+    from finance_data_pipeline_spark.registry import QUERIES
+
+    df = QUERIES["revenue_by_nation"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastExchange") >= 2
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
