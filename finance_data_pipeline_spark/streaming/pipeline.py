@@ -71,6 +71,58 @@ def dedup_in_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def stateful_continuity(
+    bars: DataFrame,
+    gap_lo: float = 0.5,
+    gap_hi: float = 2.0,
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): the reference's
+    price-continuity heuristic (fetch_and_store.py:285-294) as streaming
+    state — each symbol's last close persists in the state store across
+    micro-batches AND restarts (checkpointed), so a gap between batches
+    is detected without rescanning the stored table.
+
+    Emits one row per (symbol, micro-batch): first open, the previous
+    batch's close from state, and the discontinuity flag. State is one
+    double per symbol — bounded regardless of stream length.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "symbol string, batch_rows long, first_open double, "
+        "prev_close double, discontinuous boolean, last_close double"
+    )
+    state_schema = "last_close double"
+
+    def check(key, pdf_iter, state: GroupState):
+        (symbol,) = key
+        rows = pd.concat(list(pdf_iter)).sort_values("date")
+        prev_close = state.get[0] if state.exists else None
+        first_open = float(rows["open"].iloc[0])
+        last_close = float(rows["close"].iloc[-1])
+        discontinuous = bool(
+            prev_close is not None and not (gap_lo <= first_open / prev_close <= gap_hi)
+        )
+        state.update((last_close,))
+        yield pd.DataFrame(
+            [
+                {
+                    "symbol": symbol,
+                    "batch_rows": len(rows),
+                    "first_open": first_open,
+                    "prev_close": prev_close,
+                    "discontinuous": discontinuous,
+                    "last_close": last_close,
+                }
+            ]
+        )
+
+    return bars.groupBy("symbol").applyInPandasWithState(
+        check, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_ingest_stocks(
     bars: DataFrame,
     store_path: str,

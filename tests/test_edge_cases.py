@@ -1,0 +1,87 @@
+"""Edge-case behavior: empty inputs, single rows, degenerate groups.
+Operators must degrade to empty/identity results, never raise — at
+100 TB some partition, symbol, or day is always empty.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from finance_data_pipeline_spark import indicators, ingest, quality
+from finance_data_pipeline_spark.extensions import dedup, similarity
+
+STOCK_SCHEMA = (
+    "symbol string, date date, open double, high double, low double, "
+    "close double, volume bigint"
+)
+
+
+@pytest.fixture(scope="module")
+def empty_stocks(spark):
+    return spark.createDataFrame([], STOCK_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def one_row(spark):
+    return spark.createDataFrame(
+        [("A", "2024-01-02", 10.0, 11.0, 9.0, 10.5, 100)],
+        "symbol string, date string, open double, high double, low double, close double, volume long",
+    ).withColumn("date", F.col("date").cast("date"))
+
+
+def test_indicators_on_empty(empty_stocks):
+    out = indicators.with_indicators(empty_stocks, include_ema=True)
+    assert out.count() == 0
+    assert "macd" in out.columns and "rsi" in out.columns
+
+
+def test_indicators_single_row(one_row):
+    row = indicators.with_indicators(one_row, include_ema=True).collect()[0]
+    assert row["sma_5"] == pytest.approx(10.5)  # min_periods=1
+    assert row["rsi"] is None  # warm-up
+    assert row["daily_return"] is None  # no lag
+    assert row["ema_12"] == pytest.approx(10.5)  # ewm of one obs = obs
+
+
+def test_upsert_with_empty_sides(empty_stocks, one_row):
+    assert ingest.upsert(empty_stocks, one_row).count() == 1
+    assert ingest.upsert(one_row, empty_stocks).count() == 1
+    assert ingest.upsert(empty_stocks, empty_stocks).count() == 0
+    assert ingest.insert_ignore(one_row, empty_stocks).count() == 1
+    assert ingest.incremental_boundary(one_row, empty_stocks).count() == 1
+
+
+def test_quality_on_empty_and_valid(empty_stocks, one_row):
+    assert quality.clean(empty_stocks).count() == 0
+    assert quality.summary(empty_stocks).count() == 0
+    assert quality.flag(one_row).collect()[0]["violations"] == []
+
+
+def test_dedup_on_empty_documents(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.exact_dedup(docs).count() == 0
+    assert dedup.near_dup_pairs(docs).count() == 0
+    assert dedup.simhash_near_dups(docs).count() == 0
+
+
+def test_single_word_document_shingles(spark):
+    """Docs shorter than the shingle width fall back to whole-text
+    shingles (dedup.word_shingles) — no empty arrays, no crash."""
+    docs = spark.createDataFrame([(1, "hello"), (2, "hello"), (3, "bye")], "doc_id long, text string")
+    pairs = dedup.near_dup_pairs(docs, threshold=0.9).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard == 1.0
+
+
+def test_similarity_empty_vectors(spark):
+    vecs = spark.createDataFrame([], "vec_id long, embedding array<double>, label string")
+    assert similarity.cosine_dup_pairs(vecs).count() == 0
+    assert similarity.cosine_dup_pairs_blocked(vecs).count() == 0
+    assert similarity.brute_force_topk(vecs, vecs).count() == 0
+
+
+def test_continuity_check_first_ever_batch(empty_stocks, one_row):
+    out = quality.continuity_check(one_row, empty_stocks).collect()[0]
+    assert out["discontinuous"] is False
+    assert out["last_close"] is None

@@ -91,6 +91,51 @@ def test_stream_dedup_drops_duplicate_event_ids(spark, tmp_path):
     assert n2 == 500, "duplicate event_ids must be dropped across micro-batches"
 
 
+def test_stateful_continuity_detects_gap_across_restart(spark, tmp_path):
+    """applyInPandasWithState: last_close lives in the checkpointed state
+    store, so a 10× price jump arriving in a later run (restart) is
+    flagged against state, not against a rescan of the store."""
+    from finance_data_pipeline_spark.streaming import stateful_continuity
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema_ddl = "symbol string, date date, open double, high double, low double, close double, volume bigint"
+
+    def bars(day, base):
+        return spark.createDataFrame(
+            [("S1", f"2024-01-{day:02d}", base, base * 1.01, base * 0.99, base * 1.005, 1000)],
+            "symbol string, date string, open double, high double, low double, close double, volume long",
+        ).withColumn("date", F.col("date").cast("date"))
+
+    def run_once():
+        sdf = spark.readStream.schema(schema_ddl).parquet(src)
+        q = (
+            stateful_continuity(sdf)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    bars(1, 100.0).write.mode("overwrite").parquet(src)
+    run_once()
+    first = spark.read.parquet(out).collect()
+    assert len(first) == 1
+    assert first[0]["prev_close"] is None and not first[0]["discontinuous"]
+
+    bars(2, 1000.0).write.mode("append").parquet(src)  # 10x jump vs state
+    run_once()
+    rows = {r["first_open"]: r for r in spark.read.parquet(out).collect()}
+    assert len(rows) == 2
+    jump = rows[1000.0]
+    assert jump["prev_close"] == pytest.approx(100.5)
+    assert jump["discontinuous"] is True
+
+
 def test_foreachbatch_upsert_converges_to_batch_merge(spark, tmp_path):
     """stream_ingest_stocks merges micro-batches into the partitioned
     store; the final store ≡ dedup-by-key over everything ingested."""
