@@ -208,6 +208,62 @@ def near_dup_pairs(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+# --- X2b: prefix-filtered exact string similarity join --------------------
+
+
+def string_sim_join(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact token-Jaccard self-join with prefix filtering (the
+    AllPairs/PPJoin candidate-pruning family; cf. "Highly Efficient
+    String Similarity Search and Join over Compressed Indexes",
+    ICDE 2022 — PAPERS.md).
+
+    Unlike MinHash LSH (probabilistic candidates), this is EXACT with no
+    miss probability: two sets with Jaccard ≥ t must share at least one
+    token among each one's (|s| − ⌈t·|s|⌉ + 1) globally-rarest tokens,
+    so the inverted-index join is built over prefixes only. On skewed
+    real corpora this cuts the candidate space by orders of magnitude
+    versus a full-token join (stop-word postings never join); every
+    stage is a bounded-key shuffle.
+
+    Returns (id_a, id_b, jaccard) for all pairs with token-Jaccard ≥ t.
+    """
+    tok = (
+        _spread(docs.select(F.col(id_col).alias("_id"), F.col(text_col)))
+        .select("_id", F.explode(word_shingles(text_col, 1)).alias("tok"))
+    )
+    sizes = tok.groupBy("_id").agg(F.count("*").alias("n"))
+    # Global document frequency orders tokens rarest-first; ties break
+    # lexicographically so the prefix choice is deterministic.
+    freq = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("_id").orderBy("df", "tok")
+    prefix = (
+        tok.join(freq, "tok")
+        .withColumn("_rn", F.row_number().over(w))
+        .join(sizes, "_id")
+        .filter(F.col("_rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+        .select("_id", "tok", "n")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a._id") < F.col("b._id"))
+            # Length filter: J ≥ t forces t·max(|a|,|b|) ≤ min(|a|,|b|).
+            & (F.least("a.n", "b.n") >= threshold * F.greatest("a.n", "b.n")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    verified = shingle_pairs_jaccard(docs, id_col, text_col, k=1, candidates=cands)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
 # --- X2c: SimHash ---------------------------------------------------------
 
 

@@ -1072,6 +1072,33 @@ def q_near_dup(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+_TOKENS_CTE = f"""{_NORM_CTE},
+tokset AS (SELECT doc_id, list_distinct(words) AS toks FROM norm),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM tokset)"""
+
+
+@query(
+    "string_sim_join",
+    f"""WITH {_TOKENS_CTE},
+sizes AS (SELECT doc_id, len(toks) AS n FROM tokset),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+          FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(common * 1.0 / (s1.n + s2.n - common), 6) AS jaccard
+FROM pairs
+JOIN sizes s1 ON id_a = s1.doc_id
+JOIN sizes s2 ON id_b = s2.doc_id
+WHERE common * 1.0 / (s1.n + s2.n - common) >= 0.7""",
+)
+def q_string_sim_join(spark, sf_dir):
+    """Prefix-filtered EXACT token-Jaccard join: the oracle is the naive
+    all-pairs token join; the Spark side proves the prefix filter loses
+    nothing."""
+    out = dedup.string_sim_join(table(spark, sf_dir, "documents"), threshold=0.7)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 @query("simhash_pairs")  # xxhash64 not reproducible in the oracle → rows-only
 def q_simhash(spark, sf_dir):
     return dedup.simhash_near_dups(table(spark, sf_dir, "documents"), max_hamming=3)
