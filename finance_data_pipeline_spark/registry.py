@@ -1247,6 +1247,13 @@ def q_ann_lsh(spark, sf_dir):
     return similarity.hyperplane_lsh_topk(vecs, queries, k=10)
 
 
+@query("ann_topk_ivf")  # approximate (coarse quantizer) — rows-only check
+def q_ann_ivf(spark, sf_dir):
+    vecs = table(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(vecs, queries, k=10)
+
+
 @query(
     "cosine_dup_pairs",
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

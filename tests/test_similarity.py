@@ -56,3 +56,31 @@ def test_lsh_results_are_true_cosines_from_brute_force(spark, vectors):
             assert bf[(r.query_id, r.neighbor_id)] == pytest.approx(r.cosine_sim, abs=1e-9)
     # Recall proxy: most LSH top-10 should appear in brute-force top-50.
     assert hits / len(lsh) >= 0.5
+
+
+def test_ivf_recall_and_exact_rescore(spark, vectors):
+    """IVF top-10 against brute-force top-10: the probed-cell re-rank
+    must carry exact cosines, and recall@10 should be high on this
+    clustered synthetic data."""
+    queries = vectors.filter(F.col("vec_id") < 3)
+    bf = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in similarity.brute_force_topk(vectors, queries, k=10).collect()
+    }
+    ivf = similarity.ivf_topk(vectors, queries, k=10).collect()
+    assert len(ivf) > 0
+    for r in ivf:
+        if (r.query_id, r.neighbor_id) in bf:
+            assert bf[(r.query_id, r.neighbor_id)] == pytest.approx(r.cosine_sim, abs=1e-9)
+    hits = sum((r.query_id, r.neighbor_id) in bf for r in ivf)
+    assert hits / len(bf) >= 0.6
+
+
+def test_ivf_full_probe_is_exact(spark, vectors):
+    """n_probe = n_cells degrades gracefully to exact brute force."""
+    queries = vectors.filter(F.col("vec_id") < 2)
+    bf = similarity.brute_force_topk(vectors, queries, k=5).collect()
+    ivf = similarity.ivf_topk(vectors, queries, k=5, n_cells=8, n_probe=8).collect()
+    assert {(r.query_id, r.neighbor_id, r.cosine_sim) for r in ivf} == {
+        (r.query_id, r.neighbor_id, r.cosine_sim) for r in bf
+    }
