@@ -777,6 +777,172 @@ def q_except(spark, sf_dir):
 
 
 @query(
+    "parts_above_avg_size",
+    """SELECT p_partkey, p_name, p_size FROM part
+WHERE p_size > (SELECT avg(p_size) FROM part)""",
+)
+def q_scalar_subquery(spark, sf_dir):
+    """Scalar-subquery pattern: the aggregate collapses to one row and
+    broadcasts — no shuffle of the fact side, filter evaluated in the
+    scan stage."""
+    p = table(spark, sf_dir, "part")
+    avg_size = p.agg(F.avg("p_size").alias("_avg"))
+    return (
+        p.crossJoin(F.broadcast(avg_size))
+        .filter(F.col("p_size") > F.col("_avg"))
+        .select("p_partkey", "p_name", "p_size")
+    )
+
+
+@query(
+    "shipping_priority",
+    """SELECT l_orderkey,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (cf. reference analyze_visualize.py:63-77 filter
+    pushdown, generalized to a 3-way join). Selective dimension filters
+    applied BEFORE the joins so they push into the scans; customer side
+    broadcasts; only lineitem⋈orders shuffles."""
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    joined = l.join(
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+            "o_orderkey", "o_orderdate", "o_orderpriority"
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return rel.top_k(
+        agg.select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority"),
+        [F.desc("revenue"), F.asc("l_orderkey")],
+        10,
+    )
+
+
+@query(
+    "promo_revenue_share",
+    """SELECT round(
+  100.0 * sum(CASE WHEN p_type = 'PROMO'
+              THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+              ELSE CAST(0 AS DECIMAL(18,4)) END)
+  / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 4) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'""",
+)
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation over a broadcast
+    part join. Per-row products stay double (bitwise-identical IEEE in
+    both engines); the SUM runs in decimal so partial-aggregation order
+    cannot move the result."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    joined = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    return joined.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)")))
+            / F.sum(rev),
+            4,
+        ).alias("promo_share")
+    )
+
+
+@query(
+    "suppliers_per_part_brand",
+    """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type""",
+)
+def q_suppliers_per_brand(spark, sf_dir):
+    """TPC-H Q16 shape: COUNT(DISTINCT) under a broadcast dimension
+    join — Spark plans it as a two-phase partial-distinct aggregate
+    (expand → partial → final), no driver-side dedup."""
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+    )
+
+
+@query(
+    "returned_revenue_by_customer",
+    """SELECT c_custkey, c_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+def q_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returns per customer. The
+    lineitem-side filter prunes ~2/3 of the fact scan before the join;
+    customer is broadcast at the end (aggregate first would also work —
+    Catalyst reorders the small join either way)."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    agg = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    out = agg.join(F.broadcast(c), agg["o_custkey"] == c["c_custkey"])
+    return rel.top_k(
+        out.select("c_custkey", "c_name", "revenue"),
+        [F.desc("revenue"), F.asc("c_custkey")],
+        20,
+    )
+
+
+@query(
+    "segment_nation_grouping_sets",
+    """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+  coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
+  count(*) AS n_customers,
+  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())""",
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (A12 family beyond cube/rollup) via the
+    SQL surface — one Expand node, single shuffle, no union-of-aggs."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("_gs_customer")
+    return spark.sql(
+        """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+  coalesce(CAST(c_nationkey AS STRING), 'ALL') AS nation,
+  count(*) AS n_customers,
+  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM _gs_customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())"""
+    )
+
+
+@query(
     "events_json",
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events WHERE event_type = 'click'""",
