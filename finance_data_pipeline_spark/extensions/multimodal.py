@@ -101,16 +101,107 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
 
 
 def decode_image(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image decode + resize. Requires an imaging library not present in
-    this container — the Spark contract is defined; the kernel is a stub."""
+    """TRUE image decode (JPEG/PNG → pixels). Requires an imaging
+    library not present in this container — the Spark contract is
+    defined; the kernel is a stub. ``resize_media`` below carries the
+    identical plumbing with a deterministic byte-grid kernel."""
     raise NotImplementedError(
         "image decode requires PIL/opencv (not in container); "
-        "use extract_features() for the plumbing-tested fake-decode path"
+        "use resize_media() for the plumbing-tested deterministic path"
     )
 
 
-def sample_frames(media: DataFrame, every_ms: int) -> DataFrame:
-    """Video frame sampling stub — same contract as decode_image."""
-    raise NotImplementedError(
-        "video frame sampling requires ffmpeg bindings (not in container)"
+def synthetic_media(docs: DataFrame) -> DataFrame:
+    """Media table with image/audio/video modalities deterministically
+    derived from documents: payload = UTF-8 bytes of the text (opaque to
+    every kernel), typed metadata populated per modality. Exercises the
+    full MEDIA_SCHEMA (binary column + struct metadata) without any
+    codec in the container."""
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod("doc_id", F.lit(3)) + 1).cast("int"),
     )
+    is_image = modality == "image"
+    is_timed = modality.isin("audio", "video")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        modality.alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.named_struct(
+            F.lit("mime"), F.concat(F.lit("application/x-fake-"), modality),
+            F.lit("width"), F.when(is_image, (8 + F.pmod("doc_id", F.lit(8))).cast("int")),
+            F.lit("height"), F.when(is_image, (6 + F.pmod("doc_id", F.lit(6))).cast("int")),
+            F.lit("duration_ms"),
+            F.when(is_timed, (1000 + F.pmod(F.col("n_chars") * 7, F.lit(5000))).cast("long")),
+        ).alias("meta"),
+    )
+
+
+RESIZE_SCHEMA = "media_id long, width int, height int, resized binary"
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize plumbing with a real nearest-neighbor resample over
+    the payload treated as a meta.width × meta.height byte grid.
+
+    The kernel is the shape a PIL/opencv decode+resize would have —
+    Arrow batches of binary in, fixed-size binary out, metadata-driven
+    geometry — with the codec call replaced by deterministic byte math
+    (the container has no imaging libs). Batch shape: 1 row in → 1 row
+    out, bounded output size (width·height bytes per row)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                sw, sh = row["src_w"], row["src_h"]
+                grid = bytes(row["payload"] or b"")[: sw * sh].ljust(sw * sh, b"\0")
+                resized = bytes(
+                    grid[(y * sh // height) * sw + (x * sw // width)]
+                    for y in range(height)
+                    for x in range(width)
+                )
+                out_rows.append((row["media_id"], width, height, resized))
+            yield pd.DataFrame(
+                out_rows, columns=["media_id", "width", "height", "resized"]
+            )
+
+    src = media.filter(F.col("modality") == "image").select(
+        "media_id",
+        "payload",
+        F.col("meta.width").alias("src_w"),
+        F.col("meta.height").alias("src_h"),
+    )
+    return src.mapInPandas(kernel, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_idx long, t_ms long, frame_md5 string"
+
+
+def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
+    """Video frame sampling plumbing: one input row fans out to one row
+    per sampled timestamp (UDTF shape inside mapInPandas — the batch
+    iterator keeps fan-out memory bounded). A real ffmpeg kernel would
+    emit decoded frames; this kernel emits a deterministic per-frame
+    digest md5(payload ‖ ':' ‖ idx), which keeps the operator fully
+    oracle-checkable end-to-end."""
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "t_ms": [], "frame_md5": []}
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"] or b"")
+                for idx in range(int(row["duration_ms"]) // every_ms + 1):
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(idx)
+                    out["t_ms"].append(idx * every_ms)
+                    out["frame_md5"].append(
+                        hashlib.md5(payload + f":{idx}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    src = media.filter(F.col("modality") == "video").select(
+        "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    return src.mapInPandas(kernel, schema=FRAME_SCHEMA)

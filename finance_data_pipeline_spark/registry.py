@@ -1125,6 +1125,42 @@ def q_streaming_tumbling_daily(spark, sf_dir):
 
 
 @query(
+    "streaming_dedup",
+    "SELECT event_id, event_type, value FROM events",
+)
+def q_streaming_dedup(spark, sf_dir):
+    """Watermarked streaming deduplication (§2.10): the source is staged
+    TWICE (the reference's overlap-refetch pattern,
+    fetch_and_store_multi.py:269-276); ``dropDuplicates`` keyed state
+    restores exactly-once, so the stream result equals plain
+    ``SELECT DISTINCT`` over one copy — the oracle. State is one key per
+    event_id within the watermark horizon, evicted as the watermark
+    advances."""
+    import tempfile
+    import uuid
+
+    from finance_data_pipeline_spark.streaming import pipeline as sp
+
+    staged = tempfile.mkdtemp(prefix="fdps_dup_events_")
+    src = table(spark, sf_dir, "events")
+    src.write.mode("overwrite").parquet(staged)
+    src.write.mode("append").parquet(staged)  # duplicate copy
+    name = f"fdps_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        sp.dedup_in_stream(sp.stream_events(spark, staged), watermark="365 days")
+        .select("event_id", "event_type", "value")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fdps_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@query(
     "value_percentiles",
     """SELECT event_type,
   count(*) AS n,
@@ -1476,3 +1512,56 @@ def q_media_manifest(spark, sf_dir):
 def q_media_features(spark, sf_dir):
     media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
     return multimodal.extract_features(media)
+
+
+@query(
+    "media_meta",
+    """SELECT doc_id AS media_id,
+  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+  CASE WHEN doc_id % 3 = 0 THEN CAST(8 + doc_id % 8 AS INT) END AS width,
+  CASE WHEN doc_id % 3 = 0 THEN CAST(6 + doc_id % 6 AS INT) END AS height,
+  CASE WHEN doc_id % 3 <> 0 THEN CAST(1000 + (n_chars * 7) % 5000 AS BIGINT) END
+    AS duration_ms
+FROM documents""",
+)
+def q_media_meta(spark, sf_dir):
+    """Typed metadata columns of the multimodal table (X5): struct
+    fields project as plain columns — schema plumbing proven against
+    the oracle."""
+    m = multimodal.synthetic_media(table(spark, sf_dir, "documents"))
+    return m.select(
+        "media_id",
+        "modality",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+
+
+@query(
+    "media_frame_sample",
+    """WITH vids AS (
+  SELECT doc_id AS media_id, text,
+         1000 + (n_chars * 7) % 5000 AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2),
+frames AS (
+  SELECT media_id, text,
+         unnest(generate_series(0, CAST(duration_ms // 500 AS BIGINT))) AS frame_idx
+  FROM vids)
+SELECT media_id, frame_idx, frame_idx * 500 AS t_ms,
+       md5(text || ':' || CAST(frame_idx AS VARCHAR)) AS frame_md5
+FROM frames""",
+)
+def q_media_frames(spark, sf_dir):
+    """Video frame sampling (1→N mapInPandas fan-out) with per-frame
+    digests — the UDTF-shaped kernel is fully oracle-checked because the
+    digest is a pure function of (payload, frame_idx)."""
+    media = multimodal.synthetic_media(table(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(dedup._spread(media), every_ms=500)
+
+
+@query("media_resize")  # byte-grid nearest-neighbor kernel — rows-only check
+def q_media_resize(spark, sf_dir):
+    media = multimodal.synthetic_media(table(spark, sf_dir, "documents"))
+    out = multimodal.resize_media(dedup._spread(media), 16, 12)
+    return out.select("media_id", "width", "height", F.md5("resized").alias("resized_md5"))

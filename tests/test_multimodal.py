@@ -1,0 +1,62 @@
+"""Multimodal plumbing invariants: schema, batch shape, fan-out
+cardinality, and kernel determinism (SURVEY.md X5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from finance_data_pipeline_spark.extensions import multimodal
+from finance_data_pipeline_spark.io import table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return multimodal.synthetic_media(table(spark, SF_DIR, "documents")).cache()
+
+
+def test_modalities_partition_the_corpus(spark, media):
+    counts = {r.modality: r.n for r in media.groupBy("modality").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"image", "audio", "video"}
+    assert sum(counts.values()) == media.count()
+
+
+def test_meta_populated_per_modality(spark, media):
+    assert media.filter((F.col("modality") == "image") & F.col("meta.width").isNull()).count() == 0
+    assert media.filter((F.col("modality") != "image") & F.col("meta.width").isNotNull()).count() == 0
+    assert media.filter((F.col("modality") != "image") & F.col("meta.duration_ms").isNull()).count() == 0
+
+
+def test_resize_output_geometry_and_determinism(spark, media):
+    out1 = multimodal.resize_media(media, 16, 12)
+    rows = out1.withColumn("n", F.length("resized")).select("media_id", "n", F.md5("resized").alias("h")).collect()
+    assert len(rows) == media.filter(F.col("modality") == "image").count()
+    assert all(r.n == 16 * 12 for r in rows)
+    rows2 = out1.select("media_id", F.md5("resized").alias("h")).collect()
+    assert {(r.media_id, r.h) for r in rows} == {(r.media_id, r.h) for r in rows2}
+
+
+def test_frame_sample_cardinality(spark, media):
+    out = multimodal.sample_frames(media, every_ms=500)
+    per_media = out.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"), F.max("frame_idx").alias("max_idx")
+    )
+    joined = per_media.join(
+        media.filter(F.col("modality") == "video").select(
+            "media_id", F.col("meta.duration_ms").alias("d")
+        ),
+        "media_id",
+    )
+    bad = joined.filter(
+        (F.col("n_frames") != F.floor(F.col("d") / 500) + 1)
+        | (F.col("max_idx") * 500 > F.col("d"))
+    )
+    assert bad.count() == 0
+    assert per_media.count() == media.filter(F.col("modality") == "video").count()
+
+
+def test_true_decoder_stub_is_marked(spark, media):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(media, 8, 8)
