@@ -78,3 +78,51 @@ def test_broadcast_dim_join_shuffles_only_fact_aggregate(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastExchange") >= 2
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_shipping_priority_broadcasts_dims_and_pushes_filters(spark):
+    """Q3 shape: customer-side joins broadcast (fact never shuffles for
+    the dims) and the selective predicates reach the Parquet scans as
+    PushedFilters."""
+    from finance_data_pipeline_spark.registry import QUERIES
+
+    df = QUERIES["shipping_priority"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "GreaterThan(l_shipdate" in plan
+
+
+def test_scalar_subquery_is_broadcast_not_shuffle(spark):
+    """parts_above_avg_size: the one-row aggregate crosses as a
+    BroadcastExchange; the part scan itself never hash-shuffles."""
+    from finance_data_pipeline_spark.registry import QUERIES
+
+    df = QUERIES["parts_above_avg_size"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark):
+    """GROUPING SETS compiles to one Expand node + one shuffle — not a
+    union of per-set aggregates."""
+    from finance_data_pipeline_spark.registry import QUERIES
+
+    df = QUERIES["segment_nation_grouping_sets"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("Union") == 0, plan
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    """Map-side partial aggregation: two HashAggregate phases around one
+    shuffle, so raw lineitem rows never cross the wire."""
+    from finance_data_pipeline_spark.registry import QUERIES
+
+    df = QUERIES["pricing_summary"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan, plan
+    # Projection pruning: only the 7 needed lineitem columns are read.
+    assert "ReadSchema: struct<l_quantity:double" in plan, plan
