@@ -1182,6 +1182,37 @@ def q_value_percentiles(spark, sf_dir):
     )
 
 
+@query("approx_user_counts")  # HLL sketch — engine-specific estimates, rows-only
+def q_approx_users(spark, sf_dir):
+    """Sketch path for A2/COUNT(DISTINCT) at 100 TB:
+    ``approx_count_distinct`` (HyperLogLog++) aggregates a fixed-size
+    mergeable sketch per partition instead of shuffling every distinct
+    key — constant memory, one narrow partial-merge shuffle. Error
+    bound asserted against the exact count in tests (rsd=0.01)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query("approx_value_percentiles")  # t-digest-style sketch — rows-only
+def q_approx_percentiles(spark, sf_dir):
+    """Sketch path for exact ``value_percentiles``:
+    ``approx_percentile`` with bounded accuracy parameter — mergeable
+    partials, memory independent of cardinality. Accuracy asserted vs
+    the exact interpolated quantiles in tests."""
+    e = table(spark, sf_dir, "events")
+    pcts = F.approx_percentile(
+        "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)
+    )
+    return e.groupBy("event_type").agg(
+        pcts.getItem(0).alias("p50"),
+        pcts.getItem(1).alias("p90"),
+        pcts.getItem(2).alias("p99"),
+    )
+
+
 @query(
     "segment_status_pivot",
     """SELECT c_mktsegment,

@@ -85,3 +85,51 @@ def test_continuity_check_first_ever_batch(empty_stocks, one_row):
     out = quality.continuity_check(one_row, empty_stocks).collect()[0]
     assert out["discontinuous"] is False
     assert out["last_close"] is None
+
+
+class TestSketchAccuracy:
+    """Sketch aggregates must stay within their advertised error of the
+    exact answers (the contract that justifies them at 100 TB)."""
+
+    def test_hll_within_rsd(self, spark):
+        from finance_data_pipeline_spark.registry import QUERIES
+        from finance_data_pipeline_spark.io import table as _t
+
+        approx = {
+            r.event_type: r.approx_users
+            for r in QUERIES["approx_user_counts"](spark, "/root/testdata/sf0.001").collect()
+        }
+        exact = {
+            r.event_type: r.n
+            for r in _t(spark, "/root/testdata/sf0.001", "events")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        assert set(approx) == set(exact)
+        for k, n in exact.items():
+            assert abs(approx[k] - n) <= max(3, 0.05 * n), (k, approx[k], n)
+
+    def test_approx_percentile_rank_error_bound(self, spark):
+        """approx_percentile guarantees RANK error ≤ 1/accuracy — check
+        that the empirical quantile of each returned value brackets the
+        requested one (value-distance is meaningless in a heavy tail)."""
+        from finance_data_pipeline_spark.io import table as _t
+        from finance_data_pipeline_spark.registry import QUERIES
+
+        approx = {
+            r.event_type: (r.p50, r.p90, r.p99)
+            for r in QUERIES["approx_value_percentiles"](spark, "/root/testdata/sf0.001").collect()
+        }
+        vals = (
+            _t(spark, "/root/testdata/sf0.001", "events")
+            .select("event_type", "value")
+            .toPandas()
+            .groupby("event_type")["value"]
+        )
+        for k, series in vals:
+            n = len(series)
+            for q, a in zip((0.5, 0.9, 0.99), approx[k]):
+                emp = (series <= a).mean()
+                # ±1 rank slack plus the sketch's rank-error budget.
+                assert abs(emp - q) <= 1.0 / 10000 + 2.0 / n, (k, q, a, emp)
