@@ -737,6 +737,56 @@ def q_orders_rank(spark, sf_dir):
 
 
 @query(
+    "orders_ntile",
+    """SELECT o_orderkey, o_totalprice,
+  ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile,
+  dense_rank() OVER (ORDER BY o_orderstatus) AS status_rank
+FROM orders""",
+)
+def q_orders_ntile(spark, sf_dir):
+    """W16 ranking family beyond rank(): ntile + dense_rank. A global
+    ORDER BY window is a single-partition sort — fine for ranked
+    reports, deliberately NOT the pattern for per-key analytics (those
+    partition by symbol/custkey as in orders_rank)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))).cast("long").alias("price_quartile"),
+        F.dense_rank().over(Window.orderBy("o_orderstatus")).cast("long").alias("status_rank"),
+    )
+
+
+@query(
+    "orders_above_customer_avg",
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+  round(cust_avg, 6) AS cust_avg
+FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+             avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+      FROM orders)
+WHERE o_totalprice > cust_avg""",
+)
+def q_orders_above_cust_avg(spark, sf_dir):
+    """Correlated-scalar-subquery shape (each order vs its customer's
+    average) decorrelated to ONE window pass — no per-key re-aggregation,
+    one shuffle on o_custkey."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.avg("o_totalprice").over(w).alias("_avg"),
+        )
+        .filter(F.col("o_totalprice") > F.col("_avg"))
+        .select(
+            "o_orderkey", "o_custkey", "o_totalprice", F.round("_avg", 6).alias("cust_avg")
+        )
+    )
+
+
+@query(
     "segment_rollup",
     """SELECT coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
   count(*) AS n_customers,
