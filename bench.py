@@ -70,6 +70,20 @@ def main() -> None:
     region.groupBy("r_regionkey").applyInPandas(
         lambda pdf: pdf, schema=region.schema
     ).count()
+    # Warm the wide-aggregate codegen path (the MinHash signature
+    # aggregate generates a 126-column min() class — compile it on a
+    # 25-doc frame so per-query timings measure the plan, not javac).
+    from finance_data_pipeline_spark.extensions import dedup as _dedup
+
+    tiny_docs = spark.range(500).select(
+        _F.col("id").alias("doc_id"),
+        _F.concat(
+            _F.lit("warm up corpus text number "),
+            _F.col("id").cast("string"),
+            _F.lit(" with enough repeated filler words to form shingles "),
+        ).alias("text"),
+    )
+    _dedup.near_dup_pairs(tiny_docs).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
