@@ -787,6 +787,31 @@ def q_orders_above_cust_avg(spark, sf_dir):
 
 
 @query(
+    "richer_customers_than_suppliers",
+    """SELECT c_nationkey AS nationkey, count(*) AS n_pairs
+FROM customer JOIN supplier
+  ON c_nationkey = s_nationkey AND c_acctbal > s_acctbal
+GROUP BY c_nationkey""",
+)
+def q_theta_join(spark, sf_dir):
+    """Theta join (J7): mixed equi + inequality predicate. Declared as a
+    generic cross-join-with-predicate; Catalyst extracts the equality
+    into the join keys (hash join) and keeps the inequality as a
+    post-join filter — the nested loop never materializes."""
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    pairs = rel.theta_join(
+        c,
+        s,
+        (c["c_nationkey"] == s["s_nationkey"]) & (c["c_acctbal"] > s["s_acctbal"]),
+    )
+    return (
+        pairs.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
     "segment_rollup",
     """SELECT coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
   count(*) AS n_customers,

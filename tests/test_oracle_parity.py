@@ -113,3 +113,24 @@ def test_entry_smoke(spark):
     rows = out.collect()
     assert len(rows) > 0
     assert "symbol" in out.columns
+
+
+def _rows_only_names():
+    from finance_data_pipeline_spark.registry import ORACLES, QUERIES
+
+    return sorted(set(QUERIES) - set(ORACLES))
+
+
+@pytest.mark.parametrize("name", _rows_only_names())
+def test_rows_only_query_runs_with_stable_schema(spark, name):
+    """Queries without a SQL oracle still face the driver's rows-only
+    check: they must execute, return a deterministic schema, and be
+    re-runnable (same row count twice)."""
+    from finance_data_pipeline_spark.registry import QUERIES
+
+    df = QUERIES[name](spark, SF_DIR)
+    schema1 = df.schema.simpleString()
+    n1 = df.count()
+    df2 = QUERIES[name](spark, SF_DIR)
+    assert df2.schema.simpleString() == schema1
+    assert df2.count() == n1
