@@ -126,3 +126,23 @@ def test_pricing_summary_partial_aggregation(spark):
     assert "partial_sum" in plan, plan
     # Projection pruning: only the 7 needed lineitem columns are read.
     assert "ReadSchema: struct<l_quantity:double" in plan, plan
+
+
+def test_no_query_uses_rowwise_python_or_cartesian_product(spark):
+    """Sweep every registered batch query's physical plan: row-at-a-time
+    Python UDFs (BatchEvalPython) are banned everywhere (Arrow-batched
+    pandas UDFs show as ArrowEvalPython/FlatMapGroupsInPandas and are
+    allowed); CartesianProduct is banned (broadcast nested-loop joins
+    are the sanctioned non-equi form)."""
+    from finance_data_pipeline_spark.registry import QUERIES
+
+    skip = {name for name in QUERIES if name.startswith("streaming_")}
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if name in skip:
+            continue
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        bad = [m for m in ("BatchEvalPython", "CartesianProduct") if m in plan]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
