@@ -84,3 +84,30 @@ def test_ivf_full_probe_is_exact(spark, vectors):
     assert {(r.query_id, r.neighbor_id, r.cosine_sim) for r in ivf} == {
         (r.query_id, r.neighbor_id, r.cosine_sim) for r in bf
     }
+
+
+def test_string_sim_join_general_path_matches_bruteforce(spark):
+    """Force the >64-token-vocabulary branch (prefix filter + array
+    intersection) and check it against brute-force exact Jaccard; the
+    small-vocab corpora in testdata exercise the bitmask branch."""
+    from finance_data_pipeline_spark.extensions import dedup
+
+    words = [f"w{i:03d}" for i in range(120)]
+    rows = []
+    for d in range(30):
+        base = [words[(d * 7 + j) % 120] for j in range(12)]
+        rows.append((d, " ".join(base)))
+        if d % 3 == 0:  # near-duplicate: one token swapped
+            rows.append((100 + d, " ".join(base[:-1] + [words[(d + 53) % 120]])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.string_sim_join(docs, threshold=0.7).collect()
+    }
+    truth = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.shingle_pairs_jaccard(docs, k=1).filter("jaccard >= 0.7").collect()
+    }
+    assert out.keys() == truth.keys()
+    for k in truth:
+        assert out[k] == pytest.approx(truth[k], abs=1e-12)
