@@ -995,6 +995,211 @@ def q_returned_revenue(spark, sf_dir):
 
 
 @query(
+    "forecast_revenue",
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+  AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24""",
+)
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan → filter → scalar agg. Every predicate
+    pushes into the Parquet scan (shipdate min/max row-group skipping);
+    only 2 columns are read for the result. At 100 TB this is the
+    I/O-bound ideal: zero shuffles, one partial-agg tree."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@query(
+    "order_priority_check",
+    """SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+)
+def q_order_priority_check(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join with a
+    mixed equi + range condition (cf. SURVEY.md J3). The equi key keeps
+    it hash-joinable; the date filter prunes the probe side first."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sel = o.join(
+        l,
+        (o["o_orderkey"] == l["l_orderkey"]) & (l["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return (
+        sel.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "nation_trade_volume",
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+    AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY supp_nation, cust_nation
+ORDER BY supp_nation, cust_nation""",
+)
+def q_nation_trade_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between supplier and
+    customer nations. One real shuffle (lineitem ⋈ orders on orderkey);
+    supplier, customer, and both nation copies broadcast. The final agg
+    lands on ~N² nation pairs — map-side partial agg absorbs the fan-in,
+    so the last shuffle is tiny at any scale."""
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", rev.alias("_rev"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n.alias("n1")), F.col("s_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(n.alias("n2")), F.col("c_nationkey") == F.col("n2.n_nationkey"))
+        .filter(F.col("n1.n_name") < F.col("n2.n_name"))
+    )
+    return (
+        joined.groupBy(
+            F.col("n1.n_name").alias("supp_nation"), F.col("n2.n_name").alias("cust_nation")
+        )
+        .agg(F.sum("_rev").cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation")
+    )
+
+
+@query(
+    "large_volume_customers",
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY sum_qty DESC, o_orderkey""",
+)
+def q_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING over a fact-side pre-aggregation. The
+    groupBy(l_orderkey) agg runs BEFORE any join, so the join input is
+    already reduced ~1000×; quantities are small integers stored as
+    double → exact under any summation order (no decimal detour)."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("sum_qty"), "o_orderkey")
+    )
+
+
+@query(
+    "disjunctive_part_revenue",
+    """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+  AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)""",
+)
+def q_disjunctive_part_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. The
+    disjunction cannot push below the join, but the part side broadcasts
+    so the predicate evaluates stream-side inside one codegen stage —
+    no shuffle at all."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "idle_rich_customers",
+    """SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+      (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+      > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+ORDER BY c_acctbal DESC, c_custkey""",
+)
+def q_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: above-average balance AND recently inactive
+    (scalar subquery + NOT EXISTS → anti join). The avg comparison is
+    restated as acctbal·count > total in DECIMAL so both engines decide
+    boundary rows identically — no float-division threshold."""
+    c = table(spark, sf_dir, "customer")
+    stats = c.filter(F.col("c_acctbal") > 0).agg(
+        F.count("*").alias("_cnt"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("_tot"),
+    )
+    recent = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("c_acctbal").cast("decimal(18,2)") * F.col("_cnt") > F.col("_tot"))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+    )
+
+
+@query(
     "segment_nation_grouping_sets",
     """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
   coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
