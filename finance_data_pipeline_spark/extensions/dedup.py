@@ -38,6 +38,15 @@ def word_shingles(col="text", k: int = 3):
     return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.array_join(toks, " "))))
 
 
+def char_ngrams(col="text", n: int = 4):
+    """Distinct character n-grams of normalized text (X2d candidate
+    unit). A doc shorter than n chars yields its whole text as the one
+    gram (mirrors word_shingles' short-doc rule)."""
+    s = normalized(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, F.lit(n))))
+
+
 # --- X1: exact dedup ------------------------------------------------------
 
 
@@ -216,6 +225,7 @@ def string_sim_join(
     threshold: float = 0.7,
     id_col: str = "doc_id",
     text_col: str = "text",
+    grams=None,
 ) -> DataFrame:
     """Exact token-Jaccard self-join with prefix filtering (the
     AllPairs/PPJoin candidate-pruning family; cf. "Highly Efficient
@@ -239,12 +249,15 @@ def string_sim_join(
     of verification multiplies that by tokens-per-doc; the array form
     shuffles each pair exactly once (measured ~10× faster at sf0.1).
     """
-    # word_shingles(k=1) is already array_distinct per doc; hashing AFTER
+    # The gram column (default word tokens; char_ngrams for the n-gram
+    # Jaccard variant) is already array_distinct per doc; hashing AFTER
     # the explode keeps xxhash64 inside whole-stage codegen (a transform()
     # lambda would run interpreted per token).
+    if grams is None:
+        grams = word_shingles(text_col, 1)
     base = (
         _spread(docs.select(F.col(id_col).alias("_id"), F.col(text_col)))
-        .select("_id", F.explode(word_shingles(text_col, 1)).alias("_t"))
+        .select("_id", F.explode(grams).alias("_t"))
         .select("_id", F.xxhash64("_t").alias("tok"))
     )
     sizes = base.groupBy("_id").agg(F.count("*").alias("n"))

@@ -386,6 +386,48 @@ def q_normalize(spark, sf_dir):
     )
 
 
+@query(
+    "pairwise_correlation",
+    f"""WITH {BARS},
+ret AS (SELECT symbol, bar_ts,
+          close / lag(close) OVER ({_W_BAR}) - 1 AS ret
+        FROM bars)
+SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
+       round(corr(a.ret, b.ret), 4) AS corr_ab,
+       count(*) AS n_obs
+FROM ret a JOIN ret b ON a.bar_ts = b.bar_ts AND a.symbol < b.symbol
+WHERE a.ret IS NOT NULL AND b.ret IS NOT NULL
+GROUP BY symbol_a, symbol_b
+ORDER BY symbol_a, symbol_b""",
+)
+def q_pairwise_correlation(spark, sf_dir):
+    """All-pairs return correlation matrix (upper triangle) — the
+    multi-stock comparison surface (analyze_visualize.py:302-349)
+    upgraded from overlay charts to a real statistic. Returns are a
+    window pass; the pair fan-out is a time-aligned self-join (K²/2
+    pairs per timestamp, K = symbol count). At large K, block symbols
+    and pivot to per-block vectors before the outer product; for
+    dashboard-sized K the equi-join on bar_ts is one shuffle and the
+    corr aggregate is map-side partial."""
+    b = _bars(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    ret = b.select(
+        "symbol", "bar_ts", (F.col("close") / F.lag("close").over(w) - 1).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    a, c = ret.alias("a"), ret.alias("b")
+    return (
+        a.join(c, (F.col("a.bar_ts") == F.col("b.bar_ts")) & (F.col("a.symbol") < F.col("b.symbol")))
+        .groupBy(
+            F.col("a.symbol").alias("symbol_a"), F.col("b.symbol").alias("symbol_b")
+        )
+        .agg(
+            F.round(F.corr("a.ret", "b.ret"), 4).alias("corr_ab"),
+            F.count("*").alias("n_obs"),
+        )
+        .orderBy("symbol_a", "symbol_b")
+    )
+
+
 # =========================================================================
 # §2.4 A3-A9 — performance summary / §3 EP3 dashboard
 # =========================================================================
@@ -1609,6 +1651,39 @@ def q_string_sim_join(spark, sf_dir):
     all-pairs token join; the Spark side proves the prefix filter loses
     nothing."""
     out = dedup.string_sim_join(table(spark, sf_dir, "documents"), threshold=0.7)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_CHAR_GRAMS_CTE = """cg AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(length(s) - 3, 1) + 1),
+                   i -> substring(s, CAST(i AS INTEGER), 4)))) AS gram
+  FROM (SELECT doc_id, lower(trim(text)) AS s FROM documents))"""
+
+
+@query(
+    "ngram_sim_join",
+    f"""WITH {_CHAR_GRAMS_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM cg GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+          FROM cg a JOIN cg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(common * 1.0 / (s1.n + s2.n - common), 6) AS jaccard
+FROM pairs
+JOIN sizes s1 ON id_a = s1.doc_id
+JOIN sizes s2 ON id_b = s2.doc_id
+WHERE common * 1.0 / (s1.n + s2.n - common) >= 0.8""",
+)
+def q_ngram_sim_join(spark, sf_dir):
+    """Character-4-gram Jaccard near-dup join (X2d): the same exact
+    prefix-filter machinery as string_sim_join, swapping the gram unit
+    from word tokens to char n-grams — robust to whitespace/tokenizer
+    differences. Oracle is the naive all-pairs gram join; the Spark side
+    proves the prefix filter loses nothing at gram granularity."""
+    out = dedup.string_sim_join(
+        table(spark, sf_dir, "documents"), threshold=0.8, grams=dedup.char_ngrams("text", 4)
+    )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
