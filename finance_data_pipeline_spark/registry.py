@@ -1483,6 +1483,67 @@ def q_streaming_dedup(spark, sf_dir):
 
 
 @query(
+    "stateful_continuity",
+    f"""WITH {STOCKS},
+b AS (SELECT symbol, date, open, close,
+        CASE WHEN date <= DATE '{CUTOFF}' THEN 1 ELSE 2 END AS batch
+      FROM stocks),
+agg AS (SELECT symbol, batch, count(*) AS batch_rows,
+          arg_min(open, date) AS first_open, arg_max(close, date) AS last_close
+        FROM b GROUP BY symbol, batch),
+w AS (SELECT *, lag(last_close) OVER (PARTITION BY symbol ORDER BY batch) AS prev_close
+      FROM agg)
+SELECT symbol, batch_rows, first_open, prev_close,
+       (prev_close IS NOT NULL AND NOT (first_open / prev_close BETWEEN 0.5 AND 2.0))
+         AS discontinuous,
+       last_close
+FROM w""",
+)
+def q_stateful_continuity(spark, sf_dir):
+    """Custom stateful streaming operator (§2.10,
+    applyInPandasWithState): the reference's price-continuity heuristic
+    (fetch_and_store.py:285-294) with each symbol's last close held in
+    the state store across micro-batches. The source is staged as two
+    files (≤ CUTOFF, > CUTOFF) with forced mtime order and
+    maxFilesPerTrigger=1, so micro-batch boundaries are deterministic —
+    which makes the stateful result fully SQL-expressible: per-(symbol,
+    batch) first/last plus lag(last_close) across batches."""
+    import os
+    import tempfile
+    import uuid
+
+    from finance_data_pipeline_spark.streaming import stateful_continuity
+
+    s = _stocks(spark, sf_dir).select("symbol", "date", "open", "close")
+    staged = tempfile.mkdtemp(prefix="fdps_cont_")
+    s.filter(F.col("date") <= _date(CUTOFF)).coalesce(1).write.mode("overwrite").parquet(staged)
+    batch1 = {f for f in os.listdir(staged) if not f.startswith(("_", "."))}
+    s.filter(F.col("date") > _date(CUTOFF)).coalesce(1).write.mode("append").parquet(staged)
+    for f in os.listdir(staged):
+        if f.startswith(("_", ".")):
+            continue
+        t = 1_000_000_000 if f in batch1 else 2_000_000_000
+        os.utime(os.path.join(staged, f), (t, t))
+    sdf = (
+        spark.readStream.schema(s.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    name = f"fdps_cont_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_continuity(sdf)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fdps_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@query(
     "value_percentiles",
     """SELECT event_type,
   count(*) AS n,
