@@ -217,6 +217,97 @@ def near_dup_pairs(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+# --- X2f: duplicate clusters (connected components) -----------------------
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected pair graph by min-label
+    propagation: every node repeatedly adopts the smallest label among
+    itself and its neighbors until fixpoint. Converges in O(diameter)
+    rounds — near-dup clusters are shallow (dense cliques chained by a
+    few bridges), so a handful of rounds suffice; ``max_iter`` bounds
+    adversarial chains.
+
+    Each round is two shuffles (join + min-aggregate) plus a scalar
+    convergence check; ``localCheckpoint`` cuts the iterative lineage so
+    the plan does not grow per round (at cluster scale, use
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` for
+    fault-tolerant truncation). For graphs with huge components the
+    O(log n)-round alternating large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) drops in with the same (id, label) contract.
+
+    Returns (doc_id, cluster_id) for every node appearing in ``pairs``,
+    cluster_id = min doc_id of the component.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(labels, edges["dst"] == labels["id"]).select(
+            F.col("src").alias("id"), "label"
+        )
+        new_labels = (
+            nbr.unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dup_clusters(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """X2f end-to-end: verified near-dup pairs → connected components.
+    Deterministic because the pair set is (exact Jaccard ≥ t decides)."""
+    pairs = near_dup_pairs(docs, threshold=threshold)
+    return connected_components(pairs.select("id_a", "id_b"))
+
+
+def training_corpus(
+    docs: DataFrame,
+    quality_threshold: float = 0.5,
+    near_dup_threshold: float = 0.7,
+) -> DataFrame:
+    """Composed training-data cleaning pipeline (X1+X2+X4 in one query):
+
+    1. drop exact duplicates (keep lowest doc_id per normalized hash),
+    2. drop near-duplicate cluster non-representatives (keep the
+       cluster's min doc_id),
+    3. keep docs with quality_score ≥ threshold.
+
+    The output is the deduplicated, quality-filtered corpus a pretrain
+    pipeline would feed the tokenizer. Every stage is a bounded-key
+    shuffle; nothing touches the driver.
+    """
+    from finance_data_pipeline_spark.extensions.text import quality_score
+
+    survivors = exact_dedup(docs).select("doc_id", "text")
+    clusters = dup_clusters(docs, threshold=near_dup_threshold)
+    non_reps = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    quality = quality_score(docs).filter(
+        F.col("quality_score") >= quality_threshold
+    ).select("doc_id")
+    return (
+        survivors.join(non_reps, "doc_id", "left_anti")
+        .join(quality, "doc_id", "left_semi")
+        .select("doc_id")
+    )
+
+
 # --- X2b: prefix-filtered exact string similarity join --------------------
 
 

@@ -1688,6 +1688,40 @@ def q_near_dup(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+_NEAR_PAIRS_CTE = f"""{_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+np AS (SELECT id_a, id_b FROM p
+       JOIN sizes s1 ON id_a = s1.doc_id JOIN sizes s2 ON id_b = s2.doc_id
+       WHERE common * 1.0 / (s1.n + s2.n - common) >= 0.7)"""
+
+_CLUSTERS_SQL_TAIL = """edges AS (SELECT id_a AS src, id_b AS dst FROM np
+          UNION SELECT id_b, id_a FROM np),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+cc AS (SELECT n.id AS doc_id, least(n.id, min(r.dst)) AS cluster_id
+       FROM nodes n JOIN reach r ON r.src = n.id
+       GROUP BY n.id)"""
+
+
+@query(
+    "dup_clusters",
+    f"""WITH RECURSIVE {_NEAR_PAIRS_CTE},
+{_CLUSTERS_SQL_TAIL}
+SELECT doc_id, cluster_id FROM cc""",
+)
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup clusters (X2f): verified pair graph → connected
+    components by distributed min-label propagation. The oracle computes
+    the same components via a recursive transitive-closure CTE — an
+    iterative Spark algorithm still held to a full SQL oracle."""
+    return dedup.dup_clusters(table(spark, sf_dir, "documents"), threshold=0.7)
+
+
 _TOKENS_CTE = f"""{_NORM_CTE},
 tokset AS (SELECT doc_id, list_distinct(words) AS toks FROM norm),
 tok AS (SELECT doc_id, unnest(toks) AS t FROM tokset)"""
@@ -1801,6 +1835,35 @@ FROM norm""",
 )
 def q_quality_score(spark, sf_dir):
     return text.quality_score(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "training_corpus",
+    f"""WITH RECURSIVE {_NEAR_PAIRS_CTE},
+{_CLUSTERS_SQL_TAIL},
+keepers AS (SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (
+    PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1),
+non_reps AS (SELECT doc_id FROM cc WHERE doc_id != cluster_id),
+quality AS (
+  SELECT doc_id FROM norm
+  WHERE (CASE WHEN len(words) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+      + (CASE WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+              / length(text) <= 0.2 THEN 0.3 ELSE 0.0 END)
+      + (CASE WHEN ({_contains_sum_sql(_ALL_MARKERS)}) >= 2 THEN 0.3 ELSE 0.0 END)
+      >= 0.5)
+SELECT k.doc_id FROM keepers k
+JOIN quality q ON k.doc_id = q.doc_id
+LEFT JOIN non_reps nr ON k.doc_id = nr.doc_id
+WHERE nr.doc_id IS NULL""",
+)
+def q_training_corpus(spark, sf_dir):
+    """Composed pretraining-data cleaning pipeline (X1+X2f+X4 in one
+    plan): exact dedup → near-dup cluster representatives only →
+    quality filter. The single-query form a 100 TB corpus pass would
+    run before tokenization."""
+    return dedup.training_corpus(table(spark, sf_dir, "documents"))
 
 
 _H_COLS = ", ".join(

@@ -111,3 +111,33 @@ def test_string_sim_join_general_path_matches_bruteforce(spark):
     assert out.keys() == truth.keys()
     for k in truth:
         assert out[k] == pytest.approx(truth[k], abs=1e-12)
+
+
+def test_connected_components_chain_cliques_and_isolated_pair(spark):
+    """Min-label propagation: a 4-node chain (diameter forces multiple
+    rounds), a triangle clique, and a disjoint 2-node component must
+    each collapse to their min-id label."""
+    from finance_data_pipeline_spark.extensions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 10-11-12-13; triangle 20-21-22; pair 30-31
+        [(10, 11), (11, 12), (12, 13), (20, 21), (21, 22), (20, 22), (30, 31)],
+        "id_a long, id_b long",
+    )
+    got = {(r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()}
+    want = {(10, 10), (11, 10), (12, 10), (13, 10),
+            (20, 20), (21, 20), (22, 20), (30, 30), (31, 30)}
+    assert got == want
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node path needs ~diameter rounds; the label of the far end
+    must still reach the min id within the iteration cap."""
+    from finance_data_pipeline_spark.extensions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], "id_a long, id_b long"
+    )
+    out = connected_components(pairs).collect()
+    assert {r.cluster_id for r in out} == {100}
+    assert len(out) == 13
