@@ -430,7 +430,13 @@ def string_sim_join(
 # --- X2c: SimHash ---------------------------------------------------------
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    token_hash=None,
+) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per bit, sum ±1 weighted
     by token hash bit; sign → bit. Pure array/HOF math, no UDF.
 
@@ -438,11 +444,18 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     sums (one per bit), then a single assembly projection — NOT as HOF
     folds, which are interpreted and recompute the token hashing per
     bit (see minhash_signatures). One shuffle on id with map-side
-    partial agg (64 longs per doc per mapper)."""
+    partial agg (64 longs per doc per mapper).
+
+    ``token_hash`` (a Column over ``tok``) defaults to xxhash64 — the
+    scale path. Pass an engine-portable hash (e.g. 60 bits of md5, see
+    md5_token_hash) with matching ``bits`` to make the whole operator
+    reproducible in a SQL oracle."""
+    if token_hash is None:
+        token_hash = F.xxhash64("tok")
     th = (
         _spread(docs.select(F.col(id_col).alias("_id"), F.col(text_col)))
         .select("_id", F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
-        .select("_id", F.xxhash64("tok").alias("h"))
+        .select("_id", token_hash.alias("h"))
     )
     bit_sums = [
         F.sum(
@@ -463,17 +476,34 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     return th.groupBy("_id").agg(*bit_sums).select("_id", sig.alias("simhash"))
 
 
-def simhash_near_dups(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
+def md5_token_hash(col: str = "tok", hex_chars: int = 15):
+    """Engine-portable token hash: the first 15 hex chars (60 bits) of
+    md5 — bit-identical in Spark (conv base 16→10) and DuckDB/ANSI SQL
+    (positional hex-digit shifts), unlike xxhash64. 15 chars keeps the
+    value inside a signed 64-bit long in both engines."""
+    return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("long")
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    bits: int = 64,
+    token_hash=None,
+) -> DataFrame:
     """Hamming-ball pairs via 4-block banding (Pigeonhole: distance ≤ 3
-    ⇒ at least one 16-bit block identical) — join on block value, then
-    verify exact Hamming distance via bit_count(xor)."""
-    sigs = simhash(docs, id_col)
+    ⇒ at least one block of bits/4 identical) — join on block value,
+    then verify exact Hamming distance via bit_count(xor)."""
+    block_bits = bits // 4
+    block_mask = (1 << block_bits) - 1
+    sigs = simhash(docs, id_col, bits=bits, token_hash=token_hash)
     blocks = sigs.select(
         "_id",
         "simhash",
         F.posexplode(
             F.array(*[
-                F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)) for i in range(4)
+                F.shiftright("simhash", i * block_bits).bitwiseAND(F.lit(block_mask))
+                for i in range(4)
             ])
         ).alias("block_idx", "block_val"),
     )

@@ -1782,9 +1782,44 @@ def q_ngram_sim_join(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@query("simhash_pairs")  # xxhash64 not reproducible in the oracle → rows-only
+# Engine-portable 60-bit md5 token hash (dedup.md5_token_hash): DuckDB
+# rebuilds the identical value from positional hex-digit shifts.
+_MD5_H_SQL = (
+    "list_sum(list_transform(range(1, 16), i -> "
+    "(strpos('0123456789abcdef', substring(md5(t), CAST(i AS INTEGER), 1)) - 1)::BIGINT"
+    " << ((15 - i) * 4)))"
+)
+_SIMHASH_SIG_SQL = " | ".join(
+    f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+    f" THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+    for b in range(60)
+)
+
+
+@query(
+    "simhash_pairs",
+    f"""WITH {_NORM_CTE},
+tok AS (SELECT doc_id, unnest(list_distinct(words)) AS t FROM norm),
+th AS (SELECT doc_id, {_MD5_H_SQL} AS h FROM tok),
+sig AS (SELECT doc_id, {_SIMHASH_SIG_SQL} AS simhash FROM th GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+)
 def q_simhash(spark, sf_dir):
-    return dedup.simhash_near_dups(table(spark, sf_dir, "documents"), max_hamming=3)
+    """SimHash near-dups with a full SQL oracle: the registry variant
+    hashes tokens with 60 bits of md5 (bit-identical in both engines)
+    instead of the default xxhash64 scale path, so the oracle rebuilds
+    the exact fingerprints and cross-checks the banded Hamming join
+    against naive all-pairs."""
+    out = dedup.simhash_near_dups(
+        table(spark, sf_dir, "documents"),
+        max_hamming=3,
+        bits=60,
+        token_hash=dedup.md5_token_hash("tok"),
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 @query(
