@@ -1414,6 +1414,104 @@ def q_session_windows(spark, sf_dir):
 
 
 @query(
+    "event_funnel",
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM v) AS step_view,
+       (SELECT count(*) FROM c) AS step_click,
+       (SELECT count(*) FROM p) AS step_purchase""",
+)
+def q_event_funnel(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase: each step
+    keeps users whose step event strictly follows their previous step's
+    first occurrence. Three groupBys on user_id reuse one shuffle
+    partitioning; each stage's min-ts aggregate is map-side partial.
+    At 100 TB this is the standard funnel shape: no windows over the
+    whole event log, only per-user minima."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = [
+        v.agg(F.count("*").alias("step_view")),
+        c.agg(F.count("*").alias("step_click")),
+        p.agg(F.count("*").alias("step_purchase")),
+    ]
+    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+
+
+@query(
+    "user_retention",
+    """WITH first_day AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date FROM events GROUP BY user_id)
+SELECT f.cohort_date, date_diff('day', f.cohort_date, CAST(e.ts AS DATE)) AS day_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN first_day f ON e.user_id = f.user_id
+WHERE date_diff('day', f.cohort_date, CAST(e.ts AS DATE)) BETWEEN 0 AND 7
+GROUP BY f.cohort_date, day_offset
+ORDER BY f.cohort_date, day_offset""",
+)
+def q_user_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity date, counted
+    distinct on each of the next 7 days. The first_day aggregate is
+    tiny (one row per user) and broadcasts back onto the event log —
+    the fact table shuffles only for the final distinct-count."""
+    e = table(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("d"))
+    first_day = e.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    return (
+        e.join(F.broadcast(first_day), "user_id")
+        .withColumn("day_offset", F.datediff("d", "cohort_date").cast("long"))
+        .filter(F.col("day_offset").between(0, 7))
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_date", "day_offset")
+    )
+
+
+@query(
+    "value_histogram",
+    """SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bin,
+       count(*) AS n,
+       round(min(value), 6) AS bin_min, round(max(value), 6) AS bin_max
+FROM events GROUP BY event_type, bin ORDER BY event_type, bin""",
+)
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width histogram per event type — one hash-aggregate on
+    (type, bin); bin ids are dense small ints so the shuffle is tiny
+    regardless of input scale."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type", F.floor(F.col("value") / 25.0).cast("long").alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("bin_min"),
+            F.round(F.max("value"), 6).alias("bin_max"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+@query(
     "streaming_tumbling_daily",
     ORACLES["tumbling_daily"],
 )
