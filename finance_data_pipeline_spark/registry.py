@@ -1414,6 +1414,50 @@ def q_session_windows(spark, sf_dir):
 
 
 @query(
+    "multi_grain_rollup",
+    f"""WITH {BARS},
+g AS (SELECT symbol, close, volume,
+        CAST(date_trunc('day', bar_ts) AS TIMESTAMP) AS day_ts,
+        CAST(date_trunc('week', bar_ts) AS TIMESTAMP) AS week_ts
+      FROM bars)
+SELECT symbol,
+  CASE WHEN grouping(day_ts) = 0 THEN 'day' ELSE 'week' END AS grain,
+  coalesce(day_ts, week_ts) AS bucket_ts,
+  count(*) AS n_bars,
+  CAST(sum(CAST(volume AS DECIMAL(18,0))) AS BIGINT) AS total_volume,
+  round(avg(close), 6) AS avg_close
+FROM g
+GROUP BY GROUPING SETS ((symbol, day_ts), (symbol, week_ts))
+ORDER BY symbol, grain, bucket_ts""",
+)
+def q_multi_grain_rollup(spark, sf_dir):
+    """Hypertable-style multi-granularity rollup: day and week buckets
+    per symbol materialized in ONE pass over the bars — a single Expand
+    node feeding one hash-aggregate, instead of two scans + a union.
+    The continuous-aggregate pattern of time-series stores restated as
+    grouping sets."""
+    b = _bars(spark, sf_dir).select(
+        "symbol",
+        "close",
+        "volume",
+        F.date_trunc("day", "bar_ts").alias("day_ts"),
+        F.date_trunc("week", "bar_ts").alias("week_ts"),
+    )
+    b.createOrReplaceTempView("_mg_bars")
+    return spark.sql(
+        """SELECT symbol,
+  CASE WHEN grouping(day_ts) = 0 THEN 'day' ELSE 'week' END AS grain,
+  coalesce(day_ts, week_ts) AS bucket_ts,
+  count(*) AS n_bars,
+  CAST(sum(CAST(volume AS DECIMAL(18,0))) AS BIGINT) AS total_volume,
+  round(avg(close), 6) AS avg_close
+FROM _mg_bars
+GROUP BY GROUPING SETS ((symbol, day_ts), (symbol, week_ts))
+ORDER BY symbol, grain, bucket_ts"""
+    )
+
+
+@query(
     "event_funnel",
     """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
         WHERE event_type = 'view' GROUP BY user_id),
