@@ -100,16 +100,30 @@ def shingle_pairs_jaccard(
             .agg(F.count("*").alias("common"))
         )
     else:
-        cand_sh = candidates.join(sh.withColumnRenamed("_id", "id_a"), "id_a").select(
-            "id_a", "id_b", "h"
+        # Array-intersect verification (same move as string_sim_join):
+        # one shingle pass collects each doc's sorted 64-bit hash array,
+        # then each candidate pair joins its two arrays and intersects
+        # JVM-side — the exploded (pair × shingle) join form walks the
+        # shingle stream three times and shuffles every matching
+        # shingle per pair (measured ~2× slower end-to-end at sf0.1).
+        tokset = sh.groupBy("_id").agg(
+            F.array_sort(F.collect_list("h")).alias("hs"), F.count("*").alias("n_sh")
         )
-        pairs = (
-            cand_sh.join(
-                sh.select(F.col("_id").alias("id_b"), F.col("h")),
-                ["id_b", "h"],
+        return (
+            candidates.join(
+                tokset.select(F.col("_id").alias("id_a"), F.col("hs").alias("_ha"), F.col("n_sh").alias("n_a")),
+                "id_a",
             )
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("common"))
+            .join(
+                tokset.select(F.col("_id").alias("id_b"), F.col("hs").alias("_hb"), F.col("n_sh").alias("n_b")),
+                "id_b",
+            )
+            .withColumn("common", F.size(F.array_intersect("_ha", "_hb")))
+            .select(
+                "id_a",
+                "id_b",
+                (F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))).alias("jaccard"),
+            )
         )
     return (
         pairs.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
