@@ -82,3 +82,40 @@ def write_stocks(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def export_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV export (S7; reference README.md:99-107 does `aws s3 cp`)."""
     df.write.mode(mode).option("header", "true").csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """CSV source. An explicit schema keeps the read single-pass;
+    without one, inference costs an extra scan — never do that at
+    100 TB (pass the canonical StructType from schemas.py instead)."""
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def export_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines export — the interchange format for downstream
+    non-columnar consumers. Prefer Parquet for anything Spark re-reads
+    (columnar pruning + stats; JSON scans are schema-on-read text)."""
+    df.write.mode(mode).json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source; same explicit-schema rule as read_csv."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def export_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other columnar interchange format (Hive/Trino
+    ecosystems); same pushdown/pruning properties as Parquet."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

