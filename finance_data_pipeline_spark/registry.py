@@ -878,6 +878,45 @@ def q_segment_rollup(spark, sf_dir):
 
 
 @query(
+    "nation_balance_full_outer",
+    """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+       coalesce(c.n_customers, 0) AS n_customers,
+       coalesce(s.n_suppliers, 0) AS n_suppliers
+FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+      FROM customer GROUP BY c_nationkey) c
+FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+                 FROM supplier GROUP BY s_nationkey) s
+ON c.nationkey = s.nationkey
+ORDER BY nationkey""",
+)
+def q_nation_balance_full_outer(spark, sf_dir):
+    """Full outer join (completing the J1-J7 menu): per-nation customer
+    vs supplier counts, keeping nations present on either side only.
+    Both inputs pre-aggregate to ≤ nation-cardinality rows BEFORE the
+    join, so the full-outer itself is a tiny sort-merge regardless of
+    fact-table scale."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
     "nations_with_both",
     """SELECT c_nationkey AS nationkey FROM customer
 INTERSECT SELECT s_nationkey FROM supplier""",
