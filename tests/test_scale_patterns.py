@@ -9,6 +9,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from finance_data_pipeline_spark import plans
 from finance_data_pipeline_spark.io import table
 from finance_data_pipeline_spark.operators import relational as rel
 
@@ -75,9 +76,8 @@ def test_broadcast_dim_join_shuffles_only_fact_aggregate(spark):
     from finance_data_pipeline_spark.registry import QUERIES
 
     df = QUERIES["revenue_by_nation"](spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("BroadcastExchange") >= 2
-    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert plans.broadcast_count(df) >= 2
+    assert plans.shuffle_count(df) <= 1, plans.physical_plan(df)
 
 
 def test_shipping_priority_broadcasts_dims_and_pushes_filters(spark):
@@ -99,9 +99,8 @@ def test_scalar_subquery_is_broadcast_not_shuffle(spark):
     from finance_data_pipeline_spark.registry import QUERIES
 
     df = QUERIES["parts_above_avg_size"](spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastExchange" in plan
-    assert "Exchange hashpartitioning" not in plan, plan
+    assert plans.broadcast_count(df) >= 1
+    assert plans.shuffle_count(df) == 0, plans.physical_plan(df)
 
 
 def test_grouping_sets_single_expand_single_shuffle(spark):
@@ -121,9 +120,8 @@ def test_pricing_summary_partial_aggregation(spark):
     from finance_data_pipeline_spark.registry import QUERIES
 
     df = QUERIES["pricing_summary"](spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("HashAggregate") >= 2
-    assert "partial_sum" in plan, plan
+    plan = plans.physical_plan(df)
+    assert plans.has_partial_aggregation(df), plan
     # Projection pruning: only the 7 needed lineitem columns are read.
     assert "ReadSchema: struct<l_quantity:double" in plan, plan
 
@@ -141,8 +139,7 @@ def test_no_query_uses_rowwise_python_or_cartesian_product(spark):
     for name, fn in QUERIES.items():
         if name in skip:
             continue
-        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-        bad = [m for m in ("BatchEvalPython", "CartesianProduct") if m in plan]
+        bad = plans.hazards(fn(spark, SF_DIR))
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
