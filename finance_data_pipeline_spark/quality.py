@@ -34,7 +34,11 @@ def _rules() -> list[tuple[str, Column]]:
         ("high_lt_low", c("high") < c("low")),
         ("high_lt_open_close", c("high") < F.greatest(c("open"), c("close"))),
         ("low_gt_open_close", c("low") > F.least(c("open"), c("close"))),
-        ("extreme_move", F.abs(c("close") - c("open")) / c("open") > 0.5),
+        # try_divide: open == 0 rows (the reference's NaN→0 ingest
+        # default, fetch_and_store_multi.py:164-168) must not crash the
+        # validator under ANSI mode — they are already invalid via
+        # nonpositive_open; a null ratio simply leaves this rule unfired.
+        ("extreme_move", F.try_divide(F.abs(c("close") - c("open")), c("open")) > 0.5),
         (
             "zero_volume_major",
             (c("volume") == 0) & c("symbol").isin(*MAJOR_SYMBOLS),

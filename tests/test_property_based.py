@@ -1,0 +1,112 @@
+"""Hypothesis property tests (SURVEY.md §5.3): randomized inputs for
+the invariants the example-based suites pin at single points —
+merge idempotence/new-wins, quality clean/flag partitioning, and the
+fixed-point-sum ≡ decimal-sum equivalence behind the fast aggregates.
+
+Each example round-trips one generated batch through Spark, so
+max_examples stays small; the value is the generator exploring key
+collisions, nulls, and boundary values no hand fixture covers.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from finance_data_pipeline_spark import ingest, quality
+from finance_data_pipeline_spark import functions as fx
+
+SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# (symbol, day-index, value) rows; small key spaces force collisions.
+row = st.tuples(
+    st.sampled_from(["AAPL", "MSFT", "S1"]),
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=-3, max_value=1000),
+)
+
+
+def _df(spark, rows):
+    data = [
+        (sym, f"2024-01-{d:02d}", float(v))
+        for sym, d, v in rows
+    ]
+    return spark.createDataFrame(data, "symbol string, date string, close double").select(
+        "symbol", F.to_date("date").alias("date"), "close"
+    )
+
+
+@given(old=st.lists(row, max_size=12), new=st.lists(row, max_size=12))
+@settings(**SETTINGS)
+def test_upsert_idempotent_unique_and_new_wins(spark, old, new):
+    df_old, df_new = _df(spark, old), _df(spark, new)
+    once = ingest.upsert(df_old, df_new, key=["symbol", "date"], order_col="close")
+    twice = ingest.upsert(once, df_new, key=["symbol", "date"], order_col="close")
+    got_once = {tuple(r) for r in once.collect()}
+    # idempotence: applying the same batch again changes nothing
+    assert {tuple(r) for r in twice.collect()} == got_once
+    # key uniqueness post-merge
+    keys = [(r.symbol, r.date) for r in once.collect()]
+    assert len(keys) == len(set(keys))
+    # new-wins: every key present in `new` resolves to new's max value
+    want_new = {}
+    for sym, d, v in new:
+        k = (sym, d)
+        want_new[k] = max(want_new.get(k, float(v)), float(v))
+    for r in once.collect():
+        k = (r.symbol, r.date.day)
+        if k in want_new:
+            assert r.close == want_new[k]
+
+
+ohlcv = st.tuples(
+    st.one_of(st.none(), st.floats(min_value=-10, max_value=200, allow_nan=False)),
+    st.one_of(st.none(), st.floats(min_value=-10, max_value=200, allow_nan=False)),
+    st.one_of(st.none(), st.floats(min_value=-10, max_value=200, allow_nan=False)),
+    st.one_of(st.none(), st.floats(min_value=-10, max_value=200, allow_nan=False)),
+    st.one_of(st.none(), st.integers(min_value=-5, max_value=10)),
+)
+
+
+@given(rows=st.lists(ohlcv, max_size=15))
+@settings(**SETTINGS)
+def test_clean_flag_partition_is_exact(spark, rows):
+    """clean(df) must keep EXACTLY the rows flag(df) marks violation-free
+    — the filter predicate and the labeling array can never disagree."""
+    data = [
+        ("AAPL", f"2024-01-{i % 28 + 1:02d}", o, h, lo, c, float(v) if v is not None else None)
+        for i, (o, h, lo, c, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "symbol string, date string, open double, high double, low double, "
+        "close double, volume double",
+    ).select(
+        "symbol", F.to_date("date").alias("date"), "open", "high", "low", "close",
+        F.col("volume").cast("long").alias("volume"),
+    )
+    cleaned = {tuple(r) for r in quality.clean(df).collect()}
+    flagged = quality.flag(df).collect()
+    no_violation = {
+        tuple(r)[:-1] for r in flagged if len(r.violations) == 0
+    }
+    assert cleaned == no_violation
+
+
+@given(cents=st.lists(st.integers(min_value=-10**12, max_value=10**12), min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_fixed_point_sum_equals_decimal_sum(spark, cents):
+    """fx.fixed_point_sum over 2dp doubles must equal the decimal-cast
+    sum for arbitrary sign/magnitude mixes within the documented bound."""
+    df = spark.createDataFrame([(c / 100.0,) for c in cents], "x double")
+    fast, exact = df.agg(
+        fx.fixed_point_sum("x", 100).alias("fast"),
+        F.sum(F.col("x").cast("decimal(28,2)")).cast("double").alias("exact"),
+    ).first()
+    assert fast == exact
