@@ -1519,8 +1519,8 @@ SELECT (SELECT count(*) FROM v) AS step_view,
 def q_event_funnel(spark, sf_dir):
     """Ordered conversion funnel view → click → purchase: each step
     keeps users whose step event strictly follows their previous step's
-    first occurrence. Three groupBys on user_id reuse one shuffle
-    partitioning; each stage's min-ts aggregate is map-side partial.
+    first occurrence. Each stage shuffles only per-user minima (map-side
+    partial agg), and the step joins broadcast the shrinking user sets.
     At 100 TB this is the standard funnel shape: no windows over the
     whole event log, only per-user minima."""
     e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
