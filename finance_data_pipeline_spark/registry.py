@@ -1459,6 +1459,44 @@ def q_session_windows(spark, sf_dir):
 
 
 @query(
+    "vwap_daily",
+    f"""WITH {BARS},
+agg AS (SELECT symbol, CAST(date_trunc('day', bar_ts) AS TIMESTAMP) AS day_ts,
+          sum(CAST(round(close * volume * 1000000) AS BIGINT)) AS s,
+          CAST(sum(volume) AS BIGINT) AS v
+        FROM bars GROUP BY symbol, day_ts)
+SELECT symbol, day_ts,
+       CAST((2 * s + v) // (2 * v) AS DOUBLE) / 1000000 AS vwap,
+       v AS total_volume
+FROM agg ORDER BY symbol, day_ts""",
+)
+def q_vwap_daily(spark, sf_dir):
+    """Volume-weighted average price per symbol-day — the execution-
+    quality benchmark every trading system computes. One partial-agg
+    shuffle on (symbol, day).
+
+    Numerics: integral volumes make exact 6dp-half ties REAL here
+    (observed at sf0.01), and engines disagree on double rounding at
+    ties (Spark HALF_UP vs DuckDB half-even), so no double round can be
+    oracle-stable. Instead the weighted sum runs as scaled longs
+    (order-exact) and the 6dp half-up rounding itself is integer
+    arithmetic — (2s+v) div (2v) micro-price — identical in any
+    engine; the only double op left is an exact small-integer/1e6
+    division."""
+    b = _bars(spark, sf_dir)
+    agg = b.groupBy("symbol", F.date_trunc("day", "bar_ts").alias("day_ts")).agg(
+        F.sum(F.round(F.col("close") * F.col("volume") * 1_000_000).cast("long")).alias("s"),
+        F.sum("volume").cast("long").alias("v"),
+    )
+    return agg.select(
+        "symbol",
+        "day_ts",
+        (F.expr("(2 * s + v) DIV (2 * v)").cast("double") / 1_000_000).alias("vwap"),
+        F.col("v").alias("total_volume"),
+    ).orderBy("symbol", "day_ts")
+
+
+@query(
     "multi_grain_rollup",
     f"""WITH {BARS},
 g AS (SELECT symbol, close, volume,
