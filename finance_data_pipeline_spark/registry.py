@@ -1459,6 +1459,66 @@ def q_session_windows(spark, sf_dir):
 
 
 @query(
+    "ml_feature_matrix",
+    f"""WITH {BARS},
+f AS (SELECT symbol, bar_ts, close,
+        round(close / lag(close, 1) OVER ({_W_BAR}) - 1, 6) AS ret_1,
+        round(close / lag(close, 24) OVER ({_W_BAR}) - 1, 6) AS ret_24,
+        round(avg(close) OVER ({_W_BAR} ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 6)
+          AS sma_24,
+        round(lead(close, 24) OVER ({_W_BAR}) / close - 1, 6) AS fwd_ret_24
+      FROM bars)
+SELECT symbol, bar_ts, close, ret_1, ret_24, sma_24, fwd_ret_24
+FROM f
+WHERE ret_24 IS NOT NULL AND fwd_ret_24 IS NOT NULL""",
+)
+def q_ml_feature_matrix(spark, sf_dir):
+    """Supervised-learning feature matrix in one window pass: lagged
+    returns + rolling mean as features, the 24-bar FORWARD return as
+    the label (lead — the column a training pipeline must never leak
+    into features). All frames share one partitionBy(symbol) sort, so
+    Catalyst runs a single WindowExec; rows without full history or a
+    complete label horizon are dropped, exactly what a train-set
+    materialization does."""
+    b = _bars(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    out = b.select(
+        "symbol",
+        "bar_ts",
+        "close",
+        F.round(F.col("close") / F.lag("close", 1).over(w) - 1, 6).alias("ret_1"),
+        F.round(F.col("close") / F.lag("close", 24).over(w) - 1, 6).alias("ret_24"),
+        F.round(F.avg("close").over(w.rowsBetween(-23, 0)), 6).alias("sma_24"),
+        F.round(F.lead("close", 24).over(w) / F.col("close") - 1, 6).alias("fwd_ret_24"),
+    )
+    return out.filter(F.col("ret_24").isNotNull() & F.col("fwd_ret_24").isNotNull())
+
+
+@query(
+    "top_parts_per_brand",
+    """SELECT p_brand, p_partkey, p_name, p_retailprice, rk FROM (
+  SELECT p_brand, p_partkey, p_name, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rk
+  FROM part) WHERE rk <= 3
+ORDER BY p_brand, rk""",
+)
+def q_top_parts_per_brand(spark, sf_dir):
+    """Top-k per group (the grouped variant of O4): rank inside each
+    partition, keep k — one shuffle on the group key; no global sort,
+    no driver-side per-group loop. row_number (not rank) with an id
+    tie-break keeps the result deterministic."""
+    p = table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice", F.col("rk").cast("long").alias("rk"))
+        .orderBy("p_brand", "rk")
+    )
+
+
+@query(
     "vwap_daily",
     f"""WITH {BARS},
 agg AS (SELECT symbol, CAST(date_trunc('day', bar_ts) AS TIMESTAMP) AS day_ts,
