@@ -28,13 +28,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "pricing_summary",
     "revenue_by_nation",
+    "nation_trade_volume",
     "sma",
     "rsi_14",
     "perf_summary",
     "ema_macd",
+    "vwap_daily",
+    "ml_feature_matrix",
     "upsert_merge",
     "asof_join_events_bars",
     "session_windows",
+    "event_funnel",
+    "user_retention",
     "exact_dedup",
     "near_dup_pairs",
     "cosine_dup_pairs_blocked",

@@ -1160,8 +1160,11 @@ def q_nation_trade_volume(spark, sf_dir):
     customer nations. One real shuffle (lineitem ⋈ orders on orderkey);
     supplier, customer, and both nation copies broadcast. The final agg
     lands on ~N² nation pairs — map-side partial agg absorbs the fan-in,
-    so the last shuffle is tiny at any scale."""
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    so the last shuffle is tiny at any scale. Revenue sums as scaled
+    longs (≡ the oracle's DECIMAL(18,4) sum; see fx.fixed_point_sum)."""
+    rev = F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10_000).cast(
+        "long"
+    )
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", rev.alias("_rev"))
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -1179,7 +1182,7 @@ def q_nation_trade_volume(spark, sf_dir):
         joined.groupBy(
             F.col("n1.n_name").alias("supp_nation"), F.col("n2.n_name").alias("cust_nation")
         )
-        .agg(F.sum("_rev").cast("double").alias("revenue"))
+        .agg((F.sum("_rev") / 10_000.0).alias("revenue"))
         .orderBy("supp_nation", "cust_nation")
     )
 
