@@ -710,8 +710,10 @@ def q_revenue_by_nation(spark, sf_dir):
         customer["c_nationkey"] == nation["n_nationkey"],
         broadcast_right=True,
     )
+    # dims is customer-scaled — no forced broadcast; the planner
+    # broadcasts it while it fits and falls back to shuffle join beyond.
     joined = orders.join(
-        F.broadcast(dims.select("c_custkey", "n_name")),
+        dims.select("c_custkey", "n_name"),
         orders["o_custkey"] == F.col("c_custkey"),
     )
     return joined.groupBy("n_name").agg(
@@ -973,14 +975,15 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10""",
 def q_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape (cf. reference analyze_visualize.py:63-77 filter
     pushdown, generalized to a 3-way join). Selective dimension filters
-    applied BEFORE the joins so they push into the scans; customer side
-    broadcasts; only lineitem⋈orders shuffles."""
+    applied BEFORE the joins so they push into the scans; the planner
+    broadcasts the filtered customer side while it fits (it is
+    SF-scaled, so no forced hint); only lineitem⋈orders must shuffle."""
     cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     l = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     joined = l.join(
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        o.join(c, o["o_custkey"] == c["c_custkey"]).select(
             "o_orderkey", "o_orderdate", "o_orderpriority"
         ),
         F.col("l_orderkey") == F.col("o_orderkey"),
@@ -1007,8 +1010,9 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'""",
 )
 def q_promo_revenue(spark, sf_dir):
-    """TPC-H Q14 shape: conditional aggregation over a broadcast
-    part join. Per-row products stay double (bitwise-identical IEEE in
+    """TPC-H Q14 shape: conditional aggregation over a part join
+    (unhinted — part is SF-scaled; the planner broadcasts while it
+    fits). Per-row products stay double (bitwise-identical IEEE in
     both engines); the SUM runs in decimal so partial-aggregation order
     cannot move the result."""
     l = table(spark, sf_dir, "lineitem").filter(
@@ -1017,7 +1021,7 @@ def q_promo_revenue(spark, sf_dir):
     )
     p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-    joined = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    joined = l.join(p, l["l_partkey"] == p["p_partkey"])
     return joined.agg(
         F.round(
             100.0
@@ -1036,13 +1040,13 @@ GROUP BY p_brand, p_type
 ORDER BY supplier_cnt DESC, p_brand, p_type""",
 )
 def q_suppliers_per_brand(spark, sf_dir):
-    """TPC-H Q16 shape: COUNT(DISTINCT) under a broadcast dimension
-    join — Spark plans it as a two-phase partial-distinct aggregate
+    """TPC-H Q16 shape: COUNT(DISTINCT) under a dimension join
+    (planner-broadcast while part fits) — Spark plans it as a two-phase partial-distinct aggregate
     (expand → partial → final), no driver-side dedup."""
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
     l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(p, l["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
@@ -1063,8 +1067,9 @@ ORDER BY revenue DESC, c_custkey LIMIT 20""",
 def q_returned_revenue(spark, sf_dir):
     """TPC-H Q10 shape: revenue lost to returns per customer. The
     lineitem-side filter prunes ~2/3 of the fact scan before the join;
-    customer is broadcast at the end (aggregate first would also work —
-    Catalyst reorders the small join either way)."""
+    aggregation happens BEFORE the customer join, so that join's left
+    side is already one row per customer (the planner broadcasts the
+    smaller side while it fits; no forced hint on SF-scaled customer)."""
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
@@ -1073,7 +1078,7 @@ def q_returned_revenue(spark, sf_dir):
         .groupBy("o_custkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
-    out = agg.join(F.broadcast(c), agg["o_custkey"] == c["c_custkey"])
+    out = agg.join(c, agg["o_custkey"] == c["c_custkey"])
     return rel.top_k(
         out.select("c_custkey", "c_name", "revenue"),
         [F.desc("revenue"), F.asc("c_custkey")],
@@ -1158,7 +1163,9 @@ ORDER BY supp_nation, cust_nation""",
 def q_nation_trade_volume(spark, sf_dir):
     """TPC-H Q7 shape: bilateral trade volume between supplier and
     customer nations. One real shuffle (lineitem ⋈ orders on orderkey);
-    supplier, customer, and both nation copies broadcast. The final agg
+    both nation copies are broadcast-hinted (bounded cardinality);
+    supplier/customer are left to the planner — broadcast while small,
+    shuffle join at scale. The final agg
     lands on ~N² nation pairs — map-side partial agg absorbs the fan-in,
     so the last shuffle is tiny at any scale. Revenue sums as scaled
     longs (≡ the oracle's DECIMAL(18,4) sum; see fx.fixed_point_sum)."""
@@ -1171,9 +1178,9 @@ def q_nation_trade_volume(spark, sf_dir):
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     joined = (
-        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        l.join(s, l["l_suppkey"] == s["s_suppkey"])
         .join(o, F.col("l_orderkey") == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n.alias("n1")), F.col("s_nationkey") == F.col("n1.n_nationkey"))
         .join(F.broadcast(n.alias("n2")), F.col("c_nationkey") == F.col("n2.n_nationkey"))
         .filter(F.col("n1.n_name") < F.col("n2.n_name"))
@@ -1213,7 +1220,7 @@ def q_large_volume_customers(spark, sf_dir):
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         big.join(o, big["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(c, F.col("o_custkey") == c["c_custkey"])
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
         .orderBy(F.desc("sum_qty"), "o_orderkey")
     )
@@ -1230,9 +1237,9 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 )
 def q_disjunctive_part_revenue(spark, sf_dir):
     """TPC-H Q19 shape: OR-of-ANDs across both join sides. The
-    disjunction cannot push below the join, but the part side broadcasts
-    so the predicate evaluates stream-side inside one codegen stage —
-    no shuffle at all."""
+    disjunction cannot push below the join, but while the part side
+    fits the planner broadcasts it, so the predicate evaluates
+    stream-side inside one codegen stage — no shuffle at all."""
     l = table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     )
@@ -1243,7 +1250,7 @@ def q_disjunctive_part_revenue(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40))
     )
     return (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(p, l["l_partkey"] == p["p_partkey"])
         .filter(cond)
         .agg(
             F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
@@ -1661,13 +1668,15 @@ ORDER BY f.cohort_date, day_offset""",
 )
 def q_user_retention(spark, sf_dir):
     """Cohort retention: users grouped by first-activity date, counted
-    distinct on each of the next 7 days. The first_day aggregate is
-    tiny (one row per user) and broadcasts back onto the event log —
-    the fact table shuffles only for the final distinct-count."""
+    distinct on each of the next 7 days. The cohort table is one row
+    per user — small here, but proportional to the user base, so it is
+    NOT broadcast-hinted: both sides hash-join on user_id (the same
+    partitioning the cohort aggregate just produced), and AQE converts
+    to broadcast at runtime when the cohort side is actually small."""
     e = table(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("d"))
     first_day = e.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
     return (
-        e.join(F.broadcast(first_day), "user_id")
+        e.join(first_day, "user_id")
         .withColumn("day_offset", F.datediff("d", "cohort_date").cast("long"))
         .filter(F.col("day_offset").between(0, 7))
         .groupBy("cohort_date", "day_offset")
@@ -1900,7 +1909,7 @@ def q_segment_status_pivot(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     out = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .count()
