@@ -1297,6 +1297,394 @@ def q_idle_rich_customers(spark, sf_dir):
 
 
 @query(
+    "nation_market_share",
+    """SELECT o_year,
+  round(CAST(sum(CASE WHEN nation = 'NATION_12' THEN vol ELSE 0 END) AS DOUBLE)
+        / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS vol,
+         n1.n_name AS nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+GROUP BY o_year ORDER BY o_year""",
+)
+def q_nation_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one supplier nation's share of PROMO-part revenue
+    sold into ASIA, per year. Part/supplier/customer-side dims reduce
+    the fact scan before the single real shuffle (lineitem ⋈ orders);
+    nation/region are broadcast. Revenue is summed as exact scaled
+    longs (4dp: 2dp price × 2dp discount), so numerator/denominator are
+    integers and the share is one double division per year-group —
+    identical IEEE math in both engines. At 100 TB the output is
+    |years| rows; partial aggregation absorbs everything map-side."""
+    vol = F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10_000).cast(
+        "long"
+    )
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", vol.alias("vol")
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    asia_nations = n.join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    ).select(F.col("n_nationkey").alias("_cn"))
+    supp_nation = (
+        table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("_sn"), "n_name")),
+            F.col("s_nationkey") == F.col("_sn"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    joined = (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("_cn"), "left_semi")
+        .join(supp_nation, l["l_suppkey"] == supp_nation["s_suppkey"])
+    )
+    num = F.sum(F.when(F.col("nation") == "NATION_12", F.col("vol")).otherwise(F.lit(0)))
+    den = F.sum("vol")
+    return (
+        joined.groupBy("o_year")
+        .agg(F.round(num.cast("double") / den.cast("double"), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "profit_by_nation_year",
+    """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+           - CAST(round(p_retailprice * l_quantity * 100) AS BIGINT) * 5) AS DOUBLE)
+    / 10000.0 AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC""",
+)
+def q_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape: profit on 'widget' parts by supplier nation and
+    order year. The testdata has no partsupp/ps_supplycost, so cost is
+    proxied as 5% of retail value (p_retailprice·l_quantity·0.05) —
+    the join/agg topology is Q9's. All money math is exact scaled-long
+    arithmetic (revenue at 4dp; cost = cents·5 at 4dp), one division
+    at the end. The LIKE filter prunes part before broadcast; lineitem
+    shuffles once on orderkey."""
+    rev = F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10_000).cast("long")
+    cost = F.round(F.col("p_retailprice") * F.col("l_quantity") * 100).cast("long") * 5
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    joined = (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .select("nation", "o_year", (rev - cost).alias("_amount"))
+    )
+    return (
+        joined.groupBy("nation", "o_year")
+        .agg((F.sum("_amount").cast("double") / 10_000.0).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "part_value_concentration",
+    """WITH v AS (
+  SELECT l_partkey, sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS val_c
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey)
+SELECT l_partkey AS partkey, CAST(val_c AS DOUBLE) / 100.0 AS part_value
+FROM v
+WHERE val_c * 1000 > (SELECT sum(val_c) FROM v)
+ORDER BY part_value DESC, partkey""",
+)
+def q_part_value_concentration(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose EUROPE-supplied line value exceeds
+    0.1% of the total (partsupp absent → lineitem value stands in for
+    stock value). The threshold is restated as integer math
+    (val·1000 > total) over exact scaled-cent longs so both engines
+    decide boundary parts identically. Per-part agg happens before the
+    scalar compare; the global total is a one-row broadcast — no
+    second pass over the fact table."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", cents.alias("_c"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+    euro_supp = s.join(
+        F.broadcast(n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])),
+        s["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    v = (
+        l.join(euro_supp, l["l_suppkey"] == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum("_c").alias("val_c"))
+    )
+    total = v.agg(F.sum("val_c").alias("_total"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("val_c") * 1000 > F.col("_total"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            (F.col("val_c").cast("double") / 100.0).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "partkey")
+    )
+
+
+@query(
+    "priority_line_counts",
+    """SELECT l_returnflag,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS high_line_count,
+  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def q_priority_line_counts(spark, sf_dir):
+    """TPC-H Q12 shape: lines shipped in 1997 classified by order
+    priority (l_shipmode absent → l_returnflag is the grouping axis).
+    Conditional integer counts — exact under any summation order. The
+    date filter pushes to the parquet scan; the single shuffle is the
+    orderkey join, and the 3-group agg is absorbed map-side."""
+    l = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "customer_order_distribution",
+    """SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+)
+def q_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of customers by order count, with
+    the join predicate (not a WHERE) keeping order-less customers at
+    count 0. Two aggs: per-customer (shuffles on custkey) then the
+    distribution (tiny domain, map-side partial). Pure integer math."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "top_supplier_revenue",
+    """WITH rev AS (
+  SELECT l_suppkey, sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(r AS DOUBLE) / 10000.0 AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE r = (SELECT max(r) FROM rev)
+ORDER BY s_suppkey""",
+)
+def q_top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with maximum quarterly revenue
+    (the view becomes a CTE/cached agg). Revenue per supplier is an
+    exact scaled-long sum, so the max-equality join has no float
+    boundary cases. The per-supplier agg is the only fact-side work;
+    max() over it is a one-row broadcast."""
+    r_long = F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10_000).cast(
+        "long"
+    )
+    rev = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_suppkey", r_long.alias("_r"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("_r").alias("r"))
+    )
+    best = rev.agg(F.max("r").alias("_max_r"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("r") == F.col("_max_r"))
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
+        .select(
+            "s_suppkey", "s_name", (F.col("r").cast("double") / 10_000.0).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "small_qty_part_revenue",
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+       / 100.0 / 7.0 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity * 5 * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      < (SELECT sum(l_quantity) FROM lineitem l3 WHERE l3.l_partkey = p_partkey)""",
+)
+def q_small_qty_part_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of one
+    brand — the correlated avg subquery is restated as integer math
+    (qty·5·cnt < sum ⇔ qty < 0.2·avg; quantities are integral) so the
+    boundary is exact. Spark decorrelates by hand: one per-part agg
+    over the brand's lines, joined back — two passes over a
+    brand-pruned slice, never over the whole fact table."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_parts = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    # Oracle's correlated subqueries scan all lineitem per part; the
+    # engine computes per-part stats once over ALL lines of the
+    # brand's parts (semantically identical — the subquery correlates
+    # only on partkey, and non-brand parts never reach the filter).
+    brand_lines = l.join(
+        F.broadcast(brand_parts), l["l_partkey"] == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    stats = brand_lines.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.count("*").alias("_cnt"), F.sum("l_quantity").alias("_sum_qty")
+    )
+    return (
+        brand_lines.join(F.broadcast(stats), F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") * 5 * F.col("_cnt") < F.col("_sum_qty"))
+        .agg(
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("double")
+                / 100.0
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "sole_returning_supplier",
+    """WITH per AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_ret
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey)
+SELECT s_name, count(*) AS numwait
+FROM per
+JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R') r
+  ON r.l_orderkey = per.l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE n_supp > 1 AND n_ret = 1
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+)
+def q_sole_returning_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: in finished multi-supplier orders, the one
+    supplier who returned lines while every co-supplier delivered
+    clean (l_receiptdate/l_commitdate absent → l_returnflag='R' is
+    the fault signal). The EXISTS/NOT-EXISTS pair is restated as one
+    per-order distinct-count agg — a single shuffle on orderkey
+    instead of two correlated self-joins, which is also the
+    formulation that survives 100 TB. Integer counts throughout."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    f_orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    fl = l.join(f_orders, l["l_orderkey"] == F.col("o_orderkey"), "left_semi")
+    per = fl.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret"),
+    )
+    ret = (
+        l.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("_ok"), "l_suppkey")
+        .distinct()
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per.filter((F.col("n_supp") > 1) & (F.col("n_ret") == 1))
+        .join(ret, per["l_orderkey"] == F.col("_ok"))
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@query(
     "segment_nation_grouping_sets",
     """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
   coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
