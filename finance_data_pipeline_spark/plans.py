@@ -15,6 +15,8 @@ developing a query:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 # Operators that must never appear in a scalable batch plan:
@@ -69,6 +71,29 @@ def hazards(df: DataFrame) -> list[str]:
     return [h for h in HAZARDS if h in plan]
 
 
+def codegen_span_count(df: DataFrame) -> int:
+    """Distinct whole-stage-codegen spans — the ``*(id)`` prefixes in
+    the plan tree (one id per fused span). Wider spans = fewer
+    virtual-call boundaries between operators.
+
+    Under AQE the lazy executedPlan is an unexecuted AdaptiveSparkPlan
+    with no codegen stages inserted yet, so the query is re-planned
+    with AQE off — codegen fusion is a static plan property; AQE only
+    re-partitions between stages."""
+    spark = df.sparkSession
+    key = "spark.sql.adaptive.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, df._jdf.queryExecution().logical()
+        )
+        plan = jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(key, old)
+    return len(set(re.findall(r"\*\((\d+)\)", plan)))
+
+
 def assert_scalable(df: DataFrame) -> None:
     """Raise AssertionError if the plan contains a scale hazard."""
     found = hazards(df)
@@ -83,5 +108,5 @@ def audit(df: DataFrame) -> dict:
         "partial_aggregation": has_partial_aggregation(df),
         "pushed_filters": pushed_filters(df),
         "hazards": hazards(df),
-        "whole_stage_codegen_spans": count_op(df, "WholeStageCodegen"),
+        "whole_stage_codegen_spans": codegen_span_count(df),
     }
