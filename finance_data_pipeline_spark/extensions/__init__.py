@@ -1,3 +1,9 @@
-from finance_data_pipeline_spark.extensions import dedup, multimodal, similarity, text
+from finance_data_pipeline_spark.extensions import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = ["dedup", "sampling", "similarity", "text", "multimodal"]

@@ -322,6 +322,50 @@ def training_corpus(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    bench_nibble: str = "f",
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: drop training docs that share any
+    k-word shingle with the held-out benchmark set (the standard
+    pretraining hygiene step — exact n-gram overlap, the method used
+    for public-benchmark contamination checks).
+
+    The benchmark membership is hash-deterministic here (docs whose
+    md5(doc_id) starts with ``bench_nibble``, ~1/16 of the corpus) so
+    the operator is self-contained on the driver tables; a real run
+    passes the eval set as the benchmark side.
+
+    Scale path: shingles are explode-then-hashed to 60-bit longs
+    (md5_token_hash — engine-portable), the benchmark shingle set is
+    distinct-ed BEFORE the join (benchmark ≪ train, so the semi-join's
+    build side is small), and the final anti-join is on doc_id. Every
+    shuffle key is a long; no strings cross the wire.
+    """
+    nib = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    tagged = docs.withColumn("_is_bench", nib == bench_nibble)
+    sh = tagged.select(
+        F.col(id_col),
+        "_is_bench",
+        F.explode(word_shingles(text_col, k)).alias("_sh"),
+    ).select(id_col, "_is_bench", md5_token_hash("_sh").alias("_h"))
+    bench_sh = sh.filter(F.col("_is_bench")).select("_h").distinct()
+    contaminated = (
+        sh.filter(~F.col("_is_bench"))
+        .join(bench_sh, "_h", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return (
+        tagged.filter(~F.col("_is_bench"))
+        .join(contaminated, id_col, "left_anti")
+        .select(id_col)
+    )
+
+
 # --- X2b: prefix-filtered exact string similarity join --------------------
 
 

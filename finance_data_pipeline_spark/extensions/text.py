@@ -79,6 +79,36 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     return docs.select(F.col(id_col), F.round(score, 6).alias("quality_score"))
 
 
+def quality_cdf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Cumulative distribution of the quality score — the curve a
+    pipeline reads to pick a filtering threshold. Scale path: one
+    map-side-combined groupBy over the tiny score domain (the heuristic
+    emits ≤ 8 distinct values), then windows over that aggregated frame
+    — a handful of rows regardless of corpus size, so the unpartitioned
+    window is NOT a scale hazard (it never sees raw rows)."""
+    from pyspark.sql import Window
+
+    counts = (
+        quality_score(docs, id_col, text_col)
+        .groupBy("quality_score")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    cum = Window.orderBy("quality_score").rowsBetween(Window.unboundedPreceding, 0)
+    full = Window.orderBy("quality_score").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return counts.select(
+        "quality_score",
+        "n_docs",
+        F.sum("n_docs").over(cum).alias("cum_docs"),
+        F.round(
+            F.sum("n_docs").over(cum).cast("double")
+            / F.sum("n_docs").over(full).cast("double"),
+            6,
+        ).alias("cum_frac"),
+    ).orderBy("quality_score")
+
+
 def detect_language(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Stopword-marker language ID: count marker hits per language,
     pick the argmax; ties break to the lexicographically largest

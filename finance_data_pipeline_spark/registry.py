@@ -29,7 +29,13 @@ from pyspark.sql import types as T
 
 from finance_data_pipeline_spark import fixtures, indicators, ingest, quality, summary
 from finance_data_pipeline_spark import functions as fx
-from finance_data_pipeline_spark.extensions import dedup, multimodal, similarity, text
+from finance_data_pipeline_spark.extensions import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 from finance_data_pipeline_spark.extensions.text import _LANG_MARKERS
 from finance_data_pipeline_spark.io import table
 from finance_data_pipeline_spark.operators import relational as rel
@@ -2541,20 +2547,98 @@ def _contains_sum_sql(words: list[str]) -> str:
 
 _ALL_MARKERS = [w for ws in _LANG_MARKERS.values() for w in ws]
 
+_QSCORE_SQL = f"""round(
+  (CASE WHEN len(words) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+  + (CASE WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text) <= 0.2
+          THEN 0.3 ELSE 0.0 END)
+  + (CASE WHEN ({_contains_sum_sql(_ALL_MARKERS)}) >= 2 THEN 0.3 ELSE 0.0 END), 6)"""
+
 
 @query(
     "quality_score",
     f"""WITH {_NORM_CTE}
-SELECT doc_id, round(
-  (CASE WHEN len(words) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
-  + (CASE WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text) <= 0.2
-          THEN 0.3 ELSE 0.0 END)
-  + (CASE WHEN ({_contains_sum_sql(_ALL_MARKERS)}) >= 2 THEN 0.3 ELSE 0.0 END), 6)
+SELECT doc_id, {_QSCORE_SQL}
   AS quality_score
 FROM norm""",
 )
 def q_quality_score(spark, sf_dir):
     return text.quality_score(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "quality_cdf",
+    f"""WITH {_NORM_CTE},
+qs AS (SELECT doc_id, {_QSCORE_SQL} AS quality_score FROM norm),
+c AS (SELECT quality_score, count(*) AS n_docs FROM qs GROUP BY quality_score)
+SELECT quality_score, n_docs,
+  CAST(sum(n_docs) OVER (ORDER BY quality_score ROWS UNBOUNDED PRECEDING) AS BIGINT)
+    AS cum_docs,
+  round(CAST(sum(n_docs) OVER (ORDER BY quality_score ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS cum_frac
+FROM c ORDER BY quality_score""",
+)
+def q_quality_cdf(spark, sf_dir):
+    """X4+ — the threshold-picking curve: score → cumulative doc share.
+    The unpartitioned windows run over the aggregated score domain
+    (≤ 8 rows at any corpus size), not raw docs — see text.quality_cdf."""
+    return text.quality_cdf(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "corpus_split",
+    """SELECT doc_id,
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2' THEN 'test' ELSE 'train' END
+    AS split
+FROM documents""",
+)
+def q_corpus_split(spark, sf_dir):
+    """X6 — deterministic train/test split (2/16 test) keyed on
+    md5(doc_id): row-local, shuffle-free, reproducible across engines
+    and cluster layouts (unlike randomSplit's seeded, layout-dependent
+    RNG). See extensions/sampling.py."""
+    return sampling.hash_split(
+        table(spark, sf_dir, "documents"), test_sixteenths=2
+    ).select("doc_id", "split")
+
+
+@query(
+    "stratified_sample_by_lang",
+    """SELECT doc_id, lang FROM documents
+WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4')
+   OR lang <> 'en'""",
+)
+def q_stratified_sample(spark, sf_dir):
+    """X6 — language rebalancing: deterministically downsample English
+    to 4/16 while keeping every other language — the per-stratum mix
+    adjustment of a pretraining pipeline, as a pure filter (no sampleBy
+    RNG, no shuffle)."""
+    return sampling.stratified_hash_sample(
+        table(spark, sf_dir, "documents"), "lang", {"en": 4}
+    ).select("doc_id", "lang")
+
+
+@query(
+    "decontaminated_corpus",
+    f"""WITH {_SHINGLES_CTE},
+bench AS (SELECT doc_id FROM documents
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'),
+bsh AS (SELECT DISTINCT s.sh FROM sh s JOIN bench b ON s.doc_id = b.doc_id),
+train AS (SELECT doc_id FROM documents
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'f'),
+contaminated AS (
+  SELECT DISTINCT s.doc_id FROM sh s
+  JOIN bsh ON s.sh = bsh.sh
+  JOIN train t ON s.doc_id = t.doc_id)
+SELECT doc_id FROM train
+WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)""",
+)
+def q_decontaminated_corpus(spark, sf_dir):
+    """X6 — benchmark decontamination: training docs sharing any 3-word
+    shingle with the (hash-designated) benchmark slice are dropped —
+    exact n-gram overlap, the standard contamination check. Shingles
+    shuffle as 60-bit longs; the benchmark shingle set is distinct-ed
+    before the semi-join. See dedup.decontaminate."""
+    return dedup.decontaminate(table(spark, sf_dir, "documents"))
 
 
 @query(
