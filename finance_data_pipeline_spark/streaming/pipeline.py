@@ -133,17 +133,31 @@ def stream_ingest_stocks(
     partitioned store with the same J5 merge the batch path uses.
 
     Partition-scoped read-merge-overwrite keeps the rewrite bounded by
-    the symbols in the batch, not the store size.
+    the symbols in the batch, not the store size: ``existing`` is
+    semi-joined to the batch's symbols before the merge, and the write
+    uses dynamic partition overwrite, so only the touched symbol
+    partitions are replaced — at 100 TB a batch of k symbols rewrites k
+    partitions, never the store (tests/test_streaming.py asserts
+    untouched partitions' files survive byte-identical).
     """
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        batch = batch.persist()  # read twice: symbol set + merge input
         try:
-            existing = spark.read.parquet(store_path)
+            existing = spark.read.parquet(store_path).join(
+                batch.select("symbol").distinct(), "symbol", "left_semi"
+            )
         except Exception:
             existing = None
         merged = batch if existing is None else upsert(existing, batch)
-        merged.write.mode("overwrite").partitionBy("symbol").parquet(store_path)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy("symbol").parquet(store_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            batch.unpersist()
 
     writer = bars.writeStream.foreachBatch(merge_batch).option("checkpointLocation", checkpoint)
     if trigger_available_now:

@@ -166,3 +166,48 @@ def test_foreachbatch_upsert_converges_to_batch_merge(spark, tmp_path):
     assert got.count() == b1.select("symbol", "date").union(b2.select("symbol", "date")).distinct().count()
     overlap = got.join(b2.select("symbol", "date", F.col("close").alias("c2")), ["symbol", "date"])
     assert overlap.filter(F.col("close") != F.col("c2")).count() == 0
+
+
+def test_foreachbatch_upsert_is_partition_scoped(spark, tmp_path):
+    """A micro-batch touching one symbol must not rewrite other symbols'
+    partitions — the 100 TB contract: rewrite cost is bounded by the
+    batch's symbols, not the store size."""
+    import os
+
+    stocks = fixtures.stocks(spark, SF_DIR).cache()
+    symbols = [r["symbol"] for r in stocks.select("symbol").distinct().limit(2).collect()]
+    s_keep, s_touch = sorted(symbols)
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    schema_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in stocks.schema.fields)
+
+    both = stocks.filter(F.col("symbol").isin(s_keep, s_touch))
+    both.write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(schema_ddl).parquet(src)
+    stream_ingest_stocks(sdf, store, ckpt).awaitTermination(300)
+
+    def part_files(sym):
+        d = os.path.join(store, f"symbol={sym}")
+        return {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d) if f.endswith(".parquet")}
+
+    keep_before = part_files(s_keep)
+    assert keep_before, "store must be partitioned by symbol"
+
+    # Batch 2 touches only s_touch.
+    stocks.filter(F.col("symbol") == s_touch).withColumn("close", F.col("close") * 2).write.mode(
+        "append"
+    ).parquet(src)
+    sdf = spark.readStream.schema(schema_ddl).parquet(src)
+    stream_ingest_stocks(sdf, store, ckpt).awaitTermination(300)
+
+    assert part_files(s_keep) == keep_before, (
+        "untouched symbol partition was rewritten — merge is not partition-scoped"
+    )
+    # The touched symbol carries the new closes and stays key-unique.
+    touched = spark.read.parquet(store).filter(F.col("symbol") == s_touch)
+    assert touched.groupBy("symbol", "date").count().filter("count > 1").count() == 0
+    want = stocks.filter(F.col("symbol") == s_touch).withColumn("c2", F.col("close") * 2)
+    joined = touched.join(want.select("symbol", "date", "c2"), ["symbol", "date"])
+    assert joined.filter(F.col("close") != F.col("c2")).count() == 0
