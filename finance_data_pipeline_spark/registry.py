@@ -14,9 +14,11 @@ Parity rules (SURVEY.md §7.4 + driver contract):
   aggregates (sliding avg/stddev) differ in summation order at the
   last bit → self-rounded on BOTH sides (6 dp for avg-based, 4 dp for
   stddev/ratio-based) before hashing.
-* EWM/MACD, SimHash, hyperplane-LSH and mapInPandas feature extraction
-  are not plain-SQL-expressible → no oracle entry (driver records the
-  weaker rows-only check; pandas-parity unit tests cover semantics).
+* EWM/MACD and SimHash have exact oracles via recurrence-replay /
+  portable-hash formulations (see _EMA_ORACLE, simhash_pairs).
+  Hyperplane-LSH, IVF and GEMM-kernel queries are not reproducible in
+  plain SQL → no oracle entry (driver records the weaker rows-only
+  check; pandas-parity unit tests cover semantics).
 """
 
 from __future__ import annotations
@@ -507,7 +509,55 @@ def q_dashboard(spark, sf_dir):
     )
 
 
-@query("ema_macd")  # ewm(adjust=True) is not plain-SQL → rows-only check
+# ewm(adjust=True) oracle: pandas computes EMA_t via the recurrence
+#   avg_t = (o·w·avg_{t-1} + x_t) / (o·w + 1);  o ← o·w + 1
+# (with an avg==x short-circuit). Replaying exactly that IEEE-double
+# operation sequence in a recursive CTE reproduces every value
+# BIT-IDENTICALLY — no tolerance needed; both sides round(6) the same
+# doubles. w = 1 − 2/(span+1): 11/13 (span 12), 25/27 (span 26),
+# 4/5 (signal span 9). Explicit CAST(… AS DOUBLE) everywhere: DuckDB
+# parses x.y literals as DECIMAL and would otherwise run the recurrence
+# in decimal arithmetic. ``m AS MATERIALIZED`` stops DuckDB re-inlining
+# the first recursion into every iteration of the second (13× faster).
+_EMA_ORACLE = f"""WITH RECURSIVE {STOCKS},
+base AS (SELECT symbol, date, CAST(close AS DOUBLE) AS close,
+         row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn FROM stocks),
+ew AS (
+  SELECT symbol, date, close, rn,
+         close AS a12, CAST(1 AS DOUBLE) AS o12,
+         close AS a26, CAST(1 AS DOUBLE) AS o26
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.symbol, b.date, b.close, b.rn,
+    CASE WHEN ew.a12 = b.close THEN ew.a12
+         ELSE (ew.o12 * (CAST(11 AS DOUBLE)/13) * ew.a12 + b.close)
+              / (ew.o12 * (CAST(11 AS DOUBLE)/13) + 1) END,
+    ew.o12 * (CAST(11 AS DOUBLE)/13) + 1,
+    CASE WHEN ew.a26 = b.close THEN ew.a26
+         ELSE (ew.o26 * (CAST(25 AS DOUBLE)/27) * ew.a26 + b.close)
+              / (ew.o26 * (CAST(25 AS DOUBLE)/27) + 1) END,
+    ew.o26 * (CAST(25 AS DOUBLE)/27) + 1
+  FROM ew JOIN base b ON b.symbol = ew.symbol AND b.rn = ew.rn + 1
+),
+m AS MATERIALIZED (SELECT symbol, date, rn, a12, a26, a12 - a26 AS macd FROM ew),
+sig AS (
+  SELECT symbol, date, rn, a12, a26, macd, macd AS s, CAST(1 AS DOUBLE) AS os
+  FROM m WHERE rn = 1
+  UNION ALL
+  SELECT m.symbol, m.date, m.rn, m.a12, m.a26, m.macd,
+    CASE WHEN sig.s = m.macd THEN sig.s
+         ELSE (sig.os * (CAST(4 AS DOUBLE)/5) * sig.s + m.macd)
+              / (sig.os * (CAST(4 AS DOUBLE)/5) + 1) END,
+    sig.os * (CAST(4 AS DOUBLE)/5) + 1
+  FROM sig JOIN m ON m.symbol = sig.symbol AND m.rn = sig.rn + 1
+)
+SELECT symbol, date, round(a12, 6) AS ema_12, round(a26, 6) AS ema_26,
+       round(macd, 6) AS macd, round(s, 6) AS macd_signal,
+       round(macd - s, 6) AS macd_histogram
+FROM sig"""
+
+
+@query("ema_macd", _EMA_ORACLE)
 def q_ema_macd(spark, sf_dir):
     s = _stocks(spark, sf_dir)
     out = indicators.with_ema_macd(s)
