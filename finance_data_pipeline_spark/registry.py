@@ -2844,16 +2844,24 @@ def q_cosine_dup_blocked(spark, sf_dir):
 
 @query(
     "intra_label_cosine",
-    """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    """WITH capped AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY label ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings)
+  WHERE rn <= 200)
 SELECT a.label,
   round(avg(list_dot_product(a.e, b.e)
             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))), 6)
     AS mean_intra_cosine,
   count(*) AS pairs
-FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM capped a JOIN capped b ON a.label = b.label AND a.vec_id < b.vec_id
 GROUP BY a.label""",
 )
 def q_intra_label(spark, sf_dir):
+    """Per-label mean cosine over a deterministic md5-ordered sample of
+    ≤200 vectors per label — the self-join pair count is bounded at any
+    corpus size; the oracle replays the identical cap window."""
     return similarity.pairwise_label_cosine(table(spark, sf_dir, "embeddings"))
 
 
