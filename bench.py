@@ -23,8 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Representative coverage: scans+aggs, broadcast joins, window families,
-# applyInPandas (EMA), merge, dedup (exact + MinHash-verified), text,
-# similarity top-k, streaming-shaped tumbling agg.
+# applyInPandas (EMA), merge, dedup (exact + MinHash-verified + prefix
+# join + clusters + composed corpus cleaning + decontamination), text,
+# similarity top-k, multimodal fan-out, streaming-shaped tumbling agg.
 HEADLINE = [
     "pricing_summary",
     "revenue_by_nation",
@@ -42,9 +43,14 @@ HEADLINE = [
     "user_retention",
     "exact_dedup",
     "near_dup_pairs",
+    "string_sim_join",
+    "dup_clusters",
+    "decontaminated_corpus",
+    "training_corpus",
     "cosine_dup_pairs_blocked",
     "text_stats",
     "ann_topk",
+    "media_frame_sample",
     "tumbling_daily",
 ]
 
@@ -104,12 +110,18 @@ def main() -> None:
             except Exception:
                 pass  # warm-up is best-effort; the timed run reports errors
 
+    # Two full construct+materialize cycles per query, report the min:
+    # construction is inside the timed region (iterative queries like
+    # dup_clusters do eager checkpointed work while building the plan),
+    # and the min damps interference from co-tenant load on the host.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = QUERIES[name](spark, SF_DIR)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

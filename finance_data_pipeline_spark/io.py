@@ -111,6 +111,78 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table_name: str,
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    num_partitions: int | None = None,
+    driver: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC source — the S3 analogue for users whose store is a real
+    database (the reference reads MySQL via pd.read_sql,
+    analyze_visualize.py:63-80; dashboard.py:21-33).
+
+    Without ``partition_column`` the whole table arrives through ONE
+    connection on one executor — fine for dimension tables, wrong for
+    facts. Pass (partition_column, lower_bound, upper_bound,
+    num_partitions) to fan the scan out as range predicates executed in
+    parallel; Spark also pushes filters and projections into the
+    generated SQL. At 100 TB a JDBC database is the wrong store —
+    land big tables to Parquet once and scan that — but the connector
+    makes the migration path one line.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table_name)
+    if driver:
+        reader = reader.option("driver", driver)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table_name: str,
+    mode: str = "append",
+    driver: str | None = None,
+    batchsize: int = 10_000,
+    **options: str,
+) -> None:
+    """JDBC sink — the S4/S5 analogue (reference: executemany INSERT …
+    ON DUPLICATE KEY UPDATE, fetch_and_store.py:302-326). Each task
+    writes its partition over its own connection with ``batchsize``-row
+    batched inserts — the distributed restatement of executemany.
+
+    JDBC has no portable upsert: compute the merge in Spark first
+    (ingest.upsert) and write the result, or write to a staging table
+    and run the database's native MERGE. ``mode="overwrite"`` with
+    ``truncate=true`` (pass as option) keeps indexes/grants intact.
+    """
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table_name)
+        .option("batchsize", str(batchsize))
+        .mode(mode)
+    )
+    if driver:
+        writer = writer.option("driver", driver)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
 def export_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink — the other columnar interchange format (Hive/Trino
     ecosystems); same pushdown/pruning properties as Parquet."""
