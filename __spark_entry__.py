@@ -61,7 +61,7 @@ _PRIORITY = [
     "ngram_sim_join", "simhash_pairs",
     # X4 text analysis
     "text_stats", "quality_score", "quality_cdf", "detect_language",
-    "doc_fingerprint", "token_totals_by_lang",
+    "doc_fingerprint", "token_totals_by_lang", "gopher_quality",
     # X6 corpus curation
     "corpus_split", "stratified_sample_by_lang", "decontaminated_corpus",
     "training_corpus",
@@ -74,17 +74,17 @@ _PRIORITY = [
     # §2.10 streaming + event-time windows
     "streaming_tumbling_daily", "streaming_dedup", "stateful_continuity",
     "tumbling_daily", "sliding_window_events", "session_windows",
-    # event analytics / as-of / feature engineering
-    "asof_join_events_bars", "events_json", "vwap_daily",
-    "ml_feature_matrix", "event_funnel", "user_retention",
-    "value_histogram", "value_percentiles", "approx_user_counts",
-    "approx_value_percentiles",
+    # event analytics / as-of / temporal versioning / features
+    "asof_join_events_bars", "scd2_price_bands", "events_json",
+    "vwap_daily", "ml_feature_matrix", "event_funnel", "user_retention",
+    "value_histogram", "value_percentiles",
     # multi-grain aggregates
     "segment_status_pivot", "segment_status_cube",
     "segment_nation_grouping_sets", "multi_grain_rollup",
     "orders_price_bands", "top_parts_per_brand",
     # second tier: remaining driver-unchecked queries (past the round-1
     # window); next in line if the driver checks more than 50
+    "approx_user_counts", "approx_value_percentiles",
     "part_value_concentration", "priority_line_counts",
     "customer_order_distribution", "top_supplier_revenue",
     "small_qty_part_revenue", "sole_returning_supplier",

@@ -134,6 +134,84 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+# Gopher rule-7 stop set (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", appendix A1.1).
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style document-quality rules (Rae et al. 2021, A1.1) —
+    the standard pretraining composition/repetition filter set, one row
+    per document with every metric plus the combined ``keep`` flag.
+
+    Scale shape: the composition metrics are row-local codegen string
+    math (one narrow map stage); the repetition metric (top-bigram char
+    coverage) is an explode → count → max aggregation keyed on
+    (doc_id, bigram) then doc_id — two bounded-key shuffles, no UDFs,
+    no driver state. The rules are English-centric by construction
+    (stopword test), exactly as published.
+    """
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    mean_word_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n_words
+    n_hash = n_chars - F.length(F.regexp_replace(F.col(text_col), r"#", ""))
+    n_ellipsis = (n_chars - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))) / 3
+    symbol_word_ratio = (n_hash + n_ellipsis) / n_words
+    alpha_word_frac = F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))) / n_words
+    stop_hits = _marker_hits(toks, _GOPHER_STOPS)
+    lines = F.split(F.col(text_col), "\n")
+    dup_line_frac = F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines)
+
+    base = docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_chars.alias("_n_chars"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_word_ratio, 6).alias("symbol_word_ratio"),
+        F.round(alpha_word_frac, 6).alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stop_word_hits"),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+    )
+
+    # Top-bigram character coverage (repetition rule): chars covered by
+    # the best (count × length) ADJACENT word pair / total chars.
+    # Bigrams are NOT distinct-ed — frequency is the signal.
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n_words - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    top = (
+        docs.select(F.col(id_col), F.explode(bigrams).alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count("*").alias("_cnt"))
+        .groupBy(id_col)
+        .agg(F.max(F.col("_cnt") * F.length("_g")).alias("_top_chars"))
+    )
+    out = base.join(top, id_col, "left").select(
+        base[id_col],
+        "n_words",
+        "mean_word_len",
+        "symbol_word_ratio",
+        "alpha_word_frac",
+        "stop_word_hits",
+        "dup_line_frac",
+        F.round(F.coalesce(F.col("_top_chars"), F.lit(0)) / F.col("_n_chars"), 6).alias(
+            "top_bigram_char_frac"
+        ),
+    )
+    keep = (
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("stop_word_hits") >= 2)
+        & (F.col("dup_line_frac") <= 0.3)
+        & (F.col("top_bigram_char_frac") <= 0.2)
+    )
+    return out.withColumn("keep", keep)
+
+
 def token_totals_by_lang(docs: DataFrame) -> DataFrame:
     """Corpus accounting: docs/tokens/chars per language (the numbers a
     training-data pipeline reports per shard)."""

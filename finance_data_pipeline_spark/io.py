@@ -79,6 +79,35 @@ def write_stocks(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).partitionBy("symbol").parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink: pre-shuffles rows into ``n_buckets``
+    hash buckets on ``bucket_cols`` at write time, so every later join
+    or aggregation on those keys is exchange-free — the write pays the
+    shuffle ONCE, each of the N downstream queries pays zero.
+
+    At 100 TB this is the difference between re-shuffling the fact
+    table per query and a metadata-only co-located join: two tables
+    bucketed the same way join with NO Exchange in the plan
+    (tests/test_io.py asserts this on the physical plan). ``sort_cols``
+    additionally sorts within buckets → sort-merge join skips its sort.
+
+    Buckets live in the session catalog (saveAsTable) because bucket
+    metadata is catalog state; plain ``.parquet(path)`` writes cannot
+    carry it.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
 def export_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV export (S7; reference README.md:99-107 does `aws s3 cp`)."""
     df.write.mode(mode).option("header", "true").csv(path)

@@ -214,3 +214,50 @@ def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
 
 def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.exceptAll(b)
+
+
+# --- temporal versioning (SCD2 / gaps-and-islands) ------------------------
+
+def change_islands(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    value: Column,
+    value_name: str = "value",
+) -> DataFrame:
+    """Collapse consecutive rows with the same tracked value into
+    validity ranges — the slowly-changing-dimension (SCD2) history
+    builder, and the classic gaps-and-islands pattern.
+
+    Emits one row per (key, run of equal values):
+    ``(key, value, valid_from, valid_to, n_rows)`` where valid_to is
+    the last order_col of the run (inclusive; the "current" version has
+    the key's max order_col).
+
+    Physical plan: lag + conditional running count inside ONE window
+    partition pass per key, then a groupBy on (key, island) — two
+    bounded-key shuffles, linear work, no self-join. The naive
+    formulation (join each row to its predecessor range) is quadratic
+    per key and never acceptable at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy("_ord")
+    tagged = (
+        df.select(F.col(key), F.col(order_col).alias("_ord"), value.alias("_val"))
+        .withColumn(
+            "_chg",
+            F.when(F.lag("_val").over(w).eqNullSafe(F.col("_val")), 0).otherwise(1),
+        )
+        .withColumn("_island", F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        tagged.groupBy(key, "_island")
+        .agg(
+            F.first("_val").alias(value_name),
+            F.min("_ord").alias("valid_from"),
+            F.max("_ord").alias("valid_to"),
+            F.count("*").alias("n_rows"),
+        )
+        .drop("_island")
+    )

@@ -1799,6 +1799,42 @@ def q_asof_join(spark, sf_dir):
     return out.select("event_id", "symbol", "ts", "value", F.col("close_asof"))
 
 
+@query(
+    "scd2_price_bands",
+    f"""WITH {STOCKS},
+tagged AS (
+  SELECT symbol, date,
+    CAST(floor(close / 10) * 10 AS BIGINT) AS band,
+    CASE WHEN lag(CAST(floor(close / 10) * 10 AS BIGINT))
+              OVER (PARTITION BY symbol ORDER BY date)
+           IS NOT DISTINCT FROM CAST(floor(close / 10) * 10 AS BIGINT)
+         THEN 0 ELSE 1 END AS chg
+  FROM stocks),
+isl AS (
+  SELECT symbol, date, band,
+    sum(chg) OVER (PARTITION BY symbol ORDER BY date
+                   ROWS UNBOUNDED PRECEDING) AS island
+  FROM tagged)
+SELECT symbol, band, min(date) AS valid_from, max(date) AS valid_to,
+       count(*) AS n_rows
+FROM isl GROUP BY symbol, island, band""",
+)
+def q_scd2_price_bands(spark, sf_dir):
+    """SCD2 history build / gaps-and-islands: collapse each symbol's
+    consecutive days in the same $10 close band into validity ranges —
+    lag + running-sum island ids in one window pass, never a self-join
+    (operators/relational.py change_islands)."""
+    s = _stocks(spark, sf_dir)
+    out = rel.change_islands(
+        s,
+        key="symbol",
+        order_col="date",
+        value=(F.floor(F.col("close") / 10) * 10).cast("long"),
+        value_name="band",
+    )
+    return out.select("symbol", "band", "valid_from", "valid_to", "n_rows")
+
+
 _BANDS = [("low", 0.0, 50_000.0), ("mid", 50_000.0, 150_000.0), ("high", 150_000.0, 10_000_000.0)]
 _BANDS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)
 
@@ -2587,6 +2623,59 @@ def q_text_stats(spark, sf_dir):
         "avg_word_len",
         "punct_ratio",
     )
+
+
+_GOPHER_STOP_SQL = " + ".join(
+    f"(CASE WHEN list_contains(words, '{w}') THEN 1 ELSE 0 END)"
+    for w in text._GOPHER_STOPS
+)
+
+_GOPHER_METRICS_SQL = f"""{_NORM_CTE},
+m AS (
+  SELECT doc_id, text,
+    CAST(len(words) AS BIGINT) AS n_words,
+    length(text) AS _n_chars,
+    round(list_sum(list_transform(words, w -> length(w))) * 1.0 / len(words), 6)
+      AS mean_word_len,
+    round(((length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) / 3.0)
+          / len(words), 6) AS symbol_word_ratio,
+    round(len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) * 1.0 / len(words), 6)
+      AS alpha_word_frac,
+    CAST({_GOPHER_STOP_SQL} AS BIGINT) AS stop_word_hits,
+    round(1.0 - len(list_distinct(string_split(text, chr(10)))) * 1.0
+          / len(string_split(text, chr(10))), 6) AS dup_line_frac,
+    words
+  FROM norm),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(words)),
+         i -> words[CAST(i AS INTEGER)] || ' ' || words[CAST(i AS INTEGER) + 1]))
+         AS g
+  FROM m),
+topbg AS (
+  SELECT doc_id, max(cnt * length(g)) AS top_chars
+  FROM (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY doc_id, g)
+  GROUP BY doc_id)"""
+
+
+@query(
+    "gopher_quality",
+    f"""WITH {_GOPHER_METRICS_SQL}
+SELECT m.doc_id, n_words, mean_word_len, symbol_word_ratio, alpha_word_frac,
+  stop_word_hits, dup_line_frac,
+  round(coalesce(top_chars, 0) * 1.0 / _n_chars, 6) AS top_bigram_char_frac,
+  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+   AND symbol_word_ratio <= 0.1 AND alpha_word_frac >= 0.8
+   AND stop_word_hits >= 2 AND dup_line_frac <= 0.3
+   AND round(coalesce(top_chars, 0) * 1.0 / _n_chars, 6) <= 0.2) AS keep
+FROM m LEFT JOIN topbg ON m.doc_id = topbg.doc_id""",
+)
+def q_gopher_quality(spark, sf_dir):
+    """X4+ — the Gopher composition/repetition rule set (Rae et al.
+    2021, A1.1) with per-rule metrics and the combined keep flag; every
+    metric full-oracle-checked including the explode-aggregated
+    top-bigram repetition rule."""
+    return text.gopher_quality(table(spark, sf_dir, "documents"))
 
 
 def _contains_sum_sql(words: list[str]) -> str:

@@ -13,23 +13,37 @@ from finance_data_pipeline_spark.io import (
     export_orc,
     normalize_stocks,
     read_csv,
+    read_jdbc,
     read_json,
     read_orc,
     register_views,
     table,
+    write_bucketed,
+    write_jdbc,
     write_stocks,
+)
+from finance_data_pipeline_spark.sources.adapters import (
+    FetchAdapter,
+    ParquetFixtureAdapter,
+    fetch_and_ingest,
 )
 
 __all__ = [
     "DEFAULT_SF_DIR",
+    "FetchAdapter",
+    "ParquetFixtureAdapter",
     "export_csv",
     "export_json",
     "export_orc",
+    "fetch_and_ingest",
     "normalize_stocks",
     "read_csv",
+    "read_jdbc",
     "read_json",
     "read_orc",
     "register_views",
     "table",
+    "write_bucketed",
+    "write_jdbc",
     "write_stocks",
 ]

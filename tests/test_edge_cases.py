@@ -133,3 +133,49 @@ class TestSketchAccuracy:
                 emp = (series <= a).mean()
                 # ±1 rank slack plus the sketch's rank-error budget.
                 assert abs(emp - q) <= 1.0 / 10000 + 2.0 / n, (k, q, a, emp)
+
+
+def test_change_islands_runs_and_boundaries(spark):
+    """change_islands must produce non-overlapping, gapless, ordered
+    validity ranges per key, and re-concatenating runs reproduces the
+    input length."""
+    from pyspark.sql import functions as F
+
+    from finance_data_pipeline_spark.operators.relational import change_islands
+
+    rows = [("A", i, v) for i, v in enumerate([1, 1, 2, 2, 2, 1, 3])] + [
+        ("B", i, v) for i, v in enumerate([5, 5, 5])
+    ]
+    df = spark.createDataFrame(rows, "key string, ord int, val int")
+    out = change_islands(df, "key", "ord", F.col("val"), "val").orderBy("key", "valid_from")
+    got = [(r["key"], r["val"], r["valid_from"], r["valid_to"], r["n_rows"]) for r in out.collect()]
+    assert got == [
+        ("A", 1, 0, 1, 2),
+        ("A", 2, 2, 4, 3),
+        ("A", 1, 5, 5, 1),
+        ("A", 3, 6, 6, 1),
+        ("B", 5, 0, 2, 3),
+    ]
+
+
+def test_fetch_adapter_seam_ingests_like_batch(spark):
+    """ParquetFixtureAdapter through fetch_and_ingest equals calling
+    ingest_batch on the equivalent raw frame — the seam adds no
+    semantics."""
+    from pyspark.sql import functions as F
+
+    from finance_data_pipeline_spark import fixtures
+    from finance_data_pipeline_spark.ingest import ingest_batch
+    from finance_data_pipeline_spark.sources import ParquetFixtureAdapter, fetch_and_ingest
+
+    sf = "/root/testdata/sf0.001"
+    adapter = ParquetFixtureAdapter(sf)
+    got = fetch_and_ingest(spark, adapter, ["S1", "S2"], "2024-01-05", "2024-01-15")
+    raw = (
+        fixtures.stocks(spark, sf)
+        .filter(F.col("symbol").isin("S1", "S2"))
+        .filter(F.col("date").between("2024-01-05", "2024-01-15"))
+    )
+    want = ingest_batch(raw, None)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0

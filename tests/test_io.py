@@ -136,3 +136,36 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     )
     assert part.rdd.getNumPartitions() == 3
     assert part.count() == src.count()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key must join with zero Exchange
+    (shuffle) operators — the write paid the shuffle once; the join is
+    co-located. This is the bucketing contract the 100 TB design leans
+    on (SURVEY.md §4)."""
+    from finance_data_pipeline_spark.io import table, write_bucketed
+
+    orders = table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    lineitem = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "orders_b", ["o_orderkey"], n_buckets=8)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b", ["o_orderkey"], n_buckets=8,
+    )
+    try:
+        ob, lb = spark.table("orders_b"), spark.table("lineitem_b")
+        # Disable broadcast so the test exercises the sort-merge path the
+        # bucketing is designed for (AQE would broadcast at this SF).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = ob.join(lb, "o_orderkey").groupBy("o_custkey").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan.split("SortMergeJoin")[-1], (
+            "bucketed join must not re-shuffle its inputs:\n" + plan
+        )
+        got = joined.agg({"count": "sum"}).collect()[0][0]
+        want = lineitem.count()
+        assert got == want
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
