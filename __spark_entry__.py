@@ -84,6 +84,7 @@ _PRIORITY = [
     "orders_price_bands", "top_parts_per_brand",
     # second tier: remaining driver-unchecked queries (past the round-1
     # window); next in line if the driver checks more than 50
+    "doc_chunks", "packed_sequences", "tfidf_top_terms",
     "approx_user_counts", "approx_value_percentiles",
     "part_value_concentration", "priority_line_counts",
     "customer_order_distribution", "top_supplier_revenue",

@@ -212,6 +212,53 @@ def gopher_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     return out.withColumn("keep", keep)
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf (keyword
+    extraction — the per-doc topical signature a curation pipeline uses
+    for domain mixing and near-topic grouping).
+
+    tf = raw occurrences in the doc; idf = ln(N / df) with no smoothing
+    (every term appearing has df ≥ 1). Scores are rounded to 6 dp
+    BEFORE ranking on both engines: distinct (tf, df) combinations can
+    produce real-equal scores (2·ln4 = ln16) whose last-bit float
+    representation differs across engines — ranking rounded scores with
+    a term-asc tie-break makes the top-k deterministic and portable.
+
+    Scale shape: explode → (doc, term) counts → broadcast-joined df
+    counts → per-doc top-k window. Shuffles key on (doc_id, term-hash)
+    and doc_id only; document frequency is a second aggregate over the
+    term dimension (vocabulary-sized, ≪ corpus).
+    """
+    from pyspark.sql import Window
+
+    # N as a broadcast 1-row aggregate, not a driver-side count() — the
+    # whole query stays one lazy plan.
+    n_df = docs.agg(F.count("*").cast("double").alias("_n"))
+    terms = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_counts = terms.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(df_counts, "term")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(id_col, "term", "tfidf", F.col("_rn").cast("long").alias("rank"))
+    )
+
+
 def token_totals_by_lang(docs: DataFrame) -> DataFrame:
     """Corpus accounting: docs/tokens/chars per language (the numbers a
     training-data pipeline reports per shard)."""

@@ -32,6 +32,7 @@ from pyspark.sql import types as T
 from finance_data_pipeline_spark import fixtures, indicators, ingest, quality, summary
 from finance_data_pipeline_spark import functions as fx
 from finance_data_pipeline_spark.extensions import (
+    chunking,
     dedup,
     multimodal,
     sampling,
@@ -2623,6 +2624,78 @@ def q_text_stats(spark, sf_dir):
         "avg_word_len",
         "punct_ratio",
     )
+
+
+@query(
+    "doc_chunks",
+    f"""WITH {_NORM_CTE},
+starts AS (
+  SELECT doc_id, words,
+    unnest(range(1, greatest(len(words) - 10, 1) + 1, 40)) AS chunk_start,
+    generate_subscripts(range(1, greatest(len(words) - 10, 1) + 1, 40), 1) - 1
+      AS chunk_idx
+  FROM norm)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+  CAST(chunk_start AS INTEGER) AS chunk_start,
+  CAST(len(words[CAST(chunk_start AS INTEGER):CAST(chunk_start AS INTEGER) + 49])
+       AS BIGINT) AS n_chunk_tokens,
+  md5(array_to_string(
+        words[CAST(chunk_start AS INTEGER):CAST(chunk_start AS INTEGER) + 49], ' '))
+    AS chunk_md5
+FROM starts""",
+)
+def q_doc_chunks(spark, sf_dir):
+    """X6+ — 50-token sliding chunks with 10-token overlap (stride 40):
+    row-local posexplode fan-out, chunk content proven by md5."""
+    return chunking.doc_chunks(table(spark, sf_dir, "documents"), chunk_size=50, overlap=10)
+
+
+@query(
+    "packed_sequences",
+    f"""WITH {_NORM_CTE},
+t AS (SELECT d.doc_id, d.lang, CAST(len(n.words) AS BIGINT) AS n_tokens
+      FROM documents d JOIN norm n ON d.doc_id = n.doc_id),
+c AS (SELECT doc_id, lang, n_tokens,
+        coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM t)
+SELECT doc_id, lang, n_tokens, cum_before,
+  CAST(floor(cum_before / 128) AS BIGINT) AS start_pack,
+  CAST(floor((cum_before + n_tokens - 1) / 128) AS BIGINT) AS end_pack,
+  CAST(floor((cum_before + n_tokens - 1) / 128)
+       - floor(cum_before / 128) + 1 AS BIGINT) AS n_packs_spanned
+FROM c""",
+)
+def q_packed_sequences(spark, sf_dir):
+    """X6+ — concat-and-chunk sequence packing per language shard:
+    docs' tokens laid end-to-end in doc_id order, cut into 128-token
+    training sequences; per-doc pack placement from one cumsum window."""
+    return chunking.packed_sequences(table(spark, sf_dir, "documents"), seq_len=128)
+
+
+@query(
+    "tfidf_top_terms",
+    f"""WITH {_NORM_CTE},
+terms AS (SELECT doc_id, unnest(words) AS term FROM norm),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+dfc AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms)
+        GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.term, round(tf * ln(n_docs / df), 6) AS tfidf
+  FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3""",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """X4+ — top-3 tf·idf terms per doc; scores rounded to 6 dp BEFORE
+    ranking so real-equal scores with engine-divergent last bits
+    (2·ln4 = ln16) rank identically everywhere; term-asc tie-break."""
+    return text.tfidf_top_terms(table(spark, sf_dir, "documents"), k=3)
 
 
 _GOPHER_STOP_SQL = " + ".join(
