@@ -363,24 +363,27 @@ def decontaminate(
     shuffle key is a long; no strings cross the wire.
     """
     nib = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
-    tagged = docs.withColumn("_is_bench", nib == bench_nibble)
-    sh = tagged.select(
-        F.col(id_col),
-        "_is_bench",
-        F.explode(word_shingles(text_col, k)).alias("_sh"),
-    ).select(id_col, "_is_bench", md5_token_hash("_sh").alias("_h"))
-    bench_sh = sh.filter(F.col("_is_bench")).select("_h").distinct()
+    is_bench = nib == bench_nibble
+
+    def shingle_stream(side: DataFrame) -> DataFrame:
+        return side.select(
+            F.col(id_col), F.explode(word_shingles(text_col, k)).alias("_sh")
+        ).select(id_col, md5_token_hash("_sh").alias("_h"))
+
+    # Filter each side BEFORE shingling: the bench slice (1/16 of docs)
+    # is shingled alone rather than shingling the full corpus and
+    # filtering after — at 100 TB that is the difference between
+    # exploding the eval set and exploding everything twice. The filter
+    # is a pushed-down scan predicate on both branches.
+    bench_sh = shingle_stream(_spread(docs.filter(is_bench))).select("_h").distinct()
+    train = docs.filter(~is_bench)
     contaminated = (
-        sh.filter(~F.col("_is_bench"))
+        shingle_stream(_spread(train))
         .join(bench_sh, "_h", "left_semi")
         .select(id_col)
         .distinct()
     )
-    return (
-        tagged.filter(~F.col("_is_bench"))
-        .join(contaminated, id_col, "left_anti")
-        .select(id_col)
-    )
+    return train.join(contaminated, id_col, "left_anti").select(id_col)
 
 
 # --- X2b: prefix-filtered exact string similarity join --------------------

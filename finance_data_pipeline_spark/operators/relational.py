@@ -130,23 +130,30 @@ def salted_join(
     salt: int = 8,
     how: str = "inner",
 ) -> DataFrame:
-    """Skew-resistant equi join: the skewed (left) side gets a random
+    """Skew-resistant equi join: the skewed (left) side gets a per-row
     salt in [0, salt); the right side is replicated once per salt value;
     the join key becomes (key, salt), splitting each hot key's rows
-    across `salt` shuffle partitions.
+    across `salt` shuffle partitions instead of one straggler task.
 
-    AQE's skew-join handles most cases at runtime; explicit salting is
-    for the pathological single-key hot spot AQE can't split further
-    (one key > one partition's memory). Costs a `salt`× replication of
-    the right side — use with a small-to-medium right side only.
+    AQE's skew-join handles most cases at runtime
+    (spark.sql.adaptive.skewJoin.enabled, on in tune_session); explicit
+    salting is for the pathological single-key hot spot AQE can't split
+    further (one key > one partition's memory). The salt is a hash of
+    the whole left row, NOT rand(): seeded RNG is partition-layout-
+    dependent, so a rand salt changes row placement between runs — the
+    same reproducibility rule the sampling module keys on. Costs a
+    `salt`× replication of the right side — keep the replicated side
+    the small one.
     """
-    salted_l = left.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    salted_l = left.withColumn("_salt", salt_col)
     salted_r = right.join(
-        F.broadcast(right.sparkSession.range(salt).select(F.col("id").cast("int").alias("_salt"))),
+        F.broadcast(
+            right.sparkSession.range(salt).select(F.col("id").cast("bigint").alias("_salt"))
+        ),
         how="cross",
     )
-    out = salted_l.join(salted_r, [key, "_salt"], how)
-    return out.drop("_salt")
+    return salted_l.join(salted_r, [key, "_salt"], how).drop("_salt")
 
 
 def range_join(
@@ -261,3 +268,4 @@ def change_islands(
         )
         .drop("_island")
     )
+

@@ -397,6 +397,71 @@ def q_normalize(spark, sf_dir):
 
 
 @query(
+    "rolling_corr_30",
+    f"""WITH {STOCKS},
+win AS (
+  SELECT symbol, date,
+    covar_samp(close, CAST(volume AS DOUBLE))
+      OVER ({_W_DATE} ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS cv,
+    stddev_samp(close)
+      OVER ({_W_DATE} ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS sx,
+    stddev_samp(CAST(volume AS DOUBLE))
+      OVER ({_W_DATE} ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS sy
+  FROM stocks)
+SELECT symbol, date,
+  round(cv / nullif(sx * sy, 0), 4) AS price_volume_corr_30
+FROM win""",
+)
+def q_rolling_corr(spark, sf_dir):
+    """30-row rolling price/volume correlation per symbol — a moving
+    window-frame AGGREGATE complementing the moving averages; one
+    WindowExec pass computes all three co-moments. Composed as
+    covar_samp / (stddev·stddev) with a zero-variance guard
+    (try_divide / nullif) because a constant-volume window makes
+    Pearson undefined: ANSI Spark throws where DuckDB's corr() returns
+    NULL — the identical composition on both sides returns NULL for
+    both engines and is rounded to 4 dp (co-moment sums differ in
+    last-bit summation order)."""
+    s = _stocks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date").rowsBetween(-29, 0)
+    vol = F.col("volume").cast("double")
+    return s.select(
+        "symbol",
+        "date",
+        F.round(
+            F.try_divide(
+                F.covar_samp("close", vol).over(w),
+                F.stddev_samp("close").over(w) * F.stddev_samp(vol).over(w),
+            ),
+            4,
+        ).alias("price_volume_corr_30"),
+    )
+
+
+@query(
+    "heavy_hitters",
+    """WITH tok AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents)
+SELECT term, count(*) AS n FROM tok
+GROUP BY term ORDER BY n DESC, term LIMIT 20""",
+)
+def q_heavy_hitters(spark, sf_dir):
+    """Corpus-level top-20 tokens — the vocabulary head a tokenizer
+    trainer inspects first. Explode → map-side-combined count → global
+    top-k via TakeOrderedAndProject (per-partition heaps + k-row driver
+    merge, no global sort)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(dedup.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(20)
+    )
+
+
+@query(
     "pairwise_correlation",
     f"""WITH {BARS},
 ret AS (SELECT symbol, bar_ts,

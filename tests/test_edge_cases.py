@@ -179,3 +179,23 @@ def test_fetch_adapter_seam_ingests_like_batch(spark):
     want = ingest_batch(raw, None)
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must produce exactly the plain join's rows while
+    spreading each key across `salt` partitions of the shuffle."""
+    from pyspark.sql import functions as F
+
+    from finance_data_pipeline_spark.io import table
+    from finance_data_pipeline_spark.operators.relational import salted_join
+
+    SF = "/root/testdata/sf0.001"
+    lineitem = table(spark, SF, "lineitem").select("l_orderkey", "l_quantity", "l_linenumber")
+    orders = table(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = lineitem.join(orders, "l_orderkey")
+    salted = salted_join(lineitem, orders, "l_orderkey", salt=4)
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
