@@ -386,6 +386,59 @@ def decontaminate(
     return train.join(contaminated, id_col, "left_anti").select(id_col)
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Asymmetric near-containment (quote/subset detection): ordered
+    pairs (id_a, id_b) where C(A→B) = |Sₐ∩S_b|/|Sₐ| ≥ threshold over
+    distinct k-word shingle sets — "document A is mostly contained in
+    document B". Near-dup Jaccard misses these (a paragraph quoted
+    inside a long doc has tiny Jaccard but containment ≈ 1); corpus
+    dedup wants both.
+
+    Same machinery as shingle_pairs_jaccard: shingles travel as 64-bit
+    hashes, candidates = pairs sharing ≥1 shingle (inverted index),
+    verification = sorted-array intersect per pair. Containment has no
+    symmetric length filter (B may be much longer than A), so the
+    candidate pruning is the shared-shingle requirement itself; at
+    100 TB swap the candidate stage for MinHash-LSH over A's shingles
+    with B's shingle stream bucketed the same way.
+    """
+    sh = (
+        _spread(docs.select(F.col(id_col).alias("_id"), F.col(text_col)))
+        .select("_id", F.explode(word_shingles(text_col, k)).alias("sh"))
+        .select("_id", F.xxhash64("sh").alias("h"))
+    )
+    tokset = sh.groupBy("_id").agg(
+        F.array_sort(F.collect_list("h")).alias("hs"), F.count("*").alias("n_sh")
+    )
+    cands = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a._id") != F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cands.join(
+            tokset.select(F.col("_id").alias("id_a"), F.col("hs").alias("_ha"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(tokset.select(F.col("_id").alias("id_b"), F.col("hs").alias("_hb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.size(F.array_intersect("_ha", "_hb")) / F.col("n_a"), 6).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # --- X2b: prefix-filtered exact string similarity join --------------------
 
 

@@ -125,6 +125,30 @@ def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.csv(path)
 
 
+def read_csv_permissive(
+    spark: SparkSession,
+    path: str,
+    schema,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """CSV source that SURVIVES malformed rows instead of failing the
+    job: bad lines land whole in ``corrupt_col`` (NULL elsewhere), so a
+    100 TB ingest quarantines garbage with
+    ``df.filter(col(corrupt_col).isNotNull())`` and keeps going —
+    FAILFAST on real-world exports is a guaranteed 3 a.m. page. The
+    explicit schema is mandatory: inference both costs a second scan
+    and masks corruption by widening types to string.
+    """
+    full = schema.add(corrupt_col, "string") if corrupt_col not in schema.names else schema
+    return (
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(full)
+        .csv(path)
+    )
+
+
 def export_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines export — the interchange format for downstream
     non-columnar consumers. Prefer Parquet for anything Spark re-reads
@@ -138,6 +162,68 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def zorder_value(cols: list, bits: int = 16):
+    """Z-order (Morton) curve value over pre-quantized non-negative int
+    columns: interleaves the low ``bits`` bits of each column so rows
+    close in EVERY dimension get close z-values. Pure codegen bit math.
+    """
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(F.col(c) if isinstance(c, str) else c, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit.cast("long"), b * len(cols) + i))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcols: list[str],
+    n_files: int = 8,
+    bits: int = 12,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimensional clustering write: range-partition + sort the
+    data along a Z-order curve over ``zcols`` so parquet row-group
+    min/max stats become tight in EVERY z-dimension at once — a scan
+    filtered on any subset of them skips most files (linear sort gives
+    this for the leading column only). This is the layout trick behind
+    Delta/Iceberg OPTIMIZE ZORDER, as a plain parquet write.
+
+    Columns are min-max quantized to ``bits`` bits via a broadcast
+    1-row bounds aggregate (lazy, no driver action), interleaved, then
+    ``repartitionByRange`` on the z-value (one range shuffle — sampled
+    boundaries, no global sort) with an in-partition sort. At 100 TB
+    the shuffle is the write's cost; every later multi-predicate scan
+    repays it (tests/test_io.py asserts per-file stat tightness in both
+    dimensions vs a linear layout).
+    """
+    aggs = []
+    for c in zcols:
+        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    bounds = df.agg(*aggs)
+    scaled = df.crossJoin(F.broadcast(bounds))
+    qcols = []
+    top = (1 << bits) - 1
+    for c in zcols:
+        span = F.col(f"_max_{c}") - F.col(f"_min_{c}")
+        q = F.when(span > 0, ((F.col(c) - F.col(f"_min_{c}")) / span * top).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        qcols.append(q.alias(f"_q_{c}"))
+    quantized = scaled.select(*df.columns, *qcols)
+    withz = quantized.select(
+        *df.columns, zorder_value([f"_q_{c}" for c in zcols], bits).alias("_z")
+    )
+    (
+        withz.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
 
 
 def read_jdbc(

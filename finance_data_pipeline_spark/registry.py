@@ -2290,6 +2290,47 @@ def q_streaming_tumbling_daily(spark, sf_dir):
 
 
 @query(
+    "streaming_enriched_events",
+    """SELECT n.n_name, count(*) AS n_events,
+  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+GROUP BY n.n_name""",
+)
+def q_streaming_enriched(spark, sf_dir):
+    """Stream-static enrichment (§2.10): the event stream broadcast-
+    joins the static nation dimension per micro-batch, then aggregates
+    per dimension attribute — the streaming analogue of every J1
+    dimension join, checked against the identical batch SQL."""
+    import tempfile
+    import uuid
+
+    from finance_data_pipeline_spark.streaming import enrich_stream, stream_events
+
+    staged = tempfile.mkdtemp(prefix="fdps_events_")
+    table(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
+    dim = table(spark, sf_dir, "nation")
+    stream = stream_events(spark, staged).withColumn(
+        "n_nationkey", (F.col("user_id") % 25)
+    )
+    enriched = enrich_stream(stream, dim, "n_nationkey")
+    agg = enriched.groupBy("n_name").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    name = f"fdps_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fdps_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@query(
     "streaming_dedup",
     "SELECT event_id, event_type, value FROM events",
 )
@@ -2563,6 +2604,24 @@ def q_dup_clusters(spark, sf_dir):
     the same components via a recursive transitive-closure CTE — an
     iterative Spark algorithm still held to a full SQL oracle."""
     return dedup.dup_clusters(table(spark, sf_dir, "documents"), threshold=0.7)
+
+
+@query(
+    "containment_pairs",
+    f"""WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b, round(common * 1.0 / s.n, 6) AS containment
+FROM pairs JOIN sizes s ON id_a = s.doc_id
+WHERE common * 1.0 / s.n >= 0.9""",
+)
+def q_containment(spark, sf_dir):
+    """Asymmetric shingle containment |A∩B|/|A| ≥ 0.9 — quote/subset
+    detection that Jaccard dedup misses (dedup.containment_pairs)."""
+    out = dedup.containment_pairs(table(spark, sf_dir, "documents"), threshold=0.9)
+    return out.select("id_a", "id_b", F.round("containment", 6).alias("containment"))
 
 
 _TOKENS_CTE = f"""{_NORM_CTE},

@@ -33,6 +33,14 @@ def get_spark(app_name: str = APP_NAME, shuffle_partitions: int | None = None) -
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime row-level filtering (Bloom filter from the selective
+        # join side pushed into the probe scan) is ON by Spark 4
+        # default and prunes fact row groups at 100 TB; asserted here
+        # so a downgraded cluster default doesn't silently lose it.
+        # Do NOT enable runtimeFilter.semiJoinReduction: measured to
+        # hang the optimizer (InjectRuntimeFilter) on wide bitwise
+        # projections (write_zordered's 48-term interleave).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         # Arrow for every pandas boundary (applyInPandas, toPandas).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -54,4 +62,5 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     return spark

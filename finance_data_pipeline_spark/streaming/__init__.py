@@ -1,6 +1,7 @@
 from finance_data_pipeline_spark.streaming.pipeline import (
     daily_event_aggregate,
     dedup_in_stream,
+    enrich_stream,
     stateful_continuity,
     stream_events,
     stream_ingest_stocks,
@@ -12,6 +13,7 @@ __all__ = [
     "streaming_daily_aggregate",
     "daily_event_aggregate",
     "dedup_in_stream",
+    "enrich_stream",
     "stateful_continuity",
     "stream_ingest_stocks",
 ]

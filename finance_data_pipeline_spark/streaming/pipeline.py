@@ -123,6 +123,15 @@ def stateful_continuity(
     )
 
 
+def enrich_stream(stream: DataFrame, dim: DataFrame, on) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins the static
+    dimension (broadcast — the dim never shuffles the stream side, and
+    Spark re-resolves the static plan per batch, so a refreshed dim
+    table is picked up). The streaming analogue of every J1 dimension
+    join; no watermark needed because the static side is bounded."""
+    return stream.join(F.broadcast(dim), on)
+
+
 def stream_ingest_stocks(
     bars: DataFrame,
     store_path: str,

@@ -169,3 +169,65 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_read_csv_permissive_quarantines_corrupt_rows(spark, tmp_path):
+    """Malformed CSV lines must land in _corrupt_record, not kill the
+    job; clean rows parse normally."""
+    from pyspark.sql.types import StructType
+
+    from finance_data_pipeline_spark.io import read_csv_permissive
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("symbol,close,volume\nAAA,10.5,100\nBBB,not_a_number,zzz\nCCC,12.25,300\n")
+    schema = (
+        StructType()
+        .add("symbol", "string")
+        .add("close", "double")
+        .add("volume", "long")
+    )
+    df = read_csv_permissive(spark, str(p), schema).cache()
+    bad = df.filter(df["_corrupt_record"].isNotNull())
+    good = df.filter(df["_corrupt_record"].isNull())
+    assert df.count() == 3
+    assert bad.count() == 1
+    assert bad.collect()[0]["_corrupt_record"].startswith("BBB")
+    assert {r["symbol"] for r in good.collect()} == {"AAA", "CCC"}
+
+
+def test_zorder_write_tightens_file_stats_in_both_dims(spark, tmp_path):
+    """Z-ordered layout must give tight per-file min/max ranges in BOTH
+    z-dimensions (multi-predicate data skipping); a linear sort only
+    tightens its leading column. Verified from the parquet footers."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from finance_data_pipeline_spark.io import table, write_zordered
+
+    events = table(spark, SF_DIR, "events").select("user_id", "value", "event_id")
+
+    zpath = str(tmp_path / "zordered")
+    lpath = str(tmp_path / "linear")
+    write_zordered(events, zpath, ["user_id", "value"], n_files=8)
+    # Linear baseline: range-partitioned + sorted by user_id only.
+    events.repartitionByRange(8, "user_id").sortWithinPartitions("user_id").write.parquet(lpath)
+
+    def avg_span_frac(path, col):
+        spans, lo_all, hi_all = [], None, None
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            spans.append(hi - lo)
+            lo_all = lo if lo_all is None else min(lo_all, lo)
+            hi_all = hi if hi_all is None else max(hi_all, hi)
+        return (sum(spans) / len(spans)) / (hi_all - lo_all)
+
+    # user_id: both layouts cluster it.
+    assert avg_span_frac(zpath, "user_id") < 0.6
+    # value: only the z-order clusters it; linear layout files span ~everything.
+    z_val = avg_span_frac(zpath, "value")
+    lin_val = avg_span_frac(lpath, "value")
+    assert z_val < 0.6 < lin_val, (z_val, lin_val)
