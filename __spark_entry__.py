@@ -86,7 +86,7 @@ _PRIORITY = [
     # window); next in line if the driver checks more than 50
     "doc_chunks", "packed_sequences", "tfidf_top_terms",
     "heavy_hitters", "rolling_corr_30", "containment_pairs",
-    "streaming_enriched_events",
+    "streaming_enriched_events", "incremental_daily_agg",
     "approx_user_counts", "approx_value_percentiles",
     "part_value_concentration", "priority_line_counts",
     "customer_order_distribution", "top_supplier_revenue",

@@ -55,6 +55,17 @@ def brute_force_topk(
     )
 
 
+def lsh_plane(seed: int, t: int, p: int, i: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    md5 of the (seed, table, plane, dim) coordinate — reproducible in
+    ANY engine/language (the oracle bakes the identical values), unlike
+    a JVM-seeded RNG."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{seed}:{t}:{p}:{i}".encode()).hexdigest()[:15], 16)
+    return (h % 10_000_000) / 5_000_000.0 - 1.0
+
+
 def hyperplane_lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -64,48 +75,40 @@ def hyperplane_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH (sign of dot with
-    seeded pseudo-random planes) → candidates share a bucket in ≥1
-    table → exact cosine re-rank within candidates.
+    deterministic pseudo-random planes) → candidates share a bucket in
+    ≥1 table → exact cosine re-rank within candidates.
 
-    Planes are generated deterministically JVM-side from (seed, table,
-    plane, dim) hashes — no driver-materialized matrix, so the same
-    code runs at any dimensionality. Scale path: the corpus is hashed
-    once (narrow), the join shuffles only (table, bucket) keys.
+    Planes are md5-derived constants (lsh_plane) embedded in the plan
+    as literals — the whole operator is a pure function of its inputs,
+    reproducible across engines (full SQL oracle) and cluster layouts.
+    The bucket id is the plain bit integer Σ(sign(dot)·2^p) — no
+    engine-specific hash. Scale path: the corpus is bucketed once
+    (narrow map), the join shuffles only (table, bucket) keys.
     """
-    dim = F.size(vec_col)
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])  # one-row probe
 
-    def plane_component(t, p, i):
-        # Deterministic pseudo-gaussian-ish component in [-1, 1).
-        h = F.xxhash64(F.lit(seed), t, p, i)
-        return (h % 10_000_000).cast("double") / 5_000_000.0 - 1.0
-
-    def bucket_of(col_vec, t):
-        bits = F.transform(
-            F.sequence(F.lit(0), F.lit(num_planes - 1)),
-            lambda p: F.when(
-                F.aggregate(
-                    F.zip_with(
-                        col_vec,
-                        F.sequence(F.lit(0), dim - 1),
-                        lambda x, i: x * plane_component(t, p, i),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                > 0,
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
-        return F.xxhash64(bits.cast("string"), t)
+    def bucket_of(col_vec, t: int):
+        bucket = F.lit(0).cast("long")
+        for p in range(num_planes):
+            plane = F.array(*[F.lit(lsh_plane(seed, t, p, i)) for i in range(dim)])
+            d = F.aggregate(
+                F.zip_with(col_vec, plane, lambda x, c: x * c),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+        return bucket
 
     def with_buckets(df, prefix):
         return df.select(
             F.col(id_col).alias(f"{prefix}_id"),
             F.col(vec_col).alias(f"{prefix}_vec"),
             F.posexplode(
-                F.array(*[bucket_of(F.col(vec_col), F.lit(t)) for t in range(num_tables)])
+                F.array(*[bucket_of(F.col(vec_col), t) for t in range(num_tables)])
             ).alias("table_idx", "bucket"),
         )
 

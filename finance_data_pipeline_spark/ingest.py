@@ -76,6 +76,41 @@ def incremental_boundary(new: DataFrame, existing: DataFrame, key: str = "symbol
     )
 
 
+def merge_daily_aggregate(existing_agg: DataFrame, new_events: DataFrame) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: fold a new event
+    batch into an existing (day, event_type) aggregate WITHOUT
+    re-scanning history — the algebraic-merge pattern behind every
+    streaming/warehouse incremental view refresh.
+
+    Works because the aggregate state is mergeable: counts add, decimal
+    sums add. The merge is a union of the old agg (tiny — one row per
+    (day, type)) with the new batch's partial agg, then one re-combine
+    shuffle keyed on (day, type). History size never appears in the
+    plan; at 100 TB the refresh cost is O(batch + aggregate), not
+    O(history). Non-mergeable measures (exact medians) need sketches
+    (see approx_value_percentiles) or a recompute. Correctness is
+    oracle-checked: incremental over split halves ≡ one-shot aggregate
+    (registry ``incremental_daily_agg``).
+    """
+    from finance_data_pipeline_spark.streaming import daily_event_aggregate
+
+    partial = daily_event_aggregate(new_events).select(
+        "day", "event_type", "n_events", "total_value"
+    )
+    base = existing_agg.select("day", "event_type", "n_events", "total_value")
+    return (
+        base.unionByName(partial)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            # Re-sum through decimal: keeps the merge exact and
+            # order-independent, same rule as the base aggregate.
+            F.sum(F.col("total_value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .withColumn("avg_value", F.round(F.col("total_value") / F.col("n_events"), 6))
+    )
+
+
 def ingest_batch(
     raw: DataFrame,
     existing: DataFrame | None,

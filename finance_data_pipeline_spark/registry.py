@@ -1940,6 +1940,30 @@ def q_tumbling_daily(spark, sf_dir):
 
 
 @query(
+    "incremental_daily_agg",
+    ORACLES["tumbling_daily"],
+)
+def q_incremental_daily_agg(spark, sf_dir):
+    """Incremental aggregate maintenance: events split at the median
+    event_id into 'history' and 'new batch'; the history aggregate is
+    folded with the batch via the algebraic merge
+    (ingest.merge_daily_aggregate). Oracle = the one-shot aggregate
+    over everything — proving refresh cost is O(batch + aggregate)
+    with no correctness loss."""
+    from finance_data_pipeline_spark.ingest import merge_daily_aggregate
+
+    e = table(spark, sf_dir, "events")
+    split = e.agg(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY event_id)").alias("m"))
+    tagged = e.crossJoin(F.broadcast(split))
+    hist = tagged.filter(F.col("event_id") <= F.col("m")).drop("m")
+    batch = tagged.filter(F.col("event_id") > F.col("m")).drop("m")
+    existing = daily_event_aggregate(hist)
+    return merge_daily_aggregate(existing, batch).select(
+        "day", "event_type", "n_events", "total_value", "avg_value"
+    )
+
+
+@query(
     "segment_status_cube",
     """SELECT coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
   coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
@@ -2509,14 +2533,97 @@ def q_segment_status_pivot(spark, sf_dir):
     )
 
 
-@query("full_indicator_sweep")  # includes EWM columns → rows-only check
+_SWEEP_WB = "PARTITION BY symbol ORDER BY bar_ts"
+_FULL_SWEEP_ORACLE = f"""WITH RECURSIVE {BARS},
+base AS (SELECT symbol, bar_ts, CAST(close AS DOUBLE) AS close, volume,
+         row_number() OVER ({_SWEEP_WB}) AS rn FROM bars),
+d AS (SELECT *, close - lag(close) OVER ({_SWEEP_WB}) AS delta,
+        (close / lag(close) OVER ({_SWEEP_WB}) - 1) * 100 AS ret
+      FROM base),
+gl AS (SELECT *, CASE WHEN delta > 0 THEN delta ELSE 0 END AS gain,
+               CASE WHEN delta < 0 THEN -delta ELSE 0 END AS loss FROM d),
+winds AS MATERIALIZED (SELECT symbol, bar_ts, close, rn, ret,
+   CAST(sum(CAST(close AS DECIMAL(24,8))) OVER w5 AS DOUBLE)
+     / count(close) OVER w5 AS sma_5,
+   CAST(sum(CAST(close AS DECIMAL(24,8))) OVER w20 AS DOUBLE)
+     / count(close) OVER w20 AS sma_20,
+   CAST(sum(CAST(close AS DECIMAL(24,8))) OVER w50 AS DOUBLE)
+     / count(close) OVER w50 AS sma_50,
+   CASE WHEN count(close) OVER w20 >= 20 THEN avg(close) OVER w20 END AS mid,
+   CASE WHEN count(close) OVER w20 >= 20 THEN stddev_samp(close) OVER w20 END AS sd,
+   CASE WHEN rn >= 14 THEN 100 - 100 * (avg(loss) OVER w14)
+        / ((avg(gain) OVER w14) + (avg(loss) OVER w14)) END AS rsi,
+   CASE WHEN count(ret) OVER w30 >= 30 THEN stddev_samp(ret) OVER w30 END AS vol30,
+   avg(CAST(volume AS DOUBLE)) OVER w20 AS volume_ma_20
+ FROM gl
+ WINDOW w5 AS ({_SWEEP_WB} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        w20 AS ({_SWEEP_WB} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+        w50 AS ({_SWEEP_WB} ROWS BETWEEN 49 PRECEDING AND CURRENT ROW),
+        w14 AS ({_SWEEP_WB} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+        w30 AS ({_SWEEP_WB} ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)),
+ew AS (
+  SELECT symbol, rn, close, close AS a12, CAST(1 AS DOUBLE) AS o12,
+         close AS a26, CAST(1 AS DOUBLE) AS o26
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.symbol, b.rn, b.close,
+    CASE WHEN ew.a12 = b.close THEN ew.a12
+         ELSE (ew.o12 * (CAST(11 AS DOUBLE)/13) * ew.a12 + b.close)
+              / (ew.o12 * (CAST(11 AS DOUBLE)/13) + 1) END,
+    ew.o12 * (CAST(11 AS DOUBLE)/13) + 1,
+    CASE WHEN ew.a26 = b.close THEN ew.a26
+         ELSE (ew.o26 * (CAST(25 AS DOUBLE)/27) * ew.a26 + b.close)
+              / (ew.o26 * (CAST(25 AS DOUBLE)/27) + 1) END,
+    ew.o26 * (CAST(25 AS DOUBLE)/27) + 1
+  FROM ew JOIN base b ON b.symbol = ew.symbol AND b.rn = ew.rn + 1
+),
+m AS MATERIALIZED (SELECT symbol, rn, a12, a26, a12 - a26 AS macd FROM ew),
+sig AS (
+  SELECT symbol, rn, a12, a26, macd, macd AS s, CAST(1 AS DOUBLE) AS os
+  FROM m WHERE rn = 1
+  UNION ALL
+  SELECT m.symbol, m.rn, m.a12, m.a26, m.macd,
+    CASE WHEN sig.s = m.macd THEN sig.s
+         ELSE (sig.os * (CAST(4 AS DOUBLE)/5) * sig.s + m.macd)
+              / (sig.os * (CAST(4 AS DOUBLE)/5) + 1) END,
+    sig.os * (CAST(4 AS DOUBLE)/5) + 1
+  FROM sig JOIN m ON m.symbol = sig.symbol AND m.rn = sig.rn + 1
+)
+SELECT w.symbol, w.bar_ts, w.close,
+  round(sma_5, 6) AS sma_5, round(sma_20, 6) AS sma_20,
+  round(sma_50, 6) AS sma_50,
+  round(mid, 4) AS bb_middle, round(mid + 2 * sd, 4) AS bb_upper,
+  round(mid - 2 * sd, 4) AS bb_lower,
+  round(rsi, 4) AS rsi, round(ret, 6) AS daily_return,
+  round(vol30, 4) AS volatility_30d, round(volume_ma_20, 6) AS volume_ma_20,
+  round(a12, 6) AS ema_12, round(a26, 6) AS ema_26, round(macd, 6) AS macd,
+  round(s, 6) AS macd_signal, round(macd - s, 6) AS macd_histogram
+FROM winds w JOIN sig ON w.symbol = sig.symbol AND w.rn = sig.rn"""
+
+
+@query("full_indicator_sweep", _FULL_SWEEP_ORACLE)
 def q_full_indicator_sweep(spark, sf_dir):
     """The complete EP2 indicator chain (analyze_visualize.py:98-141) as
     ONE lazy plan: Catalyst collapses all same-frame windows into a
-    single WindowExec pass, then one applyInPandas for the EMA family."""
+    single WindowExec pass, then one applyInPandas for the EMA family.
+    Full oracle: rolling windows in SQL + the bit-exact ewm recurrence
+    replay (see _EMA_ORACLE) — stddev/ratio-based columns rounded to
+    4 dp, avg/recurrence-based to 6 dp, per the parity rules."""
     out = indicators.with_indicators(_bars(spark, sf_dir), time_col="bar_ts")
+    # SMA columns recomputed as decimal-sum / count: an IEEE windowed
+    # avg lands on round-6 ties (…0625 vs …0624) with engine-different
+    # last bits; the decimal sum is exact and order-independent, so the
+    # quotient is bit-identical in both engines before rounding.
+    for n in (5, 20, 50):
+        w = indicators.rolling("bar_ts", n)
+        out = out.withColumn(
+            f"sma_{n}",
+            F.sum(F.col("close").cast("decimal(24,8)")).over(w).cast("double")
+            / F.count("close").over(w),
+        )
+    four_dp = {"bb_middle", "bb_upper", "bb_lower", "rsi", "volatility_30d"}
     rounded = [
-        F.round(c, 6).alias(c)
+        F.round(c, 4 if c in four_dp else 6).alias(c)
         for c in out.columns
         if c not in ("symbol", "bar_ts", "open", "high", "low", "close", "volume")
     ]
@@ -3092,11 +3199,51 @@ def q_ann_topk(spark, sf_dir):
     return similarity.brute_force_topk(vecs, queries, k=10)
 
 
-@query("ann_topk_lsh")  # approximate — rows-only check
+# Hyperplane-LSH oracle: the md5-derived plane constants (similarity.
+# lsh_plane) are baked into the SQL as list literals, so DuckDB computes
+# the IDENTICAL buckets (list_dot_product is the same sequential fold as
+# the Spark zip_with/aggregate) — the approximate operator is still a
+# pure function of its inputs and therefore fully oracle-checkable.
+_LSH_DIM, _LSH_PLANES, _LSH_TABLES, _LSH_SEED = 64, 12, 4, 42
+_LSH_PLANE_ROWS = ",\n".join(
+    f"({t}, {p}, [{', '.join(repr(similarity.lsh_plane(_LSH_SEED, t, p, i)) for i in range(_LSH_DIM))}])"
+    for t in range(_LSH_TABLES)
+    for p in range(_LSH_PLANES)
+)
+_LSH_ORACLE = f"""WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+planes(t, p, pl) AS (VALUES {_LSH_PLANE_ROWS}),
+vd AS (SELECT vec_id, t, p, list_dot_product(e, pl) AS d
+       FROM v CROSS JOIN planes),
+buckets AS (
+  SELECT vec_id, t,
+    CAST(sum(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM vd GROUP BY vec_id, t),
+cands AS (
+  SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+  FROM buckets qb JOIN buckets nb ON qb.t = nb.t AND qb.bucket = nb.bucket
+  WHERE qb.vec_id < 5 AND nb.vec_id <> qb.vec_id),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+    round(list_dot_product(q.e, n.e)
+          / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(n.e, n.e))), 6)
+      AS cosine_sim
+  FROM cands c JOIN v q ON c.query_id = q.vec_id JOIN v n ON c.neighbor_id = n.vec_id)
+SELECT query_id, neighbor_id, cosine_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS rn
+  FROM scored) WHERE rn <= 10"""
+
+
+@query("ann_topk_lsh", _LSH_ORACLE)
 def q_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH approximate top-k with a FULL oracle: plane
+    constants are engine-portable md5-derived literals, buckets are
+    plain bit integers, and the exact re-rank rounds before ranking —
+    deterministic end to end (similarity.hyperplane_lsh_topk)."""
     vecs = table(spark, sf_dir, "embeddings")
     queries = vecs.filter(F.col("vec_id") < 5)
-    return similarity.hyperplane_lsh_topk(vecs, queries, k=10)
+    return similarity.hyperplane_lsh_topk(vecs, queries, k=10, dim=_LSH_DIM)
 
 
 @query("ann_topk_ivf")  # approximate (coarse quantizer) — rows-only check
