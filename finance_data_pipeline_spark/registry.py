@@ -2731,6 +2731,69 @@ def q_containment(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("containment", 6).alias("containment"))
 
 
+@query(
+    "dup_degree_stats",
+    f"""WITH {_NEAR_PAIRS_CTE},
+deg AS (
+  SELECT doc_id, count(*) AS degree FROM (
+    SELECT id_a AS doc_id FROM np UNION ALL SELECT id_b FROM np)
+  GROUP BY doc_id)
+SELECT degree, count(*) AS n_docs FROM deg GROUP BY degree""",
+)
+def q_dup_degree_stats(spark, sf_dir):
+    """Near-dup graph degree histogram — the diagnostic that separates
+    'a few huge duplicate clusters' (power-law degrees → use
+    large-star/small-star CC) from 'many small clusters' (label
+    propagation converges in 2-3 rounds). One extra count over the
+    already-verified pair set."""
+    pairs = dedup.near_dup_pairs(table(spark, sf_dir, "documents"), threshold=0.7)
+    nodes = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    return (
+        nodes.groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "bpe_merge_candidates",
+    f"""WITH {_NORM_CTE},
+w AS (SELECT unnest(words) AS word FROM norm),
+pairs AS (
+  SELECT substring(word, CAST(i AS INTEGER), 2) AS pair
+  FROM w, unnest(range(1, length(word))) AS t(i)
+  WHERE length(word) >= 2)
+SELECT pair, count(*) AS n FROM pairs
+GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
+)
+def q_bpe_merge_candidates(spark, sf_dir):
+    """BPE tokenizer training, step 1: the most frequent adjacent
+    character pairs across the corpus — each top pair is the next merge
+    rule a byte-pair encoder would learn. Explode is row-local; the
+    count is map-side combined; top-k via TakeOrderedAndProject."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.explode(dedup.tokens("text")).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.substring(F.col("word"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
+
+
 _TOKENS_CTE = f"""{_NORM_CTE},
 tokset AS (SELECT doc_id, list_distinct(words) AS toks FROM norm),
 tok AS (SELECT doc_id, unnest(toks) AS t FROM tokset)"""
@@ -3313,10 +3376,38 @@ def q_media_manifest(spark, sf_dir):
     )
 
 
-@query("media_features")  # mapInPandas decode plumbing — rows-only check
+@query(
+    "media_features",
+    """WITH hexed AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS INT) AS n FROM documents),
+bytes AS (SELECT doc_id, n, hx, unnest(range(0, n)) AS i FROM hexed),
+vals AS (
+  SELECT doc_id, n, i % 8 AS j,
+    (strpos('0123456789ABCDEF', substring(hx, 2*i+1, 1)) - 1) * 16
+    + (strpos('0123456789ABCDEF', substring(hx, 2*i+2, 1)) - 1) AS byte
+  FROM bytes)
+SELECT doc_id AS media_id, 'text' AS modality, n AS n_bytes,
+  CAST(j AS INTEGER) AS dim_idx,
+  round((sum(byte) % 997) / 997.0, 6) AS feat
+FROM vals GROUP BY doc_id, n, j""",
+)
 def q_media_features(spark, sf_dir):
+    """mapInPandas Arrow decode pipeline, fully oracle-checked: the
+    deterministic byte-fold kernel is order-independent per lane
+    (Σ bytes at positions ≡ j mod 8, mod 997), so SQL reconstructs the
+    identical feature from the payload's hex expansion. Emitted one row
+    per (media, lane) — engine-portable array comparison."""
     media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
-    return multimodal.extract_features(media)
+    out = multimodal.extract_features(media)
+    return out.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        F.posexplode("feature").alias("dim_idx", "_f"),
+    ).select(
+        "media_id", "modality", "n_bytes", "dim_idx", F.round("_f", 6).alias("feat")
+    )
 
 
 @query(
@@ -3365,8 +3456,34 @@ def q_media_frames(spark, sf_dir):
     return multimodal.sample_frames(dedup._spread(media), every_ms=500)
 
 
-@query("media_resize")  # byte-grid nearest-neighbor kernel — rows-only check
+@query(
+    "media_resize",
+    """WITH imgs AS (
+  SELECT doc_id AS media_id, text,
+         CAST(8 + doc_id % 8 AS INT) AS sw, CAST(6 + doc_id % 6 AS INT) AS sh
+  FROM documents WHERE doc_id % 3 = 0),
+hexed AS (
+  SELECT media_id, sw, sh,
+    rpad(substring(hex(encode(text)), 1, 2 * sw * sh), 2 * sw * sh, '0') AS hx
+  FROM imgs),
+pix AS (SELECT media_id, sw, sh, hx, unnest(range(0, 192)) AS pidx FROM hexed),
+b AS (
+  SELECT media_id, pidx,
+    substring(hx, 2 * (CAST((pidx // 16) * sh // 12 AS INT) * sw
+                       + CAST((pidx % 16) * sw // 16 AS INT)) + 1, 2) AS hb
+  FROM pix),
+resized AS (
+  SELECT media_id, upper(string_agg(hb, '' ORDER BY pidx)) AS resized_hex
+  FROM b GROUP BY media_id)
+SELECT media_id, 16 AS width, 12 AS height, resized_hex FROM resized""",
+)
 def q_media_resize(spark, sf_dir):
+    """Nearest-neighbor byte-grid resize, fully oracle-checked: the
+    kernel's output bytes are a pure function of (payload, src/dst
+    geometry), so SQL rebuilds the identical 16×12 grid from the
+    payload's hex expansion and compares it byte for byte."""
     media = multimodal.synthetic_media(table(spark, sf_dir, "documents"))
     out = multimodal.resize_media(dedup._spread(media), 16, 12)
-    return out.select("media_id", "width", "height", F.md5("resized").alias("resized_md5"))
+    return out.select(
+        "media_id", "width", "height", F.upper(F.hex("resized")).alias("resized_hex")
+    )
