@@ -87,7 +87,7 @@ _PRIORITY = [
     "doc_chunks", "packed_sequences", "tfidf_top_terms",
     "heavy_hitters", "rolling_corr_30", "containment_pairs",
     "streaming_enriched_events", "incremental_daily_agg",
-    "dup_degree_stats", "bpe_merge_candidates",
+    "dup_degree_stats", "bpe_merge_candidates", "streaming_interval_join",
     "approx_user_counts", "approx_value_percentiles",
     "part_value_concentration", "priority_line_counts",
     "customer_order_distribution", "top_supplier_revenue",

@@ -2355,6 +2355,63 @@ def q_streaming_enriched(spark, sf_dir):
 
 
 @query(
+    "streaming_interval_join",
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+  c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""",
+)
+def q_streaming_interval_join(spark, sf_dir):
+    """Stream-stream time-interval join (§2.10): clicks correlated with
+    same-user purchases within the next hour, both sides watermarked so
+    join state stays bounded — checked against the identical batch
+    interval-join SQL."""
+    import tempfile
+    import uuid
+
+    from finance_data_pipeline_spark.streaming import interval_join_streams, stream_events
+
+    staged = tempfile.mkdtemp(prefix="fdps_events_")
+    table(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
+    clicks = (
+        stream_events(spark, staged)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("l_ts"))
+    )
+    purchases = (
+        stream_events(spark, staged)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    joined = interval_join_streams(
+        clicks, purchases, key="user_id", max_gap="1 hour", watermark="2 hours"
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.col("l_ts").alias("click_ts"),
+        F.col("r_ts").alias("purchase_ts"),
+    )
+    name = f"fdps_ij_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fdps_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@query(
     "streaming_dedup",
     "SELECT event_id, event_type, value FROM events",
 )

@@ -2,6 +2,7 @@ from finance_data_pipeline_spark.streaming.pipeline import (
     daily_event_aggregate,
     dedup_in_stream,
     enrich_stream,
+    interval_join_streams,
     stateful_continuity,
     stream_events,
     stream_ingest_stocks,
@@ -14,6 +15,7 @@ __all__ = [
     "daily_event_aggregate",
     "dedup_in_stream",
     "enrich_stream",
+    "interval_join_streams",
     "stateful_continuity",
     "stream_ingest_stocks",
 ]

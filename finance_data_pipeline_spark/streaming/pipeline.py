@@ -132,6 +132,33 @@ def enrich_stream(stream: DataFrame, dim: DataFrame, on) -> DataFrame:
     return stream.join(F.broadcast(dim), on)
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream time-interval inner join: match right rows that
+    occur within (left_ts, left_ts + max_gap] for the same key — the
+    click→purchase correlation shape. BOTH sides carry watermarks and
+    the join predicate bounds the time skew, so Spark can evict
+    buffered state: without the interval bound a stream-stream join
+    buffers both streams forever. State per key is bounded by
+    watermark + max_gap — the 100 TB requirement for an unbounded
+    join."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    return lw.join(
+        rw,
+        (F.col(key) == F.col(f"r_{key}"))
+        & (F.col(right_ts) > F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_gap}")),
+    )
+
+
 def stream_ingest_stocks(
     bars: DataFrame,
     store_path: str,
