@@ -462,6 +462,49 @@ def q_heavy_hitters(spark, sf_dir):
 
 
 @query(
+    "price_anomalies",
+    f"""WITH {STOCKS},
+w AS (
+  SELECT symbol, date, close,
+    avg(close) OVER w30 AS mu,
+    stddev_samp(close) OVER w30 AS sd,
+    count(close) OVER w30 AS n
+  FROM stocks
+  WINDOW w30 AS ({_W_DATE} ROWS BETWEEN 29 PRECEDING AND 1 PRECEDING))
+SELECT symbol, date, close, round(mu, 4) AS mu_30,
+  round((close - mu) / sd, 4) AS zscore
+FROM w
+WHERE n >= 10 AND sd > 0 AND abs((close - mu) / sd) > 3""",
+)
+def q_price_anomalies(spark, sf_dir):
+    """Rolling z-score anomaly detection: closes more than 3σ from the
+    TRAILING 30-day mean (frame excludes the current row — the point
+    under test must not contaminate its own baseline). The monitoring
+    pass a 100 TB market store runs continuously: one window pass per
+    symbol, emits only outliers."""
+    s = _stocks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date").rowsBetween(-29, -1)
+    mu = F.avg("close").over(w)
+    sd = F.stddev_samp("close").over(w)
+    n = F.count("close").over(w)
+    z = (F.col("close") - mu) / sd
+    return (
+        s.select(
+            "symbol",
+            "date",
+            "close",
+            F.round(mu, 4).alias("mu_30"),
+            F.round(z, 4).alias("zscore"),
+            n.alias("_n"),
+            sd.alias("_sd"),
+            z.alias("_z"),
+        )
+        .filter((F.col("_n") >= 10) & (F.col("_sd") > 0) & (F.abs(F.col("_z")) > 3))
+        .drop("_n", "_sd", "_z")
+    )
+
+
+@query(
     "pairwise_correlation",
     f"""WITH {BARS},
 ret AS (SELECT symbol, bar_ts,
