@@ -259,6 +259,43 @@ def tfidf_top_terms(
     )
 
 
+# Deliberately simple patterns valid in BOTH Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround, no \b (word-boundary semantics
+# differ), character classes and counted repetition only.
+PII_PATTERNS = {
+    # Order matters and is part of the contract: URLs first (an email-
+    # shaped substring inside a URL must mask as part of the URL).
+    "url": r"https?://[^\s]+",
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+}
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """PII redaction pass (emails, URLs, phone-shaped numbers): counts
+    each category and emits the masked text's md5 — the pre-training
+    hygiene step that runs before any corpus leaves quarantine.
+
+    Row-local codegen regex (no UDF, no shuffle); patterns are the
+    portable subset shared by Java regex and RE2 so the oracle applies
+    the IDENTICAL automaton. Masking replaces each match with the
+    category tag; counts come from regexp_count on the original text.
+    A real deployment adds NER-model scrubbing behind the same
+    column-in/column-out contract."""
+    masked = F.col(text_col)
+    for tag, pat in PII_PATTERNS.items():
+        masked = F.regexp_replace(masked, pat, f"<{tag}>")
+    out = docs.select(
+        F.col(id_col),
+        *[
+            F.regexp_count(text_col, F.lit(pat)).cast("long").alias(f"n_{tag}")
+            for tag, pat in PII_PATTERNS.items()
+        ],
+        F.md5(masked).alias("masked_md5"),
+    )
+    return out
+
+
 def token_totals_by_lang(docs: DataFrame) -> DataFrame:
     """Corpus accounting: docs/tokens/chars per language (the numbers a
     training-data pipeline reports per shard)."""

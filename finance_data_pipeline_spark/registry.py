@@ -3092,6 +3092,52 @@ def q_tfidf_top_terms(spark, sf_dir):
     return text.tfidf_top_terms(table(spark, sf_dir, "documents"), k=3)
 
 
+_PII_URL = r"https?://[^\s]+"
+_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PII_PHONE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+
+
+@query(
+    "pii_scrub",
+    f"""WITH enriched AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com via https://example.org/d/' || CAST(doc_id AS VARCHAR)
+      AS text
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_PII_URL}')) AS BIGINT) AS n_url,
+  CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+  md5(regexp_replace(regexp_replace(regexp_replace(
+        text, '{_PII_URL}', '<url>', 'g'),
+        '{_PII_EMAIL}', '<email>', 'g'),
+        '{_PII_PHONE}', '<phone>', 'g')) AS masked_md5
+FROM enriched""",
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (X4+): per-category counts + masked-text digest.
+    The fixture appends a deterministic synthetic email+URL per doc so
+    the masking is observably exercised (the raw corpus is PII-free);
+    production scrubs raw text through the same column contract.
+    Patterns are the Java-regex/RE2-portable subset, applied in the
+    documented order (URLs before emails), so the oracle runs the
+    identical automaton."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via https://example.org/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return text.pii_scrub(d).select(
+        "doc_id", "n_url", "n_email", "n_phone", "masked_md5"
+    )
+
+
 _GOPHER_STOP_SQL = " + ".join(
     f"(CASE WHEN list_contains(words, '{w}') THEN 1 ELSE 0 END)"
     for w in text._GOPHER_STOPS

@@ -110,3 +110,57 @@ def test_fixed_point_sum_equals_decimal_sum(spark, cents):
         F.sum(F.col("x").cast("decimal(28,2)")).cast("double").alias("exact"),
     ).first()
     assert fast == exact
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=3), min_size=1, max_size=30),
+)
+@settings(**SETTINGS)
+def test_change_islands_reconstructs_input(spark, vals):
+    """Property: islands are ordered, non-overlapping, gapless, carry
+    the run's value, and their n_rows sum back to the input length —
+    for ANY value sequence."""
+    from finance_data_pipeline_spark.operators.relational import change_islands
+
+    df = spark.createDataFrame(
+        [("K", i, v) for i, v in enumerate(vals)], "key string, ord int, val int"
+    )
+    out = change_islands(df, "key", "ord", F.col("val"), "val").orderBy("valid_from").collect()
+    assert sum(r["n_rows"] for r in out) == len(vals)
+    # Reconstruct the sequence from the islands.
+    rebuilt = []
+    prev_end = -1
+    for r in out:
+        assert r["valid_from"] == prev_end + 1, "islands must be gapless"
+        assert r["valid_to"] >= r["valid_from"]
+        rebuilt.extend([r["val"]] * r["n_rows"])
+        prev_end = r["valid_to"]
+    assert rebuilt == vals
+    # Adjacent islands must carry different values (maximal runs).
+    for a, b in zip(out, out[1:]):
+        assert a["val"] != b["val"]
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=3, max_size=40), min_size=2, max_size=6
+    ),
+)
+@settings(**SETTINGS)
+def test_containment_self_and_bounds(spark, texts):
+    """Property: containment values lie in (0, 1]; an exact duplicate
+    pair (if present) has containment 1.0 in both directions."""
+    from finance_data_pipeline_spark.extensions.dedup import containment_pairs
+
+    rows = [(i, t) for i, t in enumerate(texts + [texts[0]])]  # force one dup pair
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, threshold=0.0).collect()
+    }
+    dup_a, dup_b = 0, len(texts)
+    for c in out.values():
+        assert 0.0 < c <= 1.0
+    if texts[0].strip():
+        assert out.get((dup_a, dup_b)) == 1.0
+        assert out.get((dup_b, dup_a)) == 1.0
