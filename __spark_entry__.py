@@ -88,7 +88,7 @@ _PRIORITY = [
     "heavy_hitters", "rolling_corr_30", "containment_pairs",
     "streaming_enriched_events", "incremental_daily_agg",
     "dup_degree_stats", "bpe_merge_candidates", "streaming_interval_join",
-    "price_anomalies", "pii_scrub",
+    "price_anomalies", "pii_scrub", "dup_clusters_star",
     "approx_user_counts", "approx_value_percentiles",
     "part_value_concentration", "priority_line_counts",
     "customer_order_distribution", "top_supplier_revenue",

@@ -301,6 +301,71 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def connected_components_star(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the O(log n)-round algorithm for graphs with HUGE
+    components, where min-label propagation's O(diameter) rounds are
+    the bottleneck. Same contract as connected_components:
+    (doc_id, cluster_id = component min) for every node in ``pairs``.
+
+    Per round (all bounded-key shuffles):
+      large-star: every node links its strictly-larger neighbors to
+        the minimum of its closed neighborhood;
+      small-star: every node links its smaller-or-equal neighbors
+        (and itself) to that minimum.
+    Each phase strictly lowers edge endpoints toward component minima;
+    at fixpoint the edge set IS the star {(root, v)}. Convergence is
+    detected by an order-independent edge-set fingerprint (sum of
+    per-edge hashes + count) — one tiny aggregate per round.
+    """
+    E = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(edges: DataFrame):
+        row = edges.agg(
+            F.count("*").alias("n"),
+            # decimal sum: long hashes overflow an ANSI bigint sum
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    def star(edges: DataFrame, large: bool) -> DataFrame:
+        nbrs = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        joined = nbrs.join(mins, "u")
+        cond = (F.col("v") > F.col("u")) if large else (F.col("v") <= F.col("u"))
+        emitted = joined.filter(cond).select(F.col("v").alias("x"), F.col("m"))
+        if not large:
+            emitted = emitted.unionAll(mins.select(F.col("u").alias("x"), F.col("m")))
+        return (
+            emitted.filter(F.col("x") != F.col("m"))
+            .select(F.least("x", "m").alias("a"), F.greatest("x", "m").alias("b"))
+            .distinct()
+        )
+
+    fp = fingerprint(E)
+    for _ in range(max_iter):
+        E = star(E, large=True).localCheckpoint(eager=True)
+        E = star(E, large=False).localCheckpoint(eager=True)
+        new_fp = fingerprint(E)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    # At fixpoint every edge is (root, member); roots label themselves.
+    members = E.select(F.col("b").alias("doc_id"), F.col("a").alias("cluster_id"))
+    roots = E.select(F.col("a").alias("doc_id"), F.col("a").alias("cluster_id")).distinct()
+    return members.unionByName(roots).distinct()
+
+
 def dup_clusters(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
     """X2f end-to-end: verified near-dup pairs → connected components.
     Deterministic because the pair set is (exact Jaccard ≥ t decides)."""

@@ -2894,6 +2894,21 @@ def q_bpe_merge_candidates(spark, sf_dir):
     )
 
 
+@query(
+    "dup_clusters_star",
+    f"""WITH RECURSIVE {_NEAR_PAIRS_CTE},
+{_CLUSTERS_SQL_TAIL}
+SELECT doc_id, cluster_id FROM cc""",
+)
+def q_dup_clusters_star(spark, sf_dir):
+    """Same clusters as dup_clusters, computed by alternating
+    large-star/small-star (O(log n) rounds — the huge-component scale
+    path) instead of min-label propagation (O(diameter)); both held to
+    the identical transitive-closure oracle."""
+    pairs = dedup.near_dup_pairs(table(spark, sf_dir, "documents"), threshold=0.7)
+    return dedup.connected_components_star(pairs.select("id_a", "id_b"))
+
+
 _TOKENS_CTE = f"""{_NORM_CTE},
 tokset AS (SELECT doc_id, list_distinct(words) AS toks FROM norm),
 tok AS (SELECT doc_id, unnest(toks) AS t FROM tokset)"""

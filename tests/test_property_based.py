@@ -164,3 +164,25 @@ def test_containment_self_and_bounds(spark, texts):
     if texts[0].strip():
         assert out.get((dup_a, dup_b)) == 1.0
         assert out.get((dup_b, dup_a)) == 1.0
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(**SETTINGS)
+def test_star_cc_equals_label_propagation(spark, edges):
+    """Property: large-star/small-star and min-label propagation agree
+    on every random graph — same nodes, same component minima."""
+    from finance_data_pipeline_spark.extensions.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    lp = {(r["doc_id"], r["cluster_id"]) for r in connected_components(df).collect()}
+    star = {(r["doc_id"], r["cluster_id"]) for r in connected_components_star(df).collect()}
+    assert star == lp
