@@ -89,6 +89,7 @@ _PRIORITY = [
     "streaming_enriched_events", "incremental_daily_agg",
     "dup_degree_stats", "bpe_merge_candidates", "streaming_interval_join",
     "price_anomalies", "pii_scrub", "dup_clusters_star",
+    "max_drawdown", "event_type_affinity",
     "approx_user_counts", "approx_value_percentiles",
     "part_value_concentration", "priority_line_counts",
     "customer_order_distribution", "top_supplier_revenue",

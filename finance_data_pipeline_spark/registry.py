@@ -462,6 +462,65 @@ def q_heavy_hitters(spark, sf_dir):
 
 
 @query(
+    "max_drawdown",
+    f"""WITH {STOCKS},
+dd AS (
+  SELECT symbol, date, close,
+    max(close) OVER ({_W_DATE} ROWS UNBOUNDED PRECEDING) AS peak
+  FROM stocks)
+SELECT symbol,
+  round(min((close - peak) / peak), 6) AS max_drawdown,
+  CAST(count(*) AS BIGINT) AS n_days
+FROM dd GROUP BY symbol""",
+)
+def q_max_drawdown(spark, sf_dir):
+    """Maximum drawdown per symbol: worst peak-to-trough loss fraction
+    — running cumulative max (one ordered window pass) then a plain
+    min-aggregate; per-row division is identical IEEE math in both
+    engines, the min over it order-independent."""
+    s = _stocks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    peak = F.max("close").over(w)
+    return (
+        s.select("symbol", ((F.col("close") - peak) / peak).alias("_dd"))
+        .groupBy("symbol")
+        .agg(
+            F.round(F.min("_dd"), 6).alias("max_drawdown"),
+            F.count("*").alias("n_days"),
+        )
+    )
+
+
+@query(
+    "event_type_affinity",
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type)
+SELECT type_a, type_b, count(*) AS n_users
+FROM pairs GROUP BY type_a, type_b""",
+)
+def q_event_type_affinity(spark, sf_dir):
+    """Event-type co-occurrence (market-basket shape): for each pair of
+    event types, how many users did both. Distinct-per-user first (the
+    5-type domain caps fan-out at 10 pairs/user), then a self-join on
+    user_id — the join fan-out is bounded by the type-domain square,
+    never by event volume."""
+    e = table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@query(
     "price_anomalies",
     f"""WITH {STOCKS},
 w AS (
