@@ -466,12 +466,20 @@ def containment_pairs(
     dedup wants both.
 
     Same machinery as shingle_pairs_jaccard: shingles travel as 64-bit
-    hashes, candidates = pairs sharing ≥1 shingle (inverted index),
-    verification = sorted-array intersect per pair. Containment has no
-    symmetric length filter (B may be much longer than A), so the
-    candidate pruning is the shared-shingle requirement itself; at
-    100 TB swap the candidate stage for MinHash-LSH over A's shingles
-    with B's shingle stream bucketed the same way.
+    hashes, verification = sorted-array intersect per pair. Candidates
+    use a ONE-SIDED prefix filter (the PPJoin overlap bound applied to
+    containment): C(A→B) ≥ t forces |Sₐ∩S_b| ≥ ⌈t·|Sₐ|⌉, so if NONE of
+    A's (|Sₐ| − ⌈t·|Sₐ|⌉ + 1) globally-rarest shingles were in B the
+    intersection could be at most ⌈t·|Sₐ|⌉ − 1 < t·|Sₐ| — contradiction.
+    Hence the inverted index posts only A-side PREFIX shingles (≈(1−t)
+    of each doc at t=0.9) against B's full stream. This is exact (no
+    recall loss) and it bounds the hot-key quadratic the raw
+    shared-shingle self-join had: a stop-word shingle's huge posting
+    list survives only on the B side; its A side holds just the docs
+    for which that shingle is among their rarest — join cost per key is
+    |prefixA(h)|·|fullB(h)|, not |post(h)|². (B has no symmetric length
+    filter — B may be much longer than A — so B-side pruning beyond the
+    prefix is impossible for containment.)
     """
     sh = (
         _spread(docs.select(F.col(id_col).alias("_id"), F.col(text_col)))
@@ -481,8 +489,20 @@ def containment_pairs(
     tokset = sh.groupBy("_id").agg(
         F.array_sort(F.collect_list("h")).alias("hs"), F.count("*").alias("n_sh")
     )
+    # Rarest-first prefix per A-doc, ordered by global shingle frequency
+    # (ties on the hash for determinism) — same index shape as
+    # string_sim_join's, but posted for the contained side only.
+    freq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("_id").orderBy("df", "h")
+    prefix_a = (
+        sh.join(freq, "h")
+        .join(sh.groupBy("_id").agg(F.count("*").alias("n")), "_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+        .select("_id", "h")
+    )
     cands = (
-        sh.alias("a")
+        prefix_a.alias("a")
         .join(sh.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a._id") != F.col("b._id")))
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()

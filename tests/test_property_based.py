@@ -186,3 +186,39 @@ def test_star_cc_equals_label_propagation(spark, edges):
     lp = {(r["doc_id"], r["cluster_id"]) for r in connected_components(df).collect()}
     star = {(r["doc_id"], r["cluster_id"]) for r in connected_components_star(df).collect()}
     assert star == lp
+
+
+def test_containment_prefix_filter_is_exact(spark):
+    """The one-sided prefix filter in containment_pairs must lose NO
+    pairs vs brute-force exact containment (it is a pruning bound, not
+    an approximation). Checked on a slice of the real documents table."""
+    import re
+
+    from finance_data_pipeline_spark.extensions.dedup import containment_pairs
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter("doc_id < 120")
+        .select("doc_id", "text")
+    )
+    rows = docs.collect()
+
+    def shingles(text, k=3):
+        toks = re.split(r"\s+", text.strip().lower())
+        if len(toks) >= k:
+            return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+        return {" ".join(toks)}
+
+    sets = {r["doc_id"]: shingles(r["text"]) for r in rows}
+    t = 0.9
+    expected = {
+        (a, b): round(len(sa & sets[b]) / len(sa), 6)
+        for a, sa in sets.items()
+        for b in sets
+        if a != b and len(sa & sets[b]) / len(sa) >= t
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(docs, threshold=t).collect()
+    }
+    assert got == expected
