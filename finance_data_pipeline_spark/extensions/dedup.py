@@ -366,10 +366,18 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 20) -> DataFrame
     return members.unionByName(roots).distinct()
 
 
-def dup_clusters(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
+def dup_clusters(
+    docs: DataFrame, threshold: float = 0.7, pairs: DataFrame | None = None
+) -> DataFrame:
     """X2f end-to-end: verified near-dup pairs → connected components.
-    Deterministic because the pair set is (exact Jaccard ≥ t decides)."""
-    pairs = near_dup_pairs(docs, threshold=threshold)
+    Deterministic because the pair set is (exact Jaccard ≥ t decides).
+
+    ``pairs`` accepts a precomputed verified pair set (id_a, id_b) so a
+    pipeline that already ran near_dup_pairs doesn't re-derive the
+    MinHash/LSH/verify stream (mirrors shingle_pairs_jaccard's
+    ``candidates=``). Default (None) computes it from ``docs``."""
+    if pairs is None:
+        pairs = near_dup_pairs(docs, threshold=threshold)
     return connected_components(pairs.select("id_a", "id_b"))
 
 
@@ -377,6 +385,7 @@ def training_corpus(
     docs: DataFrame,
     quality_threshold: float = 0.5,
     near_dup_threshold: float = 0.7,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Composed training-data cleaning pipeline (X1+X2+X4 in one query):
 
@@ -388,11 +397,17 @@ def training_corpus(
     The output is the deduplicated, quality-filtered corpus a pretrain
     pipeline would feed the tokenizer. Every stage is a bounded-key
     shuffle; nothing touches the driver.
+
+    ``clusters`` accepts a precomputed (doc_id, cluster_id) frame (the
+    dup_clusters output) so a pipeline that already clustered doesn't
+    re-run the embedded MinHash/LSH/verify/CC chain. Default (None)
+    computes it from ``docs``.
     """
     from finance_data_pipeline_spark.extensions.text import quality_score
 
     survivors = exact_dedup(docs).select("doc_id", "text")
-    clusters = dup_clusters(docs, threshold=near_dup_threshold)
+    if clusters is None:
+        clusters = dup_clusters(docs, threshold=near_dup_threshold)
     non_reps = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     quality = quality_score(docs).filter(
         F.col("quality_score") >= quality_threshold
