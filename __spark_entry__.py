@@ -49,58 +49,54 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-check priority: the driver's correctness pass covers a window
-# of queries in dict order (round 1 recorded exactly the first 50).
-# Round 1 drove the first 50 registry entries green (CORRECTNESS_r01);
-# round 2 fronts the remaining queries — the LLM-data-pipeline
-# extensions (X1-X6), streaming, as-of, and multi-grain aggregates — so
-# every component earns a driver row. Queries already driver-green in a
-# prior round rotate to the back.
+# of queries in dict order (rounds 1 and 2 each recorded exactly the
+# first 50). Rounds 1+2 drove 97 queries green (CORRECTNESS_r01/r02).
+# Round 3 fronts the 25 oracle-backed queries that have never been in a
+# driver window — ema_macd (round 1's only failure, full recursive-CTE
+# oracle since), the new ST2 sink query, the tier-2 extensions, and the
+# 6 remaining TPC-H analogues — then fills the window with round-1
+# greens for re-confirmation. Queries that can only record
+# err:"no_oracle" (rows-only by design) sit in _TAIL so they never burn
+# a correctness-window slot.
 _PRIORITY = [
-    # X1/X2 dedup family
-    "exact_dedup", "near_dup_pairs", "dup_clusters", "string_sim_join",
-    "ngram_sim_join", "simhash_pairs",
-    # X4 text analysis
-    "text_stats", "quality_score", "quality_cdf", "detect_language",
-    "doc_fingerprint", "token_totals_by_lang", "gopher_quality",
-    # X6 corpus curation
-    "corpus_split", "stratified_sample_by_lang", "decontaminated_corpus",
-    "training_corpus",
-    # X3/X2e embeddings
-    "embedding_stats", "ann_topk", "ann_topk_lsh", "ann_topk_ivf",
-    "cosine_dup_pairs", "cosine_dup_pairs_blocked", "intra_label_cosine",
-    # X5 multimodal
-    "media_manifest", "media_meta", "media_features", "media_frame_sample",
-    "media_resize",
-    # §2.10 streaming + event-time windows
-    "streaming_tumbling_daily", "streaming_dedup", "stateful_continuity",
-    "tumbling_daily", "sliding_window_events", "session_windows",
-    # event analytics / as-of / temporal versioning / features
-    "asof_join_events_bars", "scd2_price_bands", "events_json",
-    "vwap_daily", "ml_feature_matrix", "event_funnel", "user_retention",
-    "value_histogram", "value_percentiles",
-    # multi-grain aggregates
-    "segment_status_pivot", "segment_status_cube",
-    "segment_nation_grouping_sets", "multi_grain_rollup",
-    "orders_price_bands", "top_parts_per_brand",
-    # second tier: remaining driver-unchecked queries (past the round-1
-    # window); next in line if the driver checks more than 50
+    # --- never driver-checked, oracle-backed: these 25 fill the window's
+    # front so round 3 finishes 122/122 oracle-backed driver-green
+    "ema_macd", "streaming_upsert_stocks",
     "doc_chunks", "packed_sequences", "tfidf_top_terms",
     "heavy_hitters", "rolling_corr_30", "containment_pairs",
     "streaming_enriched_events", "incremental_daily_agg",
     "dup_degree_stats", "bpe_merge_candidates", "streaming_interval_join",
     "price_anomalies", "pii_scrub", "dup_clusters_star",
     "max_drawdown", "event_type_affinity",
-    "approx_user_counts", "approx_value_percentiles",
     "part_value_concentration", "priority_line_counts",
     "customer_order_distribution", "top_supplier_revenue",
     "small_qty_part_revenue", "sole_returning_supplier",
     "full_indicator_sweep",
+    # --- round-1 greens re-confirmed in the window's back half
+    "stocks_fixture", "bars_hourly_fixture", "max_date_per_symbol",
+    "distinct_symbols", "latest_close_per_symbol", "insert_ignore",
+    "upsert_merge", "incremental_boundary", "continuity_check",
+    "sma", "ma_warmup", "bollinger", "rsi_14", "daily_return",
+    "volatility_30", "volume_ma_20", "normalize_100",
+    "pairwise_correlation", "perf_summary", "dashboard_frame",
+    "quality_clean", "quality_flag", "quality_summary",
+    "pricing_summary", "revenue_by_nation",
+]
+
+# Rows-only by design (no SQL oracle; the driver records err:"no_oracle"
+# regardless of position) — keep them behind every oracle-backed query.
+_TAIL = [
+    "approx_user_counts", "approx_value_percentiles",
+    "ann_topk_ivf", "cosine_dup_pairs_blocked",
 ]
 
 
 def _ordered(mapping: dict) -> dict:
     out = {n: mapping[n] for n in _PRIORITY if n in mapping}
-    out.update({n: v for n, v in mapping.items() if n not in out})
+    out.update(
+        {n: v for n, v in mapping.items() if n not in out and n not in _TAIL}
+    )
+    out.update({n: mapping[n] for n in _TAIL if n in mapping})
     return out
 
 

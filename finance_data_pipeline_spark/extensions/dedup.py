@@ -168,7 +168,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
-    num_hashes: int = 63,
+    num_hashes: int = 126,
 ) -> DataFrame:
     """MinHash signature per document: num_hashes permutations via
     seeded rehash of a base shingle hash; signature[i] = min over
@@ -195,7 +195,7 @@ def minhash_signatures(
     )
 
 
-def lsh_candidates(signatures: DataFrame, bands: int = 21, rows: int = 3) -> DataFrame:
+def lsh_candidates(signatures: DataFrame, bands: int = 42, rows: int = 3) -> DataFrame:
     """Band the signatures and self-join on (band, bucket-hash).
 
     Bucket key is a hash of the band slice → fixed-width shuffle key.
@@ -229,19 +229,22 @@ def near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
-    num_hashes: int = 63,
-    bands: int = 21,
+    num_hashes: int = 126,
+    bands: int = 42,
     rows: int = 3,
 ) -> DataFrame:
     """X2 end-to-end: MinHash → LSH banding → candidate join → exact
     Jaccard verification → threshold. Output is deterministic (exact
     Jaccard decides; LSH only prunes the pair space).
 
-    Defaults (63 permutations, 21 bands × 3 rows) halve the dominant
-    signature-aggregate cost vs the textbook 126/42×3 at identical
-    verified output on measured corpora (band-miss ≤ 2.9e-7 at J=0.8;
-    real near-dup corpora cluster well above the 0.7 threshold). Raise
-    ``bands`` for corpora with mass near the threshold."""
+    Defaults are the textbook 126 permutations / 42 bands × 3 rows:
+    band-miss probability for a pair at exactly J=0.7 is ~2e-8, below
+    any plausible flake budget, so the oracle-checked registry entries
+    can treat the output as exact. Corpora whose duplicate mass sits
+    well above the threshold can halve the dominant signature-aggregate
+    cost with ``num_hashes=63, bands=21`` (band-miss ≤2.9e-7 at J=0.8
+    but ~1.5e-4 at J=0.7 — fast path only where that recall is
+    acceptable; bench.py does this explicitly)."""
     sigs = minhash_signatures(docs, id_col, text_col, k, num_hashes)
     cands = lsh_candidates(sigs, bands, rows)
     verified = shingle_pairs_jaccard(docs, id_col, text_col, k, candidates=cands)

@@ -91,23 +91,39 @@ def merge_daily_aggregate(existing_agg: DataFrame, new_events: DataFrame) -> Dat
     (see approx_value_percentiles) or a recompute. Correctness is
     oracle-checked: incremental over split halves ≡ one-shot aggregate
     (registry ``incremental_daily_agg``).
-    """
-    from finance_data_pipeline_spark.streaming import daily_event_aggregate
 
-    partial = daily_event_aggregate(new_events).select(
-        "day", "event_type", "n_events", "total_value"
+    For repeated refreshes keep the stored state in the DECIMAL form
+    (streaming.daily_event_state / merge_daily_state) — passing the
+    double presentation frame here costs one double→decimal cast, which
+    is exact only while totals stay under ~2^53/100.
+    """
+    from finance_data_pipeline_spark.streaming import present_daily_aggregate
+
+    return present_daily_aggregate(merge_daily_state(existing_agg, new_events))
+
+
+def merge_daily_state(existing_state: DataFrame, new_events: DataFrame) -> DataFrame:
+    """Decimal-state merge: fold a new event batch into the stored
+    (day, event_type) state, total_value staying DECIMAL(18,2)
+    throughout so chained refreshes never round-trip through double.
+    Accepts either the decimal state or the double presentation frame
+    (cast once on entry)."""
+    from finance_data_pipeline_spark.streaming import daily_event_state
+
+    partial = daily_event_state(new_events)
+    base = existing_state.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("decimal(18,2)").alias("total_value"),
     )
-    base = existing_agg.select("day", "event_type", "n_events", "total_value")
     return (
         base.unionByName(partial)
         .groupBy("day", "event_type")
         .agg(
             F.sum("n_events").alias("n_events"),
-            # Re-sum through decimal: keeps the merge exact and
-            # order-independent, same rule as the base aggregate.
-            F.sum(F.col("total_value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            F.sum("total_value").cast("decimal(18,2)").alias("total_value"),
         )
-        .withColumn("avg_value", F.round(F.col("total_value") / F.col("n_events"), 6))
     )
 
 

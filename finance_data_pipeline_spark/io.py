@@ -12,6 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from finance_data_pipeline_spark.schemas import DRIVER_TABLES, RENAME_MAP, STOCKS
 
@@ -139,7 +140,14 @@ def read_csv_permissive(
     explicit schema is mandatory: inference both costs a second scan
     and masks corruption by widening types to string.
     """
-    full = schema.add(corrupt_col, "string") if corrupt_col not in schema.names else schema
+    # Copy before extending: StructType.add mutates (and returns) the
+    # receiver, so extending the caller's schema in place would leak a
+    # _corrupt_record field into later reuses of that object (e.g. a
+    # strict FAILFAST read with the same schema).
+    if corrupt_col not in schema.names:
+        full = T.StructType(list(schema.fields)).add(corrupt_col, "string")
+    else:
+        full = schema
     return (
         spark.read.option("header", "true")
         .option("mode", "PERMISSIVE")
@@ -168,7 +176,16 @@ def zorder_value(cols: list, bits: int = 16):
     """Z-order (Morton) curve value over pre-quantized non-negative int
     columns: interleaves the low ``bits`` bits of each column so rows
     close in EVERY dimension get close z-values. Pure codegen bit math.
+
+    ``bits * len(cols)`` must stay within the 63 value bits of a signed
+    long — bit 63 is the sign, and setting it silently inverts the
+    z-order for affected rows.
     """
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"bits={bits} over {len(cols)} columns needs {bits * len(cols)} "
+            "interleaved bits; a signed long holds 63 — lower bits."
+        )
     z = F.lit(0).cast("long")
     for b in range(bits):
         for i, c in enumerate(cols):

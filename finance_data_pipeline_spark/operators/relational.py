@@ -129,6 +129,7 @@ def salted_join(
     key: str,
     salt: int = 8,
     how: str = "inner",
+    row_mix: bool = False,
 ) -> DataFrame:
     """Skew-resistant equi join: the skewed (left) side gets a per-row
     salt in [0, salt); the right side is replicated once per salt value;
@@ -144,8 +145,19 @@ def salted_join(
     same reproducibility rule the sampling module keys on. Costs a
     `salt`× replication of the right side — keep the replicated side
     the small one.
+
+    Limitation of the default whole-row-hash salt: FULLY IDENTICAL
+    duplicate rows (a common shape of a pathological hot key) all hash
+    to the same salt and still land in one partition. Pass
+    ``row_mix=True`` to mix a per-row physical id into the salt, which
+    spreads identical rows too — at the explicit cost of layout
+    dependence (row placement, not the JOIN RESULT, varies with input
+    partitioning; result rows are identical either way).
     """
-    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    salt_src = [F.col(c) for c in left.columns]
+    if row_mix:
+        salt_src.append(F.monotonically_increasing_id())
+    salt_col = F.pmod(F.xxhash64(*salt_src), F.lit(salt))
     salted_l = left.withColumn("_salt", salt_col)
     salted_r = right.join(
         F.broadcast(

@@ -2611,6 +2611,64 @@ def q_stateful_continuity(spark, sf_dir):
 
 
 @query(
+    "streaming_upsert_stocks",
+    f"""WITH {STOCKS},
+old AS (SELECT symbol, date, open, high, low, close, volume, 0 AS _src
+        FROM stocks WHERE date <= DATE '{CUTOFF}'),
+new AS (SELECT symbol, date, open, high, low, round(close * 1.5, 6) AS close, volume, 1 AS _src
+        FROM stocks WHERE date BETWEEN DATE '{OVERLAP_LO}' AND DATE '{OVERLAP_HI}'),
+u AS (SELECT *, row_number() OVER (PARTITION BY symbol, date ORDER BY _src DESC) AS rn
+      FROM (SELECT * FROM old UNION ALL SELECT * FROM new))
+SELECT symbol, date, open, high, low, close, volume FROM u WHERE rn = 1""",
+)
+def q_streaming_upsert_stocks(spark, sf_dir):
+    """ST2 — the foreachBatch upsert SINK itself (streaming/
+    pipeline.py stream_ingest_stocks; reference EP1's per-day refetch
+    loop, fetch_and_store_multi.py:218-240): two deterministic
+    micro-batches — the pre-CUTOFF history, then a corrected re-emit of
+    the overlap window (close × 1.5, the upsert_merge frames) — flow
+    through the partition-scoped read-merge-dynamic-overwrite sink into
+    a parquet store, and the store READ BACK is the result. Oracle =
+    the equivalent batch J5 merge (identical SQL to upsert_merge):
+    proves the incremental sink converges to the one-shot merge.
+    Micro-batch order is pinned by file mtimes + maxFilesPerTrigger=1,
+    same staging trick as stateful_continuity."""
+    import os
+    import tempfile
+    import uuid
+
+    from finance_data_pipeline_spark.streaming import stream_ingest_stocks
+
+    s = _stocks(spark, sf_dir)
+    batch1 = s.filter(F.col("date") <= _date(CUTOFF))
+    batch2 = s.filter(F.col("date").between(_date(OVERLAP_LO), _date(OVERLAP_HI))).withColumn(
+        "close", F.round(F.col("close") * 1.5, 6)
+    )
+    staged = tempfile.mkdtemp(prefix=f"fdps_upsrc_{uuid.uuid4().hex[:8]}_")
+    batch1.coalesce(1).write.mode("overwrite").parquet(staged)
+    first = {f for f in os.listdir(staged) if not f.startswith(("_", "."))}
+    batch2.coalesce(1).write.mode("append").parquet(staged)
+    for f in os.listdir(staged):
+        if f.startswith(("_", ".")):
+            continue
+        t = 1_000_000_000 if f in first else 2_000_000_000
+        os.utime(os.path.join(staged, f), (t, t))
+    store = os.path.join(tempfile.mkdtemp(prefix="fdps_upstore_"), "store")
+    sdf = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    q = stream_ingest_stocks(
+        sdf, store, tempfile.mkdtemp(prefix="fdps_ckpt_"), trigger_available_now=True
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(store).select(
+        "symbol", "date", "open", "high", "low", "close", "volume"
+    )
+
+
+@query(
     "value_percentiles",
     """SELECT event_type,
   count(*) AS n,

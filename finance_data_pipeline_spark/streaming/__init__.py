@@ -1,8 +1,10 @@
 from finance_data_pipeline_spark.streaming.pipeline import (
     daily_event_aggregate,
+    daily_event_state,
     dedup_in_stream,
     enrich_stream,
     interval_join_streams,
+    present_daily_aggregate,
     stateful_continuity,
     stream_events,
     stream_ingest_stocks,
@@ -13,6 +15,8 @@ __all__ = [
     "stream_events",
     "streaming_daily_aggregate",
     "daily_event_aggregate",
+    "daily_event_state",
+    "present_daily_aggregate",
     "dedup_in_stream",
     "enrich_stream",
     "interval_join_streams",

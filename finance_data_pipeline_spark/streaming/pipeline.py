@@ -33,9 +33,13 @@ def stream_events(spark: SparkSession, path_glob: str) -> DataFrame:
     return spark.readStream.schema(EVENTS_SCHEMA).parquet(path_glob)
 
 
-def daily_event_aggregate(events: DataFrame) -> DataFrame:
-    """Tumbling one-day window per event_type: count + value stats.
-    Shared by batch and streaming (identical plan → equivalence test)."""
+def daily_event_state(events: DataFrame) -> DataFrame:
+    """Mergeable aggregate STATE for the (day, event_type) daily rollup:
+    ``total_value`` stays DECIMAL(18,2). Keeping the state decimal is
+    what makes repeated incremental merges exact — a double round-trip
+    per refresh loses exactness once a total exceeds ~2^53/100 and the
+    drift compounds across refreshes. Cast to double only at
+    presentation (present_daily_aggregate)."""
     return (
         events.groupBy(
             F.window("ts", "1 day").alias("win"), F.col("event_type")
@@ -45,17 +49,31 @@ def daily_event_aggregate(events: DataFrame) -> DataFrame:
             # Sum in decimal so the result is exact (order-independent)
             # regardless of partial-aggregation order — bit-identical to
             # any other engine's decimal sum of the same values.
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_value"),
         )
-        .withColumn("avg_value", F.round(F.col("total_value") / F.col("n_events"), 6))
         .select(
             F.col("win.start").alias("day"),
             "event_type",
             "n_events",
             "total_value",
-            "avg_value",
         )
     )
+
+
+def present_daily_aggregate(state: DataFrame) -> DataFrame:
+    """Presentation projection over the decimal state: double
+    total_value + derived avg_value."""
+    return (
+        state.withColumn("total_value", F.col("total_value").cast("double"))
+        .withColumn("avg_value", F.round(F.col("total_value") / F.col("n_events"), 6))
+        .select("day", "event_type", "n_events", "total_value", "avg_value")
+    )
+
+
+def daily_event_aggregate(events: DataFrame) -> DataFrame:
+    """Tumbling one-day window per event_type: count + value stats.
+    Shared by batch and streaming (identical plan → equivalence test)."""
+    return present_daily_aggregate(daily_event_state(events))
 
 
 def streaming_daily_aggregate(events: DataFrame, watermark: str = "1 day") -> DataFrame:

@@ -189,8 +189,19 @@ def test_foreachbatch_upsert_is_partition_scoped(spark, tmp_path):
     stream_ingest_stocks(sdf, store, ckpt).awaitTermination(300)
 
     def part_files(sym):
+        """File list + mtime + content digest: untouched partitions must
+        survive a later batch byte-identical, not just same-named."""
+        import hashlib
+
         d = os.path.join(store, f"symbol={sym}")
-        return {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d) if f.endswith(".parquet")}
+        out = {}
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                p = os.path.join(d, f)
+                with open(p, "rb") as fh:
+                    digest = hashlib.md5(fh.read()).hexdigest()
+                out[f] = (os.path.getmtime(p), digest)
+        return out
 
     keep_before = part_files(s_keep)
     assert keep_before, "store must be partitioned by symbol"
