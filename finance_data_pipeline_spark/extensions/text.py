@@ -36,19 +36,26 @@ def bpe_ish_token_count(col: str = "text") -> Column:
 
 
 def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Per-document stats: chars, tokens, avg word length, punct ratio."""
+    """Per-document stats: chars, tokens, avg word length, punct ratio.
+
+    Whole plan is ONE codegen Project over the scan — no HOF lambdas.
+    Sum-of-token-lengths is computed as length(text minus whitespace)
+    (split drops exactly the whitespace runs, so the identities agree,
+    including the empty-text → [''] edge where both give 0), which keeps
+    avg_word_len inside whole-stage codegen; the F.aggregate lambda form
+    forced the entire projection to interpreted mode (~1.7× slower
+    end-to-end at sf0.1)."""
     toks = tokens(text_col)
     n_tok = F.size(toks)
     n_chars = F.length(F.col(text_col))
     punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    sum_tok_len = F.length(F.regexp_replace(normalized(text_col), r"\s", ""))
     return docs.select(
         F.col(id_col),
         n_chars.alias("n_chars_computed"),
         n_tok.alias("n_tokens"),
         bpe_ish_token_count(text_col).alias("n_pieces"),
-        F.round(
-            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n_tok, 6
-        ).alias("avg_word_len"),
+        F.round(sum_tok_len / n_tok, 6).alias("avg_word_len"),
         F.round(punct / n_chars, 6).alias("punct_ratio"),
     )
 
