@@ -72,14 +72,17 @@ _PRIORITY = [
     "customer_order_distribution", "top_supplier_revenue",
     "small_qty_part_revenue", "sole_returning_supplier",
     "full_indicator_sweep",
+    # --- new round-3 operators (full oracles), first driver check
+    "semantic_dedup", "dedup_keep_best",
+    "repeated_ngram_spans", "contamination_overlap",
     # --- round-1 greens re-confirmed in the window's back half
-    "stocks_fixture", "bars_hourly_fixture", "max_date_per_symbol",
+    "stocks_fixture", "max_date_per_symbol",
     "distinct_symbols", "latest_close_per_symbol", "insert_ignore",
     "upsert_merge", "incremental_boundary", "continuity_check",
     "sma", "ma_warmup", "bollinger", "rsi_14", "daily_return",
-    "volatility_30", "volume_ma_20", "normalize_100",
+    "volatility_30", "volume_ma_20",
     "pairwise_correlation", "perf_summary", "dashboard_frame",
-    "quality_clean", "quality_flag", "quality_summary",
+    "quality_clean",
     "pricing_summary", "revenue_by_nation",
 ]
 

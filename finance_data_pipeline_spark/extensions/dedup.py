@@ -469,6 +469,170 @@ def decontaminate(
     return train.join(contaminated, id_col, "left_anti").select(id_col)
 
 
+def contamination_scores(
+    docs: DataFrame,
+    bench_nibble: str = "f",
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Scored contamination (the graded companion to ``decontaminate``'s
+    binary drop): for every training doc, the fraction of its DISTINCT
+    k-word shingles that also occur anywhere in the held-out benchmark
+    slice — the overlap statistic eval-contamination reports actually
+    publish, where a pipeline picks a cut-off instead of dropping on
+    any single shared n-gram.
+
+    Scale path mirrors ``decontaminate``: both sides are filtered
+    BEFORE shingling, shingles travel as engine-portable 60-bit longs
+    (md5_token_hash), and the benchmark shingle set is distinct-ed
+    before the join (benchmark ≪ train, so it is the small side — at
+    real scale it is the eval suite, a fixed few million shingles that
+    AQE turns into a broadcast). One LEFT join carries a membership
+    flag so n_shingles and overlap_shingles come out of a single pass
+    over the train shingle stream — no second explode.
+
+    Reference parity: generalizes fetch-pipeline hygiene checks
+    (reference fetch_and_store.py validation pass) to the corpus level.
+    Returns (doc_id, n_shingles, overlap_shingles, overlap_frac).
+    """
+    nib = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    is_bench = nib == bench_nibble
+
+    def shingle_stream(side: DataFrame) -> DataFrame:
+        return side.select(
+            F.col(id_col), F.explode(word_shingles(text_col, k)).alias("_sh")
+        ).select(id_col, md5_token_hash("_sh").alias("_h"))
+
+    bench_sh = (
+        shingle_stream(_spread(docs.filter(is_bench)))
+        .select("_h")
+        .distinct()
+        .withColumn("_m", F.lit(1))
+    )
+    train_sh = shingle_stream(_spread(docs.filter(~is_bench)))
+    return (
+        train_sh.join(bench_sh, "_h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce("_m", F.lit(0)).cast("long")).alias("overlap_shingles"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "overlap_shingles",
+            F.round(F.col("overlap_shingles") / F.col("n_shingles"), 6).alias(
+                "overlap_frac"
+            ),
+        )
+    )
+
+
+def repeated_ngram_stats(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-duplication diagnostics (the corpus statistic
+    behind suffix-array substring dedup, Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    length-``n`` token window of every doc — WITH positions and
+    multiplicity, unlike the distinct shingle sets the Jaccard family
+    uses — is duplicated iff the same n-gram occurs at ≥2 (doc, pos)
+    locations corpus-wide (within-doc repeats count). Per doc:
+    (n_grams, dup_grams, dup_fraction) — the span-level dup mass a
+    pipeline reads before deciding to run span removal. Docs shorter
+    than ``n`` tokens have no windows → (0, 0, 0.0).
+
+    Scale: the positioned gram stream shuffles as 64-bit xxhash longs
+    (gram text never leaves the first projection). Global occurrence
+    counts come from a count() window over the gram hash — ONE shuffle
+    keyed on the hash serves both the count and the per-row flag (a
+    groupBy+rejoin would shuffle the stream twice) — then one
+    map-side-combined groupBy(doc) folds the flags. No driver state,
+    no pairwise joins: cost is linear in total token count at any
+    corpus size (the suffix-array approach this approximates is
+    superlinear to build and not partition-friendly).
+    """
+    toks = tokens(text_col)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), cnt - n)
+    grams = F.when(
+        cnt >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    g = (
+        _spread(docs.select(F.col(id_col).alias("_id"), F.col(text_col)))
+        .select("_id", F.explode(grams).alias("_gram"))
+        .select("_id", F.xxhash64("_gram").alias("_h"))
+    )
+    w = Window.partitionBy("_h")
+    per = (
+        g.withColumn("_c", F.count("*").over(w))
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("_c") >= 2).cast("long")).alias("dup_grams"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"),
+            F.round(
+                F.coalesce("dup_grams", F.lit(0))
+                / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    clusters: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cluster-representative selection by QUALITY instead of min-id:
+    within each near-dup cluster keep the highest-quality_score doc
+    (ties → lowest doc_id); docs in no cluster keep themselves. This is
+    the dedup policy production corpora actually want — min-id keeps
+    whichever copy crawled first; keep-best keeps the cleanest copy.
+
+    ``clusters`` accepts a precomputed (doc_id, cluster_id) frame (the
+    dup_clusters output) like training_corpus does, so a pipeline that
+    already clustered doesn't re-run MinHash/LSH/verify/CC. Costs one
+    per-cluster window (clusters are tiny — bounded by near-dup group
+    size) plus one anti-join for the singleton complement.
+    Returns kept (doc_id, cluster_id); singleton cluster_id = doc_id.
+    """
+    from finance_data_pipeline_spark.extensions.text import quality_score
+
+    if clusters is None:
+        clusters = dup_clusters(docs, threshold=threshold)
+    q = quality_score(docs, id_col, text_col)
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality_score"), id_col)
+    reps = (
+        clusters.join(q, id_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cluster_id")
+    )
+    singles = (
+        docs.select(id_col)
+        .join(clusters.select(id_col), id_col, "left_anti")
+        .select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    )
+    return reps.unionByName(singles)
+
+
 def containment_pairs(
     docs: DataFrame,
     threshold: float = 0.9,

@@ -362,6 +362,79 @@ def cosine_dup_pairs_blocked(
     return _blocked_gemm_pairs(vectors, threshold, id_col, vec_col, n_blocks)
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    k_centroids: int = 8,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): bucket
+    embeddings by nearest centroid, then within each bucket drop every
+    vector that has a lower-id neighbor with cosine ≥ threshold — the
+    greedy keep-first policy the paper uses, which never compares
+    vectors across buckets (that IS the approximation: k-means-bucketed
+    SemDeDup trades the all-pairs N² for k · (N/k)² work).
+
+    ``centroids`` accepts trained k-means centroids (cid, vector); the
+    default derives a deterministic stand-in — the ``k_centroids``
+    lowest-id vectors — so the operator is a pure function of its input
+    and therefore fully SQL-oracle-checkable end to end (assignment
+    argmax ties break to the lowest centroid id; all cosines rounded to
+    6 dp before comparison on both engines).
+
+    Scale shape: centroids broadcast (k rows); assignment is one
+    broadcast crossJoin + map-side-combined max_by — no shuffle of the
+    vector stream beyond its scan partitioning. The intra-bucket join
+    shuffles once on cluster_id; per-bucket pair count is (N/k)², so k
+    is the knob — SemDeDup at production scale runs k ≈ 0.1–1% of N,
+    keeping buckets in the hundreds. Adversarially skewed buckets fall
+    back to the per-bucket GEMM kernel (cosine_dup_pairs_blocked's
+    _blocked_gemm_pairs run per cluster) — same output, BLAS inner
+    loop. Returns kept (vec_id, cluster_id) rows.
+    """
+    v = _spread(
+        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_e"))
+    )
+    if centroids is None:
+        centroids = vectors.filter(F.col(id_col) < k_centroids).select(
+            F.col(id_col).alias("_cid"), F.col(vec_col).alias("_ce")
+        )
+    else:
+        centroids = centroids.select(
+            F.col(centroids.columns[0]).alias("_cid"),
+            F.col(centroids.columns[1]).alias("_ce"),
+        )
+    scored = v.crossJoin(F.broadcast(centroids)).select(
+        "_id", "_e", "_cid", F.round(cosine("_e", "_ce"), 6).alias("_sim")
+    )
+    # argmax(sim), ties → lowest cid: maximize the (sim, -cid) struct.
+    assigned = scored.groupBy("_id").agg(
+        F.max_by(
+            "_cid", F.struct(F.col("_sim"), (-F.col("_cid")).alias("_neg"))
+        ).alias("cluster_id"),
+        F.first("_e").alias("_e"),
+    )
+    a = assigned.select(
+        F.col("_id").alias("id_a"), "cluster_id", F.col("_e").alias("_ea")
+    )
+    b = assigned.select(
+        F.col("_id").alias("id_b"), "cluster_id", F.col("_e").alias("_eb")
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine("_ea", "_eb"), 6) >= threshold)
+        .select(F.col("id_b").alias("_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, "_id", "left_anti")
+        .select(F.col("_id").alias(id_col), "cluster_id")
+    )
+
+
 def embedding_stats(vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Vector hygiene scan: dimensionality + L2 norm per vector (the
     validation pass a 100 TB embedding ingest runs before indexing)."""

@@ -3026,6 +3026,33 @@ def q_dup_clusters_star(spark, sf_dir):
     return dedup.connected_components_star(pairs.select("id_a", "id_b"))
 
 
+@query(
+    "repeated_ngram_spans",
+    r"""WITH norm AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+  FROM documents),
+g AS (SELECT doc_id, unnest(CASE WHEN len(words) >= 8
+        THEN [array_to_string(words[i:i+7], ' ') for i in range(1, len(words) - 6)]
+        ELSE [] END) AS gram FROM norm),
+counts AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+per AS (SELECT doc_id, count(*) AS n_grams,
+        CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams
+        FROM g JOIN counts USING (gram) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(per.n_grams, 0) AS n_grams,
+       coalesce(per.dup_grams, 0) AS dup_grams,
+       round(coalesce(per.dup_grams, 0) * 1.0
+             / greatest(coalesce(per.n_grams, 0), 1), 6) AS dup_fraction
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""",
+)
+def q_repeated_ngram_spans(spark, sf_dir):
+    """X2+ — positioned 8-token-window duplication diagnostics (the
+    substring-dedup statistic of Lee et al. 2021, computed with
+    multiplicity, unlike the distinct-shingle Jaccard family). See
+    dedup.repeated_ngram_stats."""
+    return dedup.repeated_ngram_stats(table(spark, sf_dir, "documents"), n=8)
+
+
 _TOKENS_CTE = f"""{_NORM_CTE},
 tokset AS (SELECT doc_id, list_distinct(words) AS toks FROM norm),
 tok AS (SELECT doc_id, unnest(toks) AS t FROM tokset)"""
@@ -3350,6 +3377,30 @@ def q_quality_score(spark, sf_dir):
 
 
 @query(
+    "dedup_keep_best",
+    f"""WITH RECURSIVE {_NEAR_PAIRS_CTE},
+{_CLUSTERS_SQL_TAIL},
+q AS (SELECT doc_id, {_QSCORE_SQL} AS quality_score FROM norm),
+reps AS (SELECT doc_id, cluster_id FROM (
+  SELECT c.doc_id, c.cluster_id,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality_score DESC, c.doc_id) AS rn
+  FROM cc c JOIN q ON c.doc_id = q.doc_id) WHERE rn = 1)
+SELECT doc_id, cluster_id FROM reps
+UNION ALL
+SELECT d.doc_id, d.doc_id AS cluster_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM cc)""",
+)
+def q_dedup_keep_best(spark, sf_dir):
+    """X2f+X4 composed — quality-aware dedup policy: per near-dup
+    cluster keep the highest-quality_score member instead of the lowest
+    id (min-id keeps whichever copy crawled first; keep-best keeps the
+    cleanest copy — the policy production corpora actually want). Both
+    engines break ties on doc_id. See dedup.dedup_keep_best."""
+    return dedup.dedup_keep_best(table(spark, sf_dir, "documents"), threshold=0.7)
+
+
+@query(
     "quality_cdf",
     f"""WITH {_NORM_CTE},
 qs AS (SELECT doc_id, {_QSCORE_SQL} AS quality_score FROM norm),
@@ -3423,6 +3474,29 @@ def q_decontaminated_corpus(spark, sf_dir):
     shuffle as 60-bit longs; the benchmark shingle set is distinct-ed
     before the semi-join. See dedup.decontaminate."""
     return dedup.decontaminate(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "contamination_overlap",
+    f"""WITH {_SHINGLES_CTE},
+bsh AS (SELECT DISTINCT s.sh FROM sh s
+        WHERE substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 1) = 'f'),
+tsh AS (SELECT s.doc_id, s.sh FROM sh s
+        WHERE substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 1) <> 'f')
+SELECT doc_id, n_shingles, overlap_shingles,
+       round(overlap_shingles * 1.0 / n_shingles, 6) AS overlap_frac
+FROM (SELECT doc_id, count(*) AS n_shingles,
+             CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS overlap_shingles
+      FROM tsh LEFT JOIN bsh b ON tsh.sh = b.sh GROUP BY doc_id)""",
+)
+def q_contamination_overlap(spark, sf_dir):
+    """X6+ — SCORED contamination: per training doc, the fraction of
+    its distinct 3-word shingles present anywhere in the held-out
+    benchmark slice — the graded statistic behind decontaminated_corpus'
+    binary drop (pipelines cut on a threshold of this curve). See
+    dedup.contamination_scores."""
+    return dedup.contamination_scores(table(spark, sf_dir, "documents"))
 
 
 @query(
@@ -3637,6 +3711,41 @@ def q_intra_label(spark, sf_dir):
     ≤200 vectors per label — the self-join pair count is bounded at any
     corpus size; the oracle replays the identical cap window."""
     return similarity.pairwise_label_cosine(table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "semantic_dedup",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+scored AS (
+  SELECT v.vec_id, c.cid,
+         round(list_dot_product(v.e, c.ce)
+               / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))), 6)
+           AS sim
+  FROM v CROSS JOIN c),
+assigned AS (SELECT vec_id, cid AS cluster_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+  FROM scored) WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id JOIN v vb ON vb.vec_id = b.vec_id
+  WHERE round(list_dot_product(va.e, vb.e)
+              / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))), 6)
+        >= 0.45)
+SELECT vec_id, cluster_id FROM assigned
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""",
+)
+def q_semantic_dedup(spark, sf_dir):
+    """X2e+X3 composed — SemDeDup (Abbas et al. 2023): nearest-centroid
+    bucketing then greedy intra-bucket cosine pruning, with
+    deterministic stand-in centroids (lowest-id vectors) so the
+    approximate algorithm is still a pure function of its input and
+    fully oracle-checked. See similarity.semantic_dedup."""
+    return similarity.semantic_dedup(
+        table(spark, sf_dir, "embeddings"), k_centroids=8, threshold=0.45
+    )
 
 
 @query(

@@ -1,0 +1,160 @@
+"""Semantic invariants for the round-3 operators (beyond the oracle
+parity the mini-driver already enforces): SemDeDup greedy policy,
+keep-best dedup policy, positioned n-gram duplication, and scored
+contamination — each checked on constructed inputs where the expected
+answer is known by hand.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from finance_data_pipeline_spark.extensions import dedup, similarity, text
+from finance_data_pipeline_spark.io import table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return table(spark, SF_DIR, "documents").cache()
+
+
+# --- semantic_dedup -------------------------------------------------------
+
+
+def test_semantic_dedup_drops_exact_clones_keeps_lowest_id(spark):
+    """Two identical vectors in the same bucket → the higher id drops;
+    an orthogonal vector survives regardless of bucket."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (10, [1.0, 0.0, 0.0, 0.0]),  # clone of 0 → same bucket, dropped
+        (11, [0.0, 0.0, 1.0, 0.0]),  # orthogonal → kept
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = similarity.semantic_dedup(vecs, k_centroids=2, threshold=0.9)
+    got = {r.vec_id: r.cluster_id for r in kept.collect()}
+    assert 10 not in got
+    assert set(got) == {0, 1, 11}
+    assert got[0] == 0 and got[1] == 1
+
+
+def test_semantic_dedup_never_compares_across_buckets(spark):
+    """Clones assigned to different buckets both survive (the documented
+    SemDeDup approximation): vectors equal to distinct centroids are
+    clones of nothing in their own bucket."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (5, [0.8, 0.2]),  # bucket 0; cos(0,5)=0.97 < 0.99
+        (6, [0.2, 0.8]),  # bucket 1; cos(5,6)=0.47
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = similarity.semantic_dedup(vecs, k_centroids=2, threshold=0.99)
+    assert kept.count() == 4
+
+
+def test_semantic_dedup_accepts_trained_centroids(spark):
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.99])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(100, [0.0, 1.0])], "cid long, vector array<double>"
+    )
+    kept = similarity.semantic_dedup(vecs, threshold=0.999, centroids=cents)
+    got = {r.vec_id: r.cluster_id for r in kept.collect()}
+    # All assigned to the single trained centroid; 2 is a near-clone of 1.
+    assert got == {0: 100, 1: 100}
+
+
+# --- dedup_keep_best ------------------------------------------------------
+
+
+def test_dedup_keep_best_prefers_quality_over_id(spark):
+    """Within one near-dup cluster the higher-quality doc wins even
+    with the larger id; singletons keep themselves."""
+    base = (
+        "the quick data row filter join merge sort window batch stream "
+        "spark table scan key value group agg part line"
+    )
+    rows = [
+        (1, base + " !!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!"),  # punct-heavy twin
+        (2, base),  # clean twin → higher quality, larger id
+        (9, "completely unrelated text about nothing shared at all here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    clusters = dedup.dup_clusters(docs, threshold=0.5)
+    kept = dedup.dedup_keep_best(docs, clusters=clusters)
+    got = {r.doc_id: r.cluster_id for r in kept.collect()}
+    assert 2 in got and 1 not in got, got
+    assert got[9] == 9
+    q = {r.doc_id: r.quality_score for r in text.quality_score(docs).collect()}
+    assert q[2] > q[1]
+
+
+def test_dedup_keep_best_partitions_corpus(spark, docs):
+    """Kept set has exactly one representative per cluster plus every
+    singleton — total = clusters + singletons."""
+    clusters = dedup.dup_clusters(docs, threshold=0.7).cache()
+    kept = dedup.dedup_keep_best(docs, clusters=clusters)
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    n_clustered = clusters.count()
+    n_docs = docs.count()
+    assert kept.count() == n_docs - n_clustered + n_clusters
+    # Every kept clustered doc is a member of the cluster it represents;
+    # every kept singleton represents itself.
+    reps = kept.join(clusters.select("doc_id").distinct(), "doc_id", "left_semi")
+    assert reps.join(clusters, ["doc_id", "cluster_id"], "left_anti").count() == 0
+    singles = kept.join(clusters.select("doc_id"), "doc_id", "left_anti")
+    assert singles.filter(F.col("doc_id") != F.col("cluster_id")).count() == 0
+
+
+# --- repeated_ngram_stats -------------------------------------------------
+
+
+def test_repeated_ngram_stats_counts_positions_with_multiplicity(spark):
+    """'a b c d a b c d a b c d' with n=4: 9 windows, the repeated ones
+    duplicated; a short doc gets (0, 0, 0.0); a cross-doc repeat of the
+    same 4-gram marks both docs."""
+    rows = [
+        (1, "a b c d " * 3),            # 12 tokens → 9 windows, all dup
+        (2, "x y z"),                    # < 4 tokens → no windows
+        (3, "p q r s unique tail here"), # 4 windows, 'p q r s' shared w/ 4
+        (4, "p q r s other words differ"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.repeated_ngram_stats(docs, n=4).collect()}
+    assert out[2].n_grams == 0 and out[2].dup_grams == 0 and out[2].dup_fraction == 0.0
+    assert out[1].n_grams == 9
+    # every window of doc 1 recurs within the doc (period-4 repetition)
+    assert out[1].dup_grams == 9 and out[1].dup_fraction == 1.0
+    assert out[3].n_grams == 4 and out[3].dup_grams == 1
+    assert out[4].dup_grams == 1
+    assert out[3].dup_fraction == 0.25
+
+
+def test_repeated_ngram_stats_covers_all_docs(spark, docs):
+    out = dedup.repeated_ngram_stats(docs, n=8)
+    assert out.count() == docs.count()
+    assert out.filter("dup_fraction < 0 or dup_fraction > 1").count() == 0
+
+
+# --- contamination_scores -------------------------------------------------
+
+
+def test_contamination_scores_bounds_and_consistency(spark, docs):
+    """Scores sit in [0,1]; docs the binary decontaminate keeps are
+    exactly the docs with overlap_frac = 0 (same shingle machinery)."""
+    scores = dedup.contamination_scores(docs).cache()
+    assert scores.filter("overlap_frac < 0 or overlap_frac > 1").count() == 0
+    zero = {r.doc_id for r in scores.filter("overlap_shingles = 0").collect()}
+    kept = {r.doc_id for r in dedup.decontaminate(docs).collect()}
+    assert zero == kept
+    # covers every training (non-bench) doc
+    n_train = docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) != "f"
+    ).count()
+    assert scores.count() == n_train
