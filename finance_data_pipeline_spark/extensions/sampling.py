@@ -77,3 +77,45 @@ def stratified_hash_sample(
             (F.col(stratum_col) == stratum) & keep_fraction(key_col, sixteenths)
         )
     return df.filter(cond)
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int = 2000,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-first token-budget fill: per language, take documents in
+    descending quality_score order (ties → lowest doc_id) until the
+    running token total would exceed ``budget_tokens`` — the selection
+    step that builds a fixed-size pretraining mix ("give me the best
+    N billion tokens per language") instead of a fixed fraction.
+
+    Deterministic and fully oracle-checkable: ordering is (rounded
+    quality, doc_id); the cumulative sum is an integer token count.
+    Scale shape: one window per language — a per-stratum sort, same
+    cost class as the other per-key windows here; at extreme per-
+    language volume you'd first drop below a quality threshold read
+    off quality_cdf, then budget-fill the survivors, so the sorted set
+    is orders of magnitude smaller than the corpus.
+
+    Returns (doc_id, lang, n_tokens, cum_tokens) for kept docs.
+    """
+    from pyspark.sql import Window
+
+    from finance_data_pipeline_spark.extensions.text import token_count, quality_score
+
+    base = docs.select(
+        F.col(id_col), F.col(lang_col), token_count(text_col).cast("long").alias("n_tokens")
+    ).join(quality_score(docs, id_col, text_col), id_col)
+    w = (
+        Window.partitionBy(lang_col)
+        .orderBy(F.desc("quality_score"), id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select(id_col, lang_col, "n_tokens", "cum_tokens")
+    )

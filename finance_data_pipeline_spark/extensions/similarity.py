@@ -406,16 +406,7 @@ def semantic_dedup(
             F.col(centroids.columns[0]).alias("_cid"),
             F.col(centroids.columns[1]).alias("_ce"),
         )
-    scored = v.crossJoin(F.broadcast(centroids)).select(
-        "_id", "_e", "_cid", F.round(cosine("_e", "_ce"), 6).alias("_sim")
-    )
-    # argmax(sim), ties → lowest cid: maximize the (sim, -cid) struct.
-    assigned = scored.groupBy("_id").agg(
-        F.max_by(
-            "_cid", F.struct(F.col("_sim"), (-F.col("_cid")).alias("_neg"))
-        ).alias("cluster_id"),
-        F.first("_e").alias("_e"),
-    )
+    assigned = _assign_to_centroids(v, centroids)
     a = assigned.select(
         F.col("_id").alias("id_a"), "cluster_id", F.col("_e").alias("_ea")
     )
@@ -432,6 +423,94 @@ def semantic_dedup(
     return (
         assigned.join(dropped, "_id", "left_anti")
         .select(F.col("_id").alias(id_col), "cluster_id")
+    )
+
+
+def _assign_to_centroids(v: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment by cosine (rounded to 6 dp; argmax
+    ties → lowest centroid id). One broadcast crossJoin + map-side
+    max_by — the k rows per vector collapse to one BEFORE the shuffle.
+    ``v`` carries (_id, _e); centroids carry (_cid, _ce)."""
+    scored = v.crossJoin(F.broadcast(centroids)).select(
+        "_id", "_e", "_cid", F.round(cosine("_e", "_ce"), 6).alias("_sim")
+    )
+    return scored.groupBy("_id").agg(
+        F.max_by(
+            "_cid", F.struct(F.col("_sim"), (-F.col("_cid")).alias("_neg"))
+        ).alias("cluster_id"),
+        F.first("_e").alias("_e"),
+    )
+
+
+def kmeans_clusters(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Spherical k-means (Lloyd's algorithm), run for a FIXED number of
+    iterations from deterministic seeds (the ``k`` lowest-id vectors) —
+    an iterative distributed ML algorithm that is still a pure function
+    of its input, so the SQL oracle replays each iteration exactly.
+
+    The trick that makes cross-engine exactness possible: the centroid
+    update is an element-wise mean computed in FIXED POINT — each
+    component is scaled by ``scale``, rounded to a long, summed exactly
+    (long addition is associative/commutative, so Spark's partial-
+    aggregation order vs DuckDB's scan order cannot differ), and
+    divided once — same move as functions.fixed_point_sum uses for the
+    TPC-H money columns. A naive avg() over doubles differs between
+    engines in the last bits and those bits can flip an argmax.
+
+    Scale shape per iteration: one broadcast crossJoin (k centroid
+    rows), one map-side-combined max_by (assignment), one posexplode →
+    groupBy(cluster, pos) — keyed on k·dim ≤ a few thousand groups —
+    and a k-row collect_list rebuild. No driver state; iterations
+    extend the lineage, so production runs (iters ≫ 2) would
+    localCheckpoint per round exactly as connected_components does.
+    Empty clusters drop out of the next round (both engines compute
+    means over member-bearing clusters only).
+
+    Returns the final assignment (vec_id, cluster_id).
+    """
+    v = _spread(
+        vectors.select(
+            F.col(id_col).alias("_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("_e"),
+        )
+    )
+    cents = v.filter(F.col("_id") < k).select(
+        F.col("_id").alias("_cid"), F.col("_e").alias("_ce")
+    )
+    for _ in range(iters):
+        assigned = _assign_to_centroids(v, cents)
+        comp = assigned.select(
+            "cluster_id", F.posexplode("_e").alias("_pos", "_c")
+        )
+        means = (
+            comp.groupBy("cluster_id", "_pos")
+            .agg(
+                F.sum(F.round(F.col("_c") * scale, 0).cast("long")).alias("_s"),
+                F.count("*").alias("_n"),
+            )
+            .select(
+                "cluster_id",
+                "_pos",
+                (F.col("_s").cast("double") / (F.lit(float(scale)) * F.col("_n"))).alias("_m"),
+            )
+        )
+        cents = (
+            means.groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_pm"))
+            .select(
+                F.col("cluster_id").alias("_cid"),
+                F.transform("_pm", lambda s: s["_m"]).alias("_ce"),
+            )
+        )
+    return _assign_to_centroids(v, cents).select(
+        F.col("_id").alias(id_col), "cluster_id"
     )
 
 

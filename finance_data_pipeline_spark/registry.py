@@ -3453,6 +3453,31 @@ def q_stratified_sample(spark, sf_dir):
 
 
 @query(
+    "token_budget_sample",
+    f"""WITH {_NORM_CTE},
+q AS (SELECT doc_id, {_QSCORE_SQL} AS quality_score FROM norm),
+t AS (SELECT d.doc_id, d.lang, CAST(len(n.words) AS BIGINT) AS n_tokens,
+             q.quality_score
+      FROM documents d JOIN norm n ON d.doc_id = n.doc_id
+      JOIN q ON d.doc_id = q.doc_id),
+w AS (SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang
+                                 ORDER BY quality_score DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t)
+SELECT doc_id, lang, n_tokens, cum_tokens FROM w WHERE cum_tokens <= 2000""",
+)
+def q_token_budget_sample(spark, sf_dir):
+    """X6+ — quality-first token-budget fill: per language, the best
+    docs by quality_score until 2000 tokens — the fixed-token-mix
+    selection step of a pretraining data recipe. See
+    sampling.token_budget_sample."""
+    return sampling.token_budget_sample(
+        table(spark, sf_dir, "documents"), budget_tokens=2000
+    )
+
+
+@query(
     "decontaminated_corpus",
     f"""WITH {_SHINGLES_CTE},
 bench AS (SELECT doc_id FROM documents
@@ -3547,6 +3572,32 @@ FROM h""",
 )
 def q_detect_language(spark, sf_dir):
     return text.detect_language(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "lang_confusion",
+    f"""WITH {_NORM_CTE},
+h AS (SELECT doc_id, {_H_COLS} FROM norm),
+det AS (SELECT doc_id,
+  CASE WHEN {_H_BEST} = 0 THEN 'und' {_H_CASE} END AS detected_lang
+  FROM h)
+SELECT d.lang, det.detected_lang, count(*) AS n_docs
+FROM documents d JOIN det ON d.doc_id = det.doc_id
+GROUP BY d.lang, det.detected_lang""",
+)
+def q_lang_confusion(spark, sf_dir):
+    """X4+ — language-ID confusion matrix: declared lang × detected
+    lang counts, the accuracy diagnostic a corpus pipeline reads before
+    trusting the detector for routing/sampling decisions. One
+    map-side-combined groupBy over a (langs × langs)-bounded key
+    domain."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        text.detect_language(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "detected_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
 
 
 @query(
@@ -3745,6 +3796,51 @@ def q_semantic_dedup(spark, sf_dir):
     fully oracle-checked. See similarity.semantic_dedup."""
     return similarity.semantic_dedup(
         table(spark, sf_dir, "embeddings"), k_centroids=8, threshold=0.45
+    )
+
+
+_KM_ASSIGN = """SELECT vec_id, cid FROM (
+  SELECT s.vec_id, s.cid,
+         row_number() OVER (PARTITION BY s.vec_id ORDER BY s.sim DESC, s.cid) AS rn
+  FROM {scored} s) WHERE rn = 1"""
+
+_KM_SCORE = """SELECT v.vec_id, c.cid,
+       round(list_dot_product(v.e, c.ce)
+             / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))), 6)
+         AS sim
+FROM v CROSS JOIN {cents} c"""
+
+_KM_UPDATE = """SELECT cid, list(m ORDER BY pos) AS ce FROM (
+  SELECT a.cid, p.pos,
+         CAST(sum(CAST(round(v.e[p.pos] * 1000000) AS BIGINT)) AS DOUBLE)
+           / (1000000.0 * count(*)) AS m
+  FROM {assign} a JOIN v ON v.vec_id = a.vec_id
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
+  GROUP BY a.cid, p.pos) GROUP BY cid"""
+
+
+@query(
+    "kmeans_clusters",
+    f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+s1 AS ({_KM_SCORE.format(cents="c0")}),
+a1 AS ({_KM_ASSIGN.format(scored="s1")}),
+c1 AS ({_KM_UPDATE.format(assign="a1")}),
+s2 AS ({_KM_SCORE.format(cents="c1")}),
+a2 AS ({_KM_ASSIGN.format(scored="s2")}),
+c2 AS ({_KM_UPDATE.format(assign="a2")}),
+s3 AS ({_KM_SCORE.format(cents="c2")})
+SELECT vec_id, cid AS cluster_id FROM ({_KM_ASSIGN.format(scored="s3")})""",
+)
+def q_kmeans_clusters(spark, sf_dir):
+    """X3+ — spherical k-means, 2 Lloyd iterations from deterministic
+    seeds: an ITERATIVE distributed ML algorithm held to a full SQL
+    oracle, possible because the centroid update is an exact
+    fixed-point mean (order-independent long sums — a float avg()
+    would differ between engines in bits that can flip an argmax).
+    See similarity.kmeans_clusters."""
+    return similarity.kmeans_clusters(
+        table(spark, sf_dir, "embeddings"), k=8, iters=2
     )
 
 

@@ -158,3 +158,65 @@ def test_contamination_scores_bounds_and_consistency(spark, docs):
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) != "f"
     ).count()
     assert scores.count() == n_train
+
+
+# --- kmeans_clusters ------------------------------------------------------
+
+
+def test_kmeans_converges_on_separable_data(spark):
+    """Three tight groups around orthogonal axes with k=3 seeds drawn
+    one from each group: every vector must land with its group's seed
+    after 2 iterations."""
+    rows = []
+    for g, axis in enumerate([(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0)]):
+        for j in range(4):
+            eps = 0.01 * j
+            vec = [c + (eps if i == (g + 1) % 3 else 0.0) for i, c in enumerate(axis)]
+            rows.append((g + 3 * j, vec))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.cluster_id for r in
+           similarity.kmeans_clusters(vecs, k=3, iters=2).collect()}
+    assert len(out) == 12
+    for vid, cid in out.items():
+        assert cid == vid % 3, (vid, cid, out)
+
+
+def test_kmeans_total_assignment_on_real_embeddings(spark):
+    """On the real embeddings, 2 Lloyd iterations must produce a valid
+    total assignment (every vector exactly once, cluster ids from the
+    seed set)."""
+    emb = table(spark, SF_DIR, "embeddings")
+    out = similarity.kmeans_clusters(emb, k=8, iters=2).cache()
+    assert out.count() == emb.count()
+    assert out.select("vec_id").distinct().count() == emb.count()
+    cids = {r.cluster_id for r in out.select("cluster_id").distinct().collect()}
+    assert cids <= set(range(8))
+
+
+# --- token_budget_sample --------------------------------------------------
+
+
+def test_token_budget_sample_respects_budget_and_order(spark, docs):
+    from finance_data_pipeline_spark.extensions import sampling, text as tx
+
+    out = sampling.token_budget_sample(docs, budget_tokens=500).cache()
+    assert out.count() > 0
+    assert out.filter("cum_tokens > 500").count() == 0
+    # kept set = the greedy (quality desc, doc_id) prefix per language:
+    # recompute in pandas and compare exactly.
+    q = tx.quality_score(docs)
+    pdf = (
+        docs.select("doc_id", "lang", tx.token_count("text").cast("long").alias("n_tokens"))
+        .join(q, "doc_id")
+        .toPandas()
+        .sort_values(["lang", "quality_score", "doc_id"], ascending=[True, False, True])
+    )
+    expect = set()
+    for lang, grp in pdf.groupby("lang"):
+        total = 0
+        for r in grp.itertuples():
+            total += r.n_tokens
+            if total > 500:
+                break
+            expect.add(r.doc_id)
+    assert {r.doc_id for r in out.collect()} == expect
