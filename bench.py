@@ -48,6 +48,8 @@ HEADLINE = [
     "decontaminated_corpus",
     "training_corpus",
     "cosine_dup_pairs_blocked",
+    "semantic_dedup",
+    "kmeans_clusters",
     "text_stats",
     "ann_topk",
     "media_frame_sample",

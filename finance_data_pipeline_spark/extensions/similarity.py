@@ -406,17 +406,26 @@ def semantic_dedup(
             F.col(centroids.columns[0]).alias("_cid"),
             F.col(centroids.columns[1]).alias("_ce"),
         )
-    assigned = _assign_to_centroids(v, centroids)
+    # Norm folded once per member (not once per pair — see
+    # _assign_to_centroids); the pair score is then a single dot fold.
+    assigned = _assign_to_centroids(v, centroids).withColumn(
+        "_n", l2_norm("_e")
+    )
     a = assigned.select(
-        F.col("_id").alias("id_a"), "cluster_id", F.col("_e").alias("_ea")
+        F.col("_id").alias("id_a"), "cluster_id",
+        F.col("_e").alias("_ea"), F.col("_n").alias("_na"),
     )
     b = assigned.select(
-        F.col("_id").alias("id_b"), "cluster_id", F.col("_e").alias("_eb")
+        F.col("_id").alias("id_b"), "cluster_id",
+        F.col("_e").alias("_eb"), F.col("_n").alias("_nb"),
     )
     dropped = (
         a.join(b, "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(cosine("_ea", "_eb"), 6) >= threshold)
+        .filter(
+            F.round(dot("_ea", "_eb") / (F.col("_na") * F.col("_nb")), 6)
+            >= threshold
+        )
         .select(F.col("id_b").alias("_id"))
         .distinct()
     )
@@ -430,9 +439,21 @@ def _assign_to_centroids(v: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment by cosine (rounded to 6 dp; argmax
     ties → lowest centroid id). One broadcast crossJoin + map-side
     max_by — the k rows per vector collapse to one BEFORE the shuffle.
-    ``v`` carries (_id, _e); centroids carry (_cid, _ce)."""
-    scored = v.crossJoin(F.broadcast(centroids)).select(
-        "_id", "_e", "_cid", F.round(cosine("_e", "_ce"), 6).alias("_sim")
+    ``v`` carries (_id, _e); centroids carry (_cid, _ce).
+
+    Norms are folded ONCE per vector / per centroid below the join and
+    the pair score divides by their product — the identical float ops
+    as an inline cosine() (sqrt of the same dot fold), so results are
+    bit-equal, but each (vector, centroid) row costs 1 interpreted HOF
+    fold instead of 3 (HOF lambdas don't enter codegen; measured ~3×
+    on the sf0.1 bench)."""
+    vn = v.select("_id", "_e", l2_norm("_e").alias("_vn"))
+    cn = centroids.select("_cid", "_ce", l2_norm("_ce").alias("_cn"))
+    scored = vn.crossJoin(F.broadcast(cn)).select(
+        "_id",
+        "_e",
+        "_cid",
+        F.round(dot("_e", "_ce") / (F.col("_vn") * F.col("_cn")), 6).alias("_sim"),
     )
     return scored.groupBy("_id").agg(
         F.max_by(

@@ -323,3 +323,50 @@ def export_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, pattern: str | None = None
+) -> DataFrame:
+    """Raw-file multimodal ingestion (the X5 front door): the built-in
+    ``binaryFile`` source reads whole files as rows of
+    (path, modificationTime, length, content binary) — the shape the
+    multimodal pipeline (extensions/multimodal.py) consumes after
+    renaming. ``pattern`` is a pathGlobFilter pushed into file listing
+    (only matching files are even opened — at 100 TB of mixed media
+    the listing-level filter is the difference between scanning one
+    modality and scanning the lake). Each file must fit in one task's
+    memory; huge objects belong in a chunked format instead.
+    """
+    reader = spark.read.format("binaryFile")
+    if pattern is not None:
+        reader = reader.option("pathGlobFilter", pattern)
+    return reader.load(path)
+
+
+def binary_files_as_media(files: DataFrame, modality: str = "binary") -> DataFrame:
+    """Adapt a read_binary_files frame to the media-table schema
+    (media_id, modality, payload, meta) used by media_manifest/meta —
+    media_id is the file path (unique within a listing)."""
+    return files.select(
+        F.col("path").alias("media_id"),
+        F.lit(modality).alias("modality"),
+        F.col("content").alias("payload"),
+        F.named_struct(
+            F.lit("mime"), F.lit(None).cast("string"),
+            F.lit("width"), F.lit(None).cast("int"),
+            F.lit("height"), F.lit(None).cast("int"),
+            F.lit("duration_ms"), F.lit(None).cast("long"),
+        ).alias("meta"),
+    )
+
+
+def read_text_lines(
+    spark: SparkSession, path: str, wholetext: bool = False
+) -> DataFrame:
+    """Line-oriented text source (one row per line, column ``value``) —
+    the raw-corpus ingestion path for txt/log dumps; ``wholetext=True``
+    reads each file as a single row (document-per-file corpora).
+    Splittable per line at any scale (wholetext is not — same caveat
+    as binaryFile)."""
+    return spark.read.text(path, wholetext=wholetext)

@@ -231,3 +231,37 @@ def test_zorder_write_tightens_file_stats_in_both_dims(spark, tmp_path):
     z_val = avg_span_frac(zpath, "value")
     lin_val = avg_span_frac(lpath, "value")
     assert z_val < 0.6 < lin_val, (z_val, lin_val)
+
+
+def test_binary_file_source_roundtrip(spark, tmp_path):
+    """binaryFile source: whole files as (path, length, content) rows;
+    pathGlobFilter prunes at listing time; the adapter feeds the
+    multimodal media pipeline unchanged."""
+    from finance_data_pipeline_spark.extensions.multimodal import media_manifest
+    from finance_data_pipeline_spark.io import binary_files_as_media, read_binary_files
+
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01payload-a")
+    (tmp_path / "b.bin").write_bytes(b"payload-b")
+    (tmp_path / "skip.txt").write_text("not binary payload")
+
+    files = read_binary_files(spark, str(tmp_path), pattern="*.bin")
+    rows = {r.path.split("/")[-1]: r for r in files.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert bytes(rows["a.bin"].content) == b"\x00\x01payload-a"
+    assert rows["b.bin"].length == 9
+
+    manifest = media_manifest(binary_files_as_media(files, modality="blob"))
+    out = {r.media_id.split("/")[-1]: r for r in manifest.collect()}
+    assert out["b.bin"].n_bytes == 9
+    assert out["a.bin"].n_bytes == 11
+
+
+def test_text_line_source(spark, tmp_path):
+    from finance_data_pipeline_spark.io import read_text_lines
+
+    (tmp_path / "x.txt").write_text("line one\nline two\n")
+    (tmp_path / "y.txt").write_text("solo")
+    lines = read_text_lines(spark, str(tmp_path))
+    assert sorted(r.value for r in lines.collect()) == ["line one", "line two", "solo"]
+    whole = read_text_lines(spark, str(tmp_path), wholetext=True)
+    assert sorted(r.value for r in whole.collect()) == ["line one\nline two\n", "solo"]

@@ -220,3 +220,67 @@ def test_token_budget_sample_respects_budget_and_order(spark, docs):
                 break
             expect.add(r.doc_id)
     assert {r.doc_id for r in out.collect()} == expect
+
+
+def test_kmeans_matches_pure_python_replay(spark):
+    """Independent algorithm check (different k/iters than the registry
+    oracle): replay Lloyd's with the identical deterministic rules —
+    sequential-fold cosine rounded to 6 dp, argmax ties to lowest cid,
+    fixed-point centroid means — in plain Python and require the exact
+    same final assignment."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    vecs = {
+        vid: [rng.uniform(-1, 1) for _ in range(8)] for vid in range(60)
+    }
+    k, iters, scale = 4, 3, 1_000_000
+
+    def fold_cos(a, b):
+        num = 0.0
+        for x, y in zip(a, b):
+            num += x * y
+        na = 0.0
+        for x in a:
+            na += x * x
+        nb = 0.0
+        for y in b:
+            nb += y * y
+        return num / (math.sqrt(na) * math.sqrt(nb))
+
+    def r6(v):
+        return math.floor(v * 1e6 + 0.5) / 1e6 if v >= 0 else -math.floor(-v * 1e6 + 0.5) / 1e6
+
+    def half_up(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    def assign(cents):
+        out = {}
+        for vid, e in vecs.items():
+            best = max(cents, key=lambda c: (r6(fold_cos(e, cents[c])), -c))
+            out[vid] = best
+        return out
+
+    cents = {cid: vecs[cid] for cid in range(k)}
+    for _ in range(iters):
+        a = assign(cents)
+        new = {}
+        for cid in set(a.values()):
+            members = [vecs[v] for v in a if a[v] == cid]
+            dim = len(members[0])
+            new[cid] = [
+                sum(half_up(m[i] * scale) for m in members) / (float(scale) * len(members))
+                for i in range(dim)
+            ]
+        cents = new
+    expect = assign(cents)
+
+    df = spark.createDataFrame(
+        [(vid, e) for vid, e in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r.vec_id: r.cluster_id
+        for r in similarity.kmeans_clusters(df, k=k, iters=iters).collect()
+    }
+    assert got == expect
