@@ -316,3 +316,58 @@ def token_totals_by_lang(docs: DataFrame) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def unigram_logprob(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Language-model quality proxy (the CCNet/fastText-era filter):
+    per-doc mean log-probability under the corpus's OWN unigram
+    distribution — low scorers are boilerplate/garbage relative to the
+    corpus (a production run trains the reference LM on a clean corpus
+    instead; the plumbing is identical — swap the freq table).
+
+    Cross-engine exactness: per-token log-probs are quantized to
+    fixed-point longs (round(ln(p)·1e6)) and summed exactly — float
+    log-prob sums are order-dependent and Spark's partial-aggregation
+    order differs from any SQL engine's scan order. p itself is a pure
+    function (count/total in double), so both engines compute identical
+    inputs to ln().
+
+    Scale: one groupBy over the vocabulary (map-side combined), a
+    broadcast 1-row total, one shuffle join of the token stream against
+    the freq table (tokens travel as 64-bit hashes), one per-doc fold.
+    Linear in corpus token count.
+    """
+    from finance_data_pipeline_spark.extensions.dedup import _spread
+
+    stream = (
+        _spread(docs.select(F.col(id_col).alias("_id"), F.col(text_col)))
+        .select("_id", F.explode(tokens(text_col)).alias("_w"))
+        .select("_id", F.xxhash64("_w").alias("_h"))
+    )
+    freq = stream.groupBy("_h").agg(F.count("*").alias("_c"))
+    total = freq.agg(F.sum("_c").alias("_t"))
+    scored = (
+        stream.join(freq, "_h")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "_id",
+            F.round(
+                F.log(F.col("_c").cast("double") / F.col("_t").cast("double"))
+                * 1_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("_lp"),
+        )
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("_lp").alias("_s"))
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            F.round(
+                F.col("_s").cast("double") / (F.lit(1_000_000.0) * F.col("n_tokens")), 6
+            ).alias("avg_logprob"),
+        )
+    )

@@ -3632,6 +3632,28 @@ def q_token_totals(spark, sf_dir):
 
 
 @query(
+    "unigram_logprob",
+    f"""WITH {_NORM_CTE},
+tok AS (SELECT doc_id, unnest(words) AS w FROM norm),
+freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM freq),
+scored AS (SELECT tok.doc_id,
+  CAST(round(ln(CAST(freq.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) * 1000000)
+       AS BIGINT) AS lp
+  FROM tok JOIN freq ON tok.w = freq.w CROSS JOIN tot)
+SELECT doc_id, count(*) AS n_tokens,
+       round(CAST(sum(lp) AS DOUBLE) / (1000000.0 * count(*)), 6) AS avg_logprob
+FROM scored GROUP BY doc_id""",
+)
+def q_unigram_logprob(spark, sf_dir):
+    """X4+ — CCNet-style LM quality proxy: per-doc mean unigram
+    log-prob under the corpus's own distribution, with per-token
+    log-probs quantized to fixed-point longs so the sum is exact and
+    order-independent in both engines. See text.unigram_logprob."""
+    return text.unigram_logprob(table(spark, sf_dir, "documents"))
+
+
+@query(
     "embedding_stats",
     """SELECT vec_id,
   CAST(len(embedding) AS BIGINT) AS dim,

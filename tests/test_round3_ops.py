@@ -284,3 +284,24 @@ def test_kmeans_matches_pure_python_replay(spark):
         for r in similarity.kmeans_clusters(df, k=k, iters=iters).collect()
     }
     assert got == expect
+
+
+# --- unigram_logprob ------------------------------------------------------
+
+
+def test_unigram_logprob_ranks_common_above_rare(spark):
+    """A doc of corpus-frequent tokens must outscore a doc of hapaxes;
+    token counts come out right and scores are negative."""
+    rows = [
+        (1, "alpha alpha alpha alpha"),
+        (2, "alpha alpha beta beta"),
+        (3, "zeta omega theta sigma"),  # four hapaxes
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.unigram_logprob(docs).collect()}
+    assert all(out[d].n_tokens == 4 for d in (1, 2, 3))
+    assert out[1].avg_logprob > out[2].avg_logprob > out[3].avg_logprob
+    assert out[3].avg_logprob < 0
+    # hand-check doc 1: p(alpha) = 6/12 → mean log p = ln(0.5)
+    import math
+    assert out[1].avg_logprob == pytest.approx(math.log(0.5), abs=1e-5)
