@@ -222,24 +222,32 @@ def _blocked_gemm_pairs(
     id_col: str,
     vec_col: str,
     n_blocks: int,
+    part_col: str | None = None,
 ) -> DataFrame:
     """Shared blocked all-pairs GEMM kernel: (id_a < id_b, cosine_sim)
     for every pair with BLAS-computed cosine ≥ threshold. See
-    cosine_dup_pairs_blocked for the scale contract."""
+    cosine_dup_pairs_blocked for the scale contract.
+
+    ``part_col`` restricts pairing to rows sharing that column's value
+    (the partition joins the group key, so each (partition, block-pair)
+    is one kernel task) — semantic_dedup uses it to score only
+    intra-cluster pairs without a per-cluster plan fan-out."""
+    parts = [F.col(part_col)] if part_col else []
     v = vectors.select(
+        *parts,
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
         F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("_b"),
     )
     # Side A serves block pairs (b, j≥b); side B serves (i≤b, b).
     a_rep = v.select(
-        "_id", "_v",
+        *parts, "_id", "_v",
         F.col("_b").alias("ba"),
         F.explode(F.sequence(F.col("_b"), F.lit(n_blocks - 1))).alias("bb"),
         F.lit(0).alias("_role"),
     )
     b_rep = v.select(
-        "_id", "_v",
+        *parts, "_id", "_v",
         F.explode(F.sequence(F.lit(0), F.col("_b"))).alias("ba"),
         F.col("_b").alias("bb"),
         F.lit(1).alias("_role"),
@@ -247,7 +255,7 @@ def _blocked_gemm_pairs(
     rep = a_rep.unionByName(b_rep)
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        ba, bb = key
+        ba, bb = key[-2], key[-1]
         A = pdf[pdf["_role"] == 0]
         B = pdf[pdf["_role"] == 1]
         empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
@@ -273,7 +281,8 @@ def _blocked_gemm_pairs(
         hi = np.maximum(ids_a, ids_b)
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine_sim": np.round(cs, 6)})
 
-    return rep.groupBy("ba", "bb").applyInPandas(
+    keys = ([part_col] if part_col else []) + ["ba", "bb"]
+    return rep.groupBy(*keys).applyInPandas(
         kernel, "id_a long, id_b long, cosine_sim double"
     )
 
@@ -386,13 +395,15 @@ def semantic_dedup(
 
     Scale shape: centroids broadcast (k rows); assignment is one
     broadcast crossJoin + map-side-combined max_by — no shuffle of the
-    vector stream beyond its scan partitioning. The intra-bucket join
-    shuffles once on cluster_id; per-bucket pair count is (N/k)², so k
+    vector stream beyond its scan partitioning. Intra-bucket pairs run
+    the verify-exact GEMM pattern per cluster (_blocked_gemm_pairs with
+    part_col — BLAS candidates at threshold − 1e-4, JVM-fold exact
+    verify on the ~|output| survivors), so the quadratic arithmetic is
+    numpy throughput while emitted decisions stay bit-identical to the
+    SQL oracle's naive pair join. Per-bucket pair count is (N/k)², so k
     is the knob — SemDeDup at production scale runs k ≈ 0.1–1% of N,
-    keeping buckets in the hundreds. Adversarially skewed buckets fall
-    back to the per-bucket GEMM kernel (cosine_dup_pairs_blocked's
-    _blocked_gemm_pairs run per cluster) — same output, BLAS inner
-    loop. Returns kept (vec_id, cluster_id) rows.
+    keeping buckets in the hundreds. Returns kept (vec_id, cluster_id)
+    rows.
     """
     v = _spread(
         vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_e"))
@@ -406,22 +417,32 @@ def semantic_dedup(
             F.col(centroids.columns[0]).alias("_cid"),
             F.col(centroids.columns[1]).alias("_ce"),
         )
-    # Norm folded once per member (not once per pair — see
-    # _assign_to_centroids); the pair score is then a single dot fold.
-    assigned = _assign_to_centroids(v, centroids).withColumn(
-        "_n", l2_norm("_e")
-    )
-    a = assigned.select(
-        F.col("_id").alias("id_a"), "cluster_id",
-        F.col("_e").alias("_ea"), F.col("_n").alias("_na"),
-    )
-    b = assigned.select(
-        F.col("_id").alias("id_b"), "cluster_id",
-        F.col("_e").alias("_eb"), F.col("_n").alias("_nb"),
-    )
+    assigned = _assign_to_centroids(v, centroids)
+    # Intra-bucket near-dup pairs via the verify-exact GEMM pattern
+    # (cosine_dup_pairs' move, restricted per cluster): BLAS scores all
+    # intra-cluster pairs at threshold − 1e-4 (margin covers GEMM-vs-
+    # fold summation-order noise), then only the ~|output| candidates
+    # re-score through the JVM sequential fold — so the dropped set is
+    # bit-identical to the naive intra-cluster pair join the oracle
+    # runs, at BLAS throughput instead of interpreted HOF folds.
+    cands = _blocked_gemm_pairs(
+        assigned.select("_id", "_e", "cluster_id"),
+        threshold - 1e-4,
+        "_id",
+        "_e",
+        n_blocks=4,
+        part_col="cluster_id",
+    ).select("id_a", "id_b")
+    side = assigned.select("_id", "_e", l2_norm("_e").alias("_n"))
     dropped = (
-        a.join(b, "cluster_id")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cands.join(
+            side.select(F.col("_id").alias("id_a"), F.col("_e").alias("_ea"), F.col("_n").alias("_na")),
+            "id_a",
+        )
+        .join(
+            side.select(F.col("_id").alias("id_b"), F.col("_e").alias("_eb"), F.col("_n").alias("_nb")),
+            "id_b",
+        )
         .filter(
             F.round(dot("_ea", "_eb") / (F.col("_na") * F.col("_nb")), 6)
             >= threshold
