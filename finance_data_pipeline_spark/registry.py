@@ -976,6 +976,28 @@ def q_semi(spark, sf_dir):
 
 
 @query(
+    "salted_hot_join",
+    """SELECT o.o_orderkey, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+)
+def q_salted_hot_join(spark, sf_dir):
+    """J1 under the skew scale path: the salted join (hot keys split
+    across `salt` shuffle partitions, right side replicated) must emit
+    the IDENTICAL result set as the plain equi-join — the oracle runs
+    the plain join, so the driver hash proves salting changes shuffle
+    layout, never answers. See operators/relational.py salted_join."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumnRenamed("c_custkey", "o_custkey")
+    )
+    return rel.salted_join(o, c, "o_custkey", salt=8).select(
+        "o_orderkey", "c_mktsegment"
+    )
+
+
+@query(
     "customers_without_f_orders",
     """SELECT c_custkey, c_name FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders

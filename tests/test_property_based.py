@@ -222,3 +222,42 @@ def test_containment_prefix_filter_is_exact(spark):
         for r in containment_pairs(docs, threshold=t).collect()
     }
     assert got == expected
+
+
+# --- round-3: repeated n-gram spans vs a brute-force reference ------------
+
+_word = st.sampled_from(["a", "b", "c", "d"])
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@given(texts=st.lists(_doc, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_repeated_ngram_stats_matches_bruteforce(spark, texts):
+    """Tiny 4-word alphabet at n=3 forces heavy cross- and within-doc
+    gram collisions; per-doc (n_grams, dup_grams) must equal a plain
+    Python recount over all (doc, pos) gram occurrences."""
+    from collections import Counter
+
+    from finance_data_pipeline_spark.extensions import dedup
+
+    n = 3
+    grams = {}
+    counts = Counter()
+    for did, t in enumerate(texts):
+        toks = t.split()
+        g = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)] if len(toks) >= n else []
+        grams[did] = g
+        counts.update(g)
+    expect = {
+        did: (len(g), sum(counts[x] >= 2 for x in g)) for did, g in grams.items()
+    }
+
+    docs = spark.createDataFrame(
+        [(i, t if t else " ") for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_grams, r.dup_grams)
+        for r in dedup.repeated_ngram_stats(docs, n=n).collect()
+    }
+    assert out == expect
