@@ -523,6 +523,32 @@ def kmeans_clusters(
             F.transform(vec_col, lambda x: x.cast("double")).alias("_e"),
         )
     )
+    cents = kmeans_centroids(vectors, k, iters, id_col, vec_col, scale)
+    return _assign_to_centroids(v, cents).select(
+        F.col("_id").alias(id_col), "cluster_id"
+    )
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """The Lloyd trainer behind kmeans_clusters, exposed so downstream
+    operators (semantic_dedup's ``centroids=``, the deterministic IVF
+    quantizer) can reuse the trained (_cid, _ce) frame. Deterministic
+    rules per kmeans_clusters' docstring: seeds = k lowest-id vectors,
+    cosine assignment rounded to 6 dp with ties to the lowest cid,
+    exact fixed-point elementwise means."""
+    v = _spread(
+        vectors.select(
+            F.col(id_col).alias("_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("_e"),
+        )
+    )
     cents = v.filter(F.col("_id") < k).select(
         F.col("_id").alias("_cid"), F.col("_e").alias("_ce")
     )
@@ -551,8 +577,79 @@ def kmeans_clusters(
                 F.transform("_pm", lambda s: s["_m"]).alias("_ce"),
             )
         )
-    return _assign_to_centroids(v, cents).select(
-        F.col("_id").alias(id_col), "cluster_id"
+    return cents
+
+
+def ivf_topk_deterministic(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k whose coarse quantizer is the DISTRIBUTED fixed-point
+    Lloyd trainer (kmeans_centroids) instead of ivf_topk's driver-side
+    numpy sample: every stage — training, corpus cell assignment, query
+    probing, exact re-rank — is a pure deterministic function of the
+    input, so this approximate-by-design index is still fully
+    SQL-oracle-checkable (the oracle replays training iteration by
+    iteration). ivf_topk remains the FAISS-realistic production trainer
+    (bounded sample, float means) and is rows-only checked for exactly
+    that reason.
+
+    Scale shape matches ivf_topk: centroids broadcast, corpus assigned
+    in one pass, candidates join on the small cell key (a query touches
+    n_probe/n_cells of the corpus), exact cosine re-rank within probed
+    cells. Query's own cell is always its top probe, so self-matches
+    are filtered explicitly.
+    """
+    cents = kmeans_centroids(vectors, n_cells, train_iters, id_col, vec_col)
+    v = _spread(
+        vectors.select(
+            F.col(id_col).alias("_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("_e"),
+        )
+    )
+    cells = _assign_to_centroids(v, cents).select(
+        F.col("_id").alias("neighbor_id"),
+        F.col("cluster_id").alias("cell"),
+        F.col("_e").alias("_nv"),
+        l2_norm("_e").alias("_nn"),
+    )
+    cn = cents.select("_cid", "_ce", l2_norm("_ce").alias("_cn"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_qv"),
+        l2_norm(F.transform(vec_col, lambda x: x.cast("double"))).alias("_qn"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), "_cid")
+    probes = (
+        qv.crossJoin(F.broadcast(cn))
+        .select(
+            "query_id", "_qv", "_qn", "_cid",
+            F.round(dot("_qv", "_ce") / (F.col("_qn") * F.col("_cn")), 6).alias("_sim"),
+        )
+        .withColumn("_rn", F.row_number().over(probe_w))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "_qv", "_qn", F.col("_cid").alias("cell"))
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot("_qv", "_nv") / (F.col("_qn") * F.col("_nn")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )
 
 

@@ -3653,19 +3653,23 @@ def q_token_totals(spark, sf_dir):
     return text.token_totals_by_lang(table(spark, sf_dir, "documents"))
 
 
-@query(
-    "unigram_logprob",
-    f"""WITH {_NORM_CTE},
+_UNIGRAM_CTE = f"""{_NORM_CTE},
 tok AS (SELECT doc_id, unnest(words) AS w FROM norm),
 freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
 tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM freq),
-scored AS (SELECT tok.doc_id,
+lp_scored AS (SELECT tok.doc_id,
   CAST(round(ln(CAST(freq.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) * 1000000)
        AS BIGINT) AS lp
-  FROM tok JOIN freq ON tok.w = freq.w CROSS JOIN tot)
-SELECT doc_id, count(*) AS n_tokens,
+  FROM tok JOIN freq ON tok.w = freq.w CROSS JOIN tot),
+lm AS (SELECT doc_id, count(*) AS n_tokens,
        round(CAST(sum(lp) AS DOUBLE) / (1000000.0 * count(*)), 6) AS avg_logprob
-FROM scored GROUP BY doc_id""",
+       FROM lp_scored GROUP BY doc_id)"""
+
+
+@query(
+    "unigram_logprob",
+    f"""WITH {_UNIGRAM_CTE}
+SELECT doc_id, n_tokens, avg_logprob FROM lm""",
 )
 def q_unigram_logprob(spark, sf_dir):
     """X4+ — CCNet-style LM quality proxy: per-doc mean unigram
@@ -3673,6 +3677,34 @@ def q_unigram_logprob(spark, sf_dir):
     log-probs quantized to fixed-point longs so the sum is exact and
     order-independent in both engines. See text.unigram_logprob."""
     return text.unigram_logprob(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ccnet_buckets",
+    f"""WITH {_UNIGRAM_CTE}
+SELECT doc_id, avg_logprob,
+  CASE ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id)
+    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM lm""",
+)
+def q_ccnet_buckets(spark, sf_dir):
+    """X4+ — the CCNet split itself: head/middle/tail terciles of the
+    LM quality score (Wenzek et al. 2020 route head to training,
+    re-filter middle, drop tail). ntile over the total order
+    (avg_logprob DESC, doc_id) is engine-identical. The global-sort
+    window is over per-doc SCORES (one row per doc, not tokens); at
+    extreme corpus size the same split comes from approx quantiles of
+    the score distribution — documented trade, exact here."""
+    scored = text.unigram_logprob(table(spark, sf_dir, "documents"))
+    w = Window.orderBy(F.desc("avg_logprob"), "doc_id")
+    return scored.select(
+        "doc_id",
+        "avg_logprob",
+        F.when(F.ntile(3).over(w) == 1, "head")
+        .when(F.ntile(3).over(w) == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
 
 
 @query(
@@ -3885,6 +3917,55 @@ def q_kmeans_clusters(spark, sf_dir):
     See similarity.kmeans_clusters."""
     return similarity.kmeans_clusters(
         table(spark, sf_dir, "embeddings"), k=8, iters=2
+    )
+
+
+@query(
+    "ann_topk_ivf_exact",
+    f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+s1 AS ({_KM_SCORE.format(cents="c0")}),
+a1 AS ({_KM_ASSIGN.format(scored="s1")}),
+c1 AS ({_KM_UPDATE.format(assign="a1")}),
+s2 AS ({_KM_SCORE.format(cents="c1")}),
+a2 AS ({_KM_ASSIGN.format(scored="s2")}),
+c2 AS ({_KM_UPDATE.format(assign="a2")}),
+s3 AS ({_KM_SCORE.format(cents="c2")}),
+cells AS ({_KM_ASSIGN.format(scored="s3")}),
+probes AS (SELECT query_id, cid FROM (
+  SELECT query_id, cid,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cid) AS rn
+  FROM (SELECT q.vec_id AS query_id, c.cid,
+               round(list_dot_product(q.e, c.ce)
+                     / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.ce, c.ce))), 6)
+                 AS sim
+        FROM v q CROSS JOIN c2 c WHERE q.vec_id < 5))
+  WHERE rn <= 2),
+cand AS (SELECT p.query_id, cc.vec_id AS neighbor_id
+         FROM probes p JOIN cells cc ON cc.cid = p.cid
+         WHERE cc.vec_id <> p.query_id),
+rescored AS (SELECT cand.query_id, cand.neighbor_id,
+  round(list_dot_product(q.e, n.e)
+        / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(n.e, n.e))), 6)
+    AS cosine_sim
+  FROM cand JOIN v q ON q.vec_id = cand.query_id
+  JOIN v n ON n.vec_id = cand.neighbor_id)
+SELECT query_id, neighbor_id, cosine_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS rn
+  FROM rescored) WHERE rn <= 10""",
+)
+def q_ann_ivf_exact(spark, sf_dir):
+    """X3 — IVF top-k with a FULL oracle: the coarse quantizer is the
+    distributed fixed-point Lloyd trainer (similarity.kmeans_centroids),
+    so training, cell assignment, n_probe selection and the exact
+    re-rank are all replayed by the SQL above iteration by iteration.
+    Complements ann_topk_ivf (FAISS-realistic numpy sample trainer —
+    rows-only for exactly that reason)."""
+    vecs = table(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk_deterministic(
+        vecs, queries, k=10, n_cells=8, n_probe=2, train_iters=2
     )
 
 

@@ -141,3 +141,26 @@ def test_connected_components_long_chain_converges(spark):
     out = connected_components(pairs).collect()
     assert {r.cluster_id for r in out} == {100}
     assert len(out) == 13
+
+
+def test_ivf_deterministic_rescores_exactly_and_recalls(spark, vectors):
+    """Every IVF-exact hit must carry the identical cosine brute force
+    computes for that pair (the quantizer prunes, never rescores), and
+    top-10 recall against brute-force top-10 should be substantial even
+    at n_probe=2 of 8 cells."""
+    queries = vectors.filter(F.col("vec_id") < 5)
+    bf = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in similarity.brute_force_topk(vectors, queries, k=10).collect()
+    }
+    ivf = similarity.ivf_topk_deterministic(
+        vectors, queries, k=10, n_cells=8, n_probe=2, train_iters=2
+    ).collect()
+    assert len(ivf) > 0
+    for r in ivf:
+        if (r.query_id, r.neighbor_id) in bf:
+            assert bf[(r.query_id, r.neighbor_id)] == pytest.approx(
+                r.cosine_sim, abs=1e-9
+            )
+    hits = sum((r.query_id, r.neighbor_id) in bf for r in ivf)
+    assert hits / len(bf) >= 0.3
