@@ -77,9 +77,9 @@ _PRIORITY = [
     "repeated_ngram_spans", "contamination_overlap",
     "kmeans_clusters", "lang_confusion", "token_budget_sample",
     "unigram_logprob", "salted_hot_join", "ccnet_buckets",
-    "ann_topk_ivf_exact",
+    "ann_topk_ivf_exact", "semantic_dedup_kmeans",
     # --- round-1 greens re-confirmed in the window's back half
-    "stocks_fixture", "latest_close_per_symbol", "insert_ignore",
+    "stocks_fixture", "insert_ignore",
     "upsert_merge", "incremental_boundary", "continuity_check",
     "sma", "bollinger", "rsi_14",
     "pairwise_correlation", "perf_summary", "dashboard_frame",

@@ -577,7 +577,12 @@ def kmeans_centroids(
                 F.transform("_pm", lambda s: s["_m"]).alias("_ce"),
             )
         )
-    return cents
+    # Materialize the k-row centroid frame (same move as
+    # connected_components' per-round localCheckpoint): consumers
+    # reference it several times (assignment, probe scoring, GEMM
+    # candidates), and without the cut each reference re-derives the
+    # whole iterative trainer inside one plan.
+    return cents.localCheckpoint()
 
 
 def ivf_topk_deterministic(

@@ -3970,6 +3970,40 @@ def q_ann_ivf_exact(spark, sf_dir):
 
 
 @query(
+    "semantic_dedup_kmeans",
+    f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+s1 AS ({_KM_SCORE.format(cents="c0")}),
+a1 AS ({_KM_ASSIGN.format(scored="s1")}),
+c1 AS ({_KM_UPDATE.format(assign="a1")}),
+s2 AS ({_KM_SCORE.format(cents="c1")}),
+a2 AS ({_KM_ASSIGN.format(scored="s2")}),
+c2 AS ({_KM_UPDATE.format(assign="a2")}),
+s3 AS ({_KM_SCORE.format(cents="c2")}),
+assigned AS ({_KM_ASSIGN.format(scored="s3")}),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id JOIN v vb ON vb.vec_id = b.vec_id
+  WHERE round(list_dot_product(va.e, vb.e)
+              / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))), 6)
+        >= 0.45)
+SELECT vec_id, cid AS cluster_id FROM assigned
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""",
+)
+def q_semantic_dedup_kmeans(spark, sf_dir):
+    """X2i end-to-end as the paper runs it: TRAIN the buckets (2
+    fixed-point Lloyd iterations) then greedy intra-bucket cosine
+    pruning — the full SemDeDup pipeline (train → bucket → dedup) in
+    one plan, every stage replayed by the oracle. Composes
+    similarity.kmeans_centroids into semantic_dedup's ``centroids=``
+    seam."""
+    vecs = table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(vecs, k=8, iters=2)
+    return similarity.semantic_dedup(vecs, threshold=0.45, centroids=cents)
+
+
+@query(
     "media_manifest",
     """SELECT doc_id AS media_id, 'text' AS modality,
   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
