@@ -77,9 +77,9 @@ _PRIORITY = [
     "repeated_ngram_spans", "contamination_overlap",
     "kmeans_clusters", "lang_confusion", "token_budget_sample",
     "unigram_logprob", "salted_hot_join", "ccnet_buckets",
-    "ann_topk_ivf_exact", "semantic_dedup_kmeans",
+    "ann_topk_ivf_exact", "semantic_dedup_kmeans", "text_topk_jaccard",
     # --- round-1 greens re-confirmed in the window's back half
-    "stocks_fixture", "insert_ignore",
+    "stocks_fixture",
     "upsert_merge", "incremental_boundary", "continuity_check",
     "sma", "bollinger", "rsi_14",
     "pairwise_correlation", "perf_summary", "dashboard_frame",

@@ -2918,6 +2918,73 @@ def q_near_dup(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@query(
+    "text_topk_jaccard",
+    f"""WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+qsh AS (SELECT doc_id AS query_id, sh FROM sh WHERE doc_id < 5),
+common AS (SELECT q.query_id, s.doc_id AS neighbor_id, count(*) AS c
+           FROM qsh q JOIN sh s ON q.sh = s.sh AND s.doc_id <> q.query_id
+           GROUP BY 1, 2),
+scored AS (SELECT query_id, neighbor_id,
+                  round(c * 1.0 / (sq.n + sn.n - c), 6) AS jaccard
+           FROM common
+           JOIN sizes sq ON sq.doc_id = query_id
+           JOIN sizes sn ON sn.doc_id = neighbor_id)
+SELECT query_id, neighbor_id, jaccard FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY jaccard DESC, neighbor_id) AS rn
+  FROM scored) WHERE rn <= 10""",
+)
+def q_text_topk_jaccard(spark, sf_dir):
+    """X3 for TEXT: query-time top-k most-similar documents by exact
+    3-shingle Jaccard — the text-side complement of ann_topk. The small
+    query side's shingle set broadcasts against the corpus's inverted
+    index (candidates = docs sharing ≥1 shingle — bounded by the query
+    side, not a corpus self-join), shingles travel as 64-bit hashes,
+    and the per-query window ranks exactly."""
+    from finance_data_pipeline_spark.extensions.dedup import _spread, word_shingles
+
+    docs = table(spark, sf_dir, "documents")
+    sh = (
+        _spread(docs.select("doc_id", "text"))
+        .select("doc_id", F.explode(word_shingles("text", 3)).alias("_sh"))
+        .select("doc_id", F.xxhash64("_sh").alias("_h"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("_n"))
+    qsh = sh.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "_h"
+    )
+    common = (
+        sh.join(F.broadcast(qsh), "_h")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(F.count("*").alias("_c"))
+    )
+    scored = (
+        common.join(
+            F.broadcast(
+                sizes.filter(F.col("doc_id") < 5).select(
+                    F.col("doc_id").alias("query_id"), F.col("_n").alias("_nq")
+                )
+            ),
+            "query_id",
+        )
+        .join(sizes.select(F.col("doc_id").alias("neighbor_id"), F.col("_n").alias("_nn")), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("_c") / (F.col("_nq") + F.col("_nn") - F.col("_c")), 6).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("jaccard"), "neighbor_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .drop("_rn")
+    )
+
+
 _NEAR_PAIRS_CTE = f"""{_SHINGLES_CTE},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
