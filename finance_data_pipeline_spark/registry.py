@@ -3775,6 +3775,47 @@ def q_ccnet_buckets(spark, sf_dir):
 
 
 @query(
+    "streaming_doc_quality",
+    f"""WITH {_NORM_CTE},
+qs AS (SELECT doc_id, {_QSCORE_SQL} AS quality_score FROM norm)
+SELECT doc_id, quality_score FROM qs WHERE quality_score >= 0.5""",
+)
+def q_streaming_doc_quality(spark, sf_dir):
+    """ST6×X4 — the corpus pipeline's streaming front door: documents
+    arrive as micro-batches (staged as two parity-split parquet drops),
+    the STATELESS quality stage applies to the stream unchanged, and
+    the availableNow result equals the batch filter — the oracle. At
+    scale this is the always-on crawl-intake filter; state is zero
+    (pure projection+filter), so throughput is the batch plan's."""
+    import tempfile
+    import uuid
+
+    from finance_data_pipeline_spark.streaming import pipeline as sp
+
+    docs = table(spark, sf_dir, "documents")
+    staged = tempfile.mkdtemp(prefix="fdps_docs_stream_")
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        f"{staged}/b0"
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("overwrite").parquet(
+        f"{staged}/b1"
+    )
+    stream = sp.stream_documents(spark, f"{staged}/b*")
+    scored = text.quality_score(stream).filter(F.col("quality_score") >= 0.5)
+    name = f"fdps_docq_{uuid.uuid4().hex[:8]}"
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fdps_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@query(
     "embedding_stats",
     """SELECT vec_id,
   CAST(len(embedding) AS BIGINT) AS dim,
@@ -4082,6 +4123,30 @@ def q_media_manifest(spark, sf_dir):
     out = multimodal.media_manifest(media)
     return out.select(
         "media_id", "modality", F.col("n_bytes").cast("long").alias("n_bytes"), "payload_md5"
+    )
+
+
+@query(
+    "media_exact_dedup",
+    """SELECT media_id, payload_md5 FROM (
+  SELECT doc_id AS media_id, md5(text) AS payload_md5,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1""",
+)
+def q_media_exact_dedup(spark, sf_dir):
+    """X5×X1 — byte-exact media dedup: keep the lowest media_id per
+    payload md5, the first pass every multimodal crawl runs (identical
+    bytes recur constantly — mirrors, re-uploads, thumbnails cached
+    twice). Same one-shuffle hash-groupBy shape as exact_dedup, keyed
+    on the binary payload's digest so the payload itself never
+    shuffles."""
+    media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
+    hashed = media.select("media_id", F.md5("payload").alias("payload_md5"))
+    w = Window.partitionBy("payload_md5").orderBy("media_id")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 

@@ -26,11 +26,23 @@ EVENTS_SCHEMA = (
     "event_type string, value double, props string"
 )
 
+DOCUMENTS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
 
 def stream_events(spark: SparkSession, path_glob: str) -> DataFrame:
     """Incremental file source over event parquet — new files are the
     micro-batches (the reference's daily refetch, without the refetch)."""
     return spark.readStream.schema(EVENTS_SCHEMA).parquet(path_glob)
+
+
+def stream_documents(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Incremental file source over document parquet — the streaming
+    front door of the corpus pipeline: each crawl drop is a micro-batch
+    and the stateless cleaning stages (quality scoring, filtering,
+    PII scrubbing) apply unchanged to the stream."""
+    return spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(path_glob)
 
 
 def daily_event_state(events: DataFrame) -> DataFrame:
