@@ -78,10 +78,10 @@ _PRIORITY = [
     "kmeans_clusters", "lang_confusion", "token_budget_sample",
     "unigram_logprob", "salted_hot_join", "ccnet_buckets",
     "ann_topk_ivf_exact", "semantic_dedup_kmeans", "text_topk_jaccard",
-    "streaming_doc_quality", "media_exact_dedup",
+    "streaming_doc_quality", "media_exact_dedup", "remove_dup_spans",
     # --- round-1 greens re-confirmed in the window's back half
     "stocks_fixture",
-    "upsert_merge", "incremental_boundary", "continuity_check",
+    "upsert_merge", "incremental_boundary",
     "sma",
     "pairwise_correlation", "perf_summary", "dashboard_frame",
     "pricing_summary", "revenue_by_nation",

@@ -593,6 +593,88 @@ def repeated_ngram_stats(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The substring-dedup TRANSFORM (Lee et al. 2021's output, not just
+    the diagnostic): every length-``n`` token window whose gram occurs
+    at ≥2 (doc, pos) locations corpus-wide is removed at all but its
+    canonical occurrence (the minimal doc_id·10⁶+pos — so exactly one
+    copy of each duplicated span survives, deterministically); a
+    token is dropped iff some removed window covers it. Returns per
+    doc: original token count, removed-token count, and the md5 of the
+    cleaned text (tokens rejoined with single spaces) — the digest
+    makes the full rewritten corpus oracle-checkable without shipping
+    text through the comparison.
+
+    Scale shape: the positioned gram stream shuffles as 64-bit hashes;
+    canonical selection is one map-side-combined (count, min) groupBy
+    on the gram hash; removed positions fan out ≤ n per removed window
+    and distinct per doc; the rebuild is one per-doc groupBy. Linear in
+    corpus token count — the partition-friendly alternative to the
+    suffix-array construction. The occ-key encoding bounds positions at
+    10⁶ tokens/doc (chunk longer docs first — doc_chunks exists for
+    exactly that).
+    """
+    toks = tokens(text_col)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), cnt - n)
+    grams = F.when(
+        cnt >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    g = (
+        _spread(docs.select(F.col(id_col).alias("_id"), F.col(text_col)))
+        .select("_id", F.posexplode(grams).alias("_s", "_gram"))
+        .select(
+            "_id",
+            "_s",
+            F.xxhash64("_gram").alias("_h"),
+            (F.col("_id") * 1_000_000 + F.col("_s")).alias("_occ"),
+        )
+    )
+    meta = g.groupBy("_h").agg(
+        F.count("*").alias("_c"), F.min("_occ").alias("_canon")
+    )
+    removed_w = (
+        g.join(meta, "_h")
+        .filter((F.col("_c") >= 2) & (F.col("_occ") != F.col("_canon")))
+        .select("_id", "_s")
+    )
+    removed_p = removed_w.select(
+        "_id", F.explode(F.sequence(F.col("_s"), F.col("_s") + (n - 1))).alias("_p")
+    ).distinct()
+    tokp = _spread(docs.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
+        "_id", F.posexplode(toks).alias("_p", "_w")
+    )
+    kept = tokp.join(removed_p, ["_id", "_p"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.count("*").alias("_n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_p", "_w"))),
+                    lambda x: x["_w"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )
+    return (
+        docs.select(F.col(id_col), cnt.cast("long").alias("n_tokens"))
+        .join(rebuilt.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0))).alias("n_removed"),
+            F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
+        )
+    )
+
+
 def dedup_keep_best(
     docs: DataFrame,
     threshold: float = 0.7,

@@ -3142,6 +3142,42 @@ def q_repeated_ngram_spans(spark, sf_dir):
     return dedup.repeated_ngram_stats(table(spark, sf_dir, "documents"), n=8)
 
 
+@query(
+    "remove_dup_spans",
+    r"""WITH norm AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+  FROM documents),
+g AS (SELECT doc_id,
+             unnest(CASE WHEN len(words) >= 8
+               THEN [{'s': i, 'g': array_to_string(words[i:i+7], ' ')} for i in range(1, len(words) - 6)]
+               ELSE [] END) AS w FROM norm),
+occ AS (SELECT doc_id, w.s AS s, w.g AS gram,
+               doc_id * 1000000 + w.s AS occ_key FROM g),
+meta AS (SELECT gram, count(*) AS c, min(occ_key) AS canon FROM occ GROUP BY gram),
+removed_w AS (SELECT occ.doc_id, occ.s FROM occ JOIN meta USING (gram)
+              WHERE meta.c >= 2 AND occ.occ_key <> meta.canon),
+removed_p AS (SELECT DISTINCT doc_id, unnest(range(s, s + 8)) AS p FROM removed_w),
+tok AS (SELECT doc_id, generate_subscripts(words, 1) AS p, unnest(words) AS w
+        FROM norm),
+kept AS (SELECT t.doc_id, t.p, t.w FROM tok t LEFT JOIN removed_p r
+         ON t.doc_id = r.doc_id AND t.p = r.p WHERE r.doc_id IS NULL),
+rebuilt AS (SELECT doc_id, count(*) AS n_kept,
+                   md5(string_agg(w, ' ' ORDER BY p)) AS cleaned_md5
+            FROM kept GROUP BY doc_id)
+SELECT n.doc_id, CAST(n.len_w AS BIGINT) AS n_tokens,
+       CAST(n.len_w - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(r.cleaned_md5, md5('')) AS cleaned_md5
+FROM (SELECT doc_id, len(words) AS len_w FROM norm) n
+LEFT JOIN rebuilt r ON n.doc_id = r.doc_id""",
+)
+def q_remove_dup_spans(spark, sf_dir):
+    """X2h — the substring-dedup TRANSFORM: duplicated 8-token spans
+    removed at all but their canonical occurrence, doc text rebuilt;
+    the cleaned corpus is proven through per-doc md5 digests. See
+    dedup.remove_duplicate_spans."""
+    return dedup.remove_duplicate_spans(table(spark, sf_dir, "documents"), n=8)
+
+
 _TOKENS_CTE = f"""{_NORM_CTE},
 tokset AS (SELECT doc_id, list_distinct(words) AS toks FROM norm),
 tok AS (SELECT doc_id, unnest(toks) AS t FROM tokset)"""

@@ -305,3 +305,46 @@ def test_unigram_logprob_ranks_common_above_rare(spark):
     # hand-check doc 1: p(alpha) = 6/12 → mean log p = ln(0.5)
     import math
     assert out[1].avg_logprob == pytest.approx(math.log(0.5), abs=1e-5)
+
+
+# --- remove_duplicate_spans -----------------------------------------------
+
+
+def test_remove_dup_spans_keeps_canonical_copy_only(spark):
+    """Doc 1 and doc 2 share an 8-token span: doc 1 (lower occ key)
+    keeps it, doc 2 loses exactly those 8 tokens; an untouched doc
+    passes through with its md5 intact."""
+    import hashlib
+
+    span = "one two three four five six seven eight"
+    rows = [
+        (1, span + " tail1 tail2 tail3"),
+        (2, "lead1 lead2 " + span),
+        (3, "totally different words with no shared span here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.remove_duplicate_spans(docs, n=8).collect()}
+
+    assert out[1].n_removed == 0
+    assert out[1].cleaned_md5 == hashlib.md5(rows[0][1].encode()).hexdigest()
+    # doc 2: only the window starting at the span start is duplicated →
+    # 8 tokens removed, the two lead tokens survive
+    assert out[2].n_tokens == 10 and out[2].n_removed == 8
+    assert out[2].cleaned_md5 == hashlib.md5(b"lead1 lead2").hexdigest()
+    assert out[3].n_removed == 0
+    assert out[3].cleaned_md5 == hashlib.md5(rows[2][1].encode()).hexdigest()
+
+
+def test_remove_dup_spans_fully_removed_doc(spark):
+    """An exact duplicate of an 8-token doc is removed entirely →
+    md5('') and n_removed = n_tokens."""
+    import hashlib
+
+    t = "a1 a2 a3 a4 a5 a6 a7 a8"
+    docs = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dedup.remove_duplicate_spans(docs, n=8).collect()}
+    assert out[1].n_removed == 0
+    assert out[2].n_removed == 8 and out[2].n_tokens == 8
+    assert out[2].cleaned_md5 == hashlib.md5(b"").hexdigest()
