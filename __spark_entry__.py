@@ -79,11 +79,11 @@ _PRIORITY = [
     "unigram_logprob", "salted_hot_join", "ccnet_buckets",
     "ann_topk_ivf_exact", "semantic_dedup_kmeans", "text_topk_jaccard",
     "streaming_doc_quality", "media_exact_dedup", "remove_dup_spans",
+    "events_variant", "indicator_unpivot",
     # --- round-1 greens re-confirmed in the window's back half
     "stocks_fixture",
-    "upsert_merge", "incremental_boundary",
-    "sma",
-    "pairwise_correlation", "perf_summary", "dashboard_frame",
+    "upsert_merge",
+    "sma", "perf_summary", "dashboard_frame",
     "pricing_summary", "revenue_by_nation",
 ]
 

@@ -370,3 +370,30 @@ def read_text_lines(
     Splittable per line at any scale (wholetext is not — same caveat
     as binaryFile)."""
     return spark.read.text(path, wholetext=wholetext)
+
+
+def export_xml(
+    df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite"
+) -> None:
+    """XML sink (built into Spark 4 — the spark-xml package graduated
+    into core): the interchange format regulatory/enterprise feeds
+    still demand. One row element per record under a single root."""
+    (
+        df.write.mode(mode)
+        .format("xml")
+        .option("rootTag", "rows")
+        .option("rowTag", row_tag)
+        .save(path)
+    )
+
+
+def read_xml(
+    spark: SparkSession, path: str, schema=None, row_tag: str = "row"
+) -> DataFrame:
+    """XML source with an explicit schema (inference costs a second
+    pass and widens everything to string — same rule as
+    read_csv_permissive)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

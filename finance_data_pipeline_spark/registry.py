@@ -1966,6 +1966,65 @@ def q_events_json(spark, sf_dir):
 
 
 @query(
+    "events_variant",
+    """SELECT event_type, count(*) AS n_events,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events GROUP BY event_type""",
+)
+def q_events_variant(spark, sf_dir):
+    """F11 via Spark 4's VARIANT type: props parsed ONCE into the
+    binary variant encoding (parse_json), fields pulled with
+    variant_get — the modern semi-structured path (storage-shreddable,
+    no per-access string re-parse, unlike events_json's
+    get_json_object). Downstream aggregates are plain longs."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("_v")
+    )
+    return (
+        e.select(
+            "event_type",
+            F.expr("variant_get(_v, '$.k', 'long')").alias("_k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("_k").alias("k_total"),
+            F.max("_k").alias("k_max"),
+        )
+    )
+
+
+@query(
+    "indicator_unpivot",
+    f"""WITH {STOCKS},
+w AS (SELECT symbol, date, close,
+        round(avg(close) OVER ({_W_DATE} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6)
+          AS sma_20
+      FROM stocks)
+SELECT symbol, date, 'close' AS metric, close AS value FROM w
+UNION ALL
+SELECT symbol, date, 'sma_20' AS metric, sma_20 AS value FROM w""",
+)
+def q_indicator_unpivot(spark, sf_dir):
+    """O/reshape — wide→long melt via the built-in UNPIVOT (Expand
+    node, one pass, no self-union rescan): the tidy-format reshape the
+    reference's plotting layer performs per chart
+    (analyze_visualize.py melts indicator columns for matplotlib).
+    Oracle = the equivalent UNION ALL."""
+    s = _stocks(spark, sf_dir)
+    wide = s.select(
+        "symbol",
+        "date",
+        "close",
+        F.round(indicators.sma("close", 20), 6).alias("sma_20"),
+    )
+    return wide.unpivot(
+        ["symbol", "date"], ["close", "sma_20"], "metric", "value"
+    )
+
+
+@query(
     "asof_join_events_bars",
     f"""WITH {BARS},
 ev AS (SELECT event_id, 'H' || CAST(user_id % 10 AS VARCHAR) AS symbol, ts, value

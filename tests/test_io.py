@@ -265,3 +265,20 @@ def test_text_line_source(spark, tmp_path):
     assert sorted(r.value for r in lines.collect()) == ["line one", "line two", "solo"]
     whole = read_text_lines(spark, str(tmp_path), wholetext=True)
     assert sorted(r.value for r in whole.collect()) == ["line one\nline two\n", "solo"]
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """Spark 4 built-in XML: write rows under a rowTag, read back with
+    an explicit schema — values and types survive the round-trip."""
+    from finance_data_pipeline_spark.io import export_xml, read_xml
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", -2.25)], "id long, name string, score double"
+    )
+    path = str(tmp_path / "xml_out")
+    export_xml(df, path)
+    back = read_xml(spark, path, schema="id long, name string, score double")
+    assert sorted((r.id, r.name, r.score) for r in back.collect()) == [
+        (1, "alpha", 1.5),
+        (2, "beta", -2.25),
+    ]
