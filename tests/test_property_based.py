@@ -261,3 +261,104 @@ def test_repeated_ngram_stats_matches_bruteforce(spark, texts):
         for r in dedup.repeated_ngram_stats(docs, n=n).collect()
     }
     assert out == expect
+
+
+# --- round-3: span removal vs brute force ---------------------------------
+
+# min_size=1: a whitespace-only doc normalizes to ONE empty token in
+# Spark (split of "" yields [""]) while a naive .split() yields [] —
+# an input-representation artifact, not an operator property.
+_sdoc = st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=10).map(" ".join)
+
+
+@given(texts=st.lists(_sdoc, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_remove_dup_spans_matches_bruteforce(spark, texts):
+    """n=3 over a 3-word alphabet: recompute canonical-span removal in
+    plain Python (min (doc, pos) occurrence survives; removed windows
+    cover their 3 token positions) and require identical
+    (n_tokens, n_removed, cleaned text) per doc."""
+    import hashlib
+
+    from finance_data_pipeline_spark.extensions import dedup
+
+    n = 3
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    occ = {}
+    for did, ws in toks.items():
+        for s in range(len(ws) - n + 1):
+            occ.setdefault(" ".join(ws[s : s + n]), []).append((did, s))
+    removed = {did: set() for did in toks}
+    for gram, locs in occ.items():
+        if len(locs) >= 2:
+            canon = min(locs)
+            for did, s in locs:
+                if (did, s) != canon:
+                    removed[did].update(range(s, s + n))
+    expect = {}
+    for did, ws in toks.items():
+        kept = [w for p, w in enumerate(ws) if p not in removed[did]]
+        expect[did] = (
+            len(ws),
+            len(ws) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    docs = spark.createDataFrame(
+        [(i, t if t else " ") for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_md5)
+        for r in dedup.remove_duplicate_spans(docs, n=n).collect()
+    }
+    assert out == expect
+
+
+# --- round-3: semantic dedup vs brute force -------------------------------
+
+_vec = st.lists(
+    st.sampled_from([1.0, 0.5, -0.5, -1.0, 2.0]), min_size=3, max_size=3
+)
+
+
+@given(vecs=st.lists(_vec, min_size=2, max_size=8))
+@settings(**SETTINGS)
+def test_semantic_dedup_matches_bruteforce(spark, vecs):
+    """Replay assignment (argmax rounded cosine, ties → lowest cid) and
+    greedy intra-bucket pruning in plain Python; kept sets must match."""
+    import math
+
+    from finance_data_pipeline_spark.extensions import similarity
+
+    k, thr = 2, 0.9
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return round(num / den, 6)
+
+    vd = dict(enumerate(vecs))
+    cents = {cid: vd[cid] for cid in range(min(k, len(vd)))}
+    assign = {
+        vid: max(cents, key=lambda c: (cos(e, cents[c]), -c))
+        for vid, e in vd.items()
+    }
+    dropped = {
+        b
+        for a in vd
+        for b in vd
+        if a < b and assign[a] == assign[b] and cos(vd[a], vd[b]) >= thr
+    }
+    expect = {vid: assign[vid] for vid in vd if vid not in dropped}
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vd.items()], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r.vec_id: r.cluster_id
+        for r in similarity.semantic_dedup(
+            df, k_centroids=k, threshold=thr
+        ).collect()
+    }
+    assert got == expect
