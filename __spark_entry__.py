@@ -80,11 +80,12 @@ _PRIORITY = [
     "ann_topk_ivf_exact", "semantic_dedup_kmeans", "text_topk_jaccard",
     "streaming_doc_quality", "media_exact_dedup", "remove_dup_spans",
     "events_variant", "indicator_unpivot",
+    "line_dedup", "bloom_decontaminate",
     # --- round-1 greens re-confirmed in the window's back half
     "stocks_fixture",
     "upsert_merge",
-    "sma", "perf_summary", "dashboard_frame",
-    "pricing_summary", "revenue_by_nation",
+    "sma", "perf_summary",
+    "pricing_summary",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -1004,3 +1004,187 @@ def simhash_near_dups(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --- X2i: corpus-level boilerplate-segment removal ------------------------
+
+
+def line_dedup(
+    docs: DataFrame,
+    seg_len: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate-line removal (the RefinedWeb / CCNet line-dedup
+    step): split each doc into fixed ``seg_len``-token segments, drop
+    EVERY occurrence of any segment that appears in >= ``min_docs``
+    distinct documents, and rebuild the doc from the survivors in
+    order.
+
+    Differs from :func:`remove_duplicate_spans` (Lee et al. ExactSubstr,
+    which keeps one canonical occurrence of every duplicated sliding
+    window) in granularity and policy: segments tile the doc instead of
+    sliding, and cross-document boilerplate is removed from ALL docs —
+    the right semantics for navigation chrome / license banners that
+    should survive nowhere.
+
+    Scale path: segmentation is a row-local higher-order function (no
+    explode of sliding windows — each token lands in exactly one
+    segment, so the exploded stream is |corpus| tokens / seg_len rows);
+    the global frequency count groups on an engine-portable 60-bit md5
+    hash (strings never shuffle); the rebuild is one groupBy(doc_id)
+    with an in-group sort of (idx, seg) structs. Two shuffles total.
+
+    Reference parity: corpus-hygiene extension of the reference's
+    validation pass (fetch_and_store.py) — no native analogue.
+    Returns (doc_id, n_segments, n_removed, cleaned_md5).
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_segs = F.ceil(n / F.lit(float(seg_len))).cast("int")
+    segs = F.when(
+        n_segs >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.array_join(F.slice(toks, i * seg_len + 1, seg_len), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    seg_rows = _spread(docs).select(
+        F.col(id_col), F.posexplode(segs).alias("seg_idx", "seg")
+    ).withColumn("_h", md5_token_hash("seg"))
+
+    dup_h = (
+        seg_rows.select("_h", id_col)
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h", F.lit(1).alias("_dup"))
+    )
+    marked = seg_rows.join(dup_h, "_h", "left")
+    kept_struct = F.when(F.col("_dup").isNull(), F.struct("seg_idx", "seg"))
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.coalesce("_dup", F.lit(0)).cast("long")).alias("n_removed"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["seg"],
+                    ),
+                    " ",
+                )
+            ).alias("cleaned_md5"),
+        )
+        .select(id_col, "n_segments", "n_removed", "cleaned_md5")
+    )
+
+
+# --- X6++: Bloom-filter decontamination (constant-size build side) --------
+
+
+def _bloom_positions(sh: F.Column, m: int) -> F.Column:
+    """Three independent bit positions per shingle from ONE md5: hex
+    digits 1-10 / 11-20 / 21-30 are disjoint 40-bit slices of the
+    digest, reduced mod ``m``. Engine-portable (DuckDB rebuilds the
+    identical values with positional hex shifts)."""
+    md = F.md5(sh)
+    return F.array(
+        *[
+            F.conv(F.substring(md, 1 + 10 * j, 10), 16, 10).cast("long") % m
+            for j in range(3)
+        ]
+    )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    bench_nibble: str = "f",
+    k: int = 3,
+    n_words: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter: the held-out
+    slice's k-word shingles are folded into an ``m = 63 * n_words``-bit
+    bitmap (3 hash functions), and every training doc is probed against
+    it. Returns (doc_id, bloom_hit, exact_hit) per training doc, where
+    ``exact_hit`` is the true shared-shingle flag (semi-join semantics
+    of :func:`decontaminate`) — so ``bloom_hit >= exact_hit`` always
+    (no false negatives) and the gap IS the false-positive count.
+
+    Why this exists next to :func:`decontaminate`: the exact path
+    distinct-s the benchmark shingle set and semi-joins it, which is
+    right while that set fits a broadcast. At 100 TB with a large eval
+    suite the bitmap is the standard answer — 16 KiB here (2048 words)
+    and CONSTANT in the benchmark's size; probes never shuffle the
+    benchmark side at all. Expected FP rate (1 - e^(-3n/m))^3 — with
+    m = 129,024 bits it stays < 1e-3 up to ~2,600 distinct bench
+    shingles; size n_words to the eval suite at real scale.
+
+    The filter is deterministic (md5-slice hashes, fixed m), so the
+    whole operator — false positives included — replays bit-exactly in
+    the SQL oracle.
+
+    Bits use 63 positions per signed-64 word (the sign bit stays
+    clear), sidestepping engine-specific overflow on ``1 << 63``.
+    """
+    m = 63 * n_words
+    nib = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    is_bench = nib == bench_nibble
+
+    bench_sh = (
+        _spread(docs.filter(is_bench))
+        .select(F.explode(word_shingles(text_col, k)).alias("sh"))
+        .distinct()
+    )
+    bloom = (
+        bench_sh.select(F.explode(_bloom_positions(F.col("sh"), m)).alias("pos"))
+        .select(
+            F.expr("pos div 63").alias("w"),
+            (F.col("pos") % 63).cast("int").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").alias("mask"))
+    )
+    bench_h = (
+        bench_sh.select(md5_token_hash("sh").alias("_h"))
+        .distinct()
+        .withColumn("_e", F.lit(1))
+    )
+
+    tsh = _spread(docs.filter(~is_bench)).select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("sh")
+    )
+    probes = tsh.select(
+        id_col,
+        md5_token_hash("sh").alias("_h"),
+        F.explode(_bloom_positions(F.col("sh"), m)).alias("pos"),
+    ).select(
+        id_col,
+        "_h",
+        F.expr("pos div 63").alias("w"),
+        (F.col("pos") % 63).cast("int").alias("b"),
+    )
+    sh_hits = (
+        probes.join(F.broadcast(bloom), "w", "left")
+        .withColumn(
+            "_bit",
+            F.expr(
+                "CAST(shiftright(coalesce(mask, CAST(0 AS BIGINT)), b) & 1 AS INT)"
+            ),
+        )
+        .groupBy(id_col, "_h")
+        .agg((F.sum("_bit") == 3).cast("int").alias("_in_bloom"))
+    )
+    return (
+        sh_hits.join(bench_h, "_h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("_in_bloom").cast("long").alias("bloom_hit"),
+            F.max(F.coalesce("_e", F.lit(0))).cast("long").alias("exact_hit"),
+        )
+    )

@@ -3708,6 +3708,94 @@ def q_contamination_overlap(spark, sf_dir):
     return dedup.contamination_scores(table(spark, sf_dir, "documents"))
 
 
+def _md5_slice_sql(expr: str, start: int, n: int) -> str:
+    """DuckDB twin of ``F.conv(F.substring(F.md5(expr), start, n), 16,
+    10)``: the n-hex-digit slice of the digest as a BIGINT, rebuilt
+    from positional hex shifts (generalizes ``_MD5_H_SQL``)."""
+    end = start + n
+    return (
+        f"list_sum(list_transform(range({start}, {end}), i -> "
+        f"(strpos('0123456789abcdef', substring(md5({expr}), CAST(i AS INTEGER), 1)) - 1)::BIGINT"
+        f" << (({end - 1} - i) * 4)))"
+    )
+
+
+_SEG_H_SQL = _md5_slice_sql("seg", 1, 15)
+
+
+@query(
+    "line_dedup",
+    f"""WITH norm AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents),
+segs AS (SELECT doc_id, unnest(CASE WHEN len(words) >= 1 THEN
+           [{{'i': i, 's': array_to_string(words[i*10+1 : i*10+10], ' ')}}
+            for i in range(0, CAST(ceil(len(words)/10.0) AS BIGINT))]
+           ELSE [] END) AS w FROM norm),
+sr AS (SELECT doc_id, w.i AS seg_idx, w.s AS seg, {_SEG_H_SQL} AS h FROM segs),
+dup AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM sr)
+        GROUP BY h HAVING count(*) >= 2)
+SELECT doc_id, count(*) AS n_segments,
+       CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       coalesce(md5(string_agg(CASE WHEN d.h IS NULL THEN seg END,
+                               ' ' ORDER BY seg_idx)), md5('')) AS cleaned_md5
+FROM sr LEFT JOIN dup d USING (h) GROUP BY doc_id""",
+)
+def q_line_dedup(spark, sf_dir):
+    """X2i — boilerplate-line removal (RefinedWeb/CCNet line dedup):
+    10-token segments TILE each doc (no sliding explode); any segment
+    seen in >= 2 distinct docs is dropped from ALL of them; the rebuilt
+    corpus is proven through per-doc md5 digests. Two shuffles, both on
+    60-bit longs. See dedup.line_dedup."""
+    return dedup.line_dedup(table(spark, sf_dir, "documents"))
+
+
+_BLOOM_SH_H_SQL = _md5_slice_sql("sh", 1, 15)
+_BLOOM_POS_SQL = ", ".join(
+    f"({_md5_slice_sql('sh', 1 + 10 * j, 10)} % 129024)" for j in range(3)
+)
+
+
+@query(
+    "bloom_decontaminate",
+    f"""WITH {_SHINGLES_CTE},
+bench AS (SELECT doc_id FROM documents
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'),
+bsh AS (SELECT DISTINCT sh.sh FROM sh JOIN bench USING (doc_id)),
+bpos AS (SELECT unnest([{_BLOOM_POS_SQL}]) AS pos FROM bsh),
+bloom AS (SELECT pos // 63 AS w,
+                 bit_or(1::BIGINT << CAST(pos % 63 AS INTEGER)) AS mask
+          FROM bpos GROUP BY 1),
+bh AS (SELECT DISTINCT {_BLOOM_SH_H_SQL} AS h FROM bsh),
+tsh AS (SELECT s.doc_id, s.sh, {_md5_slice_sql('s.sh', 1, 15)} AS h,
+               unnest([{", ".join(f"({_md5_slice_sql('s.sh', 1 + 10 * j, 10)} % 129024)" for j in range(3))}]) AS pos
+        FROM sh s
+        WHERE substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 1) <> 'f'),
+probe AS (SELECT doc_id, h,
+                 CASE WHEN (coalesce(mask, 0) >> CAST(pos % 63 AS INTEGER)) & 1 = 1
+                      THEN 1 ELSE 0 END AS bit
+          FROM tsh LEFT JOIN bloom ON tsh.pos // 63 = bloom.w),
+shhit AS (SELECT doc_id, h,
+                 CASE WHEN sum(bit) = 3 THEN 1 ELSE 0 END AS in_bloom
+          FROM probe GROUP BY doc_id, h)
+SELECT doc_id, CAST(max(in_bloom) AS BIGINT) AS bloom_hit,
+       CAST(max(CASE WHEN bh.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS exact_hit
+FROM shhit LEFT JOIN bh USING (h) GROUP BY doc_id""",
+)
+def q_bloom_decontaminate(spark, sf_dir):
+    """X6++ — Bloom-filter decontamination: the bench slice's shingles
+    fold into a 129,024-bit bitmap (3 md5-slice hashes, 63 bits per
+    signed word) that probes every training doc; output carries BOTH
+    the bloom verdict and the exact semi-join flag, so the oracle
+    replays the false positives bit-for-bit. The 16 KiB bitmap is
+    CONSTANT in benchmark size — the decontamination path when the
+    eval suite's shingle set outgrows a broadcast. See
+    dedup.bloom_decontaminate."""
+    return dedup.bloom_decontaminate(table(spark, sf_dir, "documents"))
+
+
 @query(
     "training_corpus",
     f"""WITH RECURSIVE {_NEAR_PAIRS_CTE},

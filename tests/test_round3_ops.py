@@ -348,3 +348,96 @@ def test_remove_dup_spans_fully_removed_doc(spark):
     assert out[1].n_removed == 0
     assert out[2].n_removed == 8 and out[2].n_tokens == 8
     assert out[2].cleaned_md5 == hashlib.md5(b"").hexdigest()
+
+
+# --- line_dedup -----------------------------------------------------------
+
+
+def test_line_dedup_removes_cross_doc_boilerplate_everywhere(spark):
+    """A 10-token banner shared by two docs disappears from BOTH; the
+    unique remainder survives with order preserved."""
+    banner = " ".join(f"b{i}" for i in range(10))
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"c{i}" for i in range(10))
+    rows = [
+        (1, f"{banner} {uniq_a}"),
+        (2, f"{banner} {uniq_b}"),
+        (3, uniq_a.upper()),  # normalizes to uniq_a → dupes doc 1's tail
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.line_dedup(docs).collect()}
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[1].n_segments == 2 and out[1].n_removed == 2
+    assert out[1].cleaned_md5 == md5("")
+    assert out[2].n_segments == 2 and out[2].n_removed == 1
+    assert out[2].cleaned_md5 == md5(uniq_b)
+    assert out[3].n_removed == 1 and out[3].cleaned_md5 == md5("")
+
+
+def test_line_dedup_unique_doc_is_untouched(spark):
+    """A doc sharing no segment with any other rebuilds to its own
+    normalized text."""
+    rows = [(1, "alpha beta gamma delta"), (2, "zeta eta theta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.line_dedup(docs).collect()}
+    import hashlib
+
+    assert out[1].n_removed == 0
+    assert out[1].cleaned_md5 == hashlib.md5(b"alpha beta gamma delta").hexdigest()
+
+
+def test_line_dedup_invariants_on_corpus(spark, docs):
+    """0 <= n_removed <= n_segments on every real doc; untouched docs
+    rebuild to their normalized text's md5."""
+    out = dedup.line_dedup(docs).collect()
+    assert len(out) == docs.count()
+    assert all(0 <= r.n_removed <= r.n_segments for r in out)
+    clean = {r.doc_id: r.cleaned_md5 for r in out if r.n_removed == 0}
+    norm = {
+        r.doc_id: r.h
+        for r in docs.select(
+            "doc_id", F.md5(F.array_join(dedup.tokens("text"), " ")).alias("h")
+        ).collect()
+        if r.doc_id in clean
+    }
+    assert clean == norm
+
+
+# --- bloom_decontaminate --------------------------------------------------
+
+
+def test_bloom_has_no_false_negatives_and_matches_exact_path(spark, docs):
+    """bloom_hit >= exact_hit row-wise (a Bloom filter can only err
+    toward flagging), and the exact_hit column reproduces
+    dedup.decontaminate's survivor set."""
+    out = dedup.bloom_decontaminate(docs).collect()
+    assert all(r.bloom_hit >= r.exact_hit for r in out)
+    survivors_exact = {r.doc_id for r in dedup.decontaminate(docs).collect()}
+    assert {r.doc_id for r in out if r.exact_hit == 0} == survivors_exact
+
+
+def test_bloom_flags_planted_contamination(spark):
+    """A training doc sharing a 3-gram with the bench slice is flagged
+    by both paths; a disjoint-vocabulary doc is flagged by neither
+    (vocabularies chosen so no hash coincidence matters: exact_hit is
+    semantics, bloom_hit false-positive odds here ~(3*3/129024)^3)."""
+    # doc_id 4 hashes to bench nibble 'f'? Find ids deterministically.
+    import hashlib
+
+    bench_id = next(
+        i for i in range(1000) if hashlib.md5(str(i).encode()).hexdigest()[0] == "f"
+    )
+    train_ids = [
+        i for i in range(1000) if hashlib.md5(str(i).encode()).hexdigest()[0] != "f"
+    ][:2]
+    rows = [
+        (bench_id, "secret leak phrase plus padding words"),
+        (train_ids[0], "contains the secret leak phrase too"),
+        (train_ids[1], "totally unrelated clean content here"),
+    ]
+    docs2 = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.bloom_decontaminate(docs2).collect()}
+    assert out[train_ids[0]].exact_hit == 1 and out[train_ids[0]].bloom_hit == 1
+    assert out[train_ids[1]].exact_hit == 0 and out[train_ids[1]].bloom_hit == 0
