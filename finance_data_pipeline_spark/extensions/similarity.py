@@ -698,3 +698,69 @@ def pairwise_label_cosine(
         .groupBy("label")
         .agg(F.round(F.avg(cosine("va", "vb")), 6).alias("mean_intra_cosine"), F.count("*").alias("pairs"))
     )
+
+
+def label_outliers(
+    vectors: DataFrame,
+    per_label: int = 5,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-space label QA (the SemDeDup-era mislabel sweep): per
+    label, the ``per_label`` members FURTHEST from their label's
+    centroid by cosine — the candidates a curation pass reviews for
+    mislabeling or junk embeddings.
+
+    The centroid is the exact fixed-point elementwise mean
+    (kmeans_centroids' trick: scaled-long sums are order-independent,
+    so the result is a pure function of the input and the whole
+    operator — argmin ranks included — replays in the SQL oracle).
+
+    Scale shape: one posexplode → groupBy(label, pos) keyed on
+    |labels|·dim groups (map-side combined), a broadcast join of the
+    |labels|-row centroid frame back onto the corpus, one JVM-fold
+    cosine per row, and a per-label top-k window. No driver state, no
+    UDFs.
+
+    Returns (vec_id, label, cos_centroid, outlier_rank).
+    """
+    v = _spread(
+        vectors.select(
+            F.col(id_col),
+            F.col(label_col),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("_e"),
+        )
+    )
+    comp = v.select(label_col, F.posexplode("_e").alias("_pos", "_c"))
+    means = (
+        comp.groupBy(label_col, "_pos")
+        .agg(
+            F.sum(F.round(F.col("_c") * scale, 0).cast("long")).alias("_s"),
+            F.count("*").alias("_n"),
+        )
+        .select(
+            label_col,
+            "_pos",
+            (F.col("_s").cast("double") / (F.lit(float(scale)) * F.col("_n"))).alias(
+                "_m"
+            ),
+        )
+    )
+    cents = (
+        means.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_pm"))
+        .select(label_col, F.transform("_pm", lambda s: s["_m"]).alias("_ce"))
+    )
+    scored = v.join(F.broadcast(cents), label_col).select(
+        id_col,
+        label_col,
+        F.round(cosine("_e", "_ce"), 6).alias("cos_centroid"),
+    )
+    w = Window.partitionBy(label_col).orderBy(F.asc("cos_centroid"), id_col)
+    return (
+        scored.withColumn("outlier_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("outlier_rank") <= per_label)
+        .select(id_col, label_col, "cos_centroid", "outlier_rank")
+    )

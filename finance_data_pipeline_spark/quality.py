@@ -116,3 +116,57 @@ def continuity_check(new_batch: DataFrame, stored: DataFrame) -> DataFrame:
         )
         .withColumn("ratio", ratio)
     )
+
+
+def profile_columns(
+    df: DataFrame, cols: list[tuple[str, str]], exact: bool = True
+) -> DataFrame:
+    """Table profiling (the ANALYZE/data-quality sweep a pipeline runs
+    before trusting a new drop): per column — null count, distinct
+    count, min and max — in ONE aggregation pass, reshaped long via
+    ``stack`` so downstream checks diff profiles across loads.
+
+    ``cols`` is (name, kind) with kind ``money`` routing min/max
+    through decimal(18,2) (engine-stable string form for TPC-H price
+    doubles); anything else prints through a plain string cast.
+
+    Scale notes: exact count(DISTINCT) over n columns runs through
+    Spark's expand operator — an n× row blow-up before the shuffle.
+    That is the oracle-checkable default here; at 100 TB pass
+    ``exact=False`` for approx_count_distinct (HLL sketches, one pass,
+    no expand) — the profile becomes an estimate, which is what
+    production profilers ship. min/max/null-counts are map-side
+    combined either way.
+    """
+    def fmt(c: Column, kind: str) -> Column:
+        if kind == "money":
+            c = c.cast("decimal(18,2)")
+        return c.cast("string")
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, kind in cols:
+        nd = (
+            F.countDistinct(F.col(name))
+            if exact
+            else F.approx_count_distinct(name)
+        )
+        aggs += [
+            F.sum(F.col(name).isNull().cast("long")).alias(f"{name}__nulls"),
+            nd.alias(f"{name}__nd"),
+            fmt(F.min(F.col(name)), kind).alias(f"{name}__min"),
+            fmt(F.max(F.col(name)), kind).alias(f"{name}__max"),
+        ]
+    row = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{name}', {name}__nulls, {name}__nd, {name}__min, {name}__max"
+        for name, _ in cols
+    )
+    return row.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        ),
+    ).select(
+        "column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
+    )

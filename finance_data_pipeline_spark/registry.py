@@ -4012,6 +4012,67 @@ def q_embedding_stats(spark, sf_dir):
 
 
 @query(
+    "embedding_outliers",
+    """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+comp AS (SELECT label, p.pos AS pos, e[p.pos] AS c
+         FROM v CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p),
+means AS (SELECT label, pos,
+                 CAST(sum(CAST(round(c * 1000000) AS BIGINT)) AS DOUBLE)
+                   / (1000000.0 * count(*)) AS m
+          FROM comp GROUP BY label, pos),
+cents AS (SELECT label, list(m ORDER BY pos) AS ce FROM means GROUP BY label),
+scored AS (SELECT vec_id, v.label AS label,
+                  round(list_dot_product(e, ce)
+                        / (sqrt(list_dot_product(e, e))
+                           * sqrt(list_dot_product(ce, ce))), 6) AS cos_centroid
+           FROM v JOIN cents USING (label))
+SELECT vec_id, label, cos_centroid, CAST(rn AS BIGINT) AS outlier_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY label
+                                   ORDER BY cos_centroid, vec_id) AS rn
+      FROM scored) WHERE rn <= 5""",
+)
+def q_embedding_outliers(spark, sf_dir):
+    """X3+ — per-label mislabel sweep: the 5 members furthest (by
+    cosine) from their label's exact fixed-point centroid — embedding-
+    space QA for curated corpora. Centroid means are order-independent
+    scaled-long sums, so the ranks replay bit-exactly in SQL. See
+    similarity.label_outliers."""
+    return similarity.label_outliers(table(spark, sf_dir, "embeddings"))
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "raw"),
+    ("o_custkey", "raw"),
+    ("o_orderstatus", "raw"),
+    ("o_totalprice", "money"),
+    ("o_orderdate", "raw"),
+    ("o_orderpriority", "raw"),
+]
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
+  CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  count(DISTINCT {c}) AS n_distinct,
+  CAST({f"CAST(min({c}) AS DECIMAL(18,2))" if kind == "money" else f"min({c})"} AS VARCHAR) AS min_value,
+  CAST({f"CAST(max({c}) AS DECIMAL(18,2))" if kind == "money" else f"max({c})"} AS VARCHAR) AS max_value
+FROM orders"""
+    for c, kind in _PROFILE_COLS
+)
+
+
+@query("profile_table", _PROFILE_ORACLE)
+def q_profile_table(spark, sf_dir):
+    """EP4+ — table profiling (null/distinct/min/max per column, long
+    format) in one aggregation pass: the trust-a-new-drop sweep the
+    reference performs column-by-column in pandas (analyze_visualize.py
+    describe()/isnull() checks), distributed. Exact distincts go
+    through Spark's expand (n× blow-up, the oracle-checkable default);
+    profile_columns(exact=False) is the HLL path at 100 TB. See
+    quality.profile_columns."""
+    return quality.profile_columns(table(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+@query(
     "ann_topk",
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),

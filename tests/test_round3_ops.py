@@ -441,3 +441,82 @@ def test_bloom_flags_planted_contamination(spark):
     out = {r.doc_id: r for r in dedup.bloom_decontaminate(docs2).collect()}
     assert out[train_ids[0]].exact_hit == 1 and out[train_ids[0]].bloom_hit == 1
     assert out[train_ids[1]].exact_hit == 0 and out[train_ids[1]].bloom_hit == 0
+
+
+# --- label_outliers -------------------------------------------------------
+
+
+def test_label_outliers_flags_the_planted_outlier(spark):
+    """Three near-identical vectors plus one anti-aligned vector in a
+    label: the anti-aligned one ranks first (furthest from centroid)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 7),
+        (1, [0.9, 0.1, 0.0, 0.0], 7),
+        (2, [1.0, 0.1, 0.0, 0.0], 7),
+        (3, [-1.0, 0.0, 0.0, 0.0], 7),  # planted outlier
+        (4, [0.0, 1.0, 0.0, 0.0], 8),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = similarity.label_outliers(vecs, per_label=2)
+    by_label = {}
+    for r in out.collect():
+        by_label.setdefault(r.label, []).append((r.outlier_rank, r.vec_id))
+    assert sorted(by_label[7])[0] == (1, 3)
+    assert by_label[8] == [(1, 4)]  # singleton label: its own centroid
+
+
+def test_label_outliers_rank_bounds_on_real_embeddings(spark):
+    """Each label emits min(per_label, label size) rows with ranks
+    1..n and cosines within [-1, 1]."""
+    from finance_data_pipeline_spark.io import table as _t
+
+    vecs = _t(spark, SF_DIR, "embeddings")
+    out = similarity.label_outliers(vecs, per_label=5).collect()
+    sizes = {r.label: r.n for r in vecs.groupBy("label").count().withColumnRenamed("count", "n").collect()}
+    per = {}
+    for r in out:
+        per.setdefault(r.label, []).append(r.outlier_rank)
+        assert -1.000001 <= r.cos_centroid <= 1.000001
+    for lbl, ranks in per.items():
+        assert sorted(ranks) == list(range(1, min(5, sizes[lbl]) + 1))
+
+
+# --- profile_columns ------------------------------------------------------
+
+
+def test_profile_columns_counts_nulls_distincts_and_extremes(spark):
+    from finance_data_pipeline_spark import quality
+
+    rows = [(1, None, 10.5), (2, "b", 2.25), (3, "b", None), (4, "a", 99.0)]
+    df = spark.createDataFrame(rows, "id long, cat string, price double")
+    out = {
+        r.column_name: r
+        for r in quality.profile_columns(
+            df, [("id", "raw"), ("cat", "raw"), ("price", "money")]
+        ).collect()
+    }
+    assert out["id"].n_rows == 4 and out["id"].n_nulls == 0
+    assert out["id"].n_distinct == 4 and out["id"].min_value == "1"
+    assert out["cat"].n_nulls == 1 and out["cat"].n_distinct == 2
+    assert out["cat"].min_value == "a" and out["cat"].max_value == "b"
+    assert out["price"].n_nulls == 1 and out["price"].min_value == "2.25"
+    assert out["price"].max_value == "99.00"  # decimal(18,2) formatting
+
+
+def test_profile_columns_approx_path_runs_without_expand(spark):
+    """exact=False swaps countDistinct for HLL: same schema, distinct
+    counts within the sketch's tolerance, and no Expand in the plan."""
+    from finance_data_pipeline_spark import quality
+    from finance_data_pipeline_spark.io import table as _t
+
+    orders = _t(spark, SF_DIR, "orders")
+    cols = [("o_orderkey", "raw"), ("o_orderstatus", "raw")]
+    approx = quality.profile_columns(orders, cols, exact=False)
+    assert "Expand" not in approx._jdf.queryExecution().executedPlan().toString()
+    got = {r.column_name: r.n_distinct for r in approx.collect()}
+    exact = {
+        r.column_name: r.n_distinct
+        for r in quality.profile_columns(orders, cols).collect()
+    }
+    for c in got:
+        assert abs(got[c] - exact[c]) <= max(2, 0.1 * exact[c])
