@@ -81,11 +81,10 @@ _PRIORITY = [
     "streaming_doc_quality", "media_exact_dedup", "remove_dup_spans",
     "events_variant", "indicator_unpivot",
     "line_dedup", "bloom_decontaminate",
-    "embedding_outliers", "profile_table",
+    "embedding_outliers", "profile_table", "streaming_neardup_gate",
     # --- round-1 greens re-confirmed in the window's back half
     "stocks_fixture",
     "upsert_merge",
-    "sma",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -195,13 +195,11 @@ def minhash_signatures(
     )
 
 
-def lsh_candidates(signatures: DataFrame, bands: int = 42, rows: int = 3) -> DataFrame:
-    """Band the signatures and self-join on (band, bucket-hash).
-
-    Bucket key is a hash of the band slice → fixed-width shuffle key.
-    Emits distinct (id_a < id_b) candidate pairs.
-    """
-    banded = signatures.select(
+def banded_buckets(signatures: DataFrame, bands: int = 42, rows: int = 3) -> DataFrame:
+    """(_id, band, bucket) stream: each signature sliced into ``bands``
+    bands of ``rows`` values, each band hashed to a fixed-width bucket
+    key (the LSH shuffle key)."""
+    return signatures.select(
         "_id",
         F.posexplode(
             F.transform(
@@ -210,6 +208,36 @@ def lsh_candidates(signatures: DataFrame, bands: int = 42, rows: int = 3) -> Dat
             )
         ).alias("band", "bucket"),
     )
+
+
+def lsh_candidates_between(
+    probe_sigs: DataFrame, index_sigs: DataFrame, bands: int = 42, rows: int = 3
+) -> DataFrame:
+    """Cross-side LSH candidates: probe signatures vs an existing
+    signature index (no probe-probe or index-index pairs) — the
+    incremental-ingestion shape, where a small new batch bands against
+    a persisted index and only colliding buckets join. Returns distinct
+    (id_a = probe id, id_b = index id)."""
+    a = banded_buckets(probe_sigs, bands, rows).alias("a")
+    b = banded_buckets(index_sigs, bands, rows).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def lsh_candidates(signatures: DataFrame, bands: int = 42, rows: int = 3) -> DataFrame:
+    """Band the signatures and self-join on (band, bucket-hash).
+
+    Bucket key is a hash of the band slice → fixed-width shuffle key.
+    Emits distinct (id_a < id_b) candidate pairs.
+    """
+    banded = banded_buckets(signatures, bands, rows)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

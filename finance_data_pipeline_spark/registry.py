@@ -4073,6 +4073,69 @@ def q_profile_table(spark, sf_dir):
 
 
 @query(
+    "streaming_neardup_gate",
+    f"""WITH {_NEAR_PAIRS_CTE},
+edges AS (SELECT id_a AS x, id_b AS y FROM np
+          UNION ALL SELECT id_b, id_a FROM np),
+store0 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+b0 AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 1),
+accept0 AS (SELECT doc_id FROM b0 WHERE doc_id NOT IN (
+  SELECT e.x FROM edges e JOIN store0 s ON e.y = s.doc_id)),
+store1 AS (SELECT doc_id FROM store0
+           UNION ALL SELECT doc_id FROM accept0),
+b1 AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 3),
+accept1 AS (SELECT doc_id FROM b1 WHERE doc_id NOT IN (
+  SELECT e.x FROM edges e JOIN store1 s ON e.y = s.doc_id))
+SELECT doc_id FROM store1 UNION ALL SELECT doc_id FROM accept1""",
+)
+def q_streaming_neardup_gate(spark, sf_dir):
+    """ST2×X2 — the streaming ingestion near-dup gate: a seed store
+    (even doc_ids, docs + persisted MinHash index) admits two odd
+    micro-batches in pinned order; each batch LSH-bands against the
+    index, exact-verifies candidates, and only docs without a store
+    partner at J>=0.7 are admitted (and indexed, so batch 2 dedups
+    against batch 1's admissions). Result = the store read back.
+    Oracle replays both admission rounds over the exact near-dup edge
+    set. See streaming.neardup_gate."""
+    import os
+    import tempfile
+    import uuid
+
+    from finance_data_pipeline_spark.extensions import dedup as dd
+    from finance_data_pipeline_spark.streaming import neardup_gate
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = os.path.join(
+        tempfile.mkdtemp(prefix=f"fdps_ndstore_{uuid.uuid4().hex[:8]}_"), "store"
+    )
+    seed = docs.filter(F.col("doc_id") % 2 == 0).localCheckpoint()
+    seed.write.mode("overwrite").parquet(f"{store}/docs")
+    dd.minhash_signatures(seed).write.mode("overwrite").parquet(f"{store}/sigs")
+
+    staged = tempfile.mkdtemp(prefix="fdps_ndsrc_")
+    docs.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    first = {f for f in os.listdir(staged) if not f.startswith(("_", "."))}
+    docs.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.mode("append").parquet(
+        staged
+    )
+    for f in os.listdir(staged):
+        if f.startswith(("_", ".")):
+            continue
+        t = 1_000_000_000 if f in first else 2_000_000_000
+        os.utime(os.path.join(staged, f), (t, t))
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    q = neardup_gate(sdf, store, tempfile.mkdtemp(prefix="fdps_ckpt_"))
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{store}/docs").select("doc_id")
+
+
+@query(
     "ann_topk",
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),

@@ -4,6 +4,7 @@ from finance_data_pipeline_spark.streaming.pipeline import (
     dedup_in_stream,
     enrich_stream,
     interval_join_streams,
+    neardup_gate,
     present_daily_aggregate,
     stateful_continuity,
     stream_events,
@@ -20,6 +21,7 @@ __all__ = [
     "dedup_in_stream",
     "enrich_stream",
     "interval_join_streams",
+    "neardup_gate",
     "stateful_continuity",
     "stream_ingest_stocks",
 ]

@@ -229,3 +229,67 @@ def stream_ingest_stocks(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def neardup_gate(
+    docs: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    threshold: float = 0.7,
+    trigger_available_now: bool = True,
+):
+    """Streaming ingestion near-dup gate (ST2×X2): each micro-batch of
+    documents is MinHash-signed, LSH-banded against the store's
+    PERSISTED signature index, exact-Jaccard-verified, and only docs
+    with no store partner at >= ``threshold`` are admitted — docs AND
+    their signatures append, so later batches dedup against everything
+    admitted before them.
+
+    The store layout is the scale design: ``{store}/docs`` (content)
+    and ``{store}/sigs`` (the LSH index). Per batch the work is
+    O(batch signatures + colliding buckets) — the store is never
+    re-signed, and its text is read back only for candidate partners
+    (a semi-join the scan pushes down). Within-batch duplicates are
+    both admitted (per-batch policy; compose near_dup_pairs on the
+    batch first when intra-batch dedup is wanted) — this keeps the
+    result a pure function of (store, batch order).
+    """
+    from finance_data_pipeline_spark.extensions import dedup as dd
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.localCheckpoint()
+        bsigs = dd.minhash_signatures(batch).localCheckpoint()
+        try:
+            idx = spark.read.parquet(f"{store_path}/sigs")
+        except Exception:
+            idx = None
+        if idx is not None:
+            cands = dd.lsh_candidates_between(bsigs, idx)
+            cand_store_ids = cands.select(F.col("id_b").alias("doc_id")).distinct()
+            store_docs = (
+                spark.read.parquet(f"{store_path}/docs")
+                .join(cand_store_ids, "doc_id", "left_semi")
+                .select("doc_id", "text")
+            )
+            both = store_docs.unionByName(batch.select("doc_id", "text"))
+            dup_ids = (
+                dd.shingle_pairs_jaccard(both, candidates=cands)
+                .filter(F.col("jaccard") >= threshold)
+                .select(F.col("id_a").alias("doc_id"))
+                .distinct()
+            )
+            accepted = batch.join(dup_ids, "doc_id", "left_anti").localCheckpoint()
+        else:
+            accepted = batch
+        accepted.write.mode("append").parquet(f"{store_path}/docs")
+        bsigs.join(
+            accepted.select(F.col("doc_id").alias("_id")), "_id", "left_semi"
+        ).write.mode("append").parquet(f"{store_path}/sigs")
+
+    writer = docs.writeStream.foreachBatch(gate).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

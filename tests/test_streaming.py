@@ -222,3 +222,50 @@ def test_foreachbatch_upsert_is_partition_scoped(spark, tmp_path):
     want = stocks.filter(F.col("symbol") == s_touch).withColumn("c2", F.col("close") * 2)
     joined = touched.join(want.select("symbol", "date", "c2"), ["symbol", "date"])
     assert joined.filter(F.col("close") != F.col("c2")).count() == 0
+
+
+def test_neardup_gate_admits_novel_blocks_dups_and_indexes_admissions(spark, tmp_path):
+    """Batch 1: one dup of the seed store (blocked) + one novel doc
+    (admitted). Batch 2: a dup of BATCH 1's admission (blocked — proves
+    admissions are indexed) + one novel doc (admitted). The sig index
+    grows by exactly the admitted docs."""
+    import os
+
+    from finance_data_pipeline_spark.extensions import dedup as dd
+    from finance_data_pipeline_spark.streaming import neardup_gate
+
+    mk = lambda i, t: (i, t)
+    seed_text = "alpha beta gamma delta epsilon zeta eta theta"
+    novel1 = "one two three four five six seven eight nine"
+    novel2 = "red orange yellow green blue indigo violet again"
+    seed = spark.createDataFrame([mk(0, seed_text)], "doc_id long, text string")
+    b1 = spark.createDataFrame(
+        [mk(11, seed_text + " iota"), mk(12, novel1)], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [mk(21, novel1 + " ten"), mk(22, novel2)], "doc_id long, text string"
+    )
+
+    store = str(tmp_path / "store")
+    seed.write.parquet(f"{store}/docs")
+    dd.minhash_signatures(seed).write.parquet(f"{store}/sigs")
+
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.parquet(src)
+    first = set(os.listdir(src))
+    b2.coalesce(1).write.mode("append").parquet(src)
+    for f in os.listdir(src):
+        if f.startswith(("_", ".")):
+            continue
+        t = 1_000_000_000 if f in first else 2_000_000_000
+        os.utime(os.path.join(src, f), (t, t))
+
+    sdf = (
+        spark.readStream.schema(b1.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    neardup_gate(sdf, store, str(tmp_path / "ckpt")).awaitTermination(300)
+
+    got = {r.doc_id for r in spark.read.parquet(f"{store}/docs").collect()}
+    assert got == {0, 12, 22}, got
+    indexed = {r._id for r in spark.read.parquet(f"{store}/sigs").collect()}
+    assert indexed == {0, 12, 22}
