@@ -54,6 +54,9 @@ HEADLINE = [
     "ann_topk",
     "media_frame_sample",
     "tumbling_daily",
+    "line_dedup",
+    "bloom_decontaminate",
+    "embedding_outliers",
 ]
 
 
