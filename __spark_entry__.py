@@ -82,9 +82,9 @@ _PRIORITY = [
     "events_variant", "indicator_unpivot",
     "line_dedup", "bloom_decontaminate",
     "embedding_outliers", "profile_table", "streaming_neardup_gate",
+    "ann_topk_pq",
     # --- round-1 greens re-confirmed in the window's back half
     "stocks_fixture",
-    "upsert_merge",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

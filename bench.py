@@ -57,6 +57,7 @@ HEADLINE = [
     "line_dedup",
     "bloom_decontaminate",
     "embedding_outliers",
+    "ann_topk_pq",
 ]
 
 

@@ -4072,6 +4072,69 @@ def q_profile_table(spark, sf_dir):
     return quality.profile_columns(table(spark, sf_dir, "orders"), _PROFILE_COLS)
 
 
+# PQ oracle: the block-keyed twins of the _KM_* templates — every block
+# trains in the same CTE chain (b is just another key), so the full PQ
+# trainer + encode + ADC scoring replays in one SQL statement.
+_PQ_VB = """SELECT vec_id, b.b AS b, e[b.b*8+1 : b.b*8+8] AS e
+FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS b) b"""
+_PQ_SCORE = """SELECT vb.vec_id, vb.b, c.cid,
+       round(list_dot_product(vb.e, c.ce)
+             / (sqrt(list_dot_product(vb.e, vb.e))
+                * sqrt(list_dot_product(c.ce, c.ce))), 6) AS sim
+FROM vb JOIN {cents} c ON c.b = vb.b"""
+_PQ_ASSIGN = """SELECT vec_id, b, cid FROM (
+  SELECT s.vec_id, s.b, s.cid,
+         row_number() OVER (PARTITION BY s.vec_id, s.b
+                            ORDER BY s.sim DESC, s.cid) AS rn
+  FROM {scored} s) WHERE rn = 1"""
+_PQ_UPDATE = """SELECT b, cid, list(m ORDER BY pos) AS ce FROM (
+  SELECT a.b, a.cid, p.pos,
+         CAST(sum(CAST(round(vb.e[p.pos] * 1000000) AS BIGINT)) AS DOUBLE)
+           / (1000000.0 * count(*)) AS m
+  FROM {assign} a JOIN vb ON vb.vec_id = a.vec_id AND vb.b = a.b
+  CROSS JOIN (SELECT unnest(range(1, 9)) AS pos) p
+  GROUP BY a.b, a.cid, p.pos) GROUP BY b, cid"""
+
+
+@query(
+    "ann_topk_pq",
+    f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+vb AS ({_PQ_VB}),
+c0 AS (SELECT b, vec_id AS cid, e AS ce FROM vb WHERE vec_id < 16),
+s1 AS ({_PQ_SCORE.format(cents="c0")}),
+a1 AS ({_PQ_ASSIGN.format(scored="s1")}),
+c1 AS ({_PQ_UPDATE.format(assign="a1")}),
+s2 AS ({_PQ_SCORE.format(cents="c1")}),
+a2 AS ({_PQ_ASSIGN.format(scored="s2")}),
+c2 AS ({_PQ_UPDATE.format(assign="a2")}),
+s3 AS ({_PQ_SCORE.format(cents="c2")}),
+codes AS ({_PQ_ASSIGN.format(scored="s3")}),
+qb AS (SELECT vec_id AS query_id, b, e FROM vb WHERE vec_id < 5),
+lut AS (SELECT q.query_id, c.b, c.cid,
+               CAST(round(list_dot_product(q.e, c.ce), 6) AS DECIMAL(12,6)) AS ip
+        FROM qb q JOIN c2 c ON c.b = q.b),
+scored AS (SELECT l.query_id, cd.vec_id AS neighbor_id,
+                  CAST(sum(l.ip) AS DOUBLE) AS adc_score
+           FROM codes cd JOIN lut l ON l.b = cd.b AND l.cid = cd.cid
+           WHERE cd.vec_id <> l.query_id
+           GROUP BY 1, 2)
+SELECT query_id, neighbor_id, adc_score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_score DESC, neighbor_id) AS rn
+  FROM scored) WHERE rn <= 10""",
+)
+def q_ann_topk_pq(spark, sf_dir):
+    """X3++ — product quantization (Jégou et al. 2011): 8 blocks × 16
+    codewords trained by the block-keyed fixed-point Lloyd trainer,
+    corpus quantized to 8 codes/vector (32× memory cut — THE ANN
+    memory path at 100 TB), queries scored via an n_blocks×k LUT sum
+    (ADC, decimal-summed so the approximate scores replay bit-exactly).
+    Completes the ANN family: brute force / hyperplane LSH / IVF / PQ.
+    See similarity.ann_topk_pq."""
+    vecs = table(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_pq(vecs, vecs.filter(F.col("vec_id") < 5))
+
+
 @query(
     "streaming_neardup_gate",
     f"""WITH {_NEAR_PAIRS_CTE},

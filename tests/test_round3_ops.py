@@ -520,3 +520,57 @@ def test_profile_columns_approx_path_runs_without_expand(spark):
     }
     for c in got:
         assert abs(got[c] - exact[c]) <= max(2, 0.1 * exact[c])
+
+
+# --- product quantization -------------------------------------------------
+
+
+def test_pq_codes_cover_corpus_with_bounded_codewords(spark):
+    from finance_data_pipeline_spark.io import table as _t
+
+    vecs = _t(spark, SF_DIR, "embeddings")
+    books = similarity.pq_codebooks(vecs)
+    codes = similarity.pq_encode(vecs, books).collect()
+    assert len(codes) == vecs.count()
+    for r in codes:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)
+    # codebooks: 8 blocks × ≤16 codewords × 8-dim sub-vectors
+    b = books.collect()
+    assert {r._b for r in b} == set(range(8))
+    assert all(len(r._ce) == 8 for r in b)
+
+
+def test_pq_adc_score_is_the_quantized_inner_product(spark):
+    """adc_score(q, v) must equal the sum over blocks of the (6 dp
+    rounded) dot of q's sub-vector with v's ASSIGNED codeword — i.e.
+    the inner product against the quantized reconstruction, which is
+    what ADC promises."""
+    from decimal import Decimal
+
+    from finance_data_pipeline_spark.io import table as _t
+
+    vecs = _t(spark, SF_DIR, "embeddings")
+    books = similarity.pq_codebooks(vecs)
+    codes = {r.vec_id: r.codes for r in similarity.pq_encode(vecs, books).collect()}
+    ce = {(r._b, r._cid): r._ce for r in books.collect()}
+    emb = {r.vec_id: [float(x) for x in r.embedding] for r in vecs.collect()}
+    out = similarity.ann_topk_pq(vecs, vecs.filter(F.col("vec_id") < 5)).collect()
+    assert out, "PQ top-k returned nothing"
+    for r in out[:5]:
+        q = emb[r.query_id]
+        expect = sum(
+            Decimal(
+                str(
+                    round(
+                        sum(
+                            q[b * 8 + i] * ce[(b, codes[r.neighbor_id][b])][i]
+                            for i in range(8)
+                        ),
+                        6,
+                    )
+                )
+            )
+            for b in range(8)
+        )
+        assert abs(float(expect) - r.adc_score) < 1e-9, (r, float(expect))
