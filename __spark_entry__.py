@@ -51,13 +51,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # Driver-check priority: the driver's correctness pass covers a window
 # of queries in dict order (rounds 1 and 2 each recorded exactly the
 # first 50). Rounds 1+2 drove 97 queries green (CORRECTNESS_r01/r02).
-# Round 3 fronts the 25 oracle-backed queries that have never been in a
-# driver window — ema_macd (round 1's only failure, full recursive-CTE
-# oracle since), the new ST2 sink query, the tier-2 extensions, and the
-# 6 remaining TPC-H analogues — then fills the window with round-1
-# greens for re-confirmation. Queries that can only record
-# err:"no_oracle" (rows-only by design) sit in _TAIL so they never burn
-# a correctness-window slot.
+# Round 3's window is exactly the 50 oracle-backed queries that have
+# never been in a driver window: ema_macd (round 1's only failure,
+# full recursive-CTE oracle since), the new ST2 sink query, the tier-2
+# extensions, the 6 remaining TPC-H analogues, and every operator
+# added this round. Queries that can only record err:"no_oracle"
+# (rows-only by design) sit in _TAIL so they never burn a
+# correctness-window slot.
 _PRIORITY = [
     # --- never driver-checked, oracle-backed: these 25 fill the window's
     # front so round 3 finishes 122/122 oracle-backed driver-green
@@ -82,9 +82,7 @@ _PRIORITY = [
     "events_variant", "indicator_unpivot",
     "line_dedup", "bloom_decontaminate",
     "embedding_outliers", "profile_table", "streaming_neardup_gate",
-    "ann_topk_pq",
-    # --- round-1 greens re-confirmed in the window's back half
-    "stocks_fixture",
+    "ann_topk_pq", "supplier_customer_pagerank",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

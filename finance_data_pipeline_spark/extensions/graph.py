@@ -1,0 +1,92 @@
+"""Graph centrality over entity graphs (SURVEY.md §2.11 extension).
+
+PageRank is the corpus-curation centrality signal: web-scale pretraining
+pipelines rank hosts/pages by link centrality to drive crawl frontiers
+and quality priors (the classic web-graph quality prior). The operator
+here is a pure INTEGER fixed-point PageRank — every iteration is
+integer arithmetic only, so the result is a pure function of the edge
+set and the whole iterative computation replays bit-exactly in a SQL
+oracle (same family of tricks as the fixed-point Lloyd trainer in
+extensions/similarity.py and the connected-components oracle).
+
+Reference parity: no native analogue — corpus-hygiene extension beyond
+the reference's per-table pipeline (fetch_and_store.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from finance_data_pipeline_spark.extensions.dedup import _spread
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration integer PageRank over directed (src, dst) long
+    edges. Returns (node, rank_scaled, pagerank) where rank_scaled is
+    the exact integer state (rank ≈ rank_scaled / scale).
+
+    The update is the textbook r' = (1-d)/N + d·Σ r(u)/outdeg(u), but
+    every division is integer floor division and the damping factor is
+    a percentage — ``r' = teleport + (damping_pct · Σ (r(u) div
+    deg(u))) div 100`` with ``teleport = ((100-damping_pct)·scale div
+    100) div N`` — so partial-aggregation order cannot perturb a single
+    bit (long addition is associative; a float formulation differs
+    between engines in last-ulp bits that compound across iterations).
+    Dangling mass is dropped (nodes without out-edges redistribute
+    nothing — the standard simplification; with symmetrized edges every
+    node has outdeg ≥ 1 and no mass is lost).
+
+    Scale shape per iteration: one join of the edge list against the
+    N-row rank vector (shuffle on src), one map-side-combined sum into
+    dst, one left join back onto nodes; lineage is cut per round with
+    localCheckpoint exactly as connected_components does, so iters ≫ 5
+    cannot stack plans. The only driver-side values are N (one count)
+    and the constant teleport — no rank data ever collects.
+
+    Overflow headroom: Σ contribs ≤ N·scale and the damping multiply
+    stays < 2^63 while N·scale·damping_pct < 9.2e18 — at scale=1e9
+    that is ~10⁸ nodes; shrink ``scale`` for larger graphs.
+    """
+    ed = _spread(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    nodes = ed.select(F.col("src").alias("node")).union(
+        ed.select(F.col("dst").alias("node"))
+    ).distinct().localCheckpoint()
+    n_nodes = nodes.count()
+    deg = ed.groupBy("src").agg(F.count("*").alias("deg"))
+    ed_deg = ed.join(deg, "src").localCheckpoint()
+    teleport = ((100 - damping_pct) * scale // 100) // n_nodes
+
+    ranks = nodes.select(
+        "node", F.lit(scale // n_nodes).cast("long").alias("r")
+    ).localCheckpoint()
+    for _ in range(iters):
+        contrib = ed_deg.join(ranks, ed_deg["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"), F.expr("r div deg").alias("c")
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) div 100"
+                    )
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_scaled"),
+        (F.col("r") / F.lit(float(scale))).alias("pagerank"),
+    )

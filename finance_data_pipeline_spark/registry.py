@@ -4135,6 +4135,80 @@ def q_ann_topk_pq(spark, sf_dir):
     return similarity.ann_topk_pq(vecs, vecs.filter(F.col("vec_id") < 5))
 
 
+def _pr_round(prev: str) -> str:
+    """One integer-PageRank round over CTEs edges/deg/nodes/params."""
+    return f"""SELECT n.node,
+  CAST((((100 - 85) * 1000000000::BIGINT // 100) // (SELECT n FROM params))
+       + (85 * coalesce(s.s, 0)::BIGINT) // 100 AS BIGINT) AS r
+FROM nodes n LEFT JOIN (
+  SELECT e.dst AS node, sum(pr.r // d.deg) AS s
+  FROM edges e JOIN {prev} pr ON pr.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY e.dst) s ON s.node = n.node"""
+
+
+@query(
+    "supplier_customer_pagerank",
+    f"""WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (SELECT s AS src, c AS dst FROM e0
+          UNION ALL SELECT c AS src, s AS dst FROM e0),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+params AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, CAST(1000000000 // (SELECT n FROM params) AS BIGINT) AS r
+       FROM nodes),
+r1 AS ({_pr_round("r0")}),
+r2 AS ({_pr_round("r1")}),
+r3 AS ({_pr_round("r2")}),
+r4 AS ({_pr_round("r3")}),
+r5 AS ({_pr_round("r4")})
+SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS node_type,
+       node // 2 AS entity_key, r AS rank_scaled,
+       r / 1000000000.0 AS pagerank
+FROM r5 ORDER BY r DESC, node LIMIT 20""",
+)
+def q_supplier_customer_pagerank(spark, sf_dir):
+    """X7 — graph centrality for corpus curation: integer fixed-point
+    PageRank (5 rounds, d=0.85) over the symmetrized supplier↔customer
+    trade graph (distinct lineitem⋈orders pairs; suppliers even node
+    ids, customers odd), top-20 hubs. The web-graph quality-prior
+    computation of crawl pipelines, held to a full 5-round SQL replay —
+    possible because every division is integer floor division. See
+    graph.pagerank."""
+    from finance_data_pipeline_spark.extensions import graph
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") * 2).alias("s"),
+            (F.col("o_custkey") * 2 + 1).alias("c"),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("s").alias("src"), F.col("c").alias("dst")).union(
+        e0.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    pr = graph.pagerank(edges, iters=5)
+    # Tie-break on the raw node id (NOT entity_key: supplier 2k and
+    # customer 2k+1 share an entity_key) so the top-20 SET matches the
+    # oracle's ORDER BY r DESC, node cut exactly.
+    return (
+        pr.orderBy(F.desc("rank_scaled"), "node")
+        .limit(20)
+        .select(
+            F.when(F.col("node") % 2 == 0, "supplier")
+            .otherwise("customer")
+            .alias("node_type"),
+            F.expr("node div 2").alias("entity_key"),
+            "rank_scaled",
+            "pagerank",
+        )
+    )
+
+
 @query(
     "streaming_neardup_gate",
     f"""WITH {_NEAR_PAIRS_CTE},

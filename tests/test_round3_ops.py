@@ -574,3 +574,33 @@ def test_pq_adc_score_is_the_quantized_inner_product(spark):
             for b in range(8)
         )
         assert abs(float(expect) - r.adc_score) < 1e-9, (r, float(expect))
+
+
+# --- pagerank -------------------------------------------------------------
+
+
+def test_pagerank_ranks_the_star_hub_first(spark):
+    """Symmetric star: the hub (node 0) out-ranks every leaf, leaves
+    tie exactly (integer arithmetic ⇒ bit-equal ranks)."""
+    from finance_data_pipeline_spark.extensions import graph
+
+    leaves = list(range(1, 6))
+    rows = [(0, l) for l in leaves] + [(l, 0) for l in leaves]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    pr = {r.node: r.rank_scaled for r in graph.pagerank(edges).collect()}
+    assert pr[0] > max(pr[l] for l in leaves)
+    assert len({pr[l] for l in leaves}) == 1
+
+
+def test_pagerank_mass_bounds(spark):
+    """Every node keeps at least the teleport mass; floor divisions only
+    ever LOSE mass, so the total never exceeds the scale."""
+    from finance_data_pipeline_spark.extensions import graph
+
+    rows = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 3)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    out = graph.pagerank(edges).collect()
+    scale, n = 1_000_000_000, len(out)
+    teleport = ((100 - 85) * scale // 100) // n
+    assert all(r.rank_scaled >= teleport for r in out)
+    assert sum(r.rank_scaled for r in out) <= scale
