@@ -83,6 +83,9 @@ _PRIORITY = [
     "line_dedup", "bloom_decontaminate",
     "embedding_outliers", "profile_table", "streaming_neardup_gate",
     "ann_topk_pq", "supplier_customer_pagerank",
+    # positions 51+: oracle-backed but past the 50-slot window — they
+    # go green locally now and take a driver slot next round
+    "quality_weighted_sample", "hashed_tf_features",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

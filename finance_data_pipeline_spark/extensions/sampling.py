@@ -119,3 +119,32 @@ def token_budget_sample(
         .filter(F.col("cum_tokens") <= budget_tokens)
         .select(id_col, lang_col, "n_tokens", "cum_tokens")
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    weight: Column,
+    key_col: str = "doc_id",
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Importance sampling with hash determinism: keep each row with
+    probability ≈ ``weight`` (clamped to [0, 1], quantized to
+    1/resolution) — include iff ``h60(key) mod resolution < round(
+    weight · resolution)``. The weighted generalization of
+    keep_fraction: quality-weighted corpus downsampling (keep good docs
+    with high probability, junk with low) that is reproducible across
+    runs, engines, partitionings, and cluster sizes, unlike
+    ``df.sample``'s seeded per-partition RNG.
+
+    Row-local pure Column filter — zero shuffles at any scale; the
+    decision replays verbatim in SQL (60-bit md5 + integer compare).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    thr = (
+        F.round(
+            F.greatest(F.lit(0.0), F.least(weight, F.lit(1.0))) * resolution, 0
+        )
+    ).cast("long")
+    return df.filter((h % resolution) < thr)

@@ -371,3 +371,52 @@ def unigram_logprob(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
             ).alias("avg_logprob"),
         )
     )
+
+
+def hashed_tf(
+    docs: DataFrame,
+    dim: int = 64,
+    signed: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature hashing (the "hashing trick", Weinberger et al. 2009):
+    token counts folded into a fixed ``dim``-bucket term-frequency
+    vector by hash — the vocabulary-free featurizer that bridges raw
+    text to the vector operators (ANN, k-means, SemDeDup) without a fit
+    step or a driver-side vocabulary. ``signed`` uses one extra hash
+    bit as ±1 so collisions cancel in expectation (the unbiased
+    estimator variant).
+
+    Output is SPARSE long format (doc_id, bucket, tf) — zero buckets
+    are absent, which is both the scale-honest representation (a dense
+    array of mostly-zeros per doc shuffles dim values per row) and
+    trivially exact: counts are integers, so no float summation order
+    exists. One explode + one map-side-combined groupBy.
+
+    Hashes are the engine-portable 60-bit md5 (bucket = h mod dim,
+    sign from the next bit), so the whole featurization replays in SQL.
+    """
+    from finance_data_pipeline_spark.extensions.dedup import (
+        _spread,
+        md5_token_hash,
+        tokens,
+    )
+
+    tok = _spread(docs.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_t")
+    )
+    h = md5_token_hash("_t")
+    sign = (
+        F.when((F.expr(f"{'_h'} div {dim}") % 2) == 0, 1).otherwise(-1)
+        if signed
+        else F.lit(1)
+    )
+    return (
+        tok.select(
+            F.col(id_col), (h % dim).alias("bucket"), h.alias("_h")
+        )
+        .select(F.col(id_col), "bucket", sign.alias("_s"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("_s").cast("long").alias("tf"))
+    )

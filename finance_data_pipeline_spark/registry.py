@@ -4210,6 +4210,42 @@ def q_supplier_customer_pagerank(spark, sf_dir):
 
 
 @query(
+    "quality_weighted_sample",
+    f"""WITH {_NORM_CTE},
+qs AS (SELECT doc_id, {_QSCORE_SQL} AS quality_score FROM norm)
+SELECT doc_id, quality_score FROM qs
+WHERE ({_md5_slice_sql("CAST(doc_id AS VARCHAR)", 1, 15)} % 1000000)
+      < CAST(round(greatest(0, least(quality_score, 1)) * 1000000) AS BIGINT)""",
+)
+def q_quality_weighted_sample(spark, sf_dir):
+    """X6+ — importance sampling by quality: each doc survives with
+    probability = its quality_score, decided by a 60-bit hash of its id
+    (no RNG, no layout dependence — the reproducible form of
+    quality-weighted corpus downsampling). Pure row-local filter; zero
+    shuffles. See sampling.weighted_hash_sample."""
+    scored = text.quality_score(table(spark, sf_dir, "documents"))
+    return sampling.weighted_hash_sample(scored, F.col("quality_score"))
+
+
+@query(
+    "hashed_tf_features",
+    f"""WITH {_NORM_CTE},
+tok AS (SELECT doc_id, unnest(words) AS t FROM norm),
+th AS (SELECT doc_id, {_MD5_H_SQL} AS h FROM tok)
+SELECT doc_id, h % 64 AS bucket,
+       CAST(sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS tf
+FROM th GROUP BY doc_id, h % 64""",
+)
+def q_hashed_tf_features(spark, sf_dir):
+    """X4+ — feature hashing (Weinberger et al. 2009): token counts
+    folded into 64 signed hash buckets — the vocabulary-free text
+    featurizer bridging documents to the vector operators. Sparse long
+    output; integer counts, so the featurization is exactly
+    order-independent. See text.hashed_tf."""
+    return text.hashed_tf(table(spark, sf_dir, "documents"))
+
+
+@query(
     "streaming_neardup_gate",
     f"""WITH {_NEAR_PAIRS_CTE},
 edges AS (SELECT id_a AS x, id_b AS y FROM np

@@ -604,3 +604,48 @@ def test_pagerank_mass_bounds(spark):
     teleport = ((100 - 85) * scale // 100) // n
     assert all(r.rank_scaled >= teleport for r in out)
     assert sum(r.rank_scaled for r in out) <= scale
+
+
+# --- weighted sampling / feature hashing ----------------------------------
+
+
+def test_weighted_hash_sample_respects_weight_extremes(spark, docs):
+    """weight=1 keeps everything, weight=0 keeps nothing, and a
+    fractional weight keeps a deterministic in-between subset."""
+    from finance_data_pipeline_spark.extensions import sampling
+
+    n = docs.count()
+    assert sampling.weighted_hash_sample(docs, F.lit(1.0)).count() == n
+    assert sampling.weighted_hash_sample(docs, F.lit(0.0)).count() == 0
+    half1 = {r.doc_id for r in sampling.weighted_hash_sample(docs, F.lit(0.5)).collect()}
+    half2 = {r.doc_id for r in sampling.weighted_hash_sample(docs, F.lit(0.5)).collect()}
+    assert half1 == half2  # deterministic
+    assert 0.3 * n < len(half1) < 0.7 * n
+
+
+def test_weighted_hash_sample_monotone_in_weight(spark, docs):
+    """A row kept at weight w is kept at every w' > w (threshold
+    monotonicity — the property that makes weighted samples nest)."""
+    from finance_data_pipeline_spark.extensions import sampling
+
+    s30 = {r.doc_id for r in sampling.weighted_hash_sample(docs, F.lit(0.3)).collect()}
+    s60 = {r.doc_id for r in sampling.weighted_hash_sample(docs, F.lit(0.6)).collect()}
+    assert s30 <= s60
+
+
+def test_hashed_tf_sparse_counts(spark):
+    """Unsigned TF sums to the token count; buckets stay in range; the
+    signed variant matches the unsigned on magnitude-sum parity."""
+    rows = [(1, "a b a c"), (2, "d d d")]
+    docs2 = spark.createDataFrame(rows, "doc_id long, text string")
+    unsigned = text.hashed_tf(docs2, signed=False).collect()
+    per_doc = {}
+    for r in unsigned:
+        assert 0 <= r.bucket < 64
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.tf
+    assert per_doc == {1: 4, 2: 3}
+    signed = text.hashed_tf(docs2).collect()
+    # same tokens land in the same buckets; sign only flips contributions
+    assert {(r.doc_id, r.bucket) for r in signed} == {
+        (r.doc_id, r.bucket) for r in unsigned
+    }
