@@ -1034,7 +1034,7 @@ def simhash_near_dups(
     )
 
 
-# --- X2i: corpus-level boilerplate-segment removal ------------------------
+# --- X2j: corpus-level boilerplate-segment removal ------------------------
 
 
 def line_dedup(

@@ -3743,7 +3743,7 @@ SELECT doc_id, count(*) AS n_segments,
 FROM sr LEFT JOIN dup d USING (h) GROUP BY doc_id""",
 )
 def q_line_dedup(spark, sf_dir):
-    """X2i — boilerplate-line removal (RefinedWeb/CCNet line dedup):
+    """X2j — boilerplate-line removal (RefinedWeb/CCNet line dedup):
     10-token segments TILE each doc (no sliding explode); any segment
     seen in >= 2 distinct docs is dropped from ALL of them; the rebuilt
     corpus is proven through per-doc md5 digests. Two shuffles, both on
