@@ -85,7 +85,7 @@ _PRIORITY = [
     "ann_topk_pq", "supplier_customer_pagerank",
     # positions 51+: oracle-backed but past the 50-slot window — they
     # go green locally now and take a driver slot next round
-    "quality_weighted_sample", "hashed_tf_features",
+    "quality_weighted_sample", "hashed_tf_features", "bpe_merges",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

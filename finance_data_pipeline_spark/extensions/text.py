@@ -420,3 +420,88 @@ def hashed_tf(
         .groupBy(id_col, "bucket")
         .agg(F.sum("_s").cast("long").alias("tf"))
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-pair-encoding TRAINER (Sennrich et al. 2016) — the iterative
+    step behind ``bpe_merge_candidates``' single pair count: learn
+    ``n_merges`` merges by repeatedly (1) counting adjacent symbol
+    pairs over the frequency-weighted word vocabulary, (2) picking the
+    most frequent pair (ties → lexicographic), (3) merging every
+    non-overlapping occurrence left-to-right. Returns the learned merge
+    table (merge_rank, left_sym, right_sym, pair_weight).
+
+    Determinism + the oracle trick: symbol sequences are stored as
+    paren-delimited strings — ``hello`` → ``(h)(e)(l)(l)(o)`` — so the
+    merge rewrite is one global ``regexp_replace`` of
+    ``\\(a\\)\\(b\\)`` with ``(ab)``. Because every symbol occupies a
+    closed delimiter span, consecutive matches share no characters and
+    both engines' left-to-right non-overlapping replace semantics
+    coincide exactly (including the ``(a)(a)(a)`` → ``(aa)(a)`` greedy
+    case). Vocabulary is restricted to ``[a-z0-9]+`` tokens so symbols
+    never contain regex metacharacters.
+
+    Scale shape per merge: pair extraction is row-local over the
+    VOCABULARY (distinct words — orders of magnitude smaller than the
+    corpus; the corpus is touched once for the frequency count), the
+    pair count is one map-side-combined groupBy, and only the single
+    argmax row collects to the driver (bounded state, the same move as
+    the IVF training sample); the rewrite is a row-local regex. Lineage
+    is cut per merge with localCheckpoint.
+    """
+    from finance_data_pipeline_spark.extensions.dedup import _spread, tokens
+
+    spark = docs.sparkSession
+    vocab = (
+        _spread(docs.select(F.col(text_col)))
+        .select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    sym0 = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.concat(F.lit("("), F.substring(F.col("w"), i, F.lit(1)), F.lit(")")),
+        ),
+    )
+    vocab = vocab.select("w", "freq", sym0.alias("s")).localCheckpoint()
+
+    merges = []
+    for rank in range(1, n_merges + 1):
+        syms = F.expr(r"regexp_extract_all(s, '\\(([^)]*)\\)', 1)")
+        pair_arr = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("a"),
+                    F.element_at(syms, i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        best = (
+            vocab.select("freq", F.explode(pair_arr).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((rank, a, b, cnt))
+        vocab = vocab.withColumn(
+            "s",
+            F.regexp_replace("s", f"\\({a}\\)\\({b}\\)", f"({a}{b})"),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_rank long, left_sym string, right_sym string, pair_weight long"
+    )

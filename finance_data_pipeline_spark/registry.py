@@ -4245,6 +4245,57 @@ def q_hashed_tf_features(spark, sf_dir):
     return text.hashed_tf(table(spark, sf_dir, "documents"))
 
 
+def _bpe_stage(i: int) -> str:
+    """One BPE merge round: weighted pair count over v{i-1}, argmax
+    (ties lexicographic), paren-delimited regex rewrite into v{i}."""
+    return f"""p{i} AS (
+  SELECT x.a AS a, x.b AS b, sum(freq) AS cnt FROM (
+    SELECT freq, unnest(CASE WHEN len(sy) >= 2
+      THEN [{{'a': sy[j], 'b': sy[j+1]}} for j in range(1, len(sy))]
+      ELSE [] END) AS x
+    FROM (SELECT freq, regexp_extract_all(s, '\\(([^)]*)\\)', 1) AS sy
+          FROM v{i - 1}))
+  GROUP BY 1, 2),
+m{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+v{i} AS (SELECT w, freq,
+  regexp_replace(s, '\\(' || m.a || '\\)\\(' || m.b || '\\)',
+                 '(' || m.a || m.b || ')', 'g') AS s
+  FROM v{i - 1} CROSS JOIN m{i} m)"""
+
+
+_BPE_FINAL = "\nUNION ALL ".join(
+    f"SELECT CAST({i} AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym,"
+    f" CAST(cnt AS BIGINT) AS pair_weight FROM m{i}"
+    for i in range(1, 6)
+)
+
+
+@query(
+    "bpe_merges",
+    f"""WITH v0 AS (SELECT w, freq,
+  array_to_string([('(' || w[j] || ')') for j in range(1, length(w) + 1)], '') AS s
+  FROM (SELECT w, count(*) AS freq FROM (
+          SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+          FROM documents)
+        WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w)),
+{_bpe_stage(1)},
+{_bpe_stage(2)},
+{_bpe_stage(3)},
+{_bpe_stage(4)},
+{_bpe_stage(5)}
+{_BPE_FINAL}""",
+)
+def q_bpe_merges(spark, sf_dir):
+    """X6+ — the BPE TRAINER (Sennrich et al. 2016), 5 iterative merges
+    over the frequency-weighted vocabulary — tokenizer induction as a
+    distributed pipeline op, beyond bpe_merge_candidates' single pair
+    count. Paren-delimited symbol strings make the merge rewrite one
+    global regex whose non-overlap semantics coincide across engines,
+    so the whole iterative trainer replays in a 5-stage SQL CTE chain.
+    See text.bpe_train."""
+    return text.bpe_train(table(spark, sf_dir, "documents"), n_merges=5)
+
+
 @query(
     "streaming_neardup_gate",
     f"""WITH {_NEAR_PAIRS_CTE},

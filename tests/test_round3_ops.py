@@ -649,3 +649,27 @@ def test_hashed_tf_sparse_counts(spark):
     assert {(r.doc_id, r.bucket) for r in signed} == {
         (r.doc_id, r.bucket) for r in unsigned
     }
+
+
+# --- bpe_train ------------------------------------------------------------
+
+
+def test_bpe_train_learns_the_planted_pair_and_greedy_nonoverlap(spark):
+    """'ab' dominates → merge 1 = (a,b) with weight = occurrences; the
+    'aaa' word merges greedily left-to-right ((a,a) then (aa,a))."""
+    rows = [(1, "abab abab cd"), (2, "abab xy cd")]
+    docs2 = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.bpe_train(docs2, n_merges=2).collect()
+    r1 = out[0]
+    # 'abab' freq 3 → pair (a,b) appears 2× per word = 6; beats (b,a)=3
+    assert (r1.merge_rank, r1.left_sym, r1.right_sym, r1.pair_weight) == (1, "a", "b", 6)
+    r2 = out[1]
+    assert (r2.left_sym, r2.right_sym) == ("ab", "ab")  # second merge joins the halves
+
+
+def test_bpe_train_runs_of_equal_symbols_merge_nonoverlapping(spark):
+    docs2 = spark.createDataFrame([(1, "aaa aaa")], "doc_id long, text string")
+    out = text.bpe_train(docs2, n_merges=1).collect()
+    # 'aaa' freq 2 → pairs (a,a) at positions 1-2 and 2-3 → weight 4,
+    # but the merge rewrite must produce (aa)(a), not (aa)(aa).
+    assert (out[0].left_sym, out[0].right_sym, out[0].pair_weight) == ("a", "a", 4)
