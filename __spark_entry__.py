@@ -86,6 +86,7 @@ _PRIORITY = [
     # positions 51+: oracle-backed but past the 50-slot window — they
     # go green locally now and take a driver slot next round
     "quality_weighted_sample", "hashed_tf_features", "bpe_merges",
+    "ann_topk_pq_rerank",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -966,3 +966,47 @@ def ann_topk_pq(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def ann_topk_pq_rerank(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 40,
+    n_blocks: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production two-stage ANN: PQ/ADC shortlists ``shortlist``
+    candidates per query from compressed codes, then ONLY those rows'
+    raw embeddings are fetched and re-scored with exact cosine for the
+    final top-``k`` — full-precision math on k·|queries| rows instead
+    of the whole corpus. Returns (query_id, neighbor_id, cosine_sim).
+
+    Scale note: the re-rank side reads the corpus through a semi-join
+    on the shortlist ids (a pushed-down scan of |queries|·shortlist
+    rows at 100 TB), which is why the shortlist/re-rank split — not
+    brute force, not raw ADC ranks — is what ANN services deploy."""
+    cands = ann_topk_pq(
+        vectors, queries, shortlist, n_blocks, sub_dim, id_col, vec_col
+    ).select("query_id", "neighbor_id")
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_ve")
+    ).join(cands.select("neighbor_id").distinct(), "neighbor_id", "left_semi")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qe"))
+    rescored = (
+        cands.join(F.broadcast(q), "query_id")
+        .join(v, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("_qe", "_ve"), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    return (
+        rescored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

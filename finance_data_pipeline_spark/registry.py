@@ -4096,9 +4096,9 @@ _PQ_UPDATE = """SELECT b, cid, list(m ORDER BY pos) AS ce FROM (
   GROUP BY a.b, a.cid, p.pos) GROUP BY b, cid"""
 
 
-@query(
-    "ann_topk_pq",
-    f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+# Shared PQ chain: train codebooks (2 Lloyd rounds per block), encode
+# the corpus, build per-query LUTs, ADC-score every (query, vector).
+_PQ_CHAIN = f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 vb AS ({_PQ_VB}),
 c0 AS (SELECT b, vec_id AS cid, e AS ce FROM vb WHERE vec_id < 16),
 s1 AS ({_PQ_SCORE.format(cents="c0")}),
@@ -4117,7 +4117,12 @@ scored AS (SELECT l.query_id, cd.vec_id AS neighbor_id,
                   CAST(sum(l.ip) AS DOUBLE) AS adc_score
            FROM codes cd JOIN lut l ON l.b = cd.b AND l.cid = cd.cid
            WHERE cd.vec_id <> l.query_id
-           GROUP BY 1, 2)
+           GROUP BY 1, 2)"""
+
+
+@query(
+    "ann_topk_pq",
+    f"""WITH {_PQ_CHAIN}
 SELECT query_id, neighbor_id, adc_score FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY adc_score DESC, neighbor_id) AS rn
@@ -4133,6 +4138,35 @@ def q_ann_topk_pq(spark, sf_dir):
     See similarity.ann_topk_pq."""
     vecs = table(spark, sf_dir, "embeddings")
     return similarity.ann_topk_pq(vecs, vecs.filter(F.col("vec_id") < 5))
+
+
+@query(
+    "ann_topk_pq_rerank",
+    f"""WITH {_PQ_CHAIN},
+shortlist AS (SELECT query_id, neighbor_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_score DESC, neighbor_id) AS rn
+  FROM scored) WHERE rn <= 40),
+rescored AS (SELECT s.query_id, s.neighbor_id,
+  round(list_dot_product(q.e, n.e)
+        / (sqrt(list_dot_product(q.e, q.e))
+           * sqrt(list_dot_product(n.e, n.e))), 6) AS cosine_sim
+  FROM shortlist s
+  JOIN v q ON q.vec_id = s.query_id
+  JOIN v n ON n.vec_id = s.neighbor_id)
+SELECT query_id, neighbor_id, cosine_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS rn
+  FROM rescored) WHERE rn <= 10""",
+)
+def q_ann_topk_pq_rerank(spark, sf_dir):
+    """X3++ — the deployed two-stage ANN: PQ/ADC shortlists 40
+    candidates per query from 8-byte codes, exact cosine re-ranks only
+    those rows' raw embeddings to the final top-10 — full-precision
+    math on |queries|·40 rows instead of the corpus. See
+    similarity.ann_topk_pq_rerank."""
+    vecs = table(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_pq_rerank(vecs, vecs.filter(F.col("vec_id") < 5))
 
 
 def _pr_round(prev: str) -> str:

@@ -362,3 +362,141 @@ def test_semantic_dedup_matches_bruteforce(spark, vecs):
         ).collect()
     }
     assert got == expect
+
+
+# --- line_dedup brute-force replay ---------------------------------------
+
+_texts = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=25
+    ).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=_texts)
+@settings(**SETTINGS)
+def test_line_dedup_matches_bruteforce(spark, texts):
+    """Pure-python replay of the spec: tile into 10-token segments,
+    remove every segment text appearing in >= 2 distinct docs, rebuild."""
+    import hashlib
+
+    from finance_data_pipeline_spark.extensions import dedup
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_segments, r.n_removed, r.cleaned_md5)
+        for r in dedup.line_dedup(docs).collect()
+    }
+
+    segs = {
+        i: [
+            " ".join(t.split()[p : p + 10])
+            for p in range(0, len(t.split()), 10)
+        ]
+        for i, t in enumerate(texts)
+    }
+    owners = {}
+    for i, ss in segs.items():
+        for s in set(ss):
+            owners.setdefault(s, set()).add(i)
+    want = {}
+    for i, ss in segs.items():
+        kept = [s for s in ss if len(owners[s]) < 2]
+        want[i] = (
+            len(ss),
+            len(ss) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    assert got == want
+
+
+# --- pagerank brute-force replay -----------------------------------------
+
+_edges_pr = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 6)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(edges=_edges_pr)
+@settings(**SETTINGS)
+def test_pagerank_matches_integer_replay(spark, edges):
+    """Pure-python integer replay of the exact update rule — any
+    deviation in Spark's aggregation/join plan shows up bit-for-bit."""
+    from finance_data_pipeline_spark.extensions import graph
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank_scaled for r in graph.pagerank(df).collect()}
+
+    scale, d = 1_000_000_000, 85
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    teleport = ((100 - d) * scale // 100) // n
+    r = {v: scale // n for v in nodes}
+    for _ in range(5):
+        s = {v: 0 for v in nodes}
+        for a, b in edges:
+            s[b] += r[a] // deg[a]
+        r = {v: teleport + (d * s[v]) // 100 for v in nodes}
+    assert got == r
+
+
+# --- bpe_train brute-force replay ----------------------------------------
+
+_bpe_texts = st.lists(
+    st.lists(
+        st.sampled_from(["ab", "aba", "bb", "aab", "ba"]), min_size=1, max_size=8
+    ).map(" ".join),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(texts=_bpe_texts)
+@settings(**SETTINGS)
+def test_bpe_train_matches_bruteforce(spark, texts):
+    """Pure-python BPE replay: weighted pair counts over the vocab,
+    lexicographic-tie argmax, greedy left-to-right non-overlap merge."""
+    from collections import Counter
+
+    from finance_data_pipeline_spark.extensions import text as tx
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_weight)
+        for r in tx.bpe_train(docs, n_merges=3).collect()
+    ]
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.split():
+            vocab[w] += 1
+    syms = {w: [c for c in w] for w in vocab}
+    want = []
+    for rank in range(1, 4):
+        counts = Counter()
+        for w, f in vocab.items():
+            s = syms[w]
+            for j in range(len(s) - 1):
+                counts[(s[j], s[j + 1])] += f
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, a, b, cnt))
+        for w in syms:
+            s, out, j = syms[w], [], 0
+            while j < len(s):
+                if j + 1 < len(s) and s[j] == a and s[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(s[j])
+                    j += 1
+            syms[w] = out
+    assert got == want
