@@ -58,6 +58,8 @@ HEADLINE = [
     "bloom_decontaminate",
     "embedding_outliers",
     "ann_topk_pq",
+    "supplier_customer_pagerank",
+    "bpe_merges",
 ]
 
 

@@ -4256,8 +4256,9 @@ def q_quality_weighted_sample(spark, sf_dir):
     probability = its quality_score, decided by a 60-bit hash of its id
     (no RNG, no layout dependence — the reproducible form of
     quality-weighted corpus downsampling). Pure row-local filter; zero
-    shuffles. See sampling.weighted_hash_sample."""
-    scored = text.quality_score(table(spark, sf_dir, "documents"))
+    shuffles (the _spread is the small-file parallelism shim — a no-op
+    on a many-split scan). See sampling.weighted_hash_sample."""
+    scored = text.quality_score(dedup._spread(table(spark, sf_dir, "documents")))
     return sampling.weighted_hash_sample(scored, F.col("quality_score"))
 
 
