@@ -60,6 +60,12 @@ def pagerank(
         ed.select(F.col("dst").alias("node"))
     ).distinct().localCheckpoint()
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("rank_scaled"),
+            F.lit(0.0).alias("pagerank"),
+        )
     deg = ed.groupBy("src").agg(F.count("*").alias("deg"))
     ed_deg = ed.join(deg, "src").localCheckpoint()
     teleport = ((100 - damping_pct) * scale // 100) // n_nodes

@@ -138,6 +138,9 @@ def profile_columns(
     production profilers ship. min/max/null-counts are map-side
     combined either way.
     """
+    if not cols:
+        raise ValueError("profile_columns needs at least one column")
+
     def fmt(c: Column, kind: str) -> Column:
         if kind == "money":
             c = c.cast("decimal(18,2)")

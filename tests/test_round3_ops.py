@@ -673,3 +673,13 @@ def test_bpe_train_runs_of_equal_symbols_merge_nonoverlapping(spark):
     # 'aaa' freq 2 → pairs (a,a) at positions 1-2 and 2-3 → weight 4,
     # but the merge rewrite must produce (aa)(a), not (aa)(aa).
     assert (out[0].left_sym, out[0].right_sym, out[0].pair_weight) == ("a", "a", 4)
+
+
+def test_pagerank_empty_edges_and_profile_empty_cols(spark):
+    from finance_data_pipeline_spark import quality
+    from finance_data_pipeline_spark.extensions import graph
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert graph.pagerank(empty).count() == 0
+    with pytest.raises(ValueError):
+        quality.profile_columns(spark.range(1), [])
