@@ -724,6 +724,11 @@ def label_outliers(
     cosine per row, and a per-label top-k window. No driver state, no
     UDFs.
 
+    Zero-norm vectors are excluded up front and zero-norm centroids
+    drop their label (cosine is undefined there, and engines disagree
+    on NULL/NaN ordering — the guard keeps ranks well-defined and
+    oracle-identical).
+
     Returns (vec_id, label, cos_centroid, outlier_rank).
     """
     v = _spread(
@@ -732,7 +737,7 @@ def label_outliers(
             F.col(label_col),
             F.transform(vec_col, lambda x: x.cast("double")).alias("_e"),
         )
-    )
+    ).filter(dot("_e", "_e") > 0)
     comp = v.select(label_col, F.posexplode("_e").alias("_pos", "_c"))
     means = (
         comp.groupBy(label_col, "_pos")
@@ -752,6 +757,7 @@ def label_outliers(
         means.groupBy(label_col)
         .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_pm"))
         .select(label_col, F.transform("_pm", lambda s: s["_m"]).alias("_ce"))
+        .filter(dot("_ce", "_ce") > 0)
     )
     scored = v.join(F.broadcast(cents), label_col).select(
         id_col,
@@ -779,7 +785,9 @@ def _assign_blocks(vb: DataFrame, cents: DataFrame) -> DataFrame:
     """Per-block nearest-codeword assignment (cosine, 6 dp, ties to the
     lowest code) — _assign_to_centroids generalized to a (block, code)
     codebook joined on the block key, so ONE distributed pass assigns
-    every block of every vector."""
+    every block of every vector. A zero-norm sub-vector (or codeword)
+    scores 0 to everything instead of NULL/NaN, so the argmax stays
+    well-defined and lands on the lowest code in both engines."""
     vn = vb.withColumn("_vn", l2_norm("_be"))
     cn = cents.withColumn("_cn", l2_norm("_ce"))
     scored = vn.join(F.broadcast(cn), "_b").select(
@@ -787,7 +795,13 @@ def _assign_blocks(vb: DataFrame, cents: DataFrame) -> DataFrame:
         "_b",
         "_be",
         "_cid",
-        F.round(dot("_be", "_ce") / (F.col("_vn") * F.col("_cn")), 6).alias("_sim"),
+        F.round(
+            F.when(
+                F.col("_vn") * F.col("_cn") != 0,
+                dot("_be", "_ce") / (F.col("_vn") * F.col("_cn")),
+            ).otherwise(0.0),
+            6,
+        ).alias("_sim"),
     )
     return scored.groupBy("_id", "_b").agg(
         F.max_by("_cid", F.struct(F.col("_sim"), (-F.col("_cid")).alias("_n"))).alias(

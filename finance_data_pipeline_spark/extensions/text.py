@@ -397,18 +397,14 @@ def hashed_tf(
     Hashes are the engine-portable 60-bit md5 (bucket = h mod dim,
     sign from the next bit), so the whole featurization replays in SQL.
     """
-    from finance_data_pipeline_spark.extensions.dedup import (
-        _spread,
-        md5_token_hash,
-        tokens,
-    )
+    from finance_data_pipeline_spark.extensions.dedup import _spread, md5_token_hash
 
     tok = _spread(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("_t")
     )
     h = md5_token_hash("_t")
     sign = (
-        F.when((F.expr(f"{'_h'} div {dim}") % 2) == 0, 1).otherwise(-1)
+        F.when((F.expr(f"_h div {dim}") % 2) == 0, 1).otherwise(-1)
         if signed
         else F.lit(1)
     )
@@ -454,7 +450,7 @@ def bpe_train(
     the IVF training sample); the rewrite is a row-local regex. Lineage
     is cut per merge with localCheckpoint.
     """
-    from finance_data_pipeline_spark.extensions.dedup import _spread, tokens
+    from finance_data_pipeline_spark.extensions.dedup import _spread
 
     spark = docs.sparkSession
     vocab = (

@@ -160,8 +160,13 @@ def profile_columns(
             fmt(F.max(F.col(name)), kind).alias(f"{name}__max"),
         ]
     row = df.agg(*aggs)
+    # Backtick-quote the derived identifiers so profiled column names
+    # with spaces/punctuation survive the stack() expression; the
+    # literal label escapes its single quotes.
     stack = ", ".join(
-        f"'{name}', {name}__nulls, {name}__nd, {name}__min, {name}__max"
+        "'{lbl}', `{n}__nulls`, `{n}__nd`, `{n}__min`, `{n}__max`".format(
+            lbl=name.replace("'", "''"), n=name
+        )
         for name, _ in cols
     )
     return row.select(

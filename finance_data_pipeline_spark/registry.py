@@ -4014,14 +4014,18 @@ def q_embedding_stats(spark, sf_dir):
 @query(
     "embedding_outliers",
     """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
-           FROM embeddings),
+           FROM embeddings
+           WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])) > 0),
 comp AS (SELECT label, p.pos AS pos, e[p.pos] AS c
          FROM v CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p),
 means AS (SELECT label, pos,
                  CAST(sum(CAST(round(c * 1000000) AS BIGINT)) AS DOUBLE)
                    / (1000000.0 * count(*)) AS m
           FROM comp GROUP BY label, pos),
-cents AS (SELECT label, list(m ORDER BY pos) AS ce FROM means GROUP BY label),
+cents AS (SELECT label, list(m ORDER BY pos) AS ce FROM means GROUP BY label
+          HAVING list_dot_product(list(m ORDER BY pos),
+                                  list(m ORDER BY pos)) > 0),
 scored AS (SELECT vec_id, v.label AS label,
                   round(list_dot_product(e, ce)
                         / (sqrt(list_dot_product(e, e))
@@ -4078,9 +4082,11 @@ def q_profile_table(spark, sf_dir):
 _PQ_VB = """SELECT vec_id, b.b AS b, e[b.b*8+1 : b.b*8+8] AS e
 FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS b) b"""
 _PQ_SCORE = """SELECT vb.vec_id, vb.b, c.cid,
-       round(list_dot_product(vb.e, c.ce)
-             / (sqrt(list_dot_product(vb.e, vb.e))
-                * sqrt(list_dot_product(c.ce, c.ce))), 6) AS sim
+       round(CASE WHEN list_dot_product(vb.e, vb.e)
+                       * list_dot_product(c.ce, c.ce) = 0 THEN 0
+             ELSE list_dot_product(vb.e, c.ce)
+                  / (sqrt(list_dot_product(vb.e, vb.e))
+                     * sqrt(list_dot_product(c.ce, c.ce))) END, 6) AS sim
 FROM vb JOIN {cents} c ON c.b = vb.b"""
 _PQ_ASSIGN = """SELECT vec_id, b, cid FROM (
   SELECT s.vec_id, s.b, s.cid,
@@ -4368,8 +4374,10 @@ def q_streaming_neardup_gate(spark, sf_dir):
         tempfile.mkdtemp(prefix=f"fdps_ndstore_{uuid.uuid4().hex[:8]}_"), "store"
     )
     seed = docs.filter(F.col("doc_id") % 2 == 0).localCheckpoint()
-    seed.write.mode("overwrite").parquet(f"{store}/docs")
-    dd.minhash_signatures(seed).write.mode("overwrite").parquet(f"{store}/sigs")
+    seed.write.mode("overwrite").parquet(f"{store}/docs/batch=seed")
+    dd.minhash_signatures(seed).write.mode("overwrite").parquet(
+        f"{store}/sigs/batch=seed"
+    )
 
     staged = tempfile.mkdtemp(prefix="fdps_ndsrc_")
     docs.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.mode(

@@ -245,25 +245,45 @@ def neardup_gate(
     their signatures append, so later batches dedup against everything
     admitted before them.
 
-    The store layout is the scale design: ``{store}/docs`` (content)
-    and ``{store}/sigs`` (the LSH index). Per batch the work is
-    O(batch signatures + colliding buckets) — the store is never
-    re-signed, and its text is read back only for candidate partners
-    (a semi-join the scan pushes down). Within-batch duplicates are
-    both admitted (per-batch policy; compose near_dup_pairs on the
-    batch first when intra-batch dedup is wanted) — this keeps the
-    result a pure function of (store, batch order).
+    The store layout is the scale design: ``{store}/docs/batch=<id>``
+    (content) and ``{store}/sigs/batch=<id>`` (the LSH index). Per
+    batch the work is O(batch signatures + colliding buckets) — the
+    store is never re-signed, and its text is read back only for
+    candidate partners (a semi-join the scan pushes down). Within-batch
+    duplicates are both admitted (per-batch policy; compose
+    near_dup_pairs on the batch first when intra-batch dedup is
+    wanted) — this keeps the result a pure function of (store, batch
+    order).
+
+    Failure semantics: each batch writes by OVERWRITING its own
+    ``batch=<batch_id>`` partition, so a foreachBatch re-delivery after
+    a crash is idempotent (appends would duplicate the admissions);
+    re-delivered doc_ids that already exist in the index are dropped
+    before verification (ingestion is id-idempotent, and a same-id
+    collision would otherwise merge both copies' shingles into one
+    group and dilute the pair's Jaccard below threshold); only a
+    MISSING index reads as the empty store — any other read error
+    propagates rather than silently admitting the batch unverified.
     """
+    from pyspark.errors import AnalysisException
+
     from finance_data_pipeline_spark.extensions import dedup as dd
 
     def gate(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.localCheckpoint()
-        bsigs = dd.minhash_signatures(batch).localCheckpoint()
         try:
-            idx = spark.read.parquet(f"{store_path}/sigs")
-        except Exception:
+            idx = spark.read.parquet(f"{store_path}/sigs").select("_id", "sig")
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
             idx = None
+        if idx is not None:
+            batch = batch.join(
+                idx.select(F.col("_id").alias("doc_id")), "doc_id", "left_anti"
+            ).localCheckpoint()
+        bsigs = dd.minhash_signatures(batch).localCheckpoint()
         if idx is not None:
             cands = dd.lsh_candidates_between(bsigs, idx)
             cand_store_ids = cands.select(F.col("id_b").alias("doc_id")).distinct()
@@ -282,10 +302,12 @@ def neardup_gate(
             accepted = batch.join(dup_ids, "doc_id", "left_anti").localCheckpoint()
         else:
             accepted = batch
-        accepted.write.mode("append").parquet(f"{store_path}/docs")
+        accepted.select("doc_id", "text").write.mode("overwrite").parquet(
+            f"{store_path}/docs/batch={batch_id}"
+        )
         bsigs.join(
             accepted.select(F.col("doc_id").alias("_id")), "_id", "left_semi"
-        ).write.mode("append").parquet(f"{store_path}/sigs")
+        ).write.mode("overwrite").parquet(f"{store_path}/sigs/batch={batch_id}")
 
     writer = docs.writeStream.foreachBatch(gate).option(
         "checkpointLocation", checkpoint

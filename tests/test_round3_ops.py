@@ -683,3 +683,25 @@ def test_pagerank_empty_edges_and_profile_empty_cols(spark):
     assert graph.pagerank(empty).count() == 0
     with pytest.raises(ValueError):
         quality.profile_columns(spark.range(1), [])
+
+
+def test_label_outliers_ignores_zero_vectors(spark):
+    """A zero embedding can't produce a NULL-ranked row; it is excluded
+    and the remaining members rank normally."""
+    rows = [
+        (0, [1.0, 0.0], 7),
+        (1, [0.9, 0.1], 7),
+        (2, [0.0, 0.0], 7),  # zero-norm: excluded, not rank 1
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = similarity.label_outliers(vecs, per_label=3).collect()
+    assert {r.vec_id for r in out} == {0, 1}
+    assert all(r.cos_centroid is not None for r in out)
+
+
+def test_profile_columns_quotes_awkward_names(spark):
+    from finance_data_pipeline_spark import quality
+
+    df = spark.range(3).selectExpr("id AS `order key`")
+    out = quality.profile_columns(df, [("order key", "raw")]).collect()
+    assert out[0].column_name == "order key" and out[0].n_distinct == 3

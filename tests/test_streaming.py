@@ -242,13 +242,17 @@ def test_neardup_gate_admits_novel_blocks_dups_and_indexes_admissions(spark, tmp
     b1 = spark.createDataFrame(
         [mk(11, seed_text + " iota"), mk(12, novel1)], "doc_id long, text string"
     )
+    # 0 re-delivers the seed doc verbatim: the id-idempotency anti-join
+    # must drop it before verification (a same-id collision would merge
+    # both copies' shingles and dilute Jaccard to 1/3).
     b2 = spark.createDataFrame(
-        [mk(21, novel1 + " ten"), mk(22, novel2)], "doc_id long, text string"
+        [mk(21, novel1 + " ten"), mk(22, novel2), mk(0, seed_text)],
+        "doc_id long, text string",
     )
 
     store = str(tmp_path / "store")
-    seed.write.parquet(f"{store}/docs")
-    dd.minhash_signatures(seed).write.parquet(f"{store}/sigs")
+    seed.write.parquet(f"{store}/docs/batch=seed")
+    dd.minhash_signatures(seed).write.parquet(f"{store}/sigs/batch=seed")
 
     src = str(tmp_path / "src")
     b1.coalesce(1).write.parquet(src)
@@ -265,7 +269,9 @@ def test_neardup_gate_admits_novel_blocks_dups_and_indexes_admissions(spark, tmp
     )
     neardup_gate(sdf, store, str(tmp_path / "ckpt")).awaitTermination(300)
 
-    got = {r.doc_id for r in spark.read.parquet(f"{store}/docs").collect()}
+    rows = spark.read.parquet(f"{store}/docs").collect()
+    got = {r.doc_id for r in rows}
     assert got == {0, 12, 22}, got
+    assert len(rows) == 3  # the re-delivered seed doc was not re-admitted
     indexed = {r._id for r in spark.read.parquet(f"{store}/sigs").collect()}
     assert indexed == {0, 12, 22}
