@@ -87,6 +87,9 @@ _PRIORITY = [
     # go green locally now and take a driver slot next round
     "quality_weighted_sample", "hashed_tf_features", "bpe_merges",
     "ann_topk_pq_rerank",
+    "winnowing_fingerprints", "winnowing_shared_spans",
+    "temperature_mix", "mixture_epoch_plan",
+    "soft_dedup_weights", "source_ngram_overlap",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

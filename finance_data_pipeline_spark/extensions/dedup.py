@@ -1216,3 +1216,113 @@ def bloom_decontaminate(
             F.max(F.coalesce("_e", F.lit(0))).cast("long").alias("exact_hit"),
         )
     )
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """Soft deduplication: instead of dropping near-duplicates, keep
+    every document and down-weight repeated content by
+    1/cluster_size — the loss-weighting alternative to hard removal
+    (duplicates contribute one document's worth of gradient in total).
+
+    Composes the verified near-dup cluster graph (dup_clusters) with a
+    left join back to the corpus: cluster members carry their cluster's
+    size, singletons weight 1.0. ``clusters`` accepts a precomputed
+    (doc_id, cluster_id) frame so a pipeline that already clustered
+    does not re-derive MinHash/LSH/verify (same seam as
+    dup_clusters(pairs=)/training_corpus(clusters=)).
+
+    Scale: the cluster frame is tiny relative to the corpus (only docs
+    with at least one verified near-dup appear), so the join broadcasts
+    at any corpus size where dedup is sane; weights are row-local
+    arithmetic after that.
+
+    Returns (doc_id, cluster_size, weight, n_tokens) — weight rounded
+    to 6 dp, n_tokens the whitespace token count the weight applies to.
+    """
+    from finance_data_pipeline_spark.extensions.text import token_count
+
+    if clusters is None:
+        clusters = dup_clusters(docs, threshold=threshold)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("_csize")
+    )
+    member = clusters.join(sizes, "cluster_id").select(
+        F.col("doc_id").alias("_cid"), F.col("_csize")
+    )
+    return (
+        docs.select(F.col(id_col), token_count(text_col).cast("long").alias("n_tokens"))
+        .join(F.broadcast(member), F.col(id_col) == F.col("_cid"), "left")
+        .select(
+            id_col,
+            F.coalesce("_csize", F.lit(1)).cast("long").alias("cluster_size"),
+            F.round(
+                F.lit(1.0) / F.coalesce("_csize", F.lit(1)).cast("double"), 6
+            ).alias("weight"),
+            "n_tokens",
+        )
+    )
+
+
+def source_ngram_overlap(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 3,
+) -> DataFrame:
+    """Pairwise source-level shingle overlap: for every pair of corpus
+    sources, the count of shared distinct k-word shingles and their
+    Jaccard — the diversity/contamination diagnostic that tells you
+    whether two ingest feeds are re-crawls of each other before any
+    doc-level dedup runs.
+
+    Shape: distinct (source, shingle) → per-shingle source set → pairs.
+    The per-shingle fan-out is bounded by C(n_sources, 2) regardless of
+    how many documents share the shingle, so no posting-list quadratic
+    exists — the expensive part is one distinct over (source, shingle),
+    a single map-side-combined shuffle that scales with corpus bytes.
+
+    Returns (source_a, source_b, common, jaccard) with source_a <
+    source_b, jaccard rounded to 6 dp.
+    """
+    sh = (
+        docs.select(
+            F.col(source_col).alias("_src"),
+            F.explode(word_shingles(text_col, k)).alias("_sh"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("_src").agg(F.count("*").alias("_n"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), F.col("a._sh") == F.col("b._sh"))
+        .filter(F.col("a._src") < F.col("b._src"))
+        .groupBy(F.col("a._src").alias("source_a"), F.col("b._src").alias("source_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.withColumnRenamed("_src", "source_a").withColumnRenamed("_n", "_na")),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("_src", "source_b").withColumnRenamed("_n", "_nb")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "common",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -20,7 +20,7 @@ same inputs, same outputs) to corpus-scale subset selection.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 NIBBLES = "0123456789abcdef"
@@ -148,3 +148,129 @@ def weighted_hash_sample(
         )
     ).cast("long")
     return df.filter((h % resolution) < thr)
+
+
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    budget_docs: int = 250,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based source mixing: allocate a document budget
+    across sources with weight ∝ count^alpha (alpha < 1 upsamples the
+    tail — the multilingual/temperature-sampling rule of Conneau &
+    Lample's XLM and the T5 mixing scheme), then keep each source's
+    quota deterministically by ascending md5(key).
+
+    Exactness discipline: count^alpha is a double, so it is quantized
+    to integer micro-units (floor(·1e6 + 0.5)) before normalization —
+    the weight sum and the quota rounding then run in exact BIGINT
+    arithmetic, order-independent and bit-identical in the SQL oracle
+    (summing raw doubles would differ in the last ulp by
+    partial-aggregation order; decimal division scales differ by
+    engine). Quota = floor(budget · pwi / Σpwi + 0.5), computed as the
+    integer (2·budget·pwi + Σ) div (2·Σ), capped at the source count.
+
+    Scale shape: one count aggregate (tiny — one row per source), a
+    broadcast quota join back, and one per-source window for the
+    hash-ranked take. The window sorts only within sources — at the
+    100 TB tier you would pre-filter to the quality-passing slice
+    first (same note as token_budget_sample).
+
+    Returns (doc_id, source, weight, quota, rank) for kept docs.
+    """
+    counts = docs.groupBy(source_col).agg(F.count("*").alias("_n"))
+    pwi = F.floor(
+        F.pow(F.col("_n").cast("double"), F.lit(float(alpha))) * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    wsum = Window.partitionBy()
+    quotas = (
+        counts.withColumn("_pwi", pwi)
+        .withColumn("_tot", F.sum("_pwi").over(wsum))
+        .withColumn(
+            "quota",
+            F.least(
+                F.col("_n"),
+                F.expr(f"(2 * {int(budget_docs)} * _pwi + _tot) div (2 * _tot)"),
+            ).cast("long"),
+        )
+        .select(
+            source_col,
+            F.round(
+                F.col("_pwi").cast("double") / F.col("_tot").cast("double"), 6
+            ).alias("weight"),
+            "quota",
+        )
+    )
+    ranked = docs.select(F.col(key_col), F.col(source_col)).withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            Window.partitionBy(source_col).orderBy(
+                F.md5(F.col(key_col).cast("string")), key_col
+            )
+        )
+        .cast("long"),
+    )
+    return (
+        ranked.join(F.broadcast(quotas), source_col)
+        .filter(F.col("rank") <= F.col("quota"))
+        .select(key_col, source_col, "weight", "quota", "rank")
+    )
+
+
+def mixture_epoch_plan(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source epoch plan: given temperature weights over token
+    counts (weight ∝ tokens^alpha), how many passes (epochs) over each
+    source does one total-corpus-sized training budget imply?
+    epochs_s = weight_s · total_tokens / tokens_s — the "small sources
+    repeat, huge sources are subsampled" table a pretraining run is
+    configured from (> 1 means repeat, < 1 means subsample).
+
+    One token-count aggregate (map-side combined, exact BIGINT sums)
+    feeding a one-row-per-source normalization. Weights use the same
+    integer micro-unit quantization as temperature_mix (exact BIGINT
+    sum, then one IEEE double division — bit-identical in the SQL
+    oracle); epoch ratios are computed as double products of exact
+    integers, identical in both engines. Nothing here grows with
+    corpus size except the scan.
+
+    Returns (source, n_docs, n_tokens, weight, epochs), weight/epochs
+    rounded to 6 dp.
+    """
+    from finance_data_pipeline_spark.extensions.text import token_count
+
+    per_source = docs.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(text_col).cast("long")).alias("n_tokens"),
+    )
+    pwi = F.floor(
+        F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha))) * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    wsum = Window.partitionBy()
+    return (
+        per_source.withColumn("_pwi", pwi)
+        .withColumn("_totpw", F.sum("_pwi").over(wsum))
+        .withColumn("_ttok", F.sum("n_tokens").over(wsum))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("_pwi").cast("double") / F.col("_totpw").cast("double"), 6
+            ).alias("weight"),
+            F.round(
+                (F.col("_pwi").cast("double") * F.col("_ttok").cast("double"))
+                / (F.col("_totpw").cast("double") * F.col("n_tokens").cast("double")),
+                6,
+            ).alias("epochs"),
+        )
+    )

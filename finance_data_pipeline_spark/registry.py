@@ -38,6 +38,7 @@ from finance_data_pipeline_spark.extensions import (
     sampling,
     similarity,
     text,
+    winnow,
 )
 from finance_data_pipeline_spark.extensions.text import _LANG_MARKERS
 from finance_data_pipeline_spark.io import table
@@ -4834,4 +4835,177 @@ def q_media_resize(spark, sf_dir):
     out = multimodal.resize_media(dedup._spread(media), 16, 12)
     return out.select(
         "media_id", "width", "height", F.upper(F.hex("resized")).alias("resized_hex")
+    )
+
+
+# =========================================================================
+# §2.11 round-3 session-4 additions: winnowing, soft dedup, source
+# mixing, cross-source overlap
+# =========================================================================
+
+_WINNOW_FP_CTE = f"""{_NORM_CTE},
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3
+              THEN [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+              ELSE [array_to_string(words, ' ')] END AS grams
+  FROM norm),
+gp0 AS (
+  SELECT doc_id, grams, unnest(range(1, len(grams) + 1)) AS p FROM g),
+gp AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS pos,
+         {_md5_slice_sql("grams[CAST(p AS INTEGER)]", 1, 15)} AS h
+  FROM gp0),
+enc AS (
+  SELECT doc_id, pos,
+         lpad(CAST(h AS VARCHAR), 19, '0')
+           || lpad(CAST(2000000000 - pos AS VARCHAR), 10, '0') AS e
+  FROM gp),
+wmin AS (
+  SELECT doc_id, pos,
+         min(e) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS we,
+         count(*) OVER (PARTITION BY doc_id) AS m
+  FROM enc),
+fp AS (
+  SELECT DISTINCT doc_id,
+         2000000000 - CAST(substring(we, 20, 10) AS BIGINT) AS pos,
+         CAST(substring(we, 1, 19) AS BIGINT) AS gram_hash
+  FROM wmin WHERE pos <= greatest(m - 3, 1))"""
+
+
+@query(
+    "winnowing_fingerprints",
+    f"""WITH {_WINNOW_FP_CTE}
+SELECT doc_id, pos, gram_hash FROM fp""",
+)
+def q_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing (Schleimer et al. 2003): per-window minimum of 60-bit
+    k-gram hashes, rightmost on ties — the guarantee-preserving sparse
+    fingerprint set (~2/(w+1) density) for shared-span detection. One
+    shuffle on doc_id; the window-min replays verbatim in SQL via a
+    fixed-width sortable (hash, descending-pos) string encoding."""
+    return winnow.winnowing_fingerprints(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "winnowing_shared_spans",
+    f"""WITH {_WINNOW_FP_CTE},
+fph AS (SELECT DISTINCT doc_id, gram_hash FROM fp),
+rare AS (SELECT gram_hash FROM fph GROUP BY gram_hash
+         HAVING count(DISTINCT doc_id) <= 100),
+fpr AS (SELECT doc_id, gram_hash FROM fph
+        JOIN rare USING (gram_hash))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(DISTINCT a.gram_hash) AS BIGINT) AS shared
+FROM fpr a JOIN fpr b ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(DISTINCT a.gram_hash) >= 3""",
+)
+def q_winnowing_shared_spans(spark, sf_dir):
+    """Cross-document span overlap via winnowing fingerprints: pairs
+    sharing ≥3 selected fingerprints. The df ≤ 100 stop-gram filter
+    bounds every posting list before the self-join (same discipline as
+    string_sim_join's prefix filter), and the join runs over the
+    ~2/(w+1)-density fingerprint set, not all grams."""
+    return winnow.winnowing_shared_spans(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "temperature_mix",
+    """WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+q AS (SELECT source, n,
+        CAST(floor(pow(CAST(n AS DOUBLE), 0.5) * 1000000 + 0.5) AS BIGINT) AS pwi
+      FROM counts),
+q2 AS (SELECT source, n, pwi, sum(pwi) OVER () AS tot FROM q),
+q3 AS (SELECT source,
+         round(CAST(pwi AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight,
+         least(n, (2 * 250 * pwi + tot) // (2 * tot)) AS quota
+       FROM q2),
+r AS (SELECT doc_id, source,
+        CAST(row_number() OVER (
+          PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank
+      FROM documents)
+SELECT doc_id, r.source, weight, quota, rank
+FROM r JOIN q3 ON r.source = q3.source WHERE rank <= quota""",
+)
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-based source mixing (X6 family): budget allocated
+    ∝ count^0.5 across sources (upsamples tail sources, the
+    XLM/T5 mixing rule), each quota filled deterministically by
+    ascending md5(doc_id). Weight math is integer-quantized so the
+    normalization is exact and order-independent in both engines."""
+    return sampling.temperature_mix(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "mixture_epoch_plan",
+    f"""WITH {_NORM_CTE},
+per AS (SELECT d.source, count(*) AS n_docs,
+               CAST(sum(len(n.words)) AS BIGINT) AS n_tokens
+        FROM documents d JOIN norm n ON d.doc_id = n.doc_id
+        GROUP BY d.source),
+q AS (SELECT source, n_docs, n_tokens,
+        CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.5) * 1000000 + 0.5) AS BIGINT) AS pwi
+      FROM per),
+q2 AS (SELECT source, n_docs, n_tokens, pwi,
+              sum(pwi) OVER () AS totpw, sum(n_tokens) OVER () AS ttok
+       FROM q)
+SELECT source, n_docs, n_tokens,
+       round(CAST(pwi AS DOUBLE) / CAST(totpw AS DOUBLE), 6) AS weight,
+       round((CAST(pwi AS DOUBLE) * CAST(ttok AS DOUBLE))
+             / (CAST(totpw AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6) AS epochs
+FROM q2""",
+)
+def q_mixture_epoch_plan(spark, sf_dir):
+    """Per-source epoch plan: temperature weights over exact token
+    totals → passes-per-source for a one-corpus-sized training budget
+    (>1 repeat, <1 subsample). One tiny aggregate; weights/epochs are
+    integer-quantized/IEEE-double so both engines agree bit-for-bit."""
+    return sampling.mixture_epoch_plan(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "soft_dedup_weights",
+    f"""WITH RECURSIVE {_NEAR_PAIRS_CTE},
+{_CLUSTERS_SQL_TAIL},
+csize AS (SELECT cluster_id, count(*) AS csz FROM cc GROUP BY cluster_id),
+member AS (SELECT cc.doc_id, csz FROM cc JOIN csize USING (cluster_id)),
+toks AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens FROM norm)
+SELECT t.doc_id,
+       CAST(coalesce(m.csz, 1) AS BIGINT) AS cluster_size,
+       round(1.0 / coalesce(m.csz, 1), 6) AS weight,
+       t.n_tokens
+FROM toks t LEFT JOIN member m ON t.doc_id = m.doc_id""",
+)
+def q_soft_dedup_weights(spark, sf_dir):
+    """Soft dedup (X2 family): keep every document, weight repeated
+    content by 1/cluster_size over the verified near-dup components —
+    the loss-weighting alternative to hard removal. The cluster frame
+    is tiny vs the corpus, so the weight join broadcasts at scale."""
+    return dedup.soft_dedup_weights(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "source_ngram_overlap",
+    f"""WITH {_SHINGLES_CTE},
+ssh AS (SELECT DISTINCT d.source AS src, s.sh
+        FROM sh s JOIN documents d ON s.doc_id = d.doc_id),
+sizes AS (SELECT src, count(*) AS n FROM ssh GROUP BY src),
+p AS (SELECT a.src AS source_a, b.src AS source_b, count(*) AS common
+      FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.src < b.src
+      GROUP BY 1, 2)
+SELECT source_a, source_b, CAST(common AS BIGINT) AS common,
+       round(CAST(common AS DOUBLE)
+             / CAST(s1.n + s2.n - common AS DOUBLE), 6) AS jaccard
+FROM p JOIN sizes s1 ON source_a = s1.src JOIN sizes s2 ON source_b = s2.src""",
+)
+def q_source_ngram_overlap(spark, sf_dir):
+    """Pairwise source-level shingle overlap (diversity/contamination
+    diagnostic across ingest feeds). Per-shingle fan-out is bounded by
+    C(n_sources, 2) regardless of shingle popularity — no posting-list
+    quadratic; cost is one distinct (source, shingle) shuffle."""
+    out = dedup.source_ngram_overlap(table(spark, sf_dir, "documents"))
+    return out.select(
+        "source_a", "source_b", F.col("common").cast("long").alias("common"), "jaccard"
     )

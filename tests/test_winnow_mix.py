@@ -1,0 +1,196 @@
+"""Semantic invariants for the winnowing / soft-dedup / source-mixing
+operators (this session's additions), beyond the oracle parity the
+mini-driver enforces: the winnowing shared-substring guarantee and
+density bound from Schleimer et al. 2003, temperature-mix quota
+accounting, epoch-plan identities, and soft-dedup weight semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from finance_data_pipeline_spark.extensions import dedup, sampling, winnow
+from finance_data_pipeline_spark.io import table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+K, W = 3, 4
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return table(spark, SF_DIR, "documents").cache()
+
+
+# --- winnowing ------------------------------------------------------------
+
+
+def test_winnowing_guarantee_shared_run(spark):
+    """Two docs sharing a run of >= w + k - 1 tokens must share at
+    least one selected fingerprint — the paper's core guarantee."""
+    run = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w + k - 1
+    rows = [
+        (1, f"completely different lead in words {run} tail one here"),
+        (2, f"{run} and then some other unrelated continuation text"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnow.winnowing_fingerprints(d, k=K, w=W)
+    a = {r.gram_hash for r in fp.filter("doc_id = 1").collect()}
+    b = {r.gram_hash for r in fp.filter("doc_id = 2").collect()}
+    assert a & b, "guaranteed shared fingerprint missing"
+
+
+def test_winnowing_selected_are_real_grams(spark, docs):
+    """Every selected (pos, hash) is the hash of the gram actually at
+    that position, and every doc yields at least one fingerprint."""
+    fp = winnow.winnowing_fingerprints(docs, k=K, w=W)
+    grams = winnow._grams_with_pos(docs, "doc_id", "text", K).withColumnRenamed(
+        "gram_hash", "true_hash"
+    )
+    joined = fp.join(grams, ["doc_id", "pos"], "left")
+    assert joined.filter(F.col("true_hash").isNull()).count() == 0
+    assert joined.filter(F.col("gram_hash") != F.col("true_hash")).count() == 0
+    n_docs = docs.filter(F.col("text").isNotNull()).count()
+    assert fp.select("doc_id").distinct().count() == n_docs
+
+
+def test_winnowing_density_bound(spark, docs):
+    """Selected fingerprints are a strict subset of grams: expected
+    density ~ 2/(w+1); assert the much weaker <= 60% bound to stay
+    robust to repeated-gram corpora."""
+    fp_n = winnow.winnowing_fingerprints(docs, k=K, w=W).count()
+    gram_n = winnow._grams_with_pos(docs, "doc_id", "text", K).count()
+    assert 0 < fp_n <= 0.6 * gram_n
+
+
+def test_winnowing_shared_spans_matches_bruteforce_threshold(spark):
+    """Pairs from shared fingerprints: planted near-identical docs
+    appear; unrelated docs don't."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " with a tiny suffix change"),
+        (3, "entirely disjoint vocabulary sentence about spark physical plans"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in winnow.winnowing_shared_spans(d, k=K, w=W, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+# --- temperature mix ------------------------------------------------------
+
+
+def test_temperature_mix_quota_accounting(spark, docs):
+    out = sampling.temperature_mix(docs, alpha=0.5, budget_docs=250).cache()
+    per = (
+        out.groupBy("source")
+        .agg(F.count("*").alias("kept"), F.first("quota").alias("quota"))
+        .collect()
+    )
+    counts = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for r in per:
+        # each source fills exactly its quota (capped at source size)
+        assert r.kept == min(r.quota, counts[r["source"]])
+    # alpha < 1 upsamples the tail: the smallest source's kept/count
+    # ratio must be >= the largest source's.
+    smallest = min(counts, key=counts.get)
+    largest = max(counts, key=counts.get)
+    ratios = {r["source"]: r.kept / counts[r["source"]] for r in per}
+    if smallest in ratios and largest in ratios:
+        assert ratios[smallest] >= ratios[largest]
+    out.unpersist()
+
+
+def test_temperature_mix_alpha_one_is_proportional(spark, docs):
+    """alpha=1 degenerates to proportional allocation: weight equals
+    each source's share of documents (up to quantization)."""
+    out = sampling.temperature_mix(docs, alpha=1.0, budget_docs=160)
+    total = docs.count()
+    for r in out.select("source", "weight").distinct().collect():
+        n = docs.filter(F.col("source") == r["source"]).count()
+        assert abs(r.weight - n / total) < 1e-4
+
+
+def test_temperature_mix_deterministic_across_layout(spark, docs):
+    a = sampling.temperature_mix(docs).select("doc_id").collect()
+    b = sampling.temperature_mix(docs.repartition(7)).select("doc_id").collect()
+    assert {r.doc_id for r in a} == {r.doc_id for r in b}
+
+
+# --- mixture epoch plan ---------------------------------------------------
+
+
+def test_mixture_epoch_plan_identities(spark, docs):
+    rows = sampling.mixture_epoch_plan(docs, alpha=0.5).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    ttok = sum(r.n_tokens for r in rows)
+    for r in rows:
+        # epochs * tokens ~ weight * total budget (one corpus worth)
+        assert abs(r.epochs * r.n_tokens - r.weight * ttok) / (r.weight * ttok) < 1e-3
+    # alpha<1: smaller sources get epochs >= larger sources
+    by_tok = sorted(rows, key=lambda r: r.n_tokens)
+    eps = [r.epochs for r in by_tok]
+    assert eps == sorted(eps, reverse=True)
+
+
+# --- soft dedup weights ---------------------------------------------------
+
+
+def test_soft_dedup_weights_cluster_semantics(spark, docs):
+    clusters = dedup.dup_clusters(docs, threshold=0.7).cache()
+    out = dedup.soft_dedup_weights(docs, clusters=clusters).cache()
+    # every doc appears exactly once
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+    # members of a cluster carry weight 1/size; singletons weight 1
+    sizes = {
+        r.cluster_id: r.n
+        for r in clusters.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+    }
+    member = {r.doc_id: r.cluster_id for r in clusters.collect()}
+    for r in out.collect():
+        if r.doc_id in member:
+            assert r.cluster_size == sizes[member[r.doc_id]]
+        else:
+            assert r.cluster_size == 1 and r.weight == 1.0
+        assert abs(r.weight - round(1.0 / r.cluster_size, 6)) < 1e-9
+    # total effective mass <= corpus token mass, >= deduped mass
+    eff = out.select(F.sum(F.col("weight") * F.col("n_tokens"))).first()[0]
+    tot = out.select(F.sum("n_tokens")).first()[0]
+    assert eff <= tot
+    out.unpersist()
+    clusters.unpersist()
+
+
+# --- source n-gram overlap ------------------------------------------------
+
+
+def test_source_ngram_overlap_planted_recrawl(spark):
+    """A source that is a verbatim re-crawl of another must show
+    jaccard 1.0 against it; disjoint sources show 0 rows."""
+    rows = [
+        (1, "one two three four five six", "crawl_a"),
+        (2, "seven eight nine ten eleven twelve", "crawl_a"),
+        (3, "one two three four five six", "crawl_b"),  # re-crawl of doc 1
+        (4, "seven eight nine ten eleven twelve", "crawl_b"),
+        (5, "totally disjoint words nothing shared here at all", "crawl_c"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r.source_a, r.source_b): r.jaccard
+        for r in dedup.source_ngram_overlap(d).collect()
+    }
+    assert got[("crawl_a", "crawl_b")] == 1.0
+    assert all("crawl_c" not in k for k in got)
+
+
+def test_source_ngram_overlap_bounds(spark, docs):
+    for r in dedup.source_ngram_overlap(docs).collect():
+        assert r.source_a < r.source_b
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.common >= 1
