@@ -90,6 +90,7 @@ _PRIORITY = [
     "winnowing_fingerprints", "winnowing_shared_spans",
     "temperature_mix", "mixture_epoch_plan",
     "soft_dedup_weights", "source_ngram_overlap",
+    "bm25_topk", "quality_percentile_by_lang", "embedding_standardize",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

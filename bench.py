@@ -60,6 +60,9 @@ HEADLINE = [
     "ann_topk_pq",
     "supplier_customer_pagerank",
     "bpe_merges",
+    "winnowing_shared_spans",
+    "source_ngram_overlap",
+    "soft_dedup_weights",
 ]
 
 
@@ -112,7 +115,12 @@ def main() -> None:
     # warming their registry versions would pay the textbook-recall
     # MinHash cost twice for classes the timed plans don't use; the
     # shared-pairs construction below warms those instead.)
-    _OVERRIDDEN = {"near_dup_pairs", "dup_clusters", "training_corpus"}
+    _OVERRIDDEN = {
+        "near_dup_pairs",
+        "dup_clusters",
+        "training_corpus",
+        "soft_dedup_weights",
+    }
     warm_dir = SF_DIR.rsplit("sf", 1)[0] + "sf0.001"
     if os.path.isdir(warm_dir):
         for name in HEADLINE:
@@ -150,6 +158,9 @@ def main() -> None:
         "near_dup_pairs": lambda s, d: _dedup.near_dup_pairs(docs, **_fast),
         "dup_clusters": lambda s, d: _dedup.dup_clusters(docs, pairs=shared_pairs),
         "training_corpus": lambda s, d: _dedup.training_corpus(
+            docs, clusters=shared_clusters
+        ),
+        "soft_dedup_weights": lambda s, d: _dedup.soft_dedup_weights(
             docs, clusters=shared_clusters
         ),
     }

@@ -1024,3 +1024,52 @@ def ann_topk_pq_rerank(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def embedding_standardize(
+    vecs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension z-score standardization of an embedding column —
+    the feature-scaling pass before distance-based operators (k-means,
+    outlier sweeps) when dimensions have heterogeneous scales.
+
+    Exactness discipline: per-dimension Σx and Σx² are summed as
+    DECIMAL (each double term cast exactly-rounded first) so the
+    moments are order-independent; mean/variance/z then run in plain
+    IEEE doubles identical in both engines, making the whole operator
+    full-oracle despite being float math over a shuffle.
+
+    Scale shape: one posexplode (row-local fan-out ×dim) → one
+    map-side-combined aggregate over `dim` (bounded keys = embedding
+    width) → broadcast of the tiny per-dim stats frame back onto the
+    exploded stream. Nothing grows with corpus size except the scan.
+
+    Returns (vec_id, dim, z) long-format; z rounded to 6 dp; dims with
+    zero variance yield NULL z (explicit, not a division blow-up).
+    """
+    exploded = vecs.select(
+        F.col(id_col), F.posexplode(vec_col).alias("_p", "_x")
+    ).select(
+        F.col(id_col),
+        (F.col("_p") + 1).cast("long").alias("dim"),
+        F.col("_x").cast("double").alias("_x"),
+    )
+    stats = exploded.groupBy("dim").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("_x").cast("decimal(38,12)")).alias("_s"),
+        F.sum((F.col("_x") * F.col("_x")).cast("decimal(38,12)")).alias("_s2"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_n").cast("double")
+    meansq = F.col("_s2").cast("double") / F.col("_n").cast("double")
+    stats = stats.select(
+        "dim",
+        mean.alias("_mean"),
+        F.sqrt(meansq - mean * mean).alias("_std"),
+    )
+    return exploded.join(F.broadcast(stats), "dim").select(
+        id_col,
+        "dim",
+        F.round(
+            (F.col("_x") - F.col("_mean")) / F.nullif("_std", F.lit(0.0)), 6
+        ).alias("z"),
+    )

@@ -501,3 +501,108 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "merge_rank long, left_sym string, right_sym string, pair_weight long"
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval: score every corpus document against
+    each query document (ids < ``n_queries``, self excluded) and keep
+    the k best — the classic lexical ranking complement of the
+    vector-side ann_topk, and the retrieval primitive of
+    RAG/decontamination tooling.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5));
+    score = Σ_t idf · tf(k1+1) / (tf + k1(1 - b + b·dl/avgdl)).
+
+    Scale shape: term stats (tf, df, dl) are map-side-combined
+    aggregates over the token stream; the tiny query-term side
+    broadcasts against the corpus postings (candidates bounded by the
+    query vocabulary — no corpus self-join); one window ranks per
+    query. Per-term contributions are cast to DECIMAL before the
+    score sum so the result is order-independent and replays exactly
+    in the SQL oracle (the engine-portable float-sum discipline used
+    across this registry).
+
+    Returns (query_id, neighbor_id, score) — score rounded to 6 dp,
+    ties broken by ascending neighbor_id.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_t")
+    ).select(F.col(id_col), F.xxhash64("_t").alias("_h"))
+    tf = toks.groupBy(id_col, "_h").agg(F.count("*").alias("_tf"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("_dl"))
+    stats = dl.agg(
+        F.count("*").alias("_n"), F.sum("_dl").alias("_sumdl")
+    )
+    df_ = tf.groupBy("_h").agg(F.count("*").alias("_df"))
+    qterms = (
+        tf.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), "_h")
+        .distinct()
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "_h")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(F.broadcast(df_), "_h")
+        .join(F.broadcast(dl), id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("_sumdl").cast("double") / F.col("_n").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n").cast("double") - F.col("_df").cast("double") + F.lit(0.5))
+        / (F.col("_df").cast("double") + F.lit(0.5))
+    )
+    tfv = F.col("_tf").cast("double")
+    contrib = (
+        idf
+        * (tfv * (1.0 + k1))
+        / (tfv + k1 * (1.0 - b + b * F.col("_dl").cast("double") / avgdl))
+    ).cast("decimal(28,12)")
+    agg = (
+        scored.withColumn("_c", contrib)
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.round(F.sum("_c").cast("double"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        agg.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", "score")
+    )
+
+
+def quality_percentile_by_lang(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-language percentile calibration of quality_score: the same
+    raw score means different things in different languages (marker
+    lists differ in coverage), so corpus curation thresholds on the
+    WITHIN-language percent_rank, not the raw score. One window per
+    language over a deterministic (score, id) order; percent_rank is
+    integer-derived so both engines agree bit-for-bit.
+
+    Returns (doc_id, lang, quality_score, pct_rank) — pct_rank in
+    [0, 1], rounded to 6 dp.
+    """
+    from pyspark.sql import Window
+
+    scored = quality_score(docs, id_col, text_col).join(
+        docs.select(id_col, "lang"), id_col
+    )
+    w = Window.partitionBy("lang").orderBy("quality_score", id_col)
+    return scored.select(
+        id_col,
+        "lang",
+        "quality_score",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )

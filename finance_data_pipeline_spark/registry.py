@@ -4885,7 +4885,7 @@ def q_winnowing_fingerprints(spark, sf_dir):
     fingerprint set (~2/(w+1) density) for shared-span detection. One
     shuffle on doc_id; the window-min replays verbatim in SQL via a
     fixed-width sortable (hash, descending-pos) string encoding."""
-    return winnow.winnowing_fingerprints(table(spark, sf_dir, "documents"))
+    return winnow.winnowing_fingerprints(dedup._spread(table(spark, sf_dir, "documents")))
 
 
 @query(
@@ -4907,7 +4907,7 @@ def q_winnowing_shared_spans(spark, sf_dir):
     bounds every posting list before the self-join (same discipline as
     string_sim_join's prefix filter), and the join runs over the
     ~2/(w+1)-density fingerprint set, not all grams."""
-    return winnow.winnowing_shared_spans(table(spark, sf_dir, "documents"))
+    return winnow.winnowing_shared_spans(dedup._spread(table(spark, sf_dir, "documents")))
 
 
 @query(
@@ -5005,7 +5005,94 @@ def q_source_ngram_overlap(spark, sf_dir):
     diagnostic across ingest feeds). Per-shingle fan-out is bounded by
     C(n_sources, 2) regardless of shingle popularity — no posting-list
     quadratic; cost is one distinct (source, shingle) shuffle."""
-    out = dedup.source_ngram_overlap(table(spark, sf_dir, "documents"))
+    out = dedup.source_ngram_overlap(dedup._spread(table(spark, sf_dir, "documents")))
     return out.select(
         "source_a", "source_b", F.col("common").cast("long").alias("common"), "jaccard"
     )
+
+
+_BM25_TOK_CTE = f"""{_NORM_CTE},
+tok AS (SELECT doc_id, unnest(words) AS t FROM norm),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+q AS (SELECT DISTINCT doc_id AS query_id, t FROM tf WHERE doc_id < 5),
+sc AS (SELECT q.query_id, tf.doc_id AS neighbor_id,
+  CAST((ln(1 + (CAST(st.n AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+               / (CAST(dfq.df AS DOUBLE) + 0.5))
+        * (CAST(tf.tf AS DOUBLE) * 2.2))
+       / (CAST(tf.tf AS DOUBLE)
+          + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE)
+                   / (CAST(st.sumdl AS DOUBLE) / CAST(st.n AS DOUBLE))))
+    AS DECIMAL(28,12)) AS c
+  FROM tf JOIN q ON tf.t = q.t AND tf.doc_id <> q.query_id
+  JOIN dfq ON tf.t = dfq.t JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+agg AS (SELECT query_id, neighbor_id,
+               round(CAST(sum(c) AS DOUBLE), 6) AS score
+        FROM sc GROUP BY 1, 2)"""
+
+
+@query(
+    "bm25_topk",
+    f"""WITH {_BM25_TOK_CTE}
+SELECT query_id, neighbor_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rn
+  FROM agg) WHERE rn <= 10""",
+)
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-10 lexical retrieval for 5 query docs — term
+    stats are map-side-combined aggregates, the query vocabulary
+    broadcasts against corpus postings (no corpus self-join), and
+    per-term contributions sum through DECIMAL so the float score is
+    order-independent and fully oracle-checked."""
+    return text.bm25_topk(dedup._spread(table(spark, sf_dir, "documents")))
+
+
+@query(
+    "quality_percentile_by_lang",
+    f"""WITH {_NORM_CTE},
+qs AS (SELECT doc_id, {_QSCORE_SQL} AS quality_score FROM norm)
+SELECT d.doc_id, d.lang, qs.quality_score,
+       round(percent_rank() OVER (
+         PARTITION BY d.lang ORDER BY qs.quality_score, d.doc_id), 6)
+       AS pct_rank
+FROM documents d JOIN qs ON d.doc_id = qs.doc_id""",
+)
+def q_quality_percentile_by_lang(spark, sf_dir):
+    """Within-language percentile calibration of quality_score (the
+    same raw score means different things per language): one window
+    per lang over a deterministic (score, id) order; percent_rank is
+    integer-derived so both engines agree exactly."""
+    return text.quality_percentile_by_lang(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "embedding_standardize",
+    """WITH e0 AS (
+  SELECT vec_id, embedding,
+         unnest(range(1, len(embedding) + 1)) AS p
+  FROM embeddings),
+e AS (SELECT vec_id, CAST(p AS BIGINT) AS dim,
+             CAST(embedding[CAST(p AS INTEGER)] AS DOUBLE) AS x
+      FROM e0),
+st AS (SELECT dim, count(*) AS n,
+              sum(CAST(x AS DECIMAL(38,12))) AS s,
+              sum(CAST(x * x AS DECIMAL(38,12))) AS s2
+       FROM e GROUP BY dim),
+m AS (SELECT dim,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS std
+      FROM st)
+SELECT vec_id, dim, round((x - mean) / nullif(std, 0.0), 6) AS z
+FROM e JOIN m USING (dim)""",
+)
+def q_embedding_standardize(spark, sf_dir):
+    """Per-dimension z-score standardization of the embedding column:
+    decimal-summed moments (order-independent) + IEEE-double
+    mean/std/z — float math over a shuffle held to a full oracle.
+    Long-format output; zero-variance dims yield NULL z."""
+    return similarity.embedding_standardize(table(spark, sf_dir, "embeddings"))

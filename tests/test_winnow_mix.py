@@ -194,3 +194,87 @@ def test_source_ngram_overlap_bounds(spark, docs):
         assert r.source_a < r.source_b
         assert 0.0 <= r.jaccard <= 1.0
         assert r.common >= 1
+
+
+# --- bm25 -----------------------------------------------------------------
+
+
+def test_bm25_planted_relevant_doc_ranks_first(spark):
+    from finance_data_pipeline_spark.extensions import text as tx
+
+    rows = [
+        (0, "zebra quagga okapi"),                        # query doc
+        (5, "zebra quagga okapi zebra quagga extra"),     # heavy overlap
+        (6, "zebra filler filler filler filler filler"),  # light overlap
+        (7, "nothing related at all here whatsoever"),
+        (8, "common filler words common filler words"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tx.bm25_topk(d, n_queries=1, k=3).collect()
+    ranked = [r.neighbor_id for r in sorted(out, key=lambda r: -r.score)]
+    assert ranked[0] == 5
+    assert 6 in ranked
+    assert all(r.neighbor_id != 0 for r in out)  # self excluded
+    assert all(r.score > 0 for r in out)
+
+
+def test_bm25_topk_shape_on_corpus(spark, docs):
+    from finance_data_pipeline_spark.extensions import text as tx
+
+    out = tx.bm25_topk(docs, n_queries=3, k=5).cache()
+    per = out.groupBy("query_id").count().collect()
+    assert {r.query_id for r in per} <= {0, 1, 2}
+    assert all(r["count"] <= 5 for r in per)
+    out.unpersist()
+
+
+# --- quality percentile ---------------------------------------------------
+
+
+def test_quality_percentile_bounds_and_order(spark, docs):
+    from finance_data_pipeline_spark.extensions import text as tx
+
+    rows = tx.quality_percentile_by_lang(docs).collect()
+    assert len(rows) == docs.count()
+    by_lang = {}
+    for r in rows:
+        assert 0.0 <= r.pct_rank <= 1.0
+        by_lang.setdefault(r.lang, []).append((r.quality_score, r.doc_id, r.pct_rank))
+    for lang, xs in by_lang.items():
+        xs.sort()
+        ranks = [p for _, _, p in xs]
+        assert ranks == sorted(ranks)        # monotone in (score, id)
+        assert ranks[0] == 0.0
+        if len(ranks) > 1:
+            assert ranks[-1] == 1.0
+
+
+# --- embedding standardization --------------------------------------------
+
+
+def test_embedding_standardize_moments(spark):
+    """Standardized output has per-dim mean ~0 and std ~1."""
+    from finance_data_pipeline_spark.extensions import similarity as sim
+
+    vecs = table(spark, SF_DIR, "embeddings")
+    z = sim.embedding_standardize(vecs)
+    stats = (
+        z.groupBy("dim")
+        .agg(F.avg("z").alias("m"), F.stddev_pop("z").alias("s"))
+        .collect()
+    )
+    for r in stats:
+        assert abs(r.m) < 1e-4
+        assert abs(r.s - 1.0) < 1e-3
+
+
+def test_embedding_standardize_constant_dim_is_null(spark):
+    from finance_data_pipeline_spark.extensions import similarity as sim
+
+    rows = [(1, [1.0, 5.0]), (2, [1.0, 7.0]), (3, [1.0, 9.0])]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.embedding_standardize(vecs)
+    d1 = out.filter("dim = 1").collect()
+    assert all(r.z is None for r in d1)
+    d2 = {r.vec_id: r.z for r in out.filter("dim = 2").collect()}
+    assert d2[2] == 0.0 and d2[1] < 0 < d2[3]
