@@ -281,3 +281,87 @@ def change_islands(
         .drop("_island")
     )
 
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Change-data-capture between two snapshots of the same table:
+    one row per key that differs, labelled ``added`` (key only in
+    new), ``removed`` (key only in old), or ``changed`` (key in both,
+    any non-key column differs). The diff primitive behind incremental
+    re-syncs and audit reports when the upstream system (the
+    reference's MySQL store, fetch_and_store.py:302-326) can't emit a
+    changelog itself.
+
+    Implementation: one full-outer join on the key with the non-key
+    columns packed into structs — null-safe struct equality compares
+    the whole row in a single codegen expression, so the operator
+    costs exactly one co-partitioned shuffle per side regardless of
+    column count. At 100 TB both sides partition by the same key and
+    AQE handles skew; no collect, no per-column joins.
+    """
+    keys = list(keys)
+    rest = [c for c in old.columns if c not in keys]
+    if rest != [c for c in new.columns if c not in keys]:
+        raise ValueError("snapshot_diff: snapshots must share a schema")
+    o = old.select(*keys, F.struct(*rest).alias("_old"))
+    n = new.select(*keys, F.struct(*rest).alias("_new"))
+    joined = o.join(n, keys, "full_outer")
+    return joined.select(
+        *keys,
+        F.when(F.col("_old").isNull(), F.lit("added"))
+        .when(F.col("_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change_type"),
+    ).filter(
+        F.col("_old").isNull()
+        | F.col("_new").isNull()
+        | ~F.col("_old").eqNullSafe(F.col("_new"))
+    )
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, top: int = 10
+) -> DataFrame:
+    """Join-key skew diagnostic: the ``top`` heaviest keys with their
+    row share and ratio to the mean per-key load — the measurement you
+    take BEFORE reaching for salted_join / AQE skew hints. A key whose
+    ratio_to_avg is in the hundreds will dominate one shuffle
+    partition at any cluster size; this makes that visible from a
+    single map-side-combined aggregate instead of a failed 100 TB run.
+
+    share and ratio are integer-derived doubles (cnt/total,
+    cnt·n_keys/total), so the profile replays exactly in SQL.
+
+    Returns (key value aliased to ``key``, cnt, share, ratio_to_avg),
+    heaviest first, rounded to 6 dp; ties broken by ascending key.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    # Top-k via orderBy+limit = TakeOrderedAndProject (per-partition
+    # heaps + driver merge of k rows) — never a global single-partition
+    # sort or window over the full key set; the 2-value stats row
+    # broadcasts back. Both stay distributed at any key cardinality.
+    stats = counts.agg(
+        F.sum("cnt").alias("_total"), F.count("*").alias("_nkeys")
+    )
+    heaviest = counts.orderBy(F.desc("cnt"), "key").limit(top)
+    return (
+        heaviest.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("_total").cast("double"), 6).alias(
+                "share"
+            ),
+            F.round(
+                (F.col("cnt").cast("double") * F.col("_nkeys").cast("double"))
+                / F.col("_total").cast("double"),
+                6,
+            ).alias("ratio_to_avg"),
+        )
+    )

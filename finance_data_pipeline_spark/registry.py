@@ -5096,3 +5096,140 @@ def q_embedding_standardize(spark, sf_dir):
     mean/std/z — float math over a shuffle held to a full oracle.
     Long-format output; zero-variance dims yield NULL z."""
     return similarity.embedding_standardize(table(spark, sf_dir, "embeddings"))
+
+
+# =========================================================================
+# §2.3/§2.10 session-4 additions: snapshot CDC diff, key-skew profile,
+# stateful running totals
+# =========================================================================
+
+
+@query(
+    "orders_snapshot_diff",
+    f"""WITH old AS (
+  SELECT * FROM orders WHERE o_orderdate < DATE '1997-01-01'),
+new0 AS (
+  SELECT * FROM orders WHERE o_orderdate < DATE '1997-07-01'
+  AND substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) <> 'f'),
+new AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+              THEN round(o_totalprice * 1.1, 2) ELSE o_totalprice END
+           AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM new0),
+j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+         WHEN n.o_orderkey IS NULL THEN 'removed'
+         ELSE 'changed' END AS change_type,
+    o.o_totalprice AS op, n.o_totalprice AS np,
+    o.o_orderkey IS NULL AS only_new, n.o_orderkey IS NULL AS only_old
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+SELECT o_orderkey, change_type FROM j
+WHERE only_new OR only_old OR op IS DISTINCT FROM np""",
+)
+def q_orders_snapshot_diff(spark, sf_dir):
+    """CDC between two snapshots (J-family): deterministic synthetic
+    drift — six months of added orders, an md5-bucket of removed keys,
+    a second bucket with a 10% price bump — recovered as
+    added/removed/changed by one full-outer join on the key with
+    null-safe struct equality (rel.snapshot_diff). One co-partitioned
+    shuffle per side regardless of column count."""
+    orders = table(spark, sf_dir, "orders")
+    nib = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    old = orders.filter(F.col("o_orderdate") < _date("1997-01-01"))
+    new = (
+        orders.filter(F.col("o_orderdate") < _date("1997-07-01"))
+        .filter(nib != "f")
+        .withColumn(
+            "o_totalprice",
+            F.when(nib == "0", F.round(F.col("o_totalprice") * 1.1, 2)).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+    )
+    return rel.snapshot_diff(old, new, ["o_orderkey"])
+
+
+@query(
+    "lineitem_key_skew",
+    """WITH counts AS (
+  SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1),
+st AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+              CAST(count(*) AS BIGINT) AS nkeys FROM counts)
+SELECT key, cnt,
+       round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+       round(CAST(cnt AS DOUBLE) * CAST(nkeys AS DOUBLE)
+             / CAST(total AS DOUBLE), 6) AS ratio_to_avg
+FROM counts CROSS JOIN st
+ORDER BY cnt DESC, key LIMIT 10""",
+)
+def q_lineitem_key_skew(spark, sf_dir):
+    """Join-key skew diagnostic on lineitem.l_suppkey — the
+    measurement taken before salting/AQE-skew decisions. Top-k is
+    TakeOrderedAndProject (per-partition heaps, never a global sort);
+    the 2-value stats row broadcasts (rel.key_skew_profile)."""
+    return rel.key_skew_profile(table(spark, sf_dir, "lineitem"), "l_suppkey")
+
+
+@query(
+    "streaming_running_totals",
+    """WITH b AS (
+  SELECT event_type, value,
+         CASE WHEN ts <= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 2 END
+           AS batch
+  FROM events),
+agg AS (
+  SELECT event_type, batch, count(*) AS batch_rows,
+         CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS batch_micros
+  FROM b GROUP BY 1, 2)
+SELECT event_type, batch_rows,
+       CAST(sum(batch_rows) OVER (PARTITION BY event_type ORDER BY batch)
+            AS BIGINT) AS cum_rows,
+       CAST(sum(batch_micros) OVER (PARTITION BY event_type ORDER BY batch)
+            AS BIGINT) AS cum_value_micros
+FROM agg""",
+)
+def q_streaming_running_totals(spark, sf_dir):
+    """Second custom stateful operator (§2.10 ST5,
+    applyInPandasWithState): per-event_type running row/value totals
+    accumulated in the checkpointed state store across two
+    deterministic micro-batches (ts-split staged files, forced mtime
+    order, maxFilesPerTrigger=1). Integer micro-unit accumulation
+    makes the running float total exact and SQL-replayable."""
+    import os
+    import tempfile
+    import uuid
+
+    from finance_data_pipeline_spark.streaming import pipeline as sp
+
+    ev = table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    staged = tempfile.mkdtemp(prefix="fdps_rt_")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.mode("overwrite").parquet(staged)
+    batch1 = {f for f in os.listdir(staged) if not f.startswith(("_", "."))}
+    ev.filter(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(staged)
+    for f in os.listdir(staged):
+        if f.startswith(("_", ".")):
+            continue
+        t = 1_000_000_000 if f in batch1 else 2_000_000_000
+        os.utime(os.path.join(staged, f), (t, t))
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    name = f"fdps_rt_{uuid.uuid4().hex[:8]}"
+    q = (
+        sp.stateful_running_totals(sdf)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fdps_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

@@ -315,3 +315,57 @@ def neardup_gate(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stateful_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator #2 (applyInPandasWithState): per
+    event_type RUNNING row/value totals across micro-batches — the
+    streaming ledger shape (cumulative ingest accounting that must
+    survive restarts via the checkpointed state store), complementing
+    stateful_continuity's last-value state with accumulator state.
+
+    Values accumulate as integer micro-units (floor(value·1e6 + 0.5))
+    so the running total is exact, order-independent, and replays
+    bit-identically in a SQL oracle — summing raw doubles would drift
+    with batch/row order. State is two longs per key — bounded
+    regardless of stream length.
+
+    Emits one row per (event_type, micro-batch): batch_rows, cum_rows,
+    cum_value_micros.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "event_type string, batch_rows long, cum_rows long, "
+        "cum_value_micros long"
+    )
+    state_schema = "cum_rows long, cum_value_micros long"
+
+    def accumulate(key, pdf_iter, state: GroupState):
+        (event_type,) = key
+        rows = pd.concat(list(pdf_iter))
+        micros = int(
+            np.floor(rows["value"].to_numpy(dtype="float64") * 1_000_000 + 0.5)
+            .astype("int64")
+            .sum()
+        )
+        prev_rows, prev_micros = state.get if state.exists else (0, 0)
+        cum_rows = prev_rows + len(rows)
+        cum_micros = prev_micros + micros
+        state.update((cum_rows, cum_micros))
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": event_type,
+                    "batch_rows": len(rows),
+                    "cum_rows": cum_rows,
+                    "cum_value_micros": cum_micros,
+                }
+            ]
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        accumulate, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -278,3 +278,114 @@ def test_embedding_standardize_constant_dim_is_null(spark):
     assert all(r.z is None for r in d1)
     d2 = {r.vec_id: r.z for r in out.filter("dim = 2").collect()}
     assert d2[2] == 0.0 and d2[1] < 0 < d2[3]
+
+
+# --- snapshot diff --------------------------------------------------------
+
+
+def test_snapshot_diff_labels(spark):
+    from finance_data_pipeline_spark.operators import relational as rel
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 31.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    got = {r.k: r.change_type for r in rel.snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "removed", 3: "changed", 4: "added"}  # 2 unchanged
+
+
+def test_snapshot_diff_null_safe(spark):
+    """A null column value compares equal to itself (no phantom
+    'changed' rows) and null→value is a change."""
+    from finance_data_pipeline_spark.operators import relational as rel
+
+    old = spark.createDataFrame([(1, None), (2, None)], "k long, v string")
+    new = spark.createDataFrame([(1, None), (2, "x")], "k long, v string")
+    got = {r.k: r.change_type for r in rel.snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {2: "changed"}
+
+
+def test_snapshot_diff_schema_mismatch_raises(spark):
+    from finance_data_pipeline_spark.operators import relational as rel
+
+    old = spark.createDataFrame([(1, "a")], "k long, v string")
+    new = spark.createDataFrame([(1, 2.0)], "k long, w double")
+    with pytest.raises(ValueError):
+        rel.snapshot_diff(old, new, ["k"])
+
+
+# --- key skew profile -----------------------------------------------------
+
+
+def test_key_skew_profile_planted_hot_key(spark):
+    from finance_data_pipeline_spark.operators import relational as rel
+
+    rows = [(1,)] * 80 + [(2,)] * 15 + [(3,)] * 5
+    df = spark.createDataFrame(rows, "k long")
+    out = rel.key_skew_profile(df, "k", top=2).collect()
+    assert [r.key for r in out] == [1, 2]
+    assert out[0].cnt == 80 and abs(out[0].share - 0.8) < 1e-9
+    # 3 keys, 100 rows -> avg 33.33; hot key ratio = 80/33.33 = 2.4
+    assert abs(out[0].ratio_to_avg - 2.4) < 1e-6
+
+
+def test_key_skew_profile_share_sums_below_one(spark, docs):
+    from finance_data_pipeline_spark.operators import relational as rel
+
+    out = rel.key_skew_profile(docs, "lang", top=10).collect()
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-6  # <=10 langs: all keys
+    assert all(r.ratio_to_avg > 0 for r in out)
+
+
+# --- stateful running totals ---------------------------------------------
+
+
+def test_stateful_running_totals_accumulates_across_batches(spark, tmp_path):
+    import os
+
+    from finance_data_pipeline_spark.streaming import pipeline as sp
+
+    b1 = spark.createDataFrame(
+        [("click", "2024-01-01 00:00:00", 1.5), ("click", "2024-01-01 01:00:00", 2.5),
+         ("view", "2024-01-01 02:00:00", 10.0)],
+        "event_type string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b2 = spark.createDataFrame(
+        [("click", "2024-01-02 00:00:00", 4.0)],
+        "event_type string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    staged = str(tmp_path / "src")
+    b1.coalesce(1).write.mode("overwrite").parquet(staged)
+    first = set(os.listdir(staged))
+    b2.coalesce(1).write.mode("append").parquet(staged)
+    for f in os.listdir(staged):
+        if f.startswith(("_", ".")):
+            continue
+        t = 1_000_000_000 if f in first else 2_000_000_000
+        os.utime(os.path.join(staged, f), (t, t))
+    sdf = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    q = (
+        sp.stateful_running_totals(sdf)
+        .writeStream.format("memory")
+        .queryName("rt_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("rt_test").collect()
+    click = sorted(
+        [r for r in rows if r.event_type == "click"], key=lambda r: r.cum_rows
+    )
+    assert [r.batch_rows for r in click] == [2, 1]
+    assert [r.cum_rows for r in click] == [2, 3]
+    assert [r.cum_value_micros for r in click] == [4_000_000, 8_000_000]
+    view = [r for r in rows if r.event_type == "view"]
+    assert len(view) == 1 and view[0].cum_value_micros == 10_000_000
