@@ -450,6 +450,16 @@ def bpe_train(
     the IVF training sample); the rewrite is a row-local regex. Lineage
     is cut per merge with localCheckpoint.
     """
+    _, merges = _bpe_learn(docs, n_merges, text_col)
+    return docs.sparkSession.createDataFrame(
+        merges, "merge_rank long, left_sym string, right_sym string, pair_weight long"
+    )
+
+
+def _bpe_learn(docs: DataFrame, n_merges: int, text_col: str = "text"):
+    """Shared BPE learning loop: returns (final vocab DataFrame with
+    columns (w, freq, s) where s is the post-merge paren-delimited
+    symbol string, learned merges as (rank, a, b, weight) tuples)."""
     from finance_data_pipeline_spark.extensions.dedup import _spread
 
     spark = docs.sparkSession
@@ -498,8 +508,64 @@ def bpe_train(
             "s",
             F.regexp_replace("s", f"\\({a}\\)\\({b}\\)", f"({a}{b})"),
         ).localCheckpoint()
-    return spark.createDataFrame(
-        merges, "merge_rank long, left_sym string, right_sym string, pair_weight long"
+    return vocab, merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    n_merges: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained BPE merge table to the corpus — per-document
+    unit counts after ``n_merges`` learned merges, the measurement
+    behind "how many tokens is this corpus under tokenizer X".
+
+    The key scale move: encoding is NOT a per-document regex chain.
+    The training loop already leaves every distinct word's final
+    symbol string in the vocabulary frame, so encoding = the corpus
+    token stream joined against that (orders-of-magnitude smaller)
+    vocabulary, counting symbols per word — one broadcast-joinable
+    lookup instead of n_merges rewrites over 100 TB of text. Only
+    ``[a-z0-9]+`` tokens are encoded (the trainer's vocabulary rule).
+
+    Returns (doc_id, n_words, n_chars, n_units, compression) where
+    n_chars is pre-merge symbol count, n_units post-merge, and
+    compression = n_units/n_chars rounded to 6 dp. Docs with no
+    alphanumeric tokens are absent (nothing to encode).
+    """
+    from finance_data_pipeline_spark.extensions.dedup import _spread, tokens as _toks
+
+    vocab, _ = _bpe_learn(docs, n_merges, text_col)
+    enc = vocab.select(
+        "w",
+        F.length("w").cast("long").alias("_chars"),
+        F.size(F.expr(r"regexp_extract_all(s, '\\(([^)]*)\\)', 1)"))
+        .cast("long")
+        .alias("_units"),
+    )
+    stream = (
+        _spread(docs.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(_toks(text_col)).alias("w"))
+        .filter(F.col("w").rlike("^[a-z0-9]+$"))
+    )
+    return (
+        stream.join(F.broadcast(enc), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("_chars").alias("n_chars"),
+            F.sum("_units").alias("n_units"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_chars",
+            "n_units",
+            F.round(
+                F.col("n_units").cast("double") / F.col("n_chars").cast("double"), 6
+            ).alias("compression"),
+        )
     )
 
 

@@ -5233,3 +5233,72 @@ def q_streaming_running_totals(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@query(
+    "bpe_encode",
+    f"""WITH v0 AS (SELECT w, freq,
+  array_to_string([('(' || w[j] || ')') for j in range(1, length(w) + 1)], '') AS s
+  FROM (SELECT w, count(*) AS freq FROM (
+          SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+          FROM documents)
+        WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w)),
+{_bpe_stage(1)},
+{_bpe_stage(2)},
+{_bpe_stage(3)},
+{_bpe_stage(4)},
+{_bpe_stage(5)},
+enc AS (SELECT w, CAST(length(w) AS BIGINT) AS chars,
+               CAST(len(regexp_extract_all(s, '\\(([^)]*)\\)', 1)) AS BIGINT)
+                 AS units
+        FROM v5),
+tok AS (SELECT doc_id, w FROM (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+          FROM documents)
+        WHERE regexp_matches(w, '^[a-z0-9]+$')),
+per AS (SELECT doc_id, count(*) AS n_words,
+               CAST(sum(chars) AS BIGINT) AS n_chars,
+               CAST(sum(units) AS BIGINT) AS n_units
+        FROM tok JOIN enc USING (w) GROUP BY doc_id)
+SELECT doc_id, n_words, n_chars, n_units,
+       round(CAST(n_units AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+         AS compression
+FROM per""",
+)
+def q_bpe_encode(spark, sf_dir):
+    """Apply the trained 5-merge BPE table to the corpus (X6+ —
+    tokenizer APPLICATION after bpe_merges' induction): per-doc unit
+    counts and compression. Encoding is a broadcast join of the token
+    stream against the trained vocabulary's final symbol forms — one
+    lookup, never an n_merges regex chain over corpus bytes."""
+    return text.bpe_encode(dedup._spread(table(spark, sf_dir, "documents")))
+
+
+@query(
+    "corpus_grouping_sets",
+    f"""WITH {_NORM_CTE}
+SELECT coalesce(d.source, 'ALL') AS source,
+       coalesce(d.lang, 'ALL') AS lang,
+       count(*) AS n_docs,
+       CAST(sum(len(n.words)) AS BIGINT) AS total_tokens
+FROM documents d JOIN norm n ON d.doc_id = n.doc_id
+GROUP BY GROUPING SETS ((d.source, d.lang), (d.source), (d.lang), ())""",
+)
+def q_corpus_grouping_sets(spark, sf_dir):
+    """A12 on the corpus tables: token/doc accounting at every
+    reporting grain — (source×lang), source, lang, grand total — in
+    ONE Expand + single shuffle, the mixture-dashboard query behind
+    mixture_epoch_plan. No union-of-aggregates."""
+    docs = table(spark, sf_dir, "documents")
+    docs.select(
+        "source", "lang", text.token_count("text").cast("long").alias("_tok")
+    ).createOrReplaceTempView("_cgs_docs")
+    return spark.sql(
+        """SELECT coalesce(source, 'ALL') AS source,
+       coalesce(lang, 'ALL') AS lang,
+       count(*) AS n_docs,
+       sum(_tok) AS total_tokens
+FROM _cgs_docs
+GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())"""
+    )

@@ -389,3 +389,35 @@ def test_stateful_running_totals_accumulates_across_batches(spark, tmp_path):
     assert [r.cum_value_micros for r in click] == [4_000_000, 8_000_000]
     view = [r for r in rows if r.event_type == "view"]
     assert len(view) == 1 and view[0].cum_value_micros == 10_000_000
+
+
+# --- bpe encode -------------------------------------------------------------
+
+
+def test_bpe_encode_merges_reduce_units(spark, docs):
+    from finance_data_pipeline_spark.extensions import text as tx
+
+    out = tx.bpe_encode(docs, n_merges=5).cache()
+    rows = out.collect()
+    assert rows, "corpus must encode"
+    for r in rows:
+        # merges only ever reduce symbol counts, floor = n_words
+        assert r.n_words <= r.n_units <= r.n_chars
+        assert 0 < r.compression <= 1.0
+    # 5 merges on a real corpus must compress SOMETHING
+    assert any(r.n_units < r.n_chars for r in rows)
+    out.unpersist()
+
+
+def test_bpe_encode_hand_example(spark):
+    """On a corpus where 'ab' dominates, the first merge is (a,b) and
+    'ababab' (6 chars) encodes to 3 units after merge 1."""
+    from finance_data_pipeline_spark.extensions import text as tx
+
+    d = spark.createDataFrame(
+        [(1, "ababab ababab ababab"), (2, "ababab xy")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in tx.bpe_encode(d, n_merges=1).collect()}
+    assert out[1].n_chars == 18 and out[1].n_units == 9
+    assert out[2].n_chars == 8 and out[2].n_units == 5  # (ab)(ab)(ab) + x y
