@@ -5302,3 +5302,51 @@ def q_corpus_grouping_sets(spark, sf_dir):
 FROM _cgs_docs
 GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())"""
     )
+
+
+@query(
+    "curated_mix",
+    f"""WITH {_NORM_CTE},
+qs AS (SELECT doc_id, {_QSCORE_SQL} AS quality_score FROM norm),
+good AS (
+  SELECT d.doc_id, d.source, d.text FROM documents d
+  JOIN qs ON d.doc_id = qs.doc_id WHERE qs.quality_score >= 0.5),
+kept AS (
+  SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+      row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                         ORDER BY doc_id) AS rn
+    FROM good) WHERE rn = 1),
+counts AS (SELECT source, count(*) AS n FROM kept GROUP BY source),
+qn AS (SELECT source, n,
+         CAST(floor(pow(CAST(n AS DOUBLE), 0.5) * 1000000 + 0.5) AS BIGINT)
+           AS pwi
+       FROM counts),
+q2 AS (SELECT source, n, pwi, sum(pwi) OVER () AS tot FROM qn),
+q3 AS (SELECT source,
+         round(CAST(pwi AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight,
+         least(n, (2 * 200 * pwi + tot) // (2 * tot)) AS quota
+       FROM q2),
+r AS (SELECT doc_id, source,
+        CAST(row_number() OVER (
+          PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank
+      FROM kept)
+SELECT doc_id, r.source, weight, quota, rank
+FROM r JOIN q3 ON r.source = q3.source WHERE rank <= quota""",
+)
+def q_curated_mix(spark, sf_dir):
+    """Composed curation pipeline #2 (quality gate → exact dedup →
+    temperature quotas), the mixing-side counterpart of
+    training_corpus' dedup-side composition: filter to
+    quality_score ≥ 0.5, drop exact duplicates (keep lowest id per
+    normalized hash), then fill count^0.5 temperature quotas per
+    source by ascending md5 rank. One plan end-to-end — the quality
+    filter pushes below the dedup window, the quota frame broadcasts."""
+    docs = dedup._spread(table(spark, sf_dir, "documents"))
+    qs = text.quality_score(docs)
+    good = docs.join(
+        qs.filter(F.col("quality_score") >= 0.5).select("doc_id"), "doc_id"
+    )
+    kept = dedup.exact_dedup(good).select("doc_id", "source")
+    return sampling.temperature_mix(kept, alpha=0.5, budget_docs=200)
