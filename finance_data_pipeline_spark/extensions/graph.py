@@ -96,3 +96,58 @@ def pagerank(
         F.col("r").alias("rank_scaled"),
         (F.col("r") / F.lit(float(scale))).alias("pagerank"),
     )
+
+
+def triangles(pairs: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
+    """Per-node triangle counts over an undirected pair graph — the
+    triadic-closure diagnostic (cliquish clusters vs chained ones) for
+    the near-dup graph, and the standard distributed triangle-count
+    shape for any entity graph.
+
+    Classic degree-orientation optimization (node-iterator++): each
+    undirected edge is directed from the lower (degree, id) endpoint
+    to the higher, so every triangle {x,y,z} taken in orientation
+    order has edges x→y, x→z, y→z and is found EXACTLY once by the
+    wedge join (x→y)⋈(x→z) matched against the oriented edge y→z.
+    Out-degrees under this orientation are O(√m) on arbitrary graphs,
+    so the wedge stream is bounded by Σ outdeg² ≤ m^1.5 — the reason
+    this formulation scales where the naive 3-way edge join does not.
+
+    Returns (node, n_triangles) for nodes in at least one triangle.
+    """
+    und = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).distinct()
+    sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    # orient by (degree, id): u→v iff (d_u, u) < (d_v, v)
+    e = (
+        sym.join(deg, "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v"
+        )
+        .filter(
+            (F.col("d") < F.col("dv"))
+            | ((F.col("d") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v", "d", "dv")
+    )
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"), F.col("dv").alias("dy"))
+    e2 = e.select(F.col("u").alias("x"), F.col("v").alias("z"), F.col("dv").alias("dz"))
+    wedges = (
+        e1.join(e2, "x")
+        .filter(
+            (F.col("dy") < F.col("dz"))
+            | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+        )
+        .select("x", "y", "z")
+    )
+    tri = wedges.join(
+        e.select(F.col("u").alias("y"), F.col("v").alias("z")), ["y", "z"]
+    )
+    per_node = (
+        tri.select(F.col("x").alias("node"))
+        .union(tri.select(F.col("y").alias("node")))
+        .union(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return per_node

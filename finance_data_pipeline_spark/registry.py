@@ -5350,3 +5350,40 @@ def q_curated_mix(spark, sf_dir):
     )
     kept = dedup.exact_dedup(good).select("doc_id", "source")
     return sampling.temperature_mix(kept, alpha=0.5, budget_docs=200)
+
+
+@query(
+    "dup_triangles",
+    f"""WITH {_NEAR_PAIRS_CTE},
+und AS (SELECT DISTINCT id_a AS u, id_b AS v FROM np),
+sym AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+e AS (SELECT s.u, s.v, du.d AS d, dv.d AS dv
+      FROM sym s JOIN deg du ON s.u = du.u
+      JOIN deg dv ON s.v = dv.u
+      WHERE du.d < dv.d OR (du.d = dv.d AND s.u < s.v)),
+w AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM e e1 JOIN e e2 ON e1.u = e2.u
+      WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)),
+tri AS (SELECT x, y, z FROM w JOIN e ON w.y = e.u AND w.z = e.v),
+nodes AS (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY node""",
+)
+def q_dup_triangles(spark, sf_dir):
+    """X7b — triangle counts over the verified near-dup graph: the
+    triadic-closure diagnostic separating cliquish duplicate clusters
+    (safe to keep one representative) from chained ones (transitive
+    merges of non-similar docs). Degree-orientation (node-iterator++)
+    finds each triangle exactly once with wedge streams bounded by
+    m^1.5 — the scalable formulation, held to a full SQL oracle over
+    the exact near-dup edge set."""
+    from finance_data_pipeline_spark.extensions import graph
+
+    pairs = dedup.near_dup_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.7
+    ).select("id_a", "id_b")
+    return graph.triangles(pairs).select(
+        F.col("node").alias("doc_id"), "n_triangles"
+    )

@@ -421,3 +421,48 @@ def test_bpe_encode_hand_example(spark):
     out = {r.doc_id: r for r in tx.bpe_encode(d, n_merges=1).collect()}
     assert out[1].n_chars == 18 and out[1].n_units == 9
     assert out[2].n_chars == 8 and out[2].n_units == 5  # (ab)(ab)(ab) + x y
+
+
+# --- triangle counting ------------------------------------------------------
+
+
+def test_triangles_counts_known_graph(spark):
+    """K4 has 4 triangles: every node participates in C(3,2)=3; a
+    pendant node participates in none."""
+    from finance_data_pipeline_spark.extensions import graph
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    pairs = spark.createDataFrame(k4, "id_a long, id_b long")
+    got = {r.node: r.n_triangles for r in graph.triangles(pairs).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangles_triangle_free_graph_is_empty(spark):
+    from finance_data_pipeline_spark.extensions import graph
+
+    star = [(1, 2), (1, 3), (1, 4), (1, 5)]
+    pairs = spark.createDataFrame(star, "id_a long, id_b long")
+    assert graph.triangles(pairs).count() == 0
+
+
+def test_triangles_matches_bruteforce_on_dup_graph(spark, docs):
+    from itertools import combinations
+
+    from finance_data_pipeline_spark.extensions import dedup as dd
+    from finance_data_pipeline_spark.extensions import graph
+
+    pairs = dd.near_dup_pairs(docs, threshold=0.7).select("id_a", "id_b")
+    edges = {(r.id_a, r.id_b) for r in pairs.collect()}
+    und = {frozenset(e) for e in edges}
+    nodes = {n for e in und for n in e}
+    brute = {}
+    for x, y, z in combinations(sorted(nodes), 3):
+        if (
+            frozenset((x, y)) in und
+            and frozenset((x, z)) in und
+            and frozenset((y, z)) in und
+        ):
+            for n in (x, y, z):
+                brute[n] = brute.get(n, 0) + 1
+    got = {r.node: r.n_triangles for r in graph.triangles(pairs).collect()}
+    assert got == brute
