@@ -178,3 +178,69 @@ def profile_columns(
     ).select(
         "column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
     )
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, p: int = 9
+) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count estimate (Flajolet et
+    al. 2007) with an EXACT replay: unlike approx_count_distinct's
+    opaque sketch, every step here is a pure function of the
+    engine-portable 60-bit md5 — bucket = h mod 2^p, rank = leading
+    zeros of the remaining 52-bit field + 1 — so the estimate itself
+    is fully SQL-oracle-checkable, closing the gap where approximate
+    operators usually get only a rows-only check.
+
+    Numeric discipline: the harmonic sum Σ 2^-M_j is accumulated as
+    the exact integer Σ 2^(52-M_j) (every term a power of two ≤ 2^52;
+    the total bounded by m·2^52 < 2^63 for p ≤ 10), so the only float
+    math is the final alpha·m²·2^52/sum division — identical IEEE
+    doubles in both engines. Small-range (linear counting) correction
+    applied per the paper.
+
+    One groupBy on 2^p buckets (map-side-combined max) + one tiny
+    final aggregate — constant state at any cardinality, the same
+    scale shape as a real HLL. Returns one row:
+    (present_buckets, est_distinct, exact_distinct).
+    """
+    if not 4 <= p <= 10:
+        raise ValueError("p must be in [4, 10] (bucket count 16..1024)")
+    m = 1 << p
+    field = 60 - p  # bits left after the bucket index
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    # integer div, NOT float division — h has 60 bits and doubles hold 53
+    b = df.select(h.alias("_h")).select(
+        (F.col("_h") % m).alias("bucket"),
+        F.expr(f"_h div {m}").alias("rest"),
+    )
+    rank = F.when(F.col("rest") == 0, F.lit(field + 1)).otherwise(
+        F.lit(field) - F.length(F.bin(F.col("rest"))) + 1
+    )
+    per_bucket = b.groupBy("bucket").agg(F.max(rank).alias("mj"))
+    agg = per_bucket.agg(
+        F.count("*").alias("present"),
+        F.sum(F.expr(f"shiftleft(1L, cast({field} - mj as int))")).alias("_s"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    scaled_total = F.col("_s") + (F.lit(m) - F.col("present")) * F.lit(
+        1 << field
+    )
+    raw = (
+        F.lit(alpha)
+        * F.lit(float(m * m))
+        * F.lit(float(1 << field))
+        / scaled_total.cast("double")
+    )
+    zeros = F.lit(m) - F.col("present")
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    exact = df.select(F.countDistinct(key_col).alias("exact_distinct"))
+    return agg.crossJoin(F.broadcast(exact)).select(
+        F.col("present").alias("present_buckets"),
+        F.round(est, 4).alias("est_distinct"),
+        "exact_distinct",
+    )

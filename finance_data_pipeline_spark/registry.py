@@ -5387,3 +5387,41 @@ def q_dup_triangles(spark, sf_dir):
     return graph.triangles(pairs).select(
         F.col("node").alias("doc_id"), "n_triangles"
     )
+
+
+@query(
+    "hll_user_estimate",
+    f"""WITH h AS (
+  SELECT {_md5_slice_sql("CAST(user_id AS VARCHAR)", 1, 15)} AS h FROM events),
+b AS (SELECT h % 512 AS bucket, h // 512 AS rest FROM h),
+r AS (SELECT bucket,
+             max(CASE WHEN rest = 0 THEN 52
+                      ELSE 51 - length(bin(rest)) + 1 END) AS mj
+      FROM b GROUP BY bucket),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS present,
+               CAST(sum(CAST(1 AS BIGINT) << CAST(51 - mj AS INTEGER))
+                    AS BIGINT) AS s
+        FROM r),
+est AS (SELECT present,
+  (0.7213 / (1.0 + 1.079 / 512)) * 262144.0
+    * CAST(CAST(1 AS BIGINT) << 51 AS DOUBLE)
+    / CAST(s + (512 - present) * (CAST(1 AS BIGINT) << 51) AS DOUBLE) AS raw,
+  512 - present AS zeros
+  FROM agg)
+SELECT present AS present_buckets,
+       round(CASE WHEN raw <= 2.5 * 512 AND zeros > 0
+                  THEN 512.0 * ln(512.0 / CAST(zeros AS DOUBLE))
+                  ELSE raw END, 4) AS est_distinct,
+       (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+         AS exact_distinct
+FROM est""",
+)
+def q_hll_user_estimate(spark, sf_dir):
+    """Deterministic HyperLogLog (Flajolet et al. 2007) over
+    events.user_id — the approximate-distinct sketch with an EXACT
+    oracle: bucket/rank derive from the portable 60-bit md5 and the
+    harmonic sum accumulates as exact integer powers of two, so the
+    estimate replays bit-identically in SQL (upgrading the sketch
+    family beyond approx_count_distinct's rows-only check). Constant
+    512-bucket state at any cardinality; exact count alongside."""
+    return quality.hll_distinct(table(spark, sf_dir, "events"), "user_id", p=9)

@@ -466,3 +466,39 @@ def test_triangles_matches_bruteforce_on_dup_graph(spark, docs):
                 brute[n] = brute.get(n, 0) + 1
     got = {r.node: r.n_triangles for r in graph.triangles(pairs).collect()}
     assert got == brute
+
+
+# --- deterministic HLL ------------------------------------------------------
+
+
+def test_hll_estimate_within_theoretical_error(spark):
+    """p=9 -> sigma ~ 1.04/sqrt(512) ~ 4.6%; assert within 4 sigma on
+    three cardinalities, and determinism across layouts."""
+    from finance_data_pipeline_spark.quality import hll_distinct
+
+    for n in [50, 500, 5000]:
+        df = spark.range(n).select((F.col("id") * 7 + 13).alias("k"))
+        r = hll_distinct(df, "k", p=9).first()
+        assert r.exact_distinct == n
+        assert abs(r.est_distinct - n) / n < 4 * 1.04 / (512 ** 0.5)
+        r2 = hll_distinct(df.repartition(17), "k", p=9).first()
+        assert r2.est_distinct == r.est_distinct  # layout-independent
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    from finance_data_pipeline_spark.quality import hll_distinct
+
+    base = spark.range(300).select(F.col("id").alias("k"))
+    dup = base.union(base).union(base)
+    assert (
+        hll_distinct(dup, "k").first().est_distinct
+        == hll_distinct(base, "k").first().est_distinct
+    )
+
+
+def test_hll_p_bounds(spark):
+    from finance_data_pipeline_spark.quality import hll_distinct
+
+    df = spark.range(10)
+    with pytest.raises(ValueError):
+        hll_distinct(df, "id", p=3)
