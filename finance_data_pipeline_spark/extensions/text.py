@@ -672,3 +672,75 @@ def quality_percentile_by_lang(
         "quality_score",
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+def cms_term_counts(
+    docs: DataFrame,
+    depth: int = 3,
+    width: int = 8192,
+    top: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) term-frequency
+    estimates with an EXACT replay — the counting companion of the
+    deterministic HLL (quality.hll_distinct) and Bloom filter
+    (dedup.bloom_decontaminate): ``depth`` independent hash rows of
+    ``width`` counters, estimate = min over rows, always ≥ the true
+    count (one-sided error ≤ εN with ε = e/width).
+
+    Hashes are disjoint 10-hex-digit slices of the term's md5 reduced
+    mod width — pure functions of the term, so the whole sketch (and
+    every estimate) replays bit-identically in SQL. Sketch build is
+    one map-side-combined groupBy over (row, cell) — bounded
+    depth×width state at any corpus size; estimates for the exact
+    top-``top`` terms come from a broadcast join against that
+    constant-size sketch.
+
+    Returns (term, exact_cnt, est_cnt), heaviest first — property:
+    est_cnt ≥ exact_cnt for every term.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(F.explode(tokens(text_col)).alias("t"))
+    cells = toks.select(
+        "t",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(F.md5("t"), 1 + 10 * j, 10), 16, 10
+                        ).cast("long")
+                        % width
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("row", "cell"),
+    )
+    sketch = cells.groupBy("row", "cell").agg(F.count("*").alias("cnt"))
+    exact = toks.groupBy("t").agg(F.count("*").alias("exact_cnt"))
+    heavy = exact.orderBy(F.desc("exact_cnt"), "t").limit(top)
+    probes = heavy.select(
+        "t",
+        "exact_cnt",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(F.md5("t"), 1 + 10 * j, 10), 16, 10
+                        ).cast("long")
+                        % width
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("row", "cell"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "cell"])
+        .groupBy(F.col("t").alias("term"), "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+        .select("term", "exact_cnt", "est_cnt")
+    )

@@ -5425,3 +5425,32 @@ def q_hll_user_estimate(spark, sf_dir):
     family beyond approx_count_distinct's rows-only check). Constant
     512-bucket state at any cardinality; exact count alongside."""
     return quality.hll_distinct(table(spark, sf_dir, "events"), "user_id", p=9)
+
+
+_CMS_HASHES = ", ".join(
+    f"{{'r': {j}, 'c': {_md5_slice_sql('t', 1 + 10 * j, 10)} % 8192}}"
+    for j in range(3)
+)
+
+
+@query(
+    "cms_term_counts",
+    f"""WITH {_NORM_CTE},
+tok AS (SELECT unnest(words) AS t FROM norm),
+cells AS (SELECT t, unnest([{_CMS_HASHES}]) AS x FROM tok),
+sketch AS (SELECT x.r AS row, x.c AS cell, count(*) AS c
+           FROM cells GROUP BY 1, 2),
+exact AS (SELECT t, CAST(count(*) AS BIGINT) AS exact_cnt FROM tok GROUP BY t),
+heavy AS (SELECT t, exact_cnt FROM exact ORDER BY exact_cnt DESC, t LIMIT 20),
+probes AS (SELECT t, exact_cnt, unnest([{_CMS_HASHES}]) AS x FROM heavy)
+SELECT p.t AS term, p.exact_cnt, CAST(min(s.c) AS BIGINT) AS est_cnt
+FROM probes p JOIN sketch s ON p.x.r = s.row AND p.x.c = s.cell
+GROUP BY 1, 2""",
+)
+def q_cms_term_counts(spark, sf_dir):
+    """X8b — count-min sketch (Cormode & Muthukrishnan 2005) term
+    counts with an EXACT oracle: 3×8192 counters from disjoint md5
+    slices, estimate = min over rows, always ≥ truth. The counting
+    companion of the deterministic HLL — constant sketch state at any
+    corpus size, probed here for the exact top-20 terms."""
+    return text.cms_term_counts(dedup._spread(table(spark, sf_dir, "documents")))

@@ -502,3 +502,28 @@ def test_hll_p_bounds(spark):
     df = spark.range(10)
     with pytest.raises(ValueError):
         hll_distinct(df, "id", p=3)
+
+
+# --- count-min sketch -------------------------------------------------------
+
+
+def test_cms_overestimates_never_under(spark, docs):
+    from finance_data_pipeline_spark.extensions import text as tx
+
+    out = tx.cms_term_counts(docs, top=20).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.est_cnt >= r.exact_cnt
+
+
+def test_cms_wide_sketch_is_exact_on_small_vocab(spark):
+    """With vocabulary << width, collisions are absent and the sketch
+    returns exact counts."""
+    from finance_data_pipeline_spark.extensions import text as tx
+
+    d = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "apple cherry cherry cherry")],
+        "doc_id long, text string",
+    )
+    got = {r.term: (r.exact_cnt, r.est_cnt) for r in tx.cms_term_counts(d, top=3).collect()}
+    assert got == {"apple": (3, 3), "cherry": (3, 3), "banana": (1, 1)}
