@@ -93,7 +93,7 @@ _PRIORITY = [
     "bm25_topk", "quality_percentile_by_lang", "embedding_standardize",
     "orders_snapshot_diff", "lineitem_key_skew", "streaming_running_totals",
     "bpe_encode", "corpus_grouping_sets", "curated_mix", "dup_triangles",
-    "hll_user_estimate", "cms_term_counts",
+    "hll_user_estimate", "cms_term_counts", "dup_reach_sql",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -5454,3 +5454,35 @@ def q_cms_term_counts(spark, sf_dir):
     companion of the deterministic HLL — constant sketch state at any
     corpus size, probed here for the exact top-20 terms."""
     return text.cms_term_counts(dedup._spread(table(spark, sf_dir, "documents")))
+
+
+@query(
+    "dup_reach_sql",
+    f"""WITH RECURSIVE {_NEAR_PAIRS_CTE},
+e AS (SELECT id_a AS src, id_b AS dst FROM np),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION ALL
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+SELECT DISTINCT src, dst FROM reach""",
+)
+def q_dup_reach_sql(spark, sf_dir):
+    """Spark-NATIVE recursive CTE (WITH RECURSIVE, Spark 4 SQL
+    surface): transitive reachability over the ascending-oriented
+    near-dup edge set — the engine executes the recursion itself
+    rather than a Python loop. Ascending orientation (id_a < id_b)
+    makes the edge set a DAG, so UNION ALL recursion terminates
+    (Spark does not yet support UNION-dedup recursion; cyclic closure
+    stays on the iterative connected_components path). Duplicate
+    multi-path rows collapse in the final DISTINCT."""
+    pairs = dedup.near_dup_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.7
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    pairs.createOrReplaceTempView("_np_edges")
+    return spark.sql(
+        """WITH RECURSIVE reach(src, dst) AS (
+  SELECT src, dst FROM _np_edges
+  UNION ALL
+  SELECT r.src, e.dst FROM reach r JOIN _np_edges e ON r.dst = e.src)
+SELECT DISTINCT src, dst FROM reach"""
+    )
