@@ -63,6 +63,10 @@ HEADLINE = [
     "winnowing_shared_spans",
     "source_ngram_overlap",
     "soft_dedup_weights",
+    "bm25_topk",
+    "hll_user_estimate",
+    "cms_term_counts",
+    "curated_mix",
 ]
 
 
