@@ -94,6 +94,7 @@ _PRIORITY = [
     "orders_snapshot_diff", "lineitem_key_skew", "streaming_running_totals",
     "bpe_encode", "corpus_grouping_sets", "curated_mix", "dup_triangles",
     "hll_user_estimate", "cms_term_counts", "dup_reach_sql",
+    "event_sequence_match", "ab_value_ttest", "value_quantile_bins",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

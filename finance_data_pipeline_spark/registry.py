@@ -5486,3 +5486,202 @@ def q_dup_reach_sql(spark, sf_dir):
   SELECT r.src, e.dst FROM reach r JOIN _np_edges e ON r.dst = e.src)
 SELECT DISTINCT src, dst FROM reach"""
     )
+
+
+@query(
+    "event_sequence_match",
+    """WITH tv AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+tc AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN tv ON e.user_id = tv.user_id
+  WHERE e.event_type = 'click' AND e.ts > tv.t_view
+  GROUP BY e.user_id),
+tp AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN tc ON e.user_id = tc.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > tc.t_click
+  GROUP BY e.user_id)
+SELECT tv.user_id, tv.t_view, tc.t_click, tp.t_purchase
+FROM tv JOIN tc ON tv.user_id = tc.user_id
+JOIN tp ON tv.user_id = tp.user_id
+WHERE tp.t_purchase <= tv.t_view + INTERVAL 7 DAY""",
+)
+def q_event_sequence_match(spark, sf_dir):
+    """Ordered-sequence funnel (sequential pattern matching): users
+    whose first view precedes a click precedes a purchase, completing
+    within 7 days of the view — the strict-ordering refinement of
+    event_funnel's unordered membership. Three map-side-combined
+    conditional min-aggregations keyed on user_id (each a bounded-key
+    shuffle); no window over raw events, no self-join explosion."""
+    ev = table(spark, sf_dir, "events")
+    tv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    tc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(tv, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    tp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(tc, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        tv.join(tc, "user_id")
+        .join(tp, "user_id")
+        .filter(F.col("t_purchase") <= F.col("t_view") + F.expr("INTERVAL 7 DAY"))
+        .select("user_id", "t_view", "t_click", "t_purchase")
+    )
+
+
+@query(
+    "ab_value_ttest",
+    f"""WITH g AS (
+  SELECT CASE WHEN {_md5_slice_sql("CAST(user_id AS VARCHAR)", 1, 15)} % 2 = 0
+              THEN 'A' ELSE 'B' END AS grp,
+         value
+  FROM events),
+m AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(value AS DECIMAL(38,12))) AS s,
+             sum(CAST(value * value AS DECIMAL(38,12))) AS s2
+      FROM g GROUP BY grp),
+st AS (SELECT grp, n,
+        CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        (CAST(s2 AS DOUBLE)
+         - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+          / CAST(n - 1 AS DOUBLE) AS var
+       FROM m)
+SELECT a.n AS n_a, b.n AS n_b,
+       round(a.mean, 6) AS mean_a, round(b.mean, 6) AS mean_b,
+       round((a.mean - b.mean)
+             / sqrt(a.var / CAST(a.n AS DOUBLE)
+                    + b.var / CAST(b.n AS DOUBLE)), 6) AS t_stat
+FROM st a JOIN st b ON a.grp = 'A' AND b.grp = 'B'""",
+)
+def q_ab_value_ttest(spark, sf_dir):
+    """Welch's two-sample t-statistic over a deterministic md5-parity
+    A/B split of users — experiment analytics with zero RNG. Moments
+    accumulate as DECIMAL (order-independent); mean/variance/t are
+    identically-ordered IEEE doubles in both engines, so even this
+    float statistic hash-checks. One map-side-combined aggregate."""
+    ev = table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    g = ev.select(
+        F.when(h % 2 == 0, F.lit("A")).otherwise(F.lit("B")).alias("grp"),
+        "value",
+    )
+    m = g.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(38,12)")).alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,12)")).alias("s2"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s").cast("double") * (F.col("s").cast("double") / F.col("n").cast("double"))
+    ) / (F.col("n") - 1).cast("double")
+    st = m.select("grp", "n", mean.alias("mean"), var.alias("var"))
+    a = st.filter(F.col("grp") == "A").select(
+        F.col("n").alias("n_a"), F.col("mean").alias("_ma"), F.col("var").alias("_va")
+    )
+    b = st.filter(F.col("grp") == "B").select(
+        F.col("n").alias("n_b"), F.col("mean").alias("_mb"), F.col("var").alias("_vb")
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        F.round("_ma", 6).alias("mean_a"),
+        F.round("_mb", 6).alias("mean_b"),
+        F.round(
+            (F.col("_ma") - F.col("_mb"))
+            / F.sqrt(
+                F.col("_va") / F.col("n_a").cast("double")
+                + F.col("_vb") / F.col("n_b").cast("double")
+            ),
+            6,
+        ).alias("t_stat"),
+    )
+
+
+@query(
+    "value_quantile_bins",
+    """WITH st AS (
+  SELECT min(value) AS vmin, max(value) AS vmax,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events),
+b AS (
+  SELECT least(4095, CAST(floor((value - vmin) / (vmax - vmin) * 4096)
+                          AS INTEGER)) AS bin
+  FROM events CROSS JOIN st),
+bc AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM bc),
+qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q),
+hit AS (
+  SELECT q, min(bin) AS bin
+  FROM qs JOIN cum ON cum.cum >= CAST(ceil(q * (SELECT n FROM st)) AS BIGINT)
+  GROUP BY q)
+SELECT q AS quantile,
+       round((SELECT vmin FROM st)
+             + (bin + 0.5) * ((SELECT vmax FROM st) - (SELECT vmin FROM st))
+               / 4096, 6) AS est
+FROM hit""",
+)
+def q_value_quantile_bins(spark, sf_dir):
+    """Deterministic binned quantile estimates (4096 equal-width bins
+    over [min, max]) — the approximate-percentile sketch with an EXACT
+    oracle, bounding error at half a bin width instead of
+    approx_percentile's opaque internal state. One stats aggregate,
+    one map-side-combined bin count (≤4096 keys — the cumulative
+    window runs over that aggregated frame, never raw rows), then a
+    broadcast probe of the 5 requested quantiles."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    st = ev.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.count("*").alias("n"),
+    )
+    b = ev.crossJoin(F.broadcast(st)).select(
+        F.least(
+            F.lit(4095),
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
+                * 4096
+            ).cast("int"),
+        ).alias("bin")
+    )
+    bc = b.groupBy("bin").agg(F.count("*").alias("c"))
+    cum = bc.select(
+        "bin",
+        F.sum("c")
+        .over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    qs = spark.createDataFrame([(q,) for q in (0.25, 0.5, 0.75, 0.9, 0.99)], "q double")
+    hit = (
+        qs.crossJoin(cum.crossJoin(F.broadcast(st.select("n"))))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")).cast("long"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return hit.crossJoin(F.broadcast(st)).select(
+        F.col("q").alias("quantile"),
+        F.round(
+            F.col("vmin")
+            + (F.col("bin") + 0.5) * (F.col("vmax") - F.col("vmin")) / 4096,
+            6,
+        ).alias("est"),
+    )

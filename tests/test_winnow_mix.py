@@ -527,3 +527,64 @@ def test_cms_wide_sketch_is_exact_on_small_vocab(spark):
     )
     got = {r.term: (r.exact_cnt, r.est_cnt) for r in tx.cms_term_counts(d, top=3).collect()}
     assert got == {"apple": (3, 3), "cherry": (3, 3), "banana": (1, 1)}
+
+
+# --- event analytics additions ---------------------------------------------
+
+
+def test_event_sequence_match_hand_case(spark):
+    from finance_data_pipeline_spark.registry import QUERIES
+    import pandas as pd
+
+    rows = [
+        # user 1: view -> click -> purchase within 7d  (match)
+        (1, 1, "view", "2024-01-01 00:00:00"),
+        (2, 1, "click", "2024-01-02 00:00:00"),
+        (3, 1, "purchase", "2024-01-03 00:00:00"),
+        # user 2: purchase precedes click              (no match)
+        (4, 2, "view", "2024-01-01 00:00:00"),
+        (5, 2, "purchase", "2024-01-02 00:00:00"),
+        (6, 2, "click", "2024-01-03 00:00:00"),
+        # user 3: completes too late                   (no match)
+        (7, 3, "view", "2024-01-01 00:00:00"),
+        (8, 3, "click", "2024-01-02 00:00:00"),
+        (9, 3, "purchase", "2024-01-20 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    import tempfile
+    d = tempfile.mkdtemp(prefix="seq_ev_")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = QUERIES["event_sequence_match"](spark, d).collect()
+    assert [r.user_id for r in out] == [1]
+
+
+def test_ab_ttest_zero_when_groups_identical(spark, tmp_path):
+    """If both split halves carry identical value multisets the t-stat
+    is ~0; sanity on the real events table: finite and |t| modest."""
+    from finance_data_pipeline_spark.registry import QUERIES
+
+    r = QUERIES["ab_value_ttest"](spark, "/root/testdata/sf0.001").first()
+    assert r.n_a + r.n_b == 1000
+    assert abs(r.t_stat) < 5
+
+
+def test_quantile_bins_error_bound(spark):
+    """Binned estimate within half a bin width of the exact quantile."""
+    from finance_data_pipeline_spark.registry import QUERIES
+
+    import math
+
+    sf = "/root/testdata/sf0.001"
+    ev = table(spark, sf, "events")
+    stats = ev.agg(F.min("value"), F.max("value")).first()
+    half_bin = (stats[1] - stats[0]) / 4096 / 2
+    vals = sorted(r.value for r in ev.select("value").collect())
+    # the estimate brackets the k-th ORDER STATISTIC (percentile_disc),
+    # not the interpolated percentile
+    exact = {
+        q: vals[math.ceil(q * len(vals)) - 1] for q in (0.25, 0.5, 0.75, 0.9, 0.99)
+    }
+    for r in QUERIES["value_quantile_bins"](spark, sf).collect():
+        assert abs(r.est - exact[r.quantile]) <= half_bin + 1e-9
