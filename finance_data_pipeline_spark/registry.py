@@ -5685,3 +5685,112 @@ def q_value_quantile_bins(spark, sf_dir):
             6,
         ).alias("est"),
     )
+
+
+@query(
+    "source_lang_entropy",
+    """WITH c AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang),
+t AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY source),
+terms AS (
+  SELECT c.source,
+         CAST(-(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE))
+              * ln(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE))
+            AS DECIMAL(28,12)) AS term
+  FROM c JOIN t ON c.source = t.source)
+SELECT source, round(CAST(sum(term) AS DOUBLE), 6) AS lang_entropy
+FROM terms GROUP BY source""",
+)
+def q_source_lang_entropy(spark, sf_dir):
+    """Per-source language-distribution Shannon entropy — the mixture
+    diversity diagnostic (0 = monolingual feed, ln(k) = uniform over k
+    languages). Each -p·ln p term is an identically-ordered IEEE
+    double cast to DECIMAL before the sum, so the float entropy is
+    order-independent and hash-checks. Two tiny aggregates."""
+    docs = table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    t = c.groupBy("source").agg(F.sum("n").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot").cast("double")
+    terms = c.join(t, "source").select(
+        "source", (-p * F.log(p)).cast("decimal(28,12)").alias("term")
+    )
+    return terms.groupBy("source").agg(
+        F.round(F.sum("term").cast("double"), 6).alias("lang_entropy")
+    )
+
+
+@query(
+    "gram_zipf_fit",
+    f"""WITH {_NORM_CTE},
+tok AS (SELECT unnest(words) AS t FROM norm),
+freq AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+top AS (SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r
+        FROM freq ORDER BY c DESC, t LIMIT 100),
+xy AS (SELECT CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(28,12)) AS x,
+              CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(28,12)) AS y,
+              CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))
+                 AS DECIMAL(28,12)) AS xx,
+              CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE))
+                 AS DECIMAL(28,12)) AS xy
+       FROM top),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(xx) AS DOUBLE) AS sxx, CAST(sum(xy) AS DOUBLE) AS sxy
+      FROM xy)
+SELECT n AS n_terms,
+       round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope
+FROM s""",
+)
+def q_gram_zipf_fit(spark, sf_dir):
+    """Zipf-law slope of the term-frequency distribution: least-squares
+    fit of ln(freq) against ln(rank) over the top-100 vocabulary —
+    natural-language corpora sit near −1; a far-off slope flags
+    machine-generated or template-heavy feeds. Rank ties break on the
+    term so the top-100 is deterministic; every regression moment is
+    an identically-ordered IEEE double summed through DECIMAL, so the
+    fitted float slope hash-checks. TakeOrderedAndProject top-k — no
+    global sort of the vocabulary."""
+    from pyspark.sql import Window
+
+    docs = dedup._spread(table(spark, sf_dir, "documents"))
+    from finance_data_pipeline_spark.extensions.dedup import tokens as _toks
+
+    freq = (
+        docs.select(F.explode(_toks("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    top = (
+        freq.orderBy(F.desc("c"), "t")
+        .limit(100)
+        .withColumn(
+            "r",
+            F.row_number().over(Window.orderBy(F.desc("c"), "t")).cast("long"),
+        )
+    )
+    lx = F.log(F.col("r").cast("double"))
+    ly = F.log(F.col("c").cast("double"))
+    xy = top.select(
+        lx.cast("decimal(28,12)").alias("x"),
+        ly.cast("decimal(28,12)").alias("y"),
+        (lx * lx).cast("decimal(28,12)").alias("xx"),
+        (lx * ly).cast("decimal(28,12)").alias("xy"),
+    )
+    s = xy.agg(
+        F.count("*").alias("n_terms"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("xy").cast("double").alias("sxy"),
+    )
+    n = F.col("n_terms").cast("double")
+    return s.select(
+        "n_terms",
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (n * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )

@@ -588,3 +588,41 @@ def test_quantile_bins_error_bound(spark):
     }
     for r in QUERIES["value_quantile_bins"](spark, sf).collect():
         assert abs(r.est - exact[r.quantile]) <= half_bin + 1e-9
+
+
+def test_lang_entropy_bounds(spark):
+    from finance_data_pipeline_spark.registry import QUERIES
+    import math
+
+    docs = table(spark, SF_DIR, "documents")
+    n_langs = docs.select("lang").distinct().count()
+    for r in QUERIES["source_lang_entropy"](spark, SF_DIR).collect():
+        assert 0.0 <= r.lang_entropy <= math.log(n_langs) + 1e-9
+
+
+def test_zipf_slope_is_negative_and_sane(spark):
+    """Frequency is non-increasing in rank, so the fitted slope must be
+    ≤ 0 (the synthetic corpus is near-uniform — far from a natural
+    −1 — which is exactly what the diagnostic is meant to flag)."""
+    from finance_data_pipeline_spark.registry import QUERIES
+
+    r = QUERIES["gram_zipf_fit"](spark, SF_DIR).first()
+    assert 1 < r.n_terms <= 100
+    assert -3.0 < r.zipf_slope <= 0.0
+
+
+def test_zipf_slope_on_true_zipf_corpus(spark):
+    """A corpus with freq(rank) ∝ rank^-1 fits slope ~ -1."""
+    from finance_data_pipeline_spark.registry import QUERIES
+    import tempfile
+
+    words = []
+    for rank in range(1, 51):
+        words += [f"w{rank:03d}"] * max(1, round(1000 / rank))
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    d = tempfile.mkdtemp(prefix="zipf_")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    r = QUERIES["gram_zipf_fit"](spark, d).first()
+    assert abs(r.zipf_slope - (-1.0)) < 0.05
