@@ -95,7 +95,7 @@ _PRIORITY = [
     "bpe_encode", "corpus_grouping_sets", "curated_mix", "dup_triangles",
     "hll_user_estimate", "cms_term_counts", "dup_reach_sql",
     "event_sequence_match", "ab_value_ttest", "value_quantile_bins",
-    "source_lang_entropy", "gram_zipf_fit",
+    "source_lang_entropy", "gram_zipf_fit", "media_phash_pairs",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

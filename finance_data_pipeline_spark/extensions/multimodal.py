@@ -205,3 +205,136 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
         "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
     )
     return src.mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+def media_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) of image payloads, computed
+    ENTIRELY with built-in JVM expressions — no Python kernel: the
+    meta.width × meta.height byte grid is nearest-neighbor resampled
+    to 8×8 through hex-string indexing (the same arithmetic as
+    resize_media's kernel), each pixel is thresholded against the
+    integer mean, and the 64 bits pack into four 16-bit band words.
+
+    Band words double as the LSH buckets for near-dup search: two
+    images within Hamming distance 3·bands_missed must share at least
+    one exact band (pigeonhole) — the banding rule MinHash dedup uses,
+    applied to perceptual bits.
+
+    Returns (media_id, b0, b1, b2, b3) — one row per image.
+    """
+    imgs = media.filter(F.col("modality") == "image").select(
+        "media_id",
+        F.col("meta.width").alias("sw"),
+        F.col("meta.height").alias("sh"),
+        F.hex("payload").alias("hx"),
+    )
+    # pad the hex expansion so out-of-payload grid cells read 0x00,
+    # mirroring the resize kernel's ljust
+    imgs = imgs.withColumn(
+        "hx", F.rpad("hx", (F.col("sw") * F.col("sh") * 2).cast("int"), "0")
+    )
+    pix = imgs.select(
+        "media_id",
+        "sw",
+        "sh",
+        "hx",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("pidx"),
+    ).select(
+        "media_id",
+        "pidx",
+        F.conv(
+            F.substring(
+                "hx",
+                (
+                    2
+                    * (
+                        F.expr("(pidx div 8) * sh div 8") * F.col("sw")
+                        + F.expr("(pidx % 8) * sw div 8")
+                    )
+                    + 1
+                ).cast("int"),
+                2,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("px"),
+    )
+    mean = pix.groupBy("media_id").agg(
+        F.expr("sum(px) div 64").alias("_mean")
+    )
+    bits = pix.join(mean, "media_id").select(
+        "media_id",
+        F.expr("pidx div 16").alias("band"),
+        F.when(
+            F.col("px") > F.col("_mean"),
+            F.expr("shiftleft(1L, cast(pidx % 16 as int))"),
+        )
+        .otherwise(F.lit(0))
+        .alias("bit"),
+    )
+    bands = bits.groupBy("media_id", "band").agg(F.sum("bit").alias("bval"))
+    return bands.groupBy("media_id").agg(
+        *[
+            F.max(F.when(F.col("band") == b, F.col("bval"))).alias(f"b{b}")
+            for b in range(4)
+        ]
+    )
+
+
+def media_phash_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Perceptual near-duplicate image pairs: aHash band-bucket
+    candidates (pairs sharing ≥1 exact 16-bit band — pigeonhole-safe
+    for Hamming ≤ 3 when all but one band differ; wider thresholds
+    trade recall exactly as MinHash banding does) verified by the
+    exact 64-bit Hamming distance via bit_count(xor) per band.
+
+    Candidate generation is a bucketed self-join on (band, value) —
+    never all-pairs; verification touches only candidate rows.
+    Returns (id_a, id_b, hamming) with id_a < id_b, hamming ≤
+    ``max_hamming``.
+    """
+    h = media_ahash(media)
+    long_form = h.select(
+        "media_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bval"))
+                    for b in range(4)
+                ]
+            )
+        ).alias("x"),
+    ).select("media_id", "x.band", "x.bval")
+    cand = (
+        long_form.alias("a")
+        .join(
+            long_form.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"), F.col("b.media_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ha = h.select(
+        F.col("media_id").alias("id_a"),
+        *[F.col(f"b{b}").alias(f"a{b}") for b in range(4)],
+    )
+    hb = h.select(
+        F.col("media_id").alias("id_b"),
+        *[F.col(f"b{b}").alias(f"bb{b}") for b in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.expr(f"a{b} ^ bb{b}")) for b in range(4)
+    )
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

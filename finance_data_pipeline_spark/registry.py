@@ -5794,3 +5794,66 @@ def q_gram_zipf_fit(spark, sf_dir):
             6,
         ).alias("zipf_slope"),
     )
+
+
+_PHASH_CTE = """imgs AS (
+  SELECT doc_id AS media_id,
+         CAST(8 + doc_id % 8 AS INT) AS sw, CAST(6 + doc_id % 6 AS INT) AS sh,
+         rpad(substring(hex(encode(text)), 1, CAST(2 * (8 + doc_id % 8) * (6 + doc_id % 6) AS INT)),
+              CAST(2 * (8 + doc_id % 8) * (6 + doc_id % 6) AS INT), '0') AS hx
+  FROM documents WHERE doc_id % 3 = 0),
+pix AS (
+  SELECT media_id, pidx,
+    16 * (strpos('0123456789ABCDEF',
+            substring(hx, 2 * (CAST((pidx // 8) * sh // 8 AS INT) * sw
+                               + CAST((pidx % 8) * sw // 8 AS INT)) + 1, 1)) - 1)
+    + (strpos('0123456789ABCDEF',
+         substring(hx, 2 * (CAST((pidx // 8) * sh // 8 AS INT) * sw
+                            + CAST((pidx % 8) * sw // 8 AS INT)) + 2, 1)) - 1)
+      AS px
+  FROM (SELECT media_id, sw, sh, hx, unnest(range(0, 64)) AS pidx FROM imgs)),
+mean_ AS (SELECT media_id, sum(px) // 64 AS m FROM pix GROUP BY media_id),
+bits AS (
+  SELECT p.media_id, p.pidx // 16 AS band,
+         CASE WHEN p.px > mean_.m
+              THEN (CAST(1 AS BIGINT) << CAST(p.pidx % 16 AS INT)) ELSE 0 END AS bit
+  FROM pix p JOIN mean_ ON p.media_id = mean_.media_id),
+bands AS (SELECT media_id, band, CAST(sum(bit) AS BIGINT) AS bval
+          FROM bits GROUP BY media_id, band),
+h AS (SELECT media_id,
+        max(CASE WHEN band = 0 THEN bval END) AS b0,
+        max(CASE WHEN band = 1 THEN bval END) AS b1,
+        max(CASE WHEN band = 2 THEN bval END) AS b2,
+        max(CASE WHEN band = 3 THEN bval END) AS b3
+      FROM bands GROUP BY media_id),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bval = b.bval AND a.media_id < b.media_id)"""
+
+
+@query(
+    "media_phash_pairs",
+    f"""WITH {_PHASH_CTE}
+SELECT id_a, id_b,
+       CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+          + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+         AS BIGINT) AS hamming
+FROM cand JOIN h ha ON cand.id_a = ha.media_id
+JOIN h hb ON cand.id_b = hb.media_id
+WHERE bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+    + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) <= 6""",
+)
+def q_media_phash_pairs(spark, sf_dir):
+    """X5+ — perceptual near-dup for media: average-hash (aHash) of
+    the image byte grid computed ENTIRELY with JVM built-ins (hex
+    indexing + integer threshold — no Python kernel), four 16-bit
+    band words as LSH buckets (pigeonhole: Hamming ≤ 3·bands_missed
+    shares a band), exact bit_count(xor) Hamming verify on candidates
+    only. The missing near-dup modality next to media_exact_dedup's
+    byte-exact match; full oracle via the same hex reconstruction as
+    media_resize."""
+    media = multimodal.synthetic_media(
+        dedup._spread(table(spark, sf_dir, "documents"))
+    )
+    return multimodal.media_phash_pairs(media, max_hamming=6)

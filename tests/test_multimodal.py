@@ -60,3 +60,32 @@ def test_frame_sample_cardinality(spark, media):
 def test_true_decoder_stub_is_marked(spark, media):
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(media, 8, 8)
+
+
+def test_media_ahash_identical_payloads_same_hash(spark):
+    """Images with identical payload AND geometry share all 4 band
+    words; a different payload (different content bits) does not."""
+    from pyspark.sql import functions as F
+
+    from finance_data_pipeline_spark.extensions import multimodal as mm
+
+    txt = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [(0, txt, len(txt)), (24, txt, len(txt)), (48, "z " * 60, 120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    # doc_ids 0/24/48: all %3==0 (images) and %8/%6 equal -> same geometry
+    h = {r.media_id: (r.b0, r.b1, r.b2, r.b3)
+         for r in mm.media_ahash(mm.synthetic_media(docs)).collect()}
+    assert h[0] == h[24]
+    assert h[0] != h[48]
+
+
+def test_media_phash_pairs_finds_identical_images(spark):
+    from finance_data_pipeline_spark.extensions import multimodal as mm
+
+    txt = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [(0, txt, len(txt)), (24, txt, len(txt)), (48, "z " * 60, 120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in mm.media_phash_pairs(mm.synthetic_media(docs)).collect()}
+    assert pairs.get((0, 24)) == 0
+    assert all(48 not in p for p in pairs)
