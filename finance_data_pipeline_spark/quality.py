@@ -221,7 +221,11 @@ def hll_distinct(
     per_bucket = b.groupBy("bucket").agg(F.max(rank).alias("mj"))
     agg = per_bucket.agg(
         F.count("*").alias("present"),
-        F.sum(F.expr(f"shiftleft(1L, cast({field} - mj as int))")).alias("_s"),
+        # coalesce: an empty input has no buckets; the harmonic sum is
+        # then all-empty-bucket mass and linear counting yields est 0
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(1L, cast({field} - mj as int))")), F.lit(0)
+        ).alias("_s"),
     )
     alpha = 0.7213 / (1.0 + 1.079 / m)
     scaled_total = F.col("_s") + (F.lit(m) - F.col("present")) * F.lit(

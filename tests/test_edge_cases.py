@@ -199,3 +199,49 @@ def test_salted_join_equals_plain_join(spark):
     assert salted.count() == plain.count()
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_session4_operators_handle_empty_inputs(spark):
+    """Every session-4 operator returns an empty (or trivially-zero)
+    frame on empty input instead of raising — the robustness bar set
+    for pagerank/profile in earlier rounds."""
+    from finance_data_pipeline_spark import quality
+    from finance_data_pipeline_spark.extensions import (
+        dedup,
+        graph,
+        multimodal,
+        sampling,
+        similarity,
+        text,
+        winnow,
+    )
+    from finance_data_pipeline_spark.operators import relational as rel
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    vecs = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    ev = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert winnow.winnowing_fingerprints(docs).count() == 0
+    assert winnow.winnowing_shared_spans(docs).count() == 0
+    assert sampling.temperature_mix(docs).count() == 0
+    assert sampling.mixture_epoch_plan(docs).count() == 0
+    assert dedup.soft_dedup_weights(docs).count() == 0
+    assert dedup.source_ngram_overlap(docs).count() == 0
+    assert text.bm25_topk(docs).count() == 0
+    assert text.quality_percentile_by_lang(docs).count() == 0
+    assert text.bpe_encode(docs).count() == 0
+    assert text.cms_term_counts(docs).count() == 0
+    assert similarity.embedding_standardize(vecs).count() == 0
+    assert rel.key_skew_profile(ev, "user_id").count() == 0
+    assert graph.triangles(pairs).count() == 0
+    assert (
+        multimodal.media_phash_pairs(multimodal.synthetic_media(docs)).count() == 0
+    )
+    r = quality.hll_distinct(ev, "user_id").first()
+    assert r.present_buckets == 0 and r.est_distinct == 0.0 and r.exact_distinct == 0
