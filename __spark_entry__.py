@@ -49,15 +49,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-check priority: the driver's correctness pass covers a window
-# of queries in dict order (rounds 1 and 2 each recorded exactly the
-# first 50). Rounds 1+2 drove 97 queries green (CORRECTNESS_r01/r02).
-# Round 3's window is exactly the 50 oracle-backed queries that have
-# never been in a driver window: ema_macd (round 1's only failure,
-# full recursive-CTE oracle since), the new ST2 sink query, the tier-2
-# extensions, the 6 remaining TPC-H analogues, and every operator
-# added this round. Queries that can only record err:"no_oracle"
-# (rows-only by design) sit in _TAIL so they never burn a
-# correctness-window slot.
+# of queries in dict order (each round records exactly the first 50).
+# _ordered() rotates AUTOMATICALLY: queries with a recorded full-green
+# driver row (CORRECTNESS_r*.json) move behind the never-green ones,
+# so every round's window is spent on rows that can still change
+# state — no manual reordering between rounds. _PRIORITY fixes the
+# relative order within each class; rows-only queries (err:
+# "no_oracle" by design) sit in _TAIL so they never burn a slot.
 _PRIORITY = [
     # --- never driver-checked, oracle-backed: these 25 fill the window's
     # front so round 3 finishes 122/122 oracle-backed driver-green
@@ -106,11 +104,39 @@ _TAIL = [
 ]
 
 
+def _driver_green() -> set:
+    """Query names with a full-green driver row in any recorded round
+    (CORRECTNESS_r*.json beside this file). Lets the ordering rotate
+    AUTOMATICALLY: once the driver records a hash-match, that query
+    yields its window slot to still-unchecked ones next round — no
+    manual _PRIORITY edit required between rounds."""
+    import glob
+    import json
+    import os
+
+    green: set = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except Exception:
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                green.add(name)
+    return green
+
+
 def _ordered(mapping: dict) -> dict:
-    out = {n: mapping[n] for n in _PRIORITY if n in mapping}
-    out.update(
-        {n: v for n, v in mapping.items() if n not in out and n not in _TAIL}
-    )
+    green = _driver_green()
+    base = [n for n in _PRIORITY if n in mapping]
+    base += [n for n in mapping if n not in base and n not in _TAIL]
+    # never-green oracle-backed queries first (window slots go to rows
+    # that can still change state), then the confirmed-green ones for
+    # re-confirmation, then the rows-only tail.
+    out = {n: mapping[n] for n in base if n not in green}
+    out.update({n: mapping[n] for n in base if n in green})
     out.update({n: mapping[n] for n in _TAIL if n in mapping})
     return out
 
