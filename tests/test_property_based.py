@@ -500,3 +500,98 @@ def test_bpe_train_matches_bruteforce(spark, texts):
                     j += 1
             syms[w] = out
     assert got == want
+
+
+# --- session-4 operators ---------------------------------------------------
+
+_words = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+)
+
+
+@given(
+    lead=st.lists(_words, max_size=6),
+    run=st.lists(_words, min_size=6, max_size=8),
+    tail=st.lists(_words, max_size=6),
+)
+@settings(**SETTINGS)
+def test_winnowing_guarantee_randomized(spark, lead, run, tail):
+    """Schleimer et al.'s guarantee under random contexts: any two docs
+    sharing a token run of length >= w + k - 1 (= 6 at k=3, w=4) share
+    at least one selected fingerprint, wherever the run sits."""
+    from finance_data_pipeline_spark.extensions import winnow
+
+    d = spark.createDataFrame(
+        [
+            (1, " ".join(lead + run + ["uniqueend", "one"])),
+            (2, " ".join(["uniquestart", "two"] + run + tail)),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow.winnowing_fingerprints(d, k=3, w=4)
+    a = {r.gram_hash for r in fp.filter("doc_id = 1").collect()}
+    b = {r.gram_hash for r in fp.filter("doc_id = 2").collect()}
+    assert a & b
+
+
+_kv = st.tuples(
+    st.integers(min_value=1, max_value=8), st.integers(min_value=0, max_value=3)
+)
+
+
+@given(old=st.lists(_kv, max_size=10), new=st.lists(_kv, max_size=10))
+@settings(**SETTINGS)
+def test_snapshot_diff_randomized(spark, old, new):
+    """diff(X, X) is empty; diff labels reproduce a dict-based model
+    (last value wins per key, mirroring distinct-on-key snapshots)."""
+    from finance_data_pipeline_spark.operators import relational as rel
+
+    dold = {k: v for k, v in old}
+    dnew = {k: v for k, v in new}
+    fo = spark.createDataFrame(
+        list(dold.items()) or [(None, None)], "k long, v long"
+    ).filter(F.col("k").isNotNull())
+    fn = spark.createDataFrame(
+        list(dnew.items()) or [(None, None)], "k long, v long"
+    ).filter(F.col("k").isNotNull())
+    assert rel.snapshot_diff(fo, fo, ["k"]).count() == 0
+    got = {r.k: r.change_type for r in rel.snapshot_diff(fo, fn, ["k"]).collect()}
+    want = {}
+    for k in set(dold) | set(dnew):
+        if k not in dnew:
+            want[k] = "removed"
+        elif k not in dold:
+            want[k] = "added"
+        elif dold[k] != dnew[k]:
+            want[k] = "changed"
+    assert got == want
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=4)
+)
+@settings(**SETTINGS)
+def test_temperature_quota_randomized(spark, counts):
+    """Quotas never exceed source sizes, fill deterministically, and
+    sum close to the budget when sources can absorb it."""
+    from finance_data_pipeline_spark.extensions import sampling
+
+    rows, did = [], 0
+    for si, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((did, f"s{si}"))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    budget = 16
+    out = sampling.temperature_mix(docs, alpha=0.5, budget_docs=budget)
+    per = {
+        r["source"]: (r["kept"], r["quota"])
+        for r in out.groupBy("source")
+        .agg(F.count("*").alias("kept"), F.first("quota").alias("quota"))
+        .collect()
+    }
+    sizes = {f"s{si}": n for si, n in enumerate(counts)}
+    for srcname, (kept, quota) in per.items():
+        assert kept == quota <= sizes[srcname]
+    # quotas from floor(x + 0.5) can each be off by < 1/2
+    assert sum(q for _, q in per.values()) <= budget + len(counts)
