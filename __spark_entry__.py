@@ -94,6 +94,7 @@ _PRIORITY = [
     "hll_user_estimate", "cms_term_counts", "dup_reach_sql",
     "event_sequence_match", "ab_value_ttest", "value_quantile_bins",
     "source_lang_entropy", "gram_zipf_fit", "media_phash_pairs",
+    "streaming_session_windows", "streaming_interval_join_left",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -5857,3 +5857,144 @@ def q_media_phash_pairs(spark, sf_dir):
         dedup._spread(table(spark, sf_dir, "documents"))
     )
     return multimodal.media_phash_pairs(media, max_hamming=6)
+
+
+@query(
+    "streaming_session_windows",
+    """WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+s AS (SELECT user_id, ts,
+        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM o),
+sess AS (
+  SELECT user_id, min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         count(*) AS n_events
+  FROM s GROUP BY user_id, sess_id)
+SELECT user_id, session_start, session_end, n_events
+FROM sess
+WHERE session_end <= (SELECT max(ts) FROM events)""",
+)
+def q_streaming_session_windows(spark, sf_dir):
+    """Session windows under STRUCTURED STREAMING (ST4 in streaming
+    mode, completing the batch `session_windows` twin): native
+    session_window state with a zero-delay watermark, availableNow.
+    The watermark-withholding rule is itself part of the oracle —
+    append mode emits a session only once the watermark (final value:
+    max event time) passes its end, so sessions still open at
+    end-of-stream are withheld; the SQL twin replays gaps-and-islands
+    sessions WHERE session_end ≤ global max ts. Streaming semantics
+    held to an exact hash check, not a rows-only pass."""
+    import tempfile
+    import uuid
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    staged = tempfile.mkdtemp(prefix="fdps_ssw_")
+    ev.write.mode("overwrite").parquet(staged)
+    sdf = spark.readStream.schema(ev.schema).parquet(staged)
+    out = (
+        sdf.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = f"fdps_ssw_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fdps_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@query(
+    "streaming_interval_join_left",
+    """WITH c AS (
+  SELECT event_id, user_id, ts AS cts FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT event_id AS pid, user_id AS puser, ts AS pts FROM events
+  WHERE event_type = 'purchase'),
+wm AS (SELECT least((SELECT max(cts) FROM c), (SELECT max(pts) FROM p)) AS w),
+j AS (
+  SELECT c.event_id, p.pid, c.cts
+  FROM c LEFT JOIN p
+    ON c.user_id = p.puser AND p.pts >= c.cts
+   AND p.pts <= c.cts + INTERVAL 1 HOUR)
+SELECT event_id, pid FROM j
+WHERE pid IS NOT NULL
+   OR cts + INTERVAL 1 HOUR < (SELECT w FROM wm)""",
+)
+def q_streaming_interval_join_left(spark, sf_dir):
+    """LEFT-OUTER stream-stream interval join (ST8's outer variant):
+    clicks joined to purchases within [0, 1h], NULL rows for
+    unmatched clicks emitted on state eviction. The eviction rule is
+    part of the oracle — an unmatched click surfaces only once the
+    global watermark (min of both sides' final max event time, zero
+    delay) passes its match-window end, so the SQL twin keeps
+    unmatched rows WHERE cts + 1h < least(max cts, max pts); clicks
+    whose window is still open at end-of-stream stay withheld.
+    Outer-join streaming state semantics held to an exact hash check."""
+    import tempfile
+    import uuid
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    clicks = ev.filter("event_type = 'click'").select(
+        "event_id", "user_id", F.col("ts").alias("cts")
+    )
+    purch = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("puser"),
+        F.col("ts").alias("pts"),
+    )
+    d1 = tempfile.mkdtemp(prefix="fdps_sijl_c_")
+    d2 = tempfile.mkdtemp(prefix="fdps_sijl_p_")
+    clicks.write.mode("overwrite").parquet(d1)
+    purch.write.mode("overwrite").parquet(d2)
+    sc = (
+        spark.readStream.schema(clicks.schema)
+        .parquet(d1)
+        .withWatermark("cts", "0 seconds")
+    )
+    sp = (
+        spark.readStream.schema(purch.schema)
+        .parquet(d2)
+        .withWatermark("pts", "0 seconds")
+    )
+    j = sc.join(
+        sp,
+        (F.col("user_id") == F.col("puser"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    name = f"fdps_sijl_{uuid.uuid4().hex[:8]}"
+    q = (
+        j.select("event_id", "pid")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fdps_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
