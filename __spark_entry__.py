@@ -95,6 +95,7 @@ _PRIORITY = [
     "event_sequence_match", "ab_value_ttest", "value_quantile_bins",
     "source_lang_entropy", "gram_zipf_fit", "media_phash_pairs",
     "streaming_session_windows", "streaming_interval_join_left",
+    "streaming_update_totals", "streaming_complete_totals",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

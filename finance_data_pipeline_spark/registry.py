@@ -5998,3 +5998,113 @@ def q_streaming_interval_join_left(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+def _staged_event_stream(spark, sf_dir):
+    """Two deterministic micro-batches of events (ts-split staged
+    files, forced mtime order, 1 file per trigger) — shared staging
+    for the output-mode queries."""
+    import os
+    import tempfile
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    staged = tempfile.mkdtemp(prefix="fdps_omode_")
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.mode("overwrite").parquet(staged)
+    batch1 = {f for f in os.listdir(staged) if not f.startswith(("_", "."))}
+    ev.filter(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(staged)
+    for f in os.listdir(staged):
+        if f.startswith(("_", ".")):
+            continue
+        t = 1_000_000_000 if f in batch1 else 2_000_000_000
+        os.utime(os.path.join(staged, f), (t, t))
+    return (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+
+
+_OMODE_AGG_SQL = """b AS (
+  SELECT event_type, value,
+         CASE WHEN ts <= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 2 END
+           AS batch
+  FROM events),
+agg AS (
+  SELECT event_type, batch, count(*) AS bn,
+         CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS bv
+  FROM b GROUP BY 1, 2)"""
+
+
+@query(
+    "streaming_update_totals",
+    f"""WITH {_OMODE_AGG_SQL}
+SELECT event_type,
+       CAST(sum(bn) OVER (PARTITION BY event_type ORDER BY batch) AS BIGINT)
+         AS n,
+       CAST(sum(bv) OVER (PARTITION BY event_type ORDER BY batch) AS BIGINT)
+         AS vmic
+FROM agg""",
+)
+def q_streaming_update_totals(spark, sf_dir):
+    """UPDATE output mode (§2.10, completing the append/update/
+    complete trio): per-key totals re-emitted each micro-batch the key
+    changes in — the memory sink accumulates one snapshot per (key,
+    batch touched). The oracle replays exactly that: cumulative
+    count/micro-value per key at each batch where the key has events.
+    Integer micro-units keep the float total exact."""
+    import tempfile
+    import uuid
+
+    sdf = _staged_event_stream(spark, sf_dir)
+    agg = sdf.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("cast(floor(value * 1000000 + 0.5) as bigint)")).alias("vmic"),
+    )
+    name = f"fdps_upd_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fdps_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@query(
+    "streaming_complete_totals",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS vmic
+FROM events GROUP BY event_type""",
+)
+def q_streaming_complete_totals(spark, sf_dir):
+    """COMPLETE output mode: the sink holds the full aggregate after
+    the final micro-batch, so the stream result equals the batch
+    group-by — the mode a live dashboard reads. Same staged two-batch
+    source as the update-mode query."""
+    import tempfile
+    import uuid
+
+    sdf = _staged_event_stream(spark, sf_dir)
+    agg = sdf.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("cast(floor(value * 1000000 + 0.5) as bigint)")).alias("vmic"),
+    )
+    name = f"fdps_cmp_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fdps_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
