@@ -6108,3 +6108,57 @@ def q_streaming_complete_totals(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+def _src_h60(expr: str) -> str:
+    return _md5_slice_sql(expr, 1, 15)
+
+
+@query(
+    "custom_source_ohlcv",
+    f"""WITH syms AS (SELECT unnest(['AAPL', 'GOOG', 'MSFT']) AS symbol),
+ds AS (SELECT unnest(range(0, 30)) AS day),
+g AS (SELECT symbol, CAST(day AS BIGINT) AS day FROM syms CROSS JOIN ds),
+k AS (SELECT symbol, day,
+        {_src_h60("symbol || ':' || day")} AS hb,
+        {_src_h60("symbol || ':' || day || ':s'")} AS hs,
+        {_src_h60("symbol || ':' || day || ':c'")} AS hc,
+        {_src_h60("symbol || ':' || day || ':v'")} AS hv
+      FROM g),
+c AS (SELECT symbol, day,
+        10000 + hb % 90000 AS oc,
+        1 + hs % 2000 AS sc,
+        10000 + hc % 90000 AS cc,
+        1000 + hv % 1000000 AS vol
+      FROM k)
+SELECT symbol, DATE '2024-01-01' + CAST(day AS INTEGER) AS date,
+       oc / 100.0 AS open,
+       (greatest(oc, cc) + sc) / 100.0 AS high,
+       (least(oc, cc) - sc) / 100.0 AS low,
+       cc / 100.0 AS close,
+       CAST(vol AS BIGINT) AS volume
+FROM c""",
+)
+def q_custom_source_ohlcv(spark, sf_dir):
+    """S1/S2 as a FIRST-CLASS pluggable source: the reference's
+    per-ticker yfinance fetch (fetch_yfinance.py:13-16) implemented on
+    Spark 4's Python DataSource API — `spark.read.format(
+    "synthetic_ohlcv")` plans one input partition per symbol (the
+    fetch parallelism a real HTTP source needs), and the deterministic
+    md5-derived bars replay exactly in SQL. The Python-source scan is
+    the sanctioned ingestion boundary (like applyInPandas for EMA);
+    everything downstream is JVM-side."""
+    from finance_data_pipeline_spark.sources.ohlcv_source import (
+        SyntheticOHLCVSource,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticOHLCVSource)
+    except Exception:
+        pass  # already registered in this session
+    return (
+        spark.read.format("synthetic_ohlcv")
+        .option("symbols", "AAPL,GOOG,MSFT")
+        .option("days", 30)
+        .load()
+    )

@@ -282,3 +282,33 @@ def test_xml_roundtrip(spark, tmp_path):
         (1, "alpha", 1.5),
         (2, "beta", -2.25),
     ]
+
+
+def test_custom_ohlcv_source_partitioning_and_determinism(spark):
+    """The Python DataSource plans one partition per symbol and yields
+    identical bars across reads (no RNG, no state)."""
+    from finance_data_pipeline_spark.sources.ohlcv_source import (
+        SyntheticOHLCVSource,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticOHLCVSource)
+    except Exception:
+        pass
+    rd = (
+        spark.read.format("synthetic_ohlcv")
+        .option("symbols", "aapl, msft")
+        .option("days", 7)
+    )
+    df = rd.load()
+    assert df.rdd.getNumPartitions() == 2
+    assert df.count() == 14
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, rd.load().collect()))
+    assert a == b
+    row = a[0]
+    assert row[0] == "AAPL"  # options lower-cased symbols are upper-cased
+    # OHLC invariants: high >= max(open, close), low <= min(open, close)
+    for r in a:
+        assert r[3] >= max(r[2], r[5]) and r[4] <= min(r[2], r[5])
+        assert r[6] >= 1000
