@@ -7,6 +7,7 @@ from finance_data_pipeline_spark.streaming.pipeline import (
     neardup_gate,
     present_daily_aggregate,
     stateful_continuity,
+    stateful_running_totals,
     stream_events,
     stream_ingest_stocks,
     streaming_daily_aggregate,
@@ -23,5 +24,6 @@ __all__ = [
     "interval_join_streams",
     "neardup_gate",
     "stateful_continuity",
+    "stateful_running_totals",
     "stream_ingest_stocks",
 ]

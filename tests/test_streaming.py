@@ -275,3 +275,66 @@ def test_neardup_gate_admits_novel_blocks_dups_and_indexes_admissions(spark, tmp
     assert len(rows) == 3  # the re-delivered seed doc was not re-admitted
     indexed = {r._id for r in spark.read.parquet(f"{store}/sigs").collect()}
     assert indexed == {0, 12, 22}
+
+
+def test_stateful_continuity_under_rocksdb_state_store(spark, tmp_path):
+    """The custom stateful operator must run unchanged on the RocksDB
+    state-store provider — the disk-backed backend a 100 TB streaming
+    state actually uses (HDFS-backed in-memory maps don't survive
+    billions of keys). Same two-batch staging as the HDFS-backed
+    test path; assert identical results."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from finance_data_pipeline_spark.streaming import stateful_running_totals
+
+    b1 = spark.createDataFrame(
+        [("click", "2024-01-01 00:00:00", 1.5), ("view", "2024-01-01 01:00:00", 2.0)],
+        "event_type string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b2 = spark.createDataFrame(
+        [("click", "2024-01-02 00:00:00", 3.5)],
+        "event_type string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    staged = str(tmp_path / "src")
+    b1.coalesce(1).write.mode("overwrite").parquet(staged)
+    first = set(os.listdir(staged))
+    b2.coalesce(1).write.mode("append").parquet(staged)
+    for f in os.listdir(staged):
+        if f.startswith(("_", ".")):
+            continue
+        t = 1_000_000_000 if f in first else 2_000_000_000
+        os.utime(os.path.join(staged, f), (t, t))
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        sdf = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        q = (
+            stateful_running_totals(sdf)
+            .writeStream.format("memory")
+            .queryName("rocks_rt")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = {
+            (r.event_type, r.cum_rows): r.cum_value_micros
+            for r in spark.table("rocks_rt").collect()
+        }
+        assert rows == {
+            ("click", 1): 1_500_000,
+            ("view", 1): 2_000_000,
+            ("click", 2): 5_000_000,
+        }
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
