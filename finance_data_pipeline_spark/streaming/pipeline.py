@@ -369,3 +369,71 @@ def stateful_running_totals(events: DataFrame) -> DataFrame:
     return events.groupBy("event_type").applyInPandasWithState(
         accumulate, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def tws_running_totals(events: DataFrame) -> DataFrame:
+    """stateful_running_totals on Spark 4's NEW arbitrary-state API
+    (transformWithStateInPandas + StatefulProcessor + ValueState) —
+    the successor of applyInPandasWithState, with typed state handles
+    and timer support, running on the RocksDB state store it requires.
+    Same contract as stateful_running_totals: per event_type cumulative
+    row/value totals in exact integer micro-units, one output row per
+    (key, micro-batch).
+
+    Runtime note: the transformWithState driver worker needs
+    ``google.protobuf`` (its state-server protocol), which this test
+    container does not ship — so the REGISTERED, oracle-checked path
+    is the applyInPandasWithState twin (streaming_running_totals);
+    this function is the drop-in successor-API form for environments
+    with protobuf installed (tests gate on the import).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = (
+        "event_type string, batch_rows long, cum_rows long, "
+        "cum_value_micros long"
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "cum_rows long, cum_value_micros long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            event_type = key[0]
+            n, micros = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                micros += int(
+                    np.floor(
+                        pdf["value"].to_numpy(dtype="float64") * 1_000_000 + 0.5
+                    )
+                    .astype("int64")
+                    .sum()
+                )
+            prev = self._state.get() if self._state.exists() else (0, 0)
+            cum = (prev[0] + n, prev[1] + micros)
+            self._state.update(cum)
+            yield pd.DataFrame(
+                [
+                    {
+                        "event_type": event_type,
+                        "batch_rows": n,
+                        "cum_rows": cum[0],
+                        "cum_value_micros": cum[1],
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("event_type").transformWithStateInPandas(
+        RunningTotals(), out_schema, "append", "none"
+    )

@@ -338,3 +338,62 @@ def test_stateful_continuity_under_rocksdb_state_store(spark, tmp_path):
         }
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_tws_running_totals_matches_legacy_api_when_protobuf_present(
+    spark, tmp_path
+):
+    """transformWithStateInPandas twin of stateful_running_totals —
+    runnable only where google.protobuf exists (the TWS driver worker's
+    state-server protocol); skipped in containers without it."""
+    pytest.importorskip("google.protobuf")
+    import os
+
+    from pyspark.sql import functions as F
+
+    from finance_data_pipeline_spark.streaming.pipeline import tws_running_totals
+
+    b1 = spark.createDataFrame(
+        [("click", "2024-01-01 00:00:00", 1.5)],
+        "event_type string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b2 = spark.createDataFrame(
+        [("click", "2024-01-02 00:00:00", 3.5)],
+        "event_type string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    staged = str(tmp_path / "src")
+    b1.coalesce(1).write.mode("overwrite").parquet(staged)
+    first = set(os.listdir(staged))
+    b2.coalesce(1).write.mode("append").parquet(staged)
+    for f in os.listdir(staged):
+        if f.startswith(("_", ".")):
+            continue
+        t = 1_000_000_000 if f in first else 2_000_000_000
+        os.utime(os.path.join(staged, f), (t, t))
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        sdf = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        q = (
+            tws_running_totals(sdf)
+            .writeStream.format("memory")
+            .queryName("tws_rt")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = {
+            (r.event_type, r.cum_rows): r.cum_value_micros
+            for r in spark.table("tws_rt").collect()
+        }
+        assert rows == {("click", 1): 1_500_000, ("click", 2): 5_000_000}
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
