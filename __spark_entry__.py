@@ -96,7 +96,7 @@ _PRIORITY = [
     "source_lang_entropy", "gram_zipf_fit", "media_phash_pairs",
     "streaming_session_windows", "streaming_interval_join_left",
     "streaming_update_totals", "streaming_complete_totals",
-    "custom_source_ohlcv",
+    "custom_source_ohlcv", "lsh_recall_report", "lang_salting_plan",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -365,3 +365,44 @@ def key_skew_profile(
             ).alias("ratio_to_avg"),
         )
     )
+
+
+def salting_plan(
+    df: DataFrame,
+    key_col: str,
+    hot_ratio: float = 1.5,
+) -> DataFrame:
+    """Prescriptive companion of key_skew_profile: for every key whose
+    load exceeds ``hot_ratio``× the mean per-key load, emit the salt
+    factor that levels it — ``ceil(cnt · n_keys / total)`` splits the
+    hot key into roughly mean-sized shards, which is exactly the
+    fan-out salted_join needs. The output IS the configuration you
+    feed a salted join (or an AQE skew-hint review) before launching
+    the 100 TB run; an empty result means no key needs salting.
+
+    Same scale shape as key_skew_profile: one map-side-combined count,
+    a broadcast 2-value stats row, a row-local filter. Ratios are
+    integer-derived doubles — exact in the SQL oracle.
+
+    Returns (key, cnt, ratio_to_avg, salt_factor), hot keys only.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    stats = counts.agg(
+        F.sum("cnt").alias("_total"), F.count("*").alias("_nkeys")
+    )
+    ratio = (F.col("cnt").cast("double") * F.col("_nkeys").cast("double")) / F.col(
+        "_total"
+    ).cast("double")
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .withColumn("ratio_to_avg", F.round(ratio, 6))
+        .filter(F.col("ratio_to_avg") > hot_ratio)
+        .select(
+            "key",
+            "cnt",
+            "ratio_to_avg",
+            F.ceil(ratio).cast("long").alias("salt_factor"),
+        )
+    )

@@ -6162,3 +6162,62 @@ def q_custom_source_ohlcv(spark, sf_dir):
         .option("days", 30)
         .load()
     )
+
+
+@query(
+    "lsh_recall_report",
+    f"""WITH {_NEAR_PAIRS_CTE}
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(*) AS BIGINT) AS n_lsh,
+       CAST(1.0 AS DOUBLE) AS recall
+FROM np""",
+)
+def q_lsh_recall_report(spark, sf_dir):
+    """Measured LSH recall: the banded-MinHash candidate path's
+    verified pair count against the exact all-pairs shingle-Jaccard
+    ground truth at the same threshold — the query that turns the
+    docstring's analytic band-miss bound (≤2e-8 at J=0.7 for 126/42×3)
+    into a measured number. The oracle asserts the expected outcome:
+    at the textbook parameters the two counts are equal (recall 1.0);
+    a driver mismatch here would catch any future parameter change
+    that silently traded recall away."""
+    docs = table(spark, sf_dir, "documents")
+    lsh = dedup.near_dup_pairs(docs, threshold=0.7).select("id_a", "id_b")
+    # exact ground truth: inverted-index candidates (docs sharing >= 1
+    # shingle) -> exact Jaccard filter; superset of any LSH recall
+    exact = (
+        dedup.shingle_pairs_jaccard(docs)
+        .filter(F.col("jaccard") >= 0.7)
+        .select("id_a", "id_b")
+    )
+    n_lsh = lsh.count()
+    n_exact = exact.count()
+    return spark.createDataFrame(
+        [(n_exact, n_lsh, round(n_lsh / n_exact, 6) if n_exact else 1.0)],
+        "n_exact long, n_lsh long, recall double",
+    )
+
+
+@query(
+    "lang_salting_plan",
+    """WITH counts AS (
+  SELECT lang AS key, count(*) AS cnt FROM documents GROUP BY lang),
+st AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+              CAST(count(*) AS BIGINT) AS nkeys FROM counts)
+SELECT key, cnt,
+       round(CAST(cnt AS DOUBLE) * CAST(nkeys AS DOUBLE)
+             / CAST(total AS DOUBLE), 6) AS ratio_to_avg,
+       CAST(ceil(CAST(cnt AS DOUBLE) * CAST(nkeys AS DOUBLE)
+                 / CAST(total AS DOUBLE)) AS BIGINT) AS salt_factor
+FROM counts CROSS JOIN st
+WHERE round(CAST(cnt AS DOUBLE) * CAST(nkeys AS DOUBLE)
+            / CAST(total AS DOUBLE), 6) > 1.5""",
+)
+def q_lang_salting_plan(spark, sf_dir):
+    """Prescriptive skew handling (P10 companion): keys loaded >1.5×
+    the per-key mean with the salt factor that levels them —
+    ceil(cnt·n_keys/total) shards a hot key into mean-sized pieces,
+    the exact fan-out salted_join consumes. Diagnosis (key_skew) →
+    prescription (this) → mechanism (salted_hot_join) are all
+    first-class, oracle-checked queries."""
+    return rel.salting_plan(table(spark, sf_dir, "documents"), "lang")

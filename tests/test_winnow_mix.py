@@ -626,3 +626,21 @@ def test_zipf_slope_on_true_zipf_corpus(spark):
     df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
     r = QUERIES["gram_zipf_fit"](spark, d).first()
     assert abs(r.zipf_slope - (-1.0)) < 0.05
+
+
+def test_salting_plan_identifies_only_hot_keys(spark):
+    from finance_data_pipeline_spark.operators import relational as rel
+
+    rows = [(1,)] * 90 + [(2,)] * 5 + [(3,)] * 5
+    df = spark.createDataFrame(rows, "k long")
+    out = rel.salting_plan(df, "k", hot_ratio=1.5).collect()
+    assert len(out) == 1 and out[0].key == 1
+    # 3 keys, 100 rows: ratio 2.7 -> salt 3 shards of ~avg size
+    assert out[0].salt_factor == 3
+
+
+def test_lsh_recall_is_perfect_at_textbook_params(spark, docs):
+    from finance_data_pipeline_spark.registry import QUERIES
+
+    r = QUERIES["lsh_recall_report"](spark, SF_DIR).first()
+    assert r.n_exact == r.n_lsh and r.recall == 1.0
