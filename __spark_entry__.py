@@ -97,6 +97,7 @@ _PRIORITY = [
     "streaming_session_windows", "streaming_interval_join_left",
     "streaming_update_totals", "streaming_complete_totals",
     "custom_source_ohlcv", "lsh_recall_report", "lang_salting_plan",
+    "observed_quality_metrics",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -6221,3 +6221,70 @@ def q_lang_salting_plan(spark, sf_dir):
     prescription (this) → mechanism (salted_hot_join) are all
     first-class, oracle-checked queries."""
     return rel.salting_plan(table(spark, sf_dir, "documents"), "lang")
+
+
+@query(
+    "observed_quality_metrics",
+    f"""WITH {_DIRTY_CTE},
+flagged AS (SELECT {_FLAG_SQL} AS flags FROM dirty)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN len(flags) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_invalid,
+       CAST(sum(CASE WHEN list_contains(flags, 'missing_close')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_close,
+       CAST(sum(CASE WHEN list_contains(flags, 'nonpositive_open')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpositive_open,
+       CAST(sum(CASE WHEN list_contains(flags, 'high_lt_low')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_high_lt_low,
+       CAST(sum(CASE WHEN list_contains(flags, 'extreme_move')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme_move
+FROM flagged""",
+)
+def q_observed_quality_metrics(spark, sf_dir):
+    """Single-pass observed metrics (df.observe + Observation): the
+    reference's DataQualityChecker logging (fetch_and_store.py:122-185
+    counts violations while cleaning) WITHOUT a second scan — the
+    validation counters ride the same job that materializes the
+    cleaned rows, so data and metrics stay consistent by construction
+    and the corpus is read once. The observed counters are plain
+    aggregates, so the whole metric row hash-checks against SQL."""
+    from pyspark.sql import Observation
+
+    dirty = dirty_stocks(spark, sf_dir)
+    flags = quality.violation_array()
+    obs = Observation("quality_metrics")
+    observed = dirty.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.size(flags) > 0).cast("long")).alias("n_invalid"),
+        F.sum(F.array_contains(flags, "missing_close").cast("long")).alias(
+            "n_missing_close"
+        ),
+        F.sum(F.array_contains(flags, "nonpositive_open").cast("long")).alias(
+            "n_nonpositive_open"
+        ),
+        F.sum(F.array_contains(flags, "high_lt_low").cast("long")).alias(
+            "n_high_lt_low"
+        ),
+        F.sum(F.array_contains(flags, "extreme_move").cast("long")).alias(
+            "n_extreme_move"
+        ),
+    )
+    # one pass: materialize the CLEANED stream (the pipeline's real
+    # output); the metrics are a side-channel of the same job
+    quality.clean(observed).write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_invalid"],
+                m["n_missing_close"],
+                m["n_nonpositive_open"],
+                m["n_high_lt_low"],
+                m["n_extreme_move"],
+            )
+        ],
+        "n_rows long, n_invalid long, n_missing_close long,"
+        " n_nonpositive_open long, n_high_lt_low long, n_extreme_move long",
+    )
