@@ -1717,10 +1717,10 @@ def q_part_value_concentration(spark, sf_dir):
 @query(
     "priority_line_counts",
     """SELECT l_returnflag,
-  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-    AS high_line_count,
-  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-    AS low_line_count
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON o_orderkey = l_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -3394,8 +3394,9 @@ def q_doc_chunks(spark, sf_dir):
 t AS (SELECT d.doc_id, d.lang, CAST(len(n.words) AS BIGINT) AS n_tokens
       FROM documents d JOIN norm n ON d.doc_id = n.doc_id),
 c AS (SELECT doc_id, lang, n_tokens,
-        coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS cum_before
       FROM t)
 SELECT doc_id, lang, n_tokens, cum_before,
   CAST(floor(cum_before / 128) AS BIGINT) AS start_pack,
@@ -3646,9 +3647,10 @@ t AS (SELECT d.doc_id, d.lang, CAST(len(n.words) AS BIGINT) AS n_tokens,
       FROM documents d JOIN norm n ON d.doc_id = n.doc_id
       JOIN q ON d.doc_id = q.doc_id),
 w AS (SELECT doc_id, lang, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY lang
+             CAST(sum(n_tokens) OVER (PARTITION BY lang
                                  ORDER BY quality_score DESC, doc_id
-                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
       FROM t)
 SELECT doc_id, lang, n_tokens, cum_tokens FROM w WHERE cum_tokens <= 2000""",
 )
@@ -4274,7 +4276,7 @@ def q_quality_weighted_sample(spark, sf_dir):
     f"""WITH {_NORM_CTE},
 tok AS (SELECT doc_id, unnest(words) AS t FROM norm),
 th AS (SELECT doc_id, {_MD5_H_SQL} AS h FROM tok)
-SELECT doc_id, h % 64 AS bucket,
+SELECT doc_id, CAST(h % 64 AS BIGINT) AS bucket,
        CAST(sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS tf
 FROM th GROUP BY doc_id, h % 64""",
 )
@@ -4919,7 +4921,7 @@ q AS (SELECT source, n,
 q2 AS (SELECT source, n, pwi, sum(pwi) OVER () AS tot FROM q),
 q3 AS (SELECT source,
          round(CAST(pwi AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight,
-         least(n, (2 * 250 * pwi + tot) // (2 * tot)) AS quota
+         CAST(least(n, (2 * 250 * pwi + tot) // (2 * tot)) AS BIGINT) AS quota
        FROM q2),
 r AS (SELECT doc_id, source,
         CAST(row_number() OVER (
@@ -5325,7 +5327,7 @@ qn AS (SELECT source, n,
 q2 AS (SELECT source, n, pwi, sum(pwi) OVER () AS tot FROM qn),
 q3 AS (SELECT source,
          round(CAST(pwi AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight,
-         least(n, (2 * 200 * pwi + tot) // (2 * tot)) AS quota
+         CAST(least(n, (2 * 200 * pwi + tot) // (2 * tot)) AS BIGINT) AS quota
        FROM q2),
 r AS (SELECT doc_id, source,
         CAST(row_number() OVER (

@@ -76,6 +76,24 @@ def test_query_matches_oracle(spark, name):
                 pdf[c] = pd.to_datetime(pdf[c]).astype("datetime64[us]")
     s, o = _canon(spark_pdf), _canon(oracle_pdf)
 
+    # The driver's value hash is dtype-sensitive: DuckDB sum() over
+    # integers yields HUGEINT which pandas materializes as float64,
+    # while Spark yields int64 — values compare equal but hashes don't
+    # (round-3 driver rows for priority_line_counts / packed_sequences
+    # / token_budget_sample). Replicate that sensitivity here: after
+    # canonicalization every column's dtype *kind* must agree.
+    if len(s):
+        kind_diff = {
+            c: (s[c].dtype.kind, o[c].dtype.kind)
+            for c in s.columns
+            if s[c].dtype.kind != o[c].dtype.kind
+        }
+        assert not kind_diff, (
+            f"{name}: dtype-kind mismatch (spark, oracle): {kind_diff} — "
+            "cast the oracle (usually CAST(sum(...) AS BIGINT)) or the "
+            "Spark column so both engines materialize the same type"
+        )
+
     mismatches = []
     for col in s.columns:
         sv, ov = s[col].tolist(), o[col].tolist()
