@@ -114,8 +114,19 @@ def triangles(pairs: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
     this formulation scales where the naive 3-way edge join does not.
 
     Returns (node, n_triangles) for nodes in at least one triangle.
+
+    Materialization seams: the deduped pair set and the oriented edge
+    frame are localCheckpoint()ed — ``und`` is consumed twice (both
+    directions of ``sym``) and ``e`` three times (both wedge sides plus
+    the closing join), and without the seams Catalyst re-derives the
+    ENTIRE upstream pipeline (e.g. the MinHash/LSH near-dup cascade)
+    once per reference: the static plan for dup_triangles was 265
+    shuffles before, ~10 after. The edge list of a similarity graph is
+    orders of magnitude smaller than the corpus it came from, so
+    materializing it is the same safe trade pagerank() above and the
+    fixed-point Lloyd trainer make.
     """
-    und = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).distinct()
+    und = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).distinct().localCheckpoint()
     sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count("*").alias("d"))
     # orient by (degree, id): u→v iff (d_u, u) < (d_v, v)
@@ -129,6 +140,7 @@ def triangles(pairs: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
             | ((F.col("d") == F.col("dv")) & (F.col("u") < F.col("v")))
         )
         .select("u", "v", "d", "dv")
+        .localCheckpoint()
     )
     e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"), F.col("dv").alias("dy"))
     e2 = e.select(F.col("u").alias("x"), F.col("v").alias("z"), F.col("dv").alias("dz"))

@@ -131,15 +131,28 @@ def test_no_query_uses_rowwise_python_or_cartesian_product(spark):
     Python UDFs (BatchEvalPython) are banned everywhere (Arrow-batched
     pandas UDFs show as ArrowEvalPython/FlatMapGroupsInPandas and are
     allowed); CartesianProduct is banned (broadcast nested-loop joins
-    are the sanctioned non-equi form)."""
+    are the sanctioned non-equi form).
+
+    The same sweep enforces a static shuffle ceiling: no query's plan
+    may contain more than MAX_SHUFFLES hash-partitioning exchanges.
+    Every legitimate plan in the registry sits at <= 15; an uncached
+    multi-branch reuse of an expensive pipeline (dup_triangles before
+    its localCheckpoint seam: 265 exchanges, 27 s for 3 rows at sf0.01)
+    blows straight through the ceiling, so that class of plan explosion
+    fails CI instead of waiting for a wall-clock regression."""
     from finance_data_pipeline_spark.registry import QUERIES
 
+    MAX_SHUFFLES = 40
     skip = {name for name in QUERIES if name.startswith("streaming_")}
     offenders = {}
     for name, fn in QUERIES.items():
         if name in skip:
             continue
-        bad = plans.hazards(fn(spark, SF_DIR))
+        plan = plans.physical_plan(fn(spark, SF_DIR))
+        bad = [h for h in plans.HAZARDS if h in plan]
+        n_shuffles = plan.count("Exchange hashpartitioning")
+        if n_shuffles > MAX_SHUFFLES:
+            bad.append(f"shuffle_explosion:{n_shuffles}>{MAX_SHUFFLES}")
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
