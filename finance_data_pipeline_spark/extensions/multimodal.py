@@ -283,12 +283,18 @@ def media_ahash(media: DataFrame) -> DataFrame:
     )
 
 
-def media_phash_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+def media_phash_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Perceptual near-duplicate image pairs: aHash band-bucket
-    candidates (pairs sharing ≥1 exact 16-bit band — pigeonhole-safe
-    for Hamming ≤ 3 when all but one band differ; wider thresholds
-    trade recall exactly as MinHash banding does) verified by the
+    candidates (pairs sharing ≥1 exact 16-bit band) verified by the
     exact 64-bit Hamming distance via bit_count(xor) per band.
+
+    Recall contract: with 4 bands the pigeonhole argument guarantees
+    EVERY pair at Hamming ≤ 3 shares an unchanged band, so the default
+    ``max_hamming=3`` has recall 1.0. Thresholds 4–6 are permitted but
+    best-effort — a pair whose differing bits span all four bands is
+    silently missed, the same precision/recall trade MinHash banding
+    makes (tests/test_multimodal.py measures it against brute-force
+    ground truth).
 
     Candidate generation is a bucketed self-join on (band, value) —
     never all-pairs; verification touches only candidate rows.

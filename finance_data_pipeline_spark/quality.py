@@ -192,11 +192,16 @@ def hll_distinct(
     operators usually get only a rows-only check.
 
     Numeric discipline: the harmonic sum Σ 2^-M_j is accumulated as
-    the exact integer Σ 2^(52-M_j) (every term a power of two ≤ 2^52;
-    the total bounded by m·2^52 < 2^63 for p ≤ 10), so the only float
-    math is the final alpha·m²·2^52/sum division — identical IEEE
-    doubles in both engines. Small-range (linear counting) correction
-    applied per the paper.
+    the exact integer Σ 2^(field+1-M_j) (every term a power of two;
+    the total bounded by m·2^(field+1) ≤ 2^61 for p ≤ 10), so the only
+    float math is the final alpha·m²·2^(field+1)/sum division —
+    identical IEEE doubles in both engines. The scale is field+1 (not
+    field) so the deepest possible rank — rest == 0 ⇒ M_j = field+1 —
+    contributes the integer 1: with scale field the shift amount went
+    NEGATIVE there, which Spark masks to 1L<<63 while DuckDB throws,
+    the one input (probability ~2^-51 per row) where the engines
+    diverged. Small-range (linear counting) correction applied per the
+    paper.
 
     One groupBy on 2^p buckets (map-side-combined max) + one tiny
     final aggregate — constant state at any cardinality, the same
@@ -224,17 +229,18 @@ def hll_distinct(
         # coalesce: an empty input has no buckets; the harmonic sum is
         # then all-empty-bucket mass and linear counting yields est 0
         F.coalesce(
-            F.sum(F.expr(f"shiftleft(1L, cast({field} - mj as int))")), F.lit(0)
+            F.sum(F.expr(f"shiftleft(1L, cast({field + 1} - mj as int))")),
+            F.lit(0),
         ).alias("_s"),
     )
     alpha = 0.7213 / (1.0 + 1.079 / m)
     scaled_total = F.col("_s") + (F.lit(m) - F.col("present")) * F.lit(
-        1 << field
+        1 << (field + 1)
     )
     raw = (
         F.lit(alpha)
         * F.lit(float(m * m))
-        * F.lit(float(1 << field))
+        * F.lit(float(1 << (field + 1)))
         / scaled_total.cast("double")
     )
     zeros = F.lit(m) - F.col("present")

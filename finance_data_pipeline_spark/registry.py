@@ -5401,13 +5401,13 @@ r AS (SELECT bucket,
                       ELSE 51 - length(bin(rest)) + 1 END) AS mj
       FROM b GROUP BY bucket),
 agg AS (SELECT CAST(count(*) AS BIGINT) AS present,
-               CAST(sum(CAST(1 AS BIGINT) << CAST(51 - mj AS INTEGER))
+               CAST(sum(CAST(1 AS BIGINT) << CAST(52 - mj AS INTEGER))
                     AS BIGINT) AS s
         FROM r),
 est AS (SELECT present,
   (0.7213 / (1.0 + 1.079 / 512)) * 262144.0
-    * CAST(CAST(1 AS BIGINT) << 51 AS DOUBLE)
-    / CAST(s + (512 - present) * (CAST(1 AS BIGINT) << 51) AS DOUBLE) AS raw,
+    * CAST(CAST(1 AS BIGINT) << 52 AS DOUBLE)
+    / CAST(s + (512 - present) * (CAST(1 AS BIGINT) << 52) AS DOUBLE) AS raw,
   512 - present AS zeros
   FROM agg)
 SELECT present AS present_buckets,
@@ -5623,8 +5623,9 @@ def q_ab_value_ttest(spark, sf_dir):
          CAST(count(*) AS BIGINT) AS n
   FROM events),
 b AS (
-  SELECT least(4095, CAST(floor((value - vmin) / (vmax - vmin) * 4096)
-                          AS INTEGER)) AS bin
+  SELECT least(4095,
+               coalesce(CAST(floor((value - vmin) / nullif(vmax - vmin, 0)
+                                   * 4096) AS INTEGER), 0)) AS bin
   FROM events CROSS JOIN st),
 bc AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
 cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM bc),
@@ -5655,14 +5656,21 @@ def q_value_quantile_bins(spark, sf_dir):
         F.max("value").alias("vmax"),
         F.count("*").alias("n"),
     )
+    # nullif/coalesce: a degenerate input where every value is equal
+    # (vmax == vmin) must land in bin 0 in BOTH engines — the raw
+    # 0.0/0.0 is NaN in Spark but NULL in DuckDB, so the guard is the
+    # defined behavior, not a cosmetic one.
     b = ev.crossJoin(F.broadcast(st)).select(
         F.least(
             F.lit(4095),
-            F.floor(
-                (F.col("value") - F.col("vmin"))
-                / (F.col("vmax") - F.col("vmin"))
-                * 4096
-            ).cast("int"),
+            F.coalesce(
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    / F.nullif(F.col("vmax") - F.col("vmin"), F.lit(0.0))
+                    * 4096
+                ).cast("int"),
+                F.lit(0),
+            ),
         ).alias("bin")
     )
     bc = b.groupBy("bin").agg(F.count("*").alias("c"))
@@ -5850,9 +5858,12 @@ def q_media_phash_pairs(spark, sf_dir):
     """X5+ — perceptual near-dup for media: average-hash (aHash) of
     the image byte grid computed ENTIRELY with JVM built-ins (hex
     indexing + integer threshold — no Python kernel), four 16-bit
-    band words as LSH buckets (pigeonhole: Hamming ≤ 3·bands_missed
-    shares a band), exact bit_count(xor) Hamming verify on candidates
-    only. The missing near-dup modality next to media_exact_dedup's
+    band words as LSH buckets (pigeonhole guarantees recall 1.0 only
+    for Hamming ≤ 3; the explicit max_hamming=6 here is best-effort
+    beyond that, the documented banding trade measured in
+    tests/test_multimodal.py — the oracle generates the identical
+    candidate set, so parity is unaffected), exact bit_count(xor)
+    Hamming verify on candidates only. The missing near-dup modality next to media_exact_dedup's
     byte-exact match; full oracle via the same hex reconstruction as
     media_resize."""
     media = multimodal.synthetic_media(
