@@ -58,7 +58,9 @@ HEADLINE = [
     "bloom_decontaminate",
     "embedding_outliers",
     "ann_topk_pq",
+    "ann_topk_pq_rerank",
     "supplier_customer_pagerank",
+    "dup_triangles",
     "bpe_merges",
     "winnowing_shared_spans",
     "source_ngram_overlap",
@@ -100,6 +102,7 @@ def main() -> None:
     # aggregate generates a 126-column min() class — compile it on a
     # 25-doc frame so per-query timings measure the plan, not javac).
     from finance_data_pipeline_spark.extensions import dedup as _dedup
+    from finance_data_pipeline_spark.extensions import graph as _graph
 
     tiny_docs = spark.range(500).select(
         _F.col("id").alias("doc_id"),
@@ -124,6 +127,7 @@ def main() -> None:
         "dup_clusters",
         "training_corpus",
         "soft_dedup_weights",
+        "dup_triangles",
     }
     warm_dir = SF_DIR.rsplit("sf", 1)[0] + "sf0.001"
     if os.path.isdir(warm_dir):
@@ -167,6 +171,7 @@ def main() -> None:
         "soft_dedup_weights": lambda s, d: _dedup.soft_dedup_weights(
             docs, clusters=shared_clusters
         ),
+        "dup_triangles": lambda s, d: _graph.triangles(shared_pairs),
     }
 
     # Two full construct+materialize cycles per query, report the min:
