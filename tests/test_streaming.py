@@ -277,6 +277,63 @@ def test_neardup_gate_admits_novel_blocks_dups_and_indexes_admissions(spark, tmp
     assert indexed == {0, 12, 22}
 
 
+def test_neardup_gate_survives_checkpoint_restart(spark, tmp_path):
+    """Crash-resume: the gate is stopped after batch 1 and RESTARTED as
+    a new query on the same checkpoint + store. The restarted run must
+    (a) not re-process batch 1 (the checkpoint's committed offsets
+    hold), and (b) still block batch 2's duplicate of batch 1's
+    admission — i.e. the persisted signature index, not query-lifetime
+    state, is what later batches dedup against. Final store state must
+    equal the single-run test's exactly."""
+    from finance_data_pipeline_spark.extensions import dedup as dd
+    from finance_data_pipeline_spark.streaming import neardup_gate
+
+    seed_text = "alpha beta gamma delta epsilon zeta eta theta"
+    novel1 = "one two three four five six seven eight nine"
+    novel2 = "red orange yellow green blue indigo violet again"
+    seed = spark.createDataFrame([(0, seed_text)], "doc_id long, text string")
+    b1 = spark.createDataFrame(
+        [(11, seed_text + " iota"), (12, novel1)], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(21, novel1 + " ten"), (22, novel2)], "doc_id long, text string"
+    )
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    seed.write.parquet(f"{store}/docs/batch=seed")
+    dd.minhash_signatures(seed).write.parquet(f"{store}/sigs/batch=seed")
+
+    src = str(tmp_path / "src")
+    schema = b1.schema
+
+    # Run 1: only batch 1 exists; availableNow drains it and stops.
+    b1.coalesce(1).write.parquet(src)
+    neardup_gate(
+        spark.readStream.schema(schema).parquet(src), store, ckpt
+    ).awaitTermination(300)
+    after_run1 = {
+        r.doc_id for r in spark.read.parquet(f"{store}/docs").collect()
+    }
+    assert after_run1 == {0, 12}, after_run1
+
+    # Simulated restart: a NEW query object, same checkpoint/store,
+    # with batch 2's files appended to the source.
+    b2.coalesce(1).write.mode("append").parquet(src)
+    neardup_gate(
+        spark.readStream.schema(schema).parquet(src), store, ckpt
+    ).awaitTermination(300)
+
+    rows = spark.read.parquet(f"{store}/docs").collect()
+    got = {r.doc_id for r in rows}
+    # 21 (dup of run-1's admission 12) blocked by the PERSISTED index;
+    # 11/12 not duplicated by the restart (offsets committed).
+    assert got == {0, 12, 22}, got
+    assert len(rows) == 3
+    indexed = {r._id for r in spark.read.parquet(f"{store}/sigs").collect()}
+    assert indexed == {0, 12, 22}
+
+
 def test_stateful_continuity_under_rocksdb_state_store(spark, tmp_path):
     """The custom stateful operator must run unchanged on the RocksDB
     state-store provider — the disk-backed backend a 100 TB streaming
