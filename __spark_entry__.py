@@ -98,6 +98,11 @@ _PRIORITY = [
     "streaming_update_totals", "streaming_complete_totals",
     "custom_source_ohlcv", "lsh_recall_report", "lang_salting_plan",
     "observed_quality_metrics",
+    # --- round-4 additions: behind every pending row above, so they
+    # fill this round's leftover window slots without displacing one
+    "asof_join_events_bars_forward", "user_event_bursts",
+    "decontaminate_spans", "vocab_coverage", "dup_rate_by_source",
+    "neardup_score_hist",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -703,6 +703,86 @@ def remove_duplicate_spans(
     )
 
 
+def decontaminate_spans(
+    docs: DataFrame,
+    bench_ids: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level benchmark decontamination — the surgical variant of
+    whole-doc dropping (decontaminated_corpus): every length-``n``
+    token window of a TRAINING doc whose n-gram also occurs anywhere in
+    the BENCHMARK set is removed (all covered tokens dropped), keeping
+    the rest of the doc. This is the exact-match n-gram scrub the
+    published pretraining pipelines apply against eval sets (the
+    GPT-3/PaLM-style 13-gram rule; ``n`` is a knob — the driver corpus
+    has short docs, so tests exercise n=8 and smaller), where dropping
+    whole documents would waste the >99% of tokens that never overlap
+    a benchmark.
+
+    ``bench_ids`` is a 1-column frame of ``id_col`` values naming the
+    benchmark docs within ``docs``; training docs are everything else.
+
+    Scale shape: benchmark grams travel as DISTINCT 64-bit xxhash
+    longs — at any corpus size the bench side is eval-set-sized
+    (thousands of docs), so its gram set broadcasts and the training
+    stream is filtered with one semi join, no shuffle of the corpus on
+    gram hash at all. Removed-window positions fan out ≤ n per hit and
+    distinct per doc; the rebuild is one per-doc groupBy. Per-doc
+    outputs (n_tokens, n_removed, cleaned_md5) follow
+    remove_duplicate_spans' digest convention so the rewritten corpus
+    is oracle-checkable without shipping text.
+    """
+    toks = tokens(text_col)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), cnt - n)
+    grams = F.when(
+        cnt >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    ids = bench_ids.select(F.col(bench_ids.columns[0]).alias("_bid"))
+    base = _spread(docs.select(F.col(id_col).alias("_id"), F.col(text_col)))
+    train = base.join(ids, base["_id"] == ids["_bid"], "left_anti")
+    bench = base.join(ids, base["_id"] == ids["_bid"], "left_semi")
+    bench_h = (
+        bench.select(F.explode(grams).alias("_gram"))
+        .select(F.xxhash64("_gram").alias("_h"))
+        .distinct()
+    )
+    g = train.select("_id", F.posexplode(grams).alias("_s", "_gram")).select(
+        "_id", "_s", F.xxhash64("_gram").alias("_h")
+    )
+    removed_w = g.join(F.broadcast(bench_h), "_h", "left_semi").select("_id", "_s")
+    removed_p = removed_w.select(
+        "_id", F.explode(F.sequence(F.col("_s"), F.col("_s") + (n - 1))).alias("_p")
+    ).distinct()
+    tokp = train.select("_id", F.posexplode(toks).alias("_p", "_w"))
+    kept = tokp.join(removed_p, ["_id", "_p"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.count("*").alias("_n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_p", "_w"))),
+                    lambda x: x["_w"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )
+    return (
+        train.select("_id", cnt.cast("long").alias("n_tokens"))
+        .join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0))).alias("n_removed"),
+            F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
+        )
+    )
+
+
 def dedup_keep_best(
     docs: DataFrame,
     threshold: float = 0.7,

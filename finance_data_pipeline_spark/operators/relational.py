@@ -75,21 +75,29 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: Sequence[str],
+    direction: str = "backward",
 ) -> DataFrame:
     """J6+ — as-of join: each left row picks the latest right row with
     ``right.ts <= left.ts`` per key (the reference's "state as of a
     point in time" pattern behind its incremental boundary,
     fetch_and_store_multi.py:269-276, generalized).
+    ``direction="forward"`` flips the inequality — the EARLIEST right
+    row with ``right.ts >= left.ts`` (pandas merge_asof's forward
+    direction: next-quote settlement pricing, next-restock lookup).
 
     Spark-first physical plan: tag + union + last-value-ignorenulls
     window, NOT a range-predicate join. A naive
     ``left.join(right, ts >= ts)`` explodes to O(|L|·|R|) per key before
     a per-row max; the union form is one shuffle on (key, ts) and one
     linear window pass — the only formulation that survives 100 TB.
-    Equal timestamps match (right sorts before left at the same ts).
+    Forward direction is the same pass with the window order reversed —
+    no second formulation to maintain. Equal timestamps match in both
+    directions (right sorts before left at the same ts).
     """
     from pyspark.sql import Window
 
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     lt = left.select(
         "*",
         F.lit(1).alias("_side"),
@@ -106,9 +114,10 @@ def asof_join(
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None).cast(dict(lt.dtypes)[c]))
     unioned = lt.unionByName(rt.select(*lt.columns))
+    ts_order = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(key)
-        .orderBy("_ts", "_side")
+        .orderBy(ts_order, "_side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(
@@ -120,6 +129,68 @@ def asof_join(
     )
     return filled.filter(F.col("_side") == 1).drop(
         "_side", "_ts", *[f"_r_{c}" for c in right_cols]
+    )
+
+
+def windowed_pair_join(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    id_col: str,
+    radius_sec: int = 300,
+) -> DataFrame:
+    """J7+ — self range-join within a time radius, the temporal
+    proximity join behind burst/coincidence detection: all pairs of
+    rows sharing ``key`` whose timestamps lie within ``radius_sec`` of
+    each other, each pair exactly once (``id_a < id_b``).
+
+    Scalable formulation: a naive ``df JOIN df ON |t1-t2| <= r`` is a
+    per-key Cartesian theta join — O(k²) rows examined per key. Here
+    timestamps bucket into ``radius_sec``-wide bins; any qualifying
+    pair's bins differ by at most 1, so ONE side fans out to its
+    {bin-1, bin, bin+1} neighborhood and the join is a plain equi join
+    on (key, bin) with the exact |Δt| ≤ r predicate as a post-filter.
+    3× replication of one side buys an equi-shuffle plan whose cost is
+    (rows per key·bin)², the local density — not the key's full
+    history. Each pair matches exactly once: the probe side keeps its
+    single natural bin and the build side's three exploded bins are
+    distinct. Returns (key, id_a, id_b, dt_sec) with
+    dt_sec = t_b - t_a (sign preserved).
+    """
+    epoch = F.unix_timestamp(F.col(ts)).cast("long")
+    base = df.select(
+        F.col(key).alias("_k"), F.col(id_col).alias("_id"), epoch.alias("_t")
+    )
+    a = base.select(
+        F.col("_k"),
+        F.col("_id").alias("id_a"),
+        F.col("_t").alias("_ta"),
+        F.explode(
+            F.array(
+                F.expr(f"_t div {radius_sec} - 1"),
+                F.expr(f"_t div {radius_sec}"),
+                F.expr(f"_t div {radius_sec} + 1"),
+            )
+        ).alias("_bin"),
+    )
+    b = base.select(
+        F.col("_k"),
+        F.col("_id").alias("id_b"),
+        F.col("_t").alias("_tb"),
+        F.expr(f"_t div {radius_sec}").alias("_bin"),
+    )
+    return (
+        a.join(b, ["_k", "_bin"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("_tb") - F.col("_ta")) <= radius_sec)
+        )
+        .select(
+            F.col("_k").alias(key),
+            "id_a",
+            "id_b",
+            (F.col("_tb") - F.col("_ta")).alias("dt_sec"),
+        )
     )
 
 

@@ -6301,3 +6301,270 @@ def q_observed_quality_metrics(spark, sf_dir):
         "n_rows long, n_invalid long, n_missing_close long,"
         " n_nonpositive_open long, n_high_lt_low long, n_extreme_move long",
     )
+
+
+# =========================================================================
+# Round-4 additions: forward as-of, temporal proximity join, span-level
+# decontamination, vocabulary coverage, dedup diagnostics
+# =========================================================================
+
+
+@query(
+    "asof_join_events_bars_forward",
+    f"""WITH {BARS},
+ev AS (SELECT event_id, 'H' || CAST(user_id % 10 AS VARCHAR) AS symbol, ts, value
+       FROM events)
+SELECT e.event_id, e.symbol, e.ts, e.value, b.close AS close_next
+FROM ev e ASOF LEFT JOIN bars b
+  ON e.symbol = b.symbol AND e.ts <= b.bar_ts""",
+)
+def q_asof_join_forward(spark, sf_dir):
+    """Forward as-of join (pandas merge_asof direction='forward'): each
+    event priced against the EARLIEST hourly bar at-or-after its
+    timestamp — next-quote settlement pricing. Same union +
+    last-ignorenulls single-window plan as the backward direction with
+    the window order reversed (operators/relational.py asof_join) — no
+    range-join blowup in either direction."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit("H"), (F.col("user_id") % 10).cast("string")).alias("symbol"),
+        "ts",
+        "value",
+    )
+    bars = _bars(spark, sf_dir)
+    out = rel.asof_join(
+        ev, bars, key="symbol", left_ts="ts", right_ts="bar_ts",
+        right_cols=["close"], direction="forward",
+    )
+    return out.select(
+        "event_id", "symbol", "ts", "value", F.col("close_asof").alias("close_next")
+    )
+
+
+@query(
+    "user_event_bursts",
+    """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+  CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS dt_sec
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+WHERE abs(floor(epoch(b.ts)) - floor(epoch(a.ts))) <= 300""",
+)
+def q_user_event_bursts(spark, sf_dir):
+    """Temporal proximity self-join: pairs of events by the same user
+    within 300 s of each other — burst/coincidence detection. The
+    scalable plan bins timestamps into radius-wide buckets and
+    equi-joins on (user, bin) with a 3-bin fan-out on one side
+    (operators/relational.py windowed_pair_join) instead of the per-key
+    Cartesian theta join the predicate naively implies; the oracle IS
+    that naive theta join, checking the optimization changes nothing.
+    Timestamps floor to whole seconds in both engines (sub-second
+    events exist in the driver data)."""
+    ev = table(spark, sf_dir, "events")
+    return rel.windowed_pair_join(
+        ev, key="user_id", ts="ts", id_col="event_id", radius_sec=300
+    )
+
+
+@query(
+    "decontaminate_spans",
+    f"""WITH {_NORM_CTE},
+gr AS (SELECT doc_id,
+         CASE WHEN len(words) >= 4
+              THEN [{{'p': i - 1, 'g': array_to_string(words[i:i+3], ' ')}}
+                    for i in range(1, len(words) - 2)]
+              ELSE [] END AS gs
+       FROM norm),
+bench AS (SELECT doc_id FROM documents
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'),
+bg AS (SELECT DISTINCT x.g AS g
+       FROM gr JOIN bench USING (doc_id), unnest(gs) AS t(x)),
+tg AS (SELECT gr.doc_id, x.p AS s, x.g AS g
+       FROM gr ANTI JOIN bench ON gr.doc_id = bench.doc_id,
+            unnest(gs) AS t(x)),
+rem AS (SELECT DISTINCT doc_id, unnest(range(s, s + 4)) AS p
+        FROM tg JOIN bg USING (g)),
+tokp AS (SELECT n.doc_id, p - 1 AS p, w FROM (
+           SELECT doc_id, unnest(words) AS w,
+                  generate_subscripts(words, 1) AS p
+           FROM norm) n
+         ANTI JOIN bench ON n.doc_id = bench.doc_id),
+kept AS (SELECT tokp.doc_id, tokp.p, tokp.w FROM tokp
+         ANTI JOIN rem ON tokp.doc_id = rem.doc_id AND tokp.p = rem.p),
+reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               md5(string_agg(w, ' ' ORDER BY p)) AS cleaned_md5
+        FROM kept GROUP BY doc_id),
+train AS (SELECT n.doc_id, CAST(len(n.words) AS BIGINT) AS n_tokens
+          FROM norm n ANTI JOIN bench ON n.doc_id = bench.doc_id)
+SELECT t.doc_id, t.n_tokens,
+       t.n_tokens - coalesce(r.n_kept, 0) AS n_removed,
+       coalesce(r.cleaned_md5, md5('')) AS cleaned_md5
+FROM train t LEFT JOIN reb r ON t.doc_id = r.doc_id""",
+)
+def q_decontaminate_spans(spark, sf_dir):
+    """Span-level benchmark decontamination (X6++ surgical variant):
+    every 4-token window of a training doc whose n-gram occurs anywhere
+    in the held-out benchmark split (md5(doc_id) starting 'f' — the
+    same split decontaminated_corpus drops whole docs against) is
+    excised; per doc (n_tokens, n_removed, cleaned_md5). The GPT-3/
+    PaLM-style exact n-gram scrub that keeps the >99% of tokens that
+    never overlap an eval set. Bench grams broadcast as distinct 64-bit
+    hashes — the corpus never shuffles on gram hash. See
+    dedup.decontaminate_spans."""
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "f"
+    ).select("doc_id")
+    return dedup.decontaminate_spans(docs, bench, n=4)
+
+
+@query(
+    "vocab_coverage",
+    f"""WITH {_NORM_CTE},
+tok AS (SELECT unnest(words) AS t FROM norm),
+tc AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+ranked AS (SELECT t, c, row_number() OVER (ORDER BY c DESC, t) AS rn FROM tc),
+total AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM tc),
+caps(cap) AS (VALUES (CAST(100 AS BIGINT)), (CAST(1000 AS BIGINT)),
+                     (CAST(10000 AS BIGINT)))
+SELECT cap,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(c) AS BIGINT) AS covered_tokens,
+       (SELECT tot FROM total) AS total_tokens,
+       round(CAST(sum(c) AS DOUBLE) / CAST((SELECT tot FROM total) AS DOUBLE),
+             6) AS coverage
+FROM caps JOIN ranked ON rn <= cap
+GROUP BY cap""",
+)
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve: what fraction of all corpus tokens the
+    top-{{100, 1000, 10000}} most frequent terms cover — the tokenizer
+    budgeting statistic read before training a vocab (BPE/WordPiece
+    sizing). Scale shape: term counts are one map-side-combined
+    groupBy; the global ranking is a distributed TakeOrdered of the
+    TOP max(cap) terms only (never a full-vocabulary window — a 100 TB
+    corpus has billions of distinct terms, and orderBy().limit()
+    prunes per-partition before the single merge); coverage sums run
+    over that ≤10k-row broadcast frame."""
+    caps = [100, 1000, 10000]
+    docs = dedup._spread(table(spark, sf_dir, "documents"))
+    tc = (
+        docs.select(F.explode(dedup.tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    top = tc.orderBy(F.desc("c"), "t").limit(max(caps))
+    w = Window.orderBy(F.desc("c"), "t")
+    ranked = top.withColumn("rn", F.row_number().over(w))
+    total = tc.agg(F.sum("c").alias("tot"))
+    capdf = table(spark, sf_dir, "region").sparkSession.createDataFrame(
+        [(c,) for c in caps], "cap long"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(capdf))
+        .filter(F.col("rn") <= F.col("cap"))
+        .groupBy("cap")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("c").alias("covered_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cap",
+            "n_terms",
+            "covered_tokens",
+            F.col("tot").alias("total_tokens"),
+            F.round(
+                F.col("covered_tokens").cast("double") / F.col("tot").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+@query(
+    "dup_rate_by_source",
+    f"""WITH {_NEAR_PAIRS_CTE},
+dup_docs AS (SELECT id_a AS doc_id FROM np UNION SELECT id_b FROM np)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       round(CAST(sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+FROM documents d LEFT JOIN dup_docs dd ON d.doc_id = dd.doc_id
+GROUP BY d.source""",
+)
+def q_dup_rate_by_source(spark, sf_dir):
+    """Per-source duplication diagnostic: which ingestion sources carry
+    near-duplicate mass (docs appearing in ≥1 verified near-dup pair) —
+    the curation report that decides where to spend dedup budget.
+    Composes the verified pair set with one broadcast-joined flag and a
+    source rollup; no new shuffle beyond the pair derivation."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.near_dup_pairs(docs, threshold=0.7)
+    dup_docs = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(dup_docs), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce("_dup", F.lit(0)).cast("long")).alias("n_dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            F.round(
+                F.col("n_dup_docs").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )
+
+
+@query(
+    "neardup_score_hist",
+    f"""WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+scored AS (SELECT common * 1.0 / (s1.n + s2.n - common) AS j
+           FROM pairs
+           JOIN sizes s1 ON id_a = s1.doc_id
+           JOIN sizes s2 ON id_b = s2.doc_id
+           WHERE common * 1.0 / (s1.n + s2.n - common) >= 0.7),
+binned AS (SELECT least(5, CAST(floor((j - 0.7) / 0.05) AS INTEGER)) AS bin
+           FROM scored)
+SELECT bin, round(0.7 + bin * 0.05, 2) AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM binned GROUP BY bin""",
+)
+def q_neardup_score_hist(spark, sf_dir):
+    """Similarity-score histogram of the verified near-dup pairs (six
+    0.05-wide Jaccard bins over [0.7, 1.0]) — the distribution a
+    curation run reads to pick its dedup threshold (a mass spike at
+    1.0 means exact copies; mass near the threshold means boilerplate
+    families). The bin edges replay bit-identically: j is the same
+    double in both engines (identical operation order), so floor lands
+    every pair in the same bin."""
+    pairs = dedup.near_dup_pairs(table(spark, sf_dir, "documents"), threshold=0.7)
+    binned = pairs.select(
+        F.least(
+            F.lit(5),
+            F.floor((F.col("jaccard") - 0.7) / 0.05).cast("int"),
+        ).alias("bin")
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_pairs")
+    ).select(
+        "bin",
+        F.round(F.lit(0.7) + F.col("bin") * F.lit(0.05), 2).alias("bin_lo"),
+        "n_pairs",
+    )

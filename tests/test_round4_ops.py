@@ -1,0 +1,174 @@
+"""Edge semantics for the round-4 operators: forward as-of direction,
+the binned temporal proximity join, and span-level benchmark
+decontamination. (Oracle parity for the registry entries is covered
+parametrically by tests/test_oracle_parity.py.)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from finance_data_pipeline_spark.extensions import dedup
+from finance_data_pipeline_spark.operators import relational as rel
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+# --- asof_join direction="forward" ---------------------------------------
+
+
+def test_asof_forward_picks_earliest_at_or_after(spark):
+    left = spark.createDataFrame(
+        [("A", "2024-01-01 10:30:00"), ("A", "2024-01-01 12:30:00")],
+        "k string, ts string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("A", "2024-01-01 10:00:00", 1.0), ("A", "2024-01-01 11:00:00", 2.0)],
+        "k string, rts string, v double",
+    ).select("k", F.col("rts").cast("timestamp").alias("rts"), "v")
+    out = {
+        r.ts.hour: r.v_asof
+        for r in rel.asof_join(
+            left, right, key="k", left_ts="ts", right_ts="rts",
+            right_cols=["v"], direction="forward",
+        ).collect()
+    }
+    # 10:30 -> next bar 11:00 (v=2.0); 12:30 -> nothing after -> null
+    assert out[10] == 2.0
+    assert out[12] is None
+
+
+def test_asof_forward_equal_timestamp_matches(spark):
+    left = spark.createDataFrame(
+        [("A", "2024-01-01 11:00:00")], "k string, ts string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("A", "2024-01-01 11:00:00", 5.0)], "k string, rts string, v double"
+    ).select("k", F.col("rts").cast("timestamp").alias("rts"), "v")
+    row = rel.asof_join(
+        left, right, key="k", left_ts="ts", right_ts="rts",
+        right_cols=["v"], direction="forward",
+    ).first()
+    assert row.v_asof == 5.0
+
+
+def test_asof_rejects_unknown_direction(spark):
+    import pytest
+
+    df = spark.range(1).select(
+        F.lit("A").alias("k"), F.current_timestamp().alias("ts")
+    )
+    with pytest.raises(ValueError):
+        rel.asof_join(df, df, key="k", left_ts="ts", right_ts="ts",
+                      right_cols=[], direction="nearest")
+
+
+# --- windowed_pair_join ---------------------------------------------------
+
+
+def test_windowed_pair_join_equals_theta_join(spark):
+    """The binned equi-join must return EXACTLY the pairs the naive
+    per-key theta join defines — including pairs whose timestamps
+    straddle a bin boundary."""
+    rows = []
+    # user 1: a burst straddling the 300s bin edge (t=290 vs t=310),
+    # a within-bin pair (t=10, t=100), and a far-apart pair (t=10, t=2000)
+    for eid, (u, t) in enumerate(
+        [(1, 10), (1, 100), (1, 290), (1, 310), (1, 2000), (2, 50), (2, 340), (2, 360)]
+    ):
+        rows.append((eid, u, t))
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, t long").select(
+        "event_id", "user_id", F.col("t").cast("timestamp").alias("ts")
+    )
+    got = {
+        (r.user_id, r.id_a, r.id_b, r.dt_sec)
+        for r in rel.windowed_pair_join(
+            ev, key="user_id", ts="ts", id_col="event_id", radius_sec=300
+        ).collect()
+    }
+    a, b = ev.alias("a"), ev.alias("b")
+    naive = {
+        (r["user_id"], r["id_a"], r["id_b"], r["dt_sec"])
+        for r in a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") < F.col("b.event_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("id_a"),
+            F.col("b.event_id").alias("id_b"),
+            (
+                F.unix_timestamp("b.ts").cast("long")
+                - F.unix_timestamp("a.ts").cast("long")
+            ).alias("dt_sec"),
+        )
+        .filter(F.abs(F.col("dt_sec")) <= 300)
+        .collect()
+    }
+    assert got == naive
+    # the boundary-straddling pair is present exactly once
+    assert (1, 2, 3, 20) in got
+    # dt sign preserved when the smaller id is the later event
+    assert all(isinstance(x[3], int) for x in got)
+
+
+def test_windowed_pair_join_no_duplicate_pairs(spark):
+    ev = spark.createDataFrame(
+        [(i, 1, i) for i in range(20)], "event_id long, user_id long, t long"
+    ).select("event_id", "user_id", F.col("t").cast("timestamp").alias("ts"))
+    out = rel.windowed_pair_join(
+        ev, key="user_id", ts="ts", id_col="event_id", radius_sec=300
+    )
+    assert out.count() == out.select("id_a", "id_b").distinct().count() == 190
+
+
+# --- decontaminate_spans --------------------------------------------------
+
+
+def test_decontaminate_spans_excises_bench_ngrams(spark):
+    """Train doc 1 shares the 4-gram 'aa bb cc dd' with the bench doc:
+    those 4 tokens are removed; its other tokens survive. Train doc 2
+    shares nothing and is untouched. Train doc 3 is shorter than n and
+    has no windows at all."""
+    docs = spark.createDataFrame(
+        [
+            (1, "xx aa bb cc dd yy"),
+            (2, "one two three four five"),
+            (3, "tiny doc"),
+            (99, "aa bb cc dd zz qq"),  # benchmark
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(99,)], "doc_id long")
+    out = {r.doc_id: r for r in dedup.decontaminate_spans(docs, bench, n=4).collect()}
+    assert set(out) == {1, 2, 3}  # bench doc excluded from output
+    assert out[1].n_tokens == 6 and out[1].n_removed == 4
+    assert out[1].cleaned_md5 == _md5("xx yy")
+    assert out[2].n_removed == 0
+    assert out[2].cleaned_md5 == _md5("one two three four five")
+    assert out[3].n_tokens == 2 and out[3].n_removed == 0
+    assert out[3].cleaned_md5 == _md5("tiny doc")
+
+
+def test_decontaminate_spans_overlapping_windows_union(spark):
+    """Two overlapping contaminated windows remove the UNION of their
+    positions, not double-count: bench has 'aa bb cc dd' and
+    'bb cc dd ee'; the train doc 'aa bb cc dd ee ff' loses tokens 0-4
+    (5 tokens), keeping only 'ff'."""
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee ff"),
+            (98, "aa bb cc dd xx"),
+            (99, "yy bb cc dd ee"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(98,), (99,)], "doc_id long")
+    row = {r.doc_id: r for r in dedup.decontaminate_spans(docs, bench, n=4).collect()}[1]
+    assert row.n_removed == 5
+    assert row.cleaned_md5 == _md5("ff")
