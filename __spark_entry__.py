@@ -102,7 +102,7 @@ _PRIORITY = [
     # fill this round's leftover window slots without displacing one
     "asof_join_events_bars_forward", "user_event_bursts",
     "decontaminate_spans", "vocab_coverage", "dup_rate_by_source",
-    "neardup_score_hist",
+    "neardup_score_hist", "custom_source_ohlcv_stream",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -6568,3 +6568,74 @@ def q_neardup_score_hist(spark, sf_dir):
         F.round(F.lit(0.7) + F.col("bin") * F.lit(0.05), 2).alias("bin_lo"),
         "n_pairs",
     )
+
+
+@query(
+    "custom_source_ohlcv_stream",
+    f"""WITH syms AS (SELECT unnest(['AAPL', 'GOOG', 'MSFT']) AS symbol),
+ds AS (SELECT unnest(range(0, 30)) AS day),
+g AS (SELECT symbol, CAST(day AS BIGINT) AS day FROM syms CROSS JOIN ds),
+k AS (SELECT symbol, day,
+        {_src_h60("symbol || ':' || day")} AS hb,
+        {_src_h60("symbol || ':' || day || ':s'")} AS hs,
+        {_src_h60("symbol || ':' || day || ':c'")} AS hc,
+        {_src_h60("symbol || ':' || day || ':v'")} AS hv
+      FROM g),
+c AS (SELECT symbol, day,
+        10000 + hb % 90000 AS oc,
+        1 + hs % 2000 AS sc,
+        10000 + hc % 90000 AS cc,
+        1000 + hv % 1000000 AS vol
+      FROM k)
+SELECT symbol, DATE '2024-01-01' + CAST(day AS INTEGER) AS date,
+       oc / 100.0 AS open,
+       (greatest(oc, cc) + sc) / 100.0 AS high,
+       (least(oc, cc) - sc) / 100.0 AS low,
+       cc / 100.0 AS close,
+       CAST(vol AS BIGINT) AS volume
+FROM c""",
+)
+def q_custom_source_ohlcv_stream(spark, sf_dir):
+    """S1+/ST1 — the STREAMING half of the pluggable fetch seam: the
+    reference's daily scheduled re-fetch ("only days newer than
+    MAX(date)", fetch_and_store_multi.py:264-306) as a Spark 4 Python
+    streaming DataSource, where the day cursor lives in the query
+    CHECKPOINT as the stream offset — no hand-rolled MAX(date)
+    bookkeeping. Three availableNow runs resume from the committed
+    offset (12+12+6 days x 3 symbols) into an exactly-once file sink;
+    the drained table must equal the batch reader's 30 days
+    bit-for-bit, which is exactly what the shared oracle asserts.
+    readBetweenOffsets replays committed ranges deterministically, so
+    a crash re-delivers identical bars."""
+    import tempfile
+
+    from finance_data_pipeline_spark.sources.ohlcv_source import (
+        SyntheticOHLCVSource,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticOHLCVSource)
+    except Exception:
+        pass  # already registered in this session
+    ckpt = tempfile.mkdtemp(prefix="fdps_src_ckpt_")
+    out = tempfile.mkdtemp(prefix="fdps_src_out_") + "/bars"
+    prev = -1
+    for _ in range(6):  # 30/12 -> 3 draining runs; bounded regardless
+        q = (
+            spark.readStream.format("synthetic_ohlcv")
+            .option("symbols", "AAPL,GOOG,MSFT")
+            .option("days", 30)
+            .option("daysPerBatch", 12)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        n = spark.read.parquet(out).count()
+        if n == prev:
+            break
+        prev = n
+    return spark.read.parquet(out)

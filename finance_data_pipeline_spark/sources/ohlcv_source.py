@@ -22,7 +22,12 @@ from __future__ import annotations
 import hashlib
 from datetime import date, timedelta
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _SCHEMA = (
     "symbol string, date date, open double, high double, low double,"
@@ -82,6 +87,53 @@ class _OHLCVReader(DataSourceReader):
             yield _bar(partition.symbol, day)
 
 
+class _OHLCVStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the fetch seam: the reference's daily
+    scheduled re-fetch ("fetch only days newer than MAX(date)",
+    fetch_and_store_multi.py:264-306) as a FIRST-CLASS Spark streaming
+    source — the day cursor lives in the query's checkpoint as the
+    stream OFFSET, replacing the reference's hand-rolled MAX(date)
+    bookkeeping. Each micro-batch advances the cursor by
+    ``daysPerBatch`` days across all symbols until ``days`` is
+    reached; a real market-data implementation would return today's
+    new bars and advance to the current date.
+
+    Simple-reader trade: rows are produced driver-side and shipped to
+    executors (the documented SimpleDataSourceStreamReader contract) —
+    right for a low-rate fetch seam; bulk backfill goes through the
+    batch reader's per-symbol partitions. ``readBetweenOffsets``
+    replays any committed range deterministically, so crash recovery
+    re-delivers identical bars.
+    """
+
+    def __init__(self, options):
+        self.symbols = [
+            s.strip().upper()
+            for s in options.get("symbols", "AAPL,MSFT,GOOG").split(",")
+            if s.strip()
+        ]
+        self.max_days = int(options.get("days", 30))
+        self.days_per_batch = int(options.get("daysPerBatch", 10))
+
+    def initialOffset(self):
+        return {"day": 0}
+
+    def _rows(self, start_day: int, end_day: int):
+        return [
+            _bar(sym, d)
+            for d in range(start_day, end_day)
+            for sym in self.symbols
+        ]
+
+    def read(self, start):
+        s = int(start["day"])
+        e = min(s + self.days_per_batch, self.max_days)
+        return iter(self._rows(s, e)), {"day": e}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(self._rows(int(start["day"]), int(end["day"])))
+
+
 class SyntheticOHLCVSource(DataSource):
     """format name: synthetic_ohlcv"""
 
@@ -94,3 +146,6 @@ class SyntheticOHLCVSource(DataSource):
 
     def reader(self, schema):
         return _OHLCVReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _OHLCVStreamReader(self.options)

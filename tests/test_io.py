@@ -312,3 +312,50 @@ def test_custom_ohlcv_source_partitioning_and_determinism(spark):
     for r in a:
         assert r[3] >= max(r[2], r[5]) and r[4] <= min(r[2], r[5])
         assert r[6] >= 1000
+
+
+def test_custom_ohlcv_stream_offsets_resume_and_match_batch(spark, tmp_path):
+    """The streaming reader's day cursor lives in the checkpoint: each
+    availableNow run drains exactly one daysPerBatch step and a
+    restarted query RESUMES from the committed offset (no re-delivery,
+    no gap); fully drained, the file sink equals the batch reader
+    bit-for-bit."""
+    from finance_data_pipeline_spark.sources.ohlcv_source import (
+        SyntheticOHLCVSource,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticOHLCVSource)
+    except Exception:
+        pass
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("synthetic_ohlcv")
+            .option("symbols", "AAPL,GOOG")
+            .option("days", 25)
+            .option("daysPerBatch", 10)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(out).count()
+
+    # 25 days x 2 symbols in 10-day steps: 20, 40, 50, then a no-op run
+    assert run_once() == 20
+    assert run_once() == 40
+    assert run_once() == 50
+    assert run_once() == 50
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    batch = (
+        spark.read.format("synthetic_ohlcv")
+        .option("symbols", "AAPL,GOOG")
+        .option("days", 25)
+        .load()
+    )
+    assert got == sorted(map(tuple, batch.collect()))
