@@ -103,6 +103,7 @@ _PRIORITY = [
     "asof_join_events_bars_forward", "user_event_bursts",
     "decontaminate_spans", "vocab_coverage", "dup_rate_by_source",
     "neardup_score_hist", "custom_source_ohlcv_stream",
+    "hll_users_by_event_type", "media_audio_energy",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -207,6 +207,62 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
     return src.mapInPandas(kernel, schema=FRAME_SCHEMA)
 
 
+AUDIO_ENERGY_SCHEMA = "media_id long, frame_idx long, t_ms long, energy long, rms double"
+
+
+def audio_frame_energy(
+    media: DataFrame, frame_ms: int = 250, probes: int = 8
+) -> DataFrame:
+    """Audio windowing kernel — the audio-modality counterpart of
+    sample_frames (video) and resize_media (image): the payload is
+    treated as a PCM-like byte stream and each ``frame_ms`` window of
+    the clip's duration gets a frame energy (sum of squared probe
+    bytes, exact integer) and an RMS level (the one float, computed in
+    identical IEEE order in the SQL oracle). A torchaudio/ffmpeg
+    implementation would swap the byte probes for real samples and
+    keep the fan-out, schema, and windowing identical — this is the
+    silence-detection / loudness-segmentation shape of an audio
+    curation pass.
+
+    Computed ENTIRELY with JVM built-ins (hex indexing + integer
+    arithmetic — the media_ahash technique, no Python kernel): one
+    row per frame via a single explode; ``probes`` evenly-spaced bytes
+    per frame sampled cyclically (index mod payload length), summed as
+    an explicit codegen expression, NOT a higher-order-function lambda
+    (interpreted, defeats whole-stage codegen)."""
+    src = media.filter(F.col("modality") == "audio").select(
+        "media_id",
+        F.hex("payload").alias("_hx"),
+        F.octet_length("payload").alias("_plen"),
+        F.col("meta.duration_ms").alias("_dur"),
+    )
+    frames = src.select(
+        "media_id",
+        "_hx",
+        "_plen",
+        F.explode(
+            F.sequence(F.lit(0), F.expr(f"_dur div {frame_ms} - 1"))
+        ).alias("frame_idx"),
+    )
+    def _byte(j: int) -> str:
+        return (
+            "cast(conv(substring(_hx,"
+            f" cast(((frame_idx * {probes} + {j}) % _plen) * 2 + 1 as int), 2),"
+            " 16, 10) as bigint)"
+        )
+
+    probe_terms = " + ".join(f"({_byte(j)} * {_byte(j)})" for j in range(probes))
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        (F.col("frame_idx") * frame_ms).cast("long").alias("t_ms"),
+        F.expr(f"{probe_terms}").alias("energy"),
+    ).withColumn(
+        "rms",
+        F.round(F.sqrt(F.col("energy").cast("double") / float(probes)), 4),
+    )
+
+
 def media_ahash(media: DataFrame) -> DataFrame:
     """Perceptual average-hash (aHash) of image payloads, computed
     ENTIRELY with built-in JVM expressions — no Python kernel: the

@@ -181,7 +181,7 @@ def profile_columns(
 
 
 def hll_distinct(
-    df: DataFrame, key_col: str, p: int = 9
+    df: DataFrame, key_col: str, p: int = 9, by: list[str] | None = None
 ) -> DataFrame:
     """Deterministic HyperLogLog distinct-count estimate (Flajolet et
     al. 2007) with an EXACT replay: unlike approx_count_distinct's
@@ -207,6 +207,14 @@ def hll_distinct(
     final aggregate — constant state at any cardinality, the same
     scale shape as a real HLL. Returns one row:
     (present_buckets, est_distinct, exact_distinct).
+
+    ``by`` turns it into the GROUPED sketch — one independent
+    2^p-bucket HLL per group key (the per-partition cardinality report
+    a 100 TB pipeline actually emits: distinct users per event type,
+    distinct docs per source, ...). State is groups·2^p rows — still
+    constant per group at any cardinality — and every group's estimate
+    replays in SQL exactly like the global one. Returns one row per
+    group: (*by, present_buckets, est_distinct, exact_distinct).
     """
     if not 4 <= p <= 10:
         raise ValueError("p must be in [4, 10] (bucket count 16..1024)")
@@ -215,16 +223,18 @@ def hll_distinct(
     h = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
+    by = list(by or [])
     # integer div, NOT float division — h has 60 bits and doubles hold 53
-    b = df.select(h.alias("_h")).select(
+    b = df.select(*by, h.alias("_h")).select(
+        *by,
         (F.col("_h") % m).alias("bucket"),
         F.expr(f"_h div {m}").alias("rest"),
     )
     rank = F.when(F.col("rest") == 0, F.lit(field + 1)).otherwise(
         F.lit(field) - F.length(F.bin(F.col("rest"))) + 1
     )
-    per_bucket = b.groupBy("bucket").agg(F.max(rank).alias("mj"))
-    agg = per_bucket.agg(
+    per_bucket = b.groupBy(*by, "bucket").agg(F.max(rank).alias("mj"))
+    agg = per_bucket.groupBy(*by).agg(
         F.count("*").alias("present"),
         # coalesce: an empty input has no buckets; the harmonic sum is
         # then all-empty-bucket mass and linear counting yields est 0
@@ -248,6 +258,16 @@ def hll_distinct(
         (raw <= 2.5 * m) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
+    if by:
+        exact = df.groupBy(*by).agg(
+            F.countDistinct(key_col).alias("exact_distinct")
+        )
+        return agg.join(exact, by).select(
+            *by,
+            F.col("present").alias("present_buckets"),
+            F.round(est, 4).alias("est_distinct"),
+            "exact_distinct",
+        )
     exact = df.select(F.countDistinct(key_col).alias("exact_distinct"))
     return agg.crossJoin(F.broadcast(exact)).select(
         F.col("present").alias("present_buckets"),

@@ -6639,3 +6639,77 @@ def q_custom_source_ohlcv_stream(spark, sf_dir):
             break
         prev = n
     return spark.read.parquet(out)
+
+
+@query(
+    "hll_users_by_event_type",
+    f"""WITH h AS (
+  SELECT event_type,
+         {_md5_slice_sql("CAST(user_id AS VARCHAR)", 1, 15)} AS h FROM events),
+b AS (SELECT event_type, h % 512 AS bucket, h // 512 AS rest FROM h),
+r AS (SELECT event_type, bucket,
+             max(CASE WHEN rest = 0 THEN 52
+                      ELSE 51 - length(bin(rest)) + 1 END) AS mj
+      FROM b GROUP BY event_type, bucket),
+agg AS (SELECT event_type,
+               CAST(count(*) AS BIGINT) AS present,
+               CAST(sum(CAST(1 AS BIGINT) << CAST(52 - mj AS INTEGER))
+                    AS BIGINT) AS s
+        FROM r GROUP BY event_type),
+est AS (SELECT event_type, present,
+  (0.7213 / (1.0 + 1.079 / 512)) * 262144.0
+    * CAST(CAST(1 AS BIGINT) << 52 AS DOUBLE)
+    / CAST(s + (512 - present) * (CAST(1 AS BIGINT) << 52) AS DOUBLE) AS raw,
+  512 - present AS zeros
+  FROM agg),
+ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+         AS exact_distinct
+       FROM events GROUP BY event_type)
+SELECT e.event_type, present AS present_buckets,
+       round(CASE WHEN raw <= 2.5 * 512 AND zeros > 0
+                  THEN 512.0 * ln(512.0 / CAST(zeros AS DOUBLE))
+                  ELSE raw END, 4) AS est_distinct,
+       ex.exact_distinct
+FROM est e JOIN ex ON e.event_type = ex.event_type""",
+)
+def q_hll_users_by_event_type(spark, sf_dir):
+    """X8+ — the GROUPED deterministic HLL: one independent 512-bucket
+    sketch per event_type (distinct users per event class — the
+    per-partition cardinality report a 100 TB pipeline emits, where a
+    global count is useless and exact per-key distinct is a full
+    shuffle of raw keys). State is n_types·512 rows regardless of user
+    cardinality; every group's estimate replays bit-exactly in SQL via
+    the same integer harmonic-sum discipline as the global sketch.
+    See quality.hll_distinct(by=...)."""
+    return quality.hll_distinct(
+        table(spark, sf_dir, "events"), "user_id", p=9, by=["event_type"]
+    )
+
+
+@query(
+    "media_audio_energy",
+    """WITH aud AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS plen,
+         CAST(1000 + (n_chars * 7) % 5000 AS BIGINT) AS dur
+  FROM documents WHERE doc_id % 3 = 1),
+fr AS (SELECT media_id, hx, plen, unnest(range(0, dur // 250)) AS f FROM aud)
+SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(f * 250 AS BIGINT) AS t_ms,
+       CAST((((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 0) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 0) % plen) * 2 + 2 AS INT), 1)) - 1)) * ((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 0) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 0) % plen) * 2 + 2 AS INT), 1)) - 1))) + (((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 1) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 1) % plen) * 2 + 2 AS INT), 1)) - 1)) * ((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 1) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 1) % plen) * 2 + 2 AS INT), 1)) - 1))) + (((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 2) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 2) % plen) * 2 + 2 AS INT), 1)) - 1)) * ((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 2) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 2) % plen) * 2 + 2 AS INT), 1)) - 1))) + (((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 3) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 3) % plen) * 2 + 2 AS INT), 1)) - 1)) * ((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 3) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 3) % plen) * 2 + 2 AS INT), 1)) - 1))) + (((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 4) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 4) % plen) * 2 + 2 AS INT), 1)) - 1)) * ((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 4) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 4) % plen) * 2 + 2 AS INT), 1)) - 1))) + (((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 5) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 5) % plen) * 2 + 2 AS INT), 1)) - 1)) * ((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 5) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 5) % plen) * 2 + 2 AS INT), 1)) - 1))) + (((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 6) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 6) % plen) * 2 + 2 AS INT), 1)) - 1)) * ((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 6) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 6) % plen) * 2 + 2 AS INT), 1)) - 1))) + (((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 7) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 7) % plen) * 2 + 2 AS INT), 1)) - 1)) * ((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 7) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 7) % plen) * 2 + 2 AS INT), 1)) - 1))) AS BIGINT) AS energy,
+       round(sqrt(CAST((((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 0) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 0) % plen) * 2 + 2 AS INT), 1)) - 1)) * ((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 0) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 0) % plen) * 2 + 2 AS INT), 1)) - 1))) + (((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 1) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 1) % plen) * 2 + 2 AS INT), 1)) - 1)) * ((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 1) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 1) % plen) * 2 + 2 AS INT), 1)) - 1))) + (((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 2) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 2) % plen) * 2 + 2 AS INT), 1)) - 1)) * ((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 2) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 2) % plen) * 2 + 2 AS INT), 1)) - 1))) + (((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 3) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 3) % plen) * 2 + 2 AS INT), 1)) - 1)) * ((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 3) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 3) % plen) * 2 + 2 AS INT), 1)) - 1))) + (((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 4) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 4) % plen) * 2 + 2 AS INT), 1)) - 1)) * ((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 4) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 4) % plen) * 2 + 2 AS INT), 1)) - 1))) + (((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 5) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 5) % plen) * 2 + 2 AS INT), 1)) - 1)) * ((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 5) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 5) % plen) * 2 + 2 AS INT), 1)) - 1))) + (((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 6) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 6) % plen) * 2 + 2 AS INT), 1)) - 1)) * ((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 6) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 6) % plen) * 2 + 2 AS INT), 1)) - 1))) + (((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 7) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 7) % plen) * 2 + 2 AS INT), 1)) - 1)) * ((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 7) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 7) % plen) * 2 + 2 AS INT), 1)) - 1))) AS DOUBLE) / 8.0), 4) AS rms
+FROM fr""",
+)
+def q_media_audio_energy(spark, sf_dir):
+    """X5++ — audio-modality windowing: per-250ms frame energy and RMS
+    level over the clip duration — the silence-detection / loudness
+    shape of an audio curation pass, as sample_frames is to video and
+    resize_media to images. Entirely JVM built-ins (hex probe bytes,
+    integer squares; the one float is the final RMS, computed in
+    identical IEEE order in SQL). One explode row per frame, bounded
+    by duration; payload bytes never shuffle. See
+    multimodal.audio_frame_energy."""
+    media = multimodal.synthetic_media(
+        dedup._spread(table(spark, sf_dir, "documents"))
+    )
+    return multimodal.audio_frame_energy(media, frame_ms=250, probes=8)

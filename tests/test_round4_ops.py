@@ -172,3 +172,78 @@ def test_decontaminate_spans_overlapping_windows_union(spark):
     row = {r.doc_id: r for r in dedup.decontaminate_spans(docs, bench, n=4).collect()}[1]
     assert row.n_removed == 5
     assert row.cleaned_md5 == _md5("ff")
+
+
+# --- grouped HLL ----------------------------------------------------------
+
+
+def test_grouped_hll_matches_per_group_global_sketch(spark):
+    """Each group's grouped-HLL row must equal the GLOBAL sketch run on
+    that group's rows alone — grouping changes state layout, not any
+    group's estimate."""
+    from finance_data_pipeline_spark import quality
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    grouped = {
+        r.event_type: (r.present_buckets, r.est_distinct, r.exact_distinct)
+        for r in quality.hll_distinct(ev, "user_id", p=9, by=["event_type"]).collect()
+    }
+    for et in grouped:
+        solo = quality.hll_distinct(
+            ev.filter(F.col("event_type") == et), "user_id", p=9
+        ).first()
+        assert grouped[et] == (
+            solo.present_buckets, solo.est_distinct, solo.exact_distinct
+        ), et
+
+
+def test_grouped_hll_error_within_theory(spark):
+    """Every group's estimate stays within 4 standard errors
+    (1.04/sqrt(512) per group) of its exact count — the same bound the
+    global sketch is property-tested against."""
+    from finance_data_pipeline_spark import quality
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = quality.hll_distinct(ev, "user_id", p=9, by=["event_type"]).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r.est_distinct - r.exact_distinct) / max(r.exact_distinct, 1)
+        assert rel_err <= 4 * 1.04 / (512 ** 0.5), (r.event_type, rel_err)
+
+
+# --- audio frame energy ---------------------------------------------------
+
+
+def test_audio_frame_energy_frames_and_values(spark):
+    """Frame fan-out equals duration_ms div frame_ms per audio row;
+    energy equals the hand-computed probe-byte sum of squares."""
+    from finance_data_pipeline_spark.extensions import multimodal as mm
+
+    # doc_id=1 -> modality audio (doc_id % 3 == 1)
+    text = "abcdefghij"  # 10 bytes
+    docs = spark.createDataFrame(
+        [(1, text, len(text))], "doc_id long, text string, n_chars long"
+    )
+    media = mm.synthetic_media(docs)
+    dur = 1000 + (10 * 7) % 5000  # 1070 -> 4 frames at 250ms
+    out = mm.audio_frame_energy(media, frame_ms=250, probes=8).collect()
+    assert len(out) == dur // 250 == 4
+    payload = text.encode()
+    for r in sorted(out, key=lambda r: r.frame_idx):
+        expected = sum(
+            payload[(r.frame_idx * 8 + j) % len(payload)] ** 2 for j in range(8)
+        )
+        assert r.energy == expected
+        assert r.t_ms == r.frame_idx * 250
+        assert abs(r.rms - (expected / 8) ** 0.5) < 1e-3
+
+
+def test_audio_frame_energy_only_audio_rows(spark):
+    from finance_data_pipeline_spark.extensions import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(0, "image doc", 9), (1, "audio doc", 9), (2, "video doc", 9)],
+        "doc_id long, text string, n_chars long",
+    )
+    out = mm.audio_frame_energy(mm.synthetic_media(docs)).select("media_id").distinct().collect()
+    assert {r.media_id for r in out} == {1}
