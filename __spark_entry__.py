@@ -104,6 +104,7 @@ _PRIORITY = [
     "decontaminate_spans", "vocab_coverage", "dup_rate_by_source",
     "neardup_score_hist", "custom_source_ohlcv_stream",
     "hll_users_by_event_type", "media_audio_energy",
+    "kmeans_cluster_quality",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

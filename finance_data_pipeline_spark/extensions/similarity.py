@@ -585,6 +585,73 @@ def kmeans_centroids(
     return cents.localCheckpoint()
 
 
+def kmeans_cluster_quality(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Cluster-quality report over the fixed-point Lloyd clustering —
+    the simplified-silhouette diagnostic a curation run reads before
+    trusting cluster-based ops (SemDeDup buckets, IVF cells, curriculum
+    strata): per cluster, the member count, mean cohesion (cosine to
+    own centroid) and mean margin (own-centroid sim minus best OTHER
+    centroid sim — near 0 means the cluster boundary is arbitrary).
+
+    Costs one extra aggregation over the SAME scored (vector ×
+    centroid) frame the final assignment already computes — no new
+    distance pass. Means go through integer micro-units (sims are
+    already rounded to 6 dp, so round(sim·1e6) is an exact long and
+    long sums are order-independent) — the same discipline as the
+    trainer's fixed-point centroid update, which is what lets the
+    whole iterative pipeline + quality report replay in SQL.
+    """
+    v = _spread(
+        vectors.select(
+            F.col(id_col).alias("_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("_e"),
+        )
+    )
+    cents = kmeans_centroids(vectors, k, iters, id_col, vec_col, scale)
+    vn = v.select("_id", "_e", l2_norm("_e").alias("_vn"))
+    cn = cents.select("_cid", "_ce", l2_norm("_ce").alias("_cn"))
+    scored = vn.crossJoin(F.broadcast(cn)).select(
+        "_id",
+        "_cid",
+        F.round(dot("_e", "_ce") / (F.col("_vn") * F.col("_cn")), 6).alias("_sim"),
+    )
+    assigned = scored.groupBy("_id").agg(
+        F.max_by(
+            "_cid", F.struct(F.col("_sim"), (-F.col("_cid")).alias("_neg"))
+        ).alias("cluster_id"),
+        F.max("_sim").alias("_own"),
+    )
+    other = (
+        scored.join(assigned.select("_id", "cluster_id"), "_id")
+        .filter(F.col("_cid") != F.col("cluster_id"))
+        .groupBy("_id")
+        .agg(F.max("_sim").alias("_other"))
+    )
+    per = assigned.join(other, "_id").select(
+        "cluster_id",
+        F.round(F.col("_own") * scale, 0).cast("long").alias("_ow"),
+        F.round((F.col("_own") - F.col("_other")) * scale, 0)
+        .cast("long")
+        .alias("_mg"),
+    )
+    return per.groupBy("cluster_id").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(
+            F.sum("_ow").cast("double") / (F.lit(float(scale)) * F.count("*")), 6
+        ).alias("mean_cohesion"),
+        F.round(
+            F.sum("_mg").cast("double") / (F.lit(float(scale)) * F.count("*")), 6
+        ).alias("mean_margin"),
+    )
+
+
 def ivf_topk_deterministic(
     vectors: DataFrame,
     queries: DataFrame,

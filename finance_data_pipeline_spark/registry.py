@@ -6713,3 +6713,46 @@ def q_media_audio_energy(spark, sf_dir):
         dedup._spread(table(spark, sf_dir, "documents"))
     )
     return multimodal.audio_frame_energy(media, frame_ms=250, probes=8)
+
+
+@query(
+    "kmeans_cluster_quality",
+    f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+s1 AS ({_KM_SCORE.format(cents="c0")}),
+a1 AS ({_KM_ASSIGN.format(scored="s1")}),
+c1 AS ({_KM_UPDATE.format(assign="a1")}),
+s2 AS ({_KM_SCORE.format(cents="c1")}),
+a2 AS ({_KM_ASSIGN.format(scored="s2")}),
+c2 AS ({_KM_UPDATE.format(assign="a2")}),
+s3 AS ({_KM_SCORE.format(cents="c2")}),
+asg AS ({_KM_ASSIGN.format(scored="s3")}),
+own AS (SELECT vec_id, max(sim) AS own_sim FROM s3 GROUP BY vec_id),
+oth AS (SELECT s.vec_id, max(s.sim) AS other_sim
+        FROM s3 s JOIN asg a ON s.vec_id = a.vec_id AND s.cid <> a.cid
+        GROUP BY s.vec_id),
+per AS (SELECT a.cid AS cluster_id,
+               CAST(round(o.own_sim * 1000000) AS BIGINT) AS ow,
+               CAST(round((o.own_sim - t.other_sim) * 1000000) AS BIGINT) AS mg
+        FROM asg a JOIN own o ON o.vec_id = a.vec_id
+        JOIN oth t ON t.vec_id = a.vec_id)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vectors,
+       round(CAST(sum(ow) AS DOUBLE) / (1000000.0 * count(*)), 6)
+         AS mean_cohesion,
+       round(CAST(sum(mg) AS DOUBLE) / (1000000.0 * count(*)), 6)
+         AS mean_margin
+FROM per GROUP BY cluster_id""",
+)
+def q_kmeans_cluster_quality(spark, sf_dir):
+    """X3++ — simplified-silhouette cluster quality over the
+    fixed-point Lloyd clustering: per cluster, member count, mean
+    cosine to own centroid (cohesion) and mean own-vs-best-other
+    centroid margin (near 0 = arbitrary boundary) — the report read
+    before trusting SemDeDup buckets / IVF cells / curriculum strata.
+    One extra aggregation over the SAME scored frame the assignment
+    computes; means go through exact integer micro-units, so the whole
+    iterative pipeline + report replays in SQL. See
+    similarity.kmeans_cluster_quality."""
+    return similarity.kmeans_cluster_quality(
+        table(spark, sf_dir, "embeddings"), k=8, iters=2
+    )

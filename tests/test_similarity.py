@@ -164,3 +164,19 @@ def test_ivf_deterministic_rescores_exactly_and_recalls(spark, vectors):
             )
     hits = sum((r.query_id, r.neighbor_id) in bf for r in ivf)
     assert hits / len(bf) >= 0.3
+
+
+def test_kmeans_cluster_quality_invariants(spark):
+    """Margins are non-negative (own centroid is the argmax by
+    construction), cohesion is within [-1, 1], and member counts sum
+    to the full vector count — every vector lands in exactly one
+    cluster row."""
+    from finance_data_pipeline_spark.extensions import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = similarity.kmeans_cluster_quality(emb, k=8, iters=2).collect()
+    assert rows
+    assert sum(r.n_vectors for r in rows) == emb.count()
+    for r in rows:
+        assert r.mean_margin >= 0, r
+        assert -1.0 <= r.mean_cohesion <= 1.0, r
