@@ -69,6 +69,10 @@ HEADLINE = [
     "hll_user_estimate",
     "cms_term_counts",
     "curated_mix",
+    "user_event_bursts",
+    "decontaminate_spans",
+    "media_audio_energy",
+    "kmeans_cluster_quality",
 ]
 
 

@@ -247,3 +247,26 @@ def test_audio_frame_energy_only_audio_rows(spark):
     )
     out = mm.audio_frame_energy(mm.synthetic_media(docs)).select("media_id").distinct().collect()
     assert {r.media_id for r in out} == {1}
+
+
+# --- driver-contract hygiene ----------------------------------------------
+
+
+def test_priority_lists_reference_real_queries_without_duplicates():
+    """A typo in _PRIORITY/_TAIL silently drops a query from its
+    intended window position — assert every listed name exists in the
+    registry and nothing is listed twice, and that rows-only queries
+    are exactly the _TAIL set (an oracle-backed query in _TAIL would
+    never earn a driver slot; a rows-only query outside it burns one)."""
+    import __spark_entry__ as entrymod
+    from finance_data_pipeline_spark.registry import ORACLES, QUERIES
+
+    listed = entrymod._PRIORITY + entrymod._TAIL
+    unknown = [n for n in listed if n not in QUERIES]
+    assert not unknown, f"listed but not registered: {unknown}"
+    dupes = [n for n in set(listed) if listed.count(n) > 1]
+    assert not dupes, f"duplicated entries: {dupes}"
+    rows_only = set(QUERIES) - set(ORACLES)
+    assert set(entrymod._TAIL) == rows_only, (
+        set(entrymod._TAIL) ^ rows_only
+    )
