@@ -105,6 +105,8 @@ _PRIORITY = [
     "neardup_score_hist", "custom_source_ohlcv_stream",
     "hll_users_by_event_type", "media_audio_energy",
     "kmeans_cluster_quality",
+    # --- beyond this round's 50-slot window; first checked next round
+    "knn_label_vote", "user_paths",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -55,6 +55,52 @@ def brute_force_topk(
     )
 
 
+def knn_label_vote(
+    vectors: DataFrame,
+    n_queries: int = 20,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN classification by majority vote — similarity search APPLIED:
+    each query vector's label is predicted from its ``k`` nearest
+    neighbors' labels (ties → lowest label id), the standard
+    embedding-quality probe (a high kNN accuracy means the embedding
+    space separates the classes; run before trusting cluster- or
+    similarity-based curation on it).
+
+    Queries are the ``n_queries`` lowest-id vectors (the registry's
+    deterministic query-set convention); neighbors come from
+    brute_force_topk's broadcast scan — the corpus shuffles only for
+    the per-query top-k window, votes aggregate map-side on ≤ k rows
+    per query. Returns (query_id, true_label, predicted_label, votes).
+    """
+    q = vectors.filter(F.col(id_col) < n_queries).select(id_col, vec_col)
+    top = brute_force_topk(vectors, q, k=k, id_col=id_col, vec_col=vec_col)
+    lab = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nl")
+    )
+    votes = (
+        top.join(lab, "neighbor_id")
+        .groupBy("query_id", "_nl")
+        .agg(F.count("*").alias("_v"))
+        .groupBy("query_id")
+        .agg(
+            F.max_by(
+                "_nl", F.struct(F.col("_v"), (-F.col("_nl")).alias("_neg"))
+            ).alias("predicted_label"),
+            F.max("_v").alias("votes"),
+        )
+    )
+    truth = vectors.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return votes.join(truth, "query_id").select(
+        "query_id", "true_label", "predicted_label", "votes"
+    )
+
+
 def lsh_plane(seed: int, t: int, p: int, i: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
     md5 of the (seed, table, plane, dim) coordinate — reproducible in

@@ -6756,3 +6756,82 @@ def q_kmeans_cluster_quality(spark, sf_dir):
     return similarity.kmeans_cluster_quality(
         table(spark, sf_dir, "embeddings"), k=8, iters=2
     )
+
+
+@query(
+    "knn_label_vote",
+    """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 20),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id, v.label AS nl,
+         round(list_dot_product(qe, e)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))), 6)
+           AS cosine_sim
+  FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id),
+top AS (SELECT query_id, neighbor_id, nl FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS rn
+  FROM scored) WHERE rn <= 10),
+tally AS (SELECT query_id, nl, CAST(count(*) AS BIGINT) AS v
+          FROM top GROUP BY query_id, nl),
+win AS (SELECT query_id, nl AS predicted_label, v AS votes FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY v DESC, nl) AS rn
+  FROM tally) WHERE rn = 1)
+SELECT w.query_id, t.label AS true_label, w.predicted_label, w.votes
+FROM win w JOIN v t ON t.vec_id = w.query_id""",
+)
+def q_knn_label_vote(spark, sf_dir):
+    """X3+ applied — k-NN majority-vote classification over the
+    embedding space: each of the 20 lowest-id query vectors gets the
+    majority label of its 10 nearest neighbors (ties to the lowest
+    label) next to its true label — the standard embedding-quality
+    probe run before trusting similarity-based curation. Broadcast
+    query scan, per-query top-k window, map-side vote tally. See
+    similarity.knn_label_vote."""
+    return similarity.knn_label_vote(
+        table(spark, sf_dir, "embeddings"), n_queries=20, k=10
+    )
+
+
+@query(
+    "user_paths",
+    """WITH seq AS (
+  SELECT user_id, event_type AS s1,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS s2,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS s3
+  FROM events),
+paths AS (SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+          GROUP BY s1, s2, s3)
+SELECT s1, s2, s3, n FROM (
+  SELECT *, row_number() OVER (ORDER BY n DESC, s1, s2, s3) AS rn
+  FROM paths) WHERE rn <= 10""",
+)
+def q_user_paths(spark, sf_dir):
+    """EV4 — behavioral path mining: the 10 most common 3-step
+    event-type sequences across per-user timelines (the product-
+    analytics "top paths" report; the n-gram of EV1's ordered funnel).
+    Two lead() calls in ONE window pass per user (no self-joins), a
+    bounded-key path count (|event_types|^3 groups), and a top-10 over
+    that aggregated frame — deterministic (ts, event_id) ordering so
+    both engines walk identical timelines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    )
+    paths = (
+        seq.filter(F.col("s2").isNotNull() & F.col("s3").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count("*").alias("n"))
+    )
+    wr = Window.orderBy(F.desc("n"), "s1", "s2", "s3")
+    return (
+        paths.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") <= 10)
+        .drop("_rn")
+    )
