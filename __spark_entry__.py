@@ -106,7 +106,7 @@ _PRIORITY = [
     "hll_users_by_event_type", "media_audio_energy",
     "kmeans_cluster_quality",
     # --- beyond this round's 50-slot window; first checked next round
-    "knn_label_vote", "user_paths",
+    "knn_label_vote", "user_paths", "value_winsorized_stats",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

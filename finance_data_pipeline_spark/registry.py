@@ -6835,3 +6835,111 @@ def q_user_paths(spark, sf_dir):
         .filter(F.col("_rn") <= 10)
         .drop("_rn")
     )
+
+
+@query(
+    "value_winsorized_stats",
+    """WITH st AS (
+  SELECT min(value) AS vmin, max(value) AS vmax, CAST(count(*) AS BIGINT) AS n
+  FROM events),
+b AS (
+  SELECT least(4095,
+               coalesce(CAST(floor((value - vmin) / nullif(vmax - vmin, 0)
+                                   * 4096) AS INTEGER), 0)) AS bin
+  FROM events CROSS JOIN st),
+bc AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM bc),
+qs AS (SELECT unnest([0.05, 0.95]) AS q),
+hit AS (
+  SELECT q, min(bin) AS bin
+  FROM qs JOIN cum ON cum.cum >= CAST(ceil(q * (SELECT n FROM st)) AS BIGINT)
+  GROUP BY q),
+bounds AS (
+  SELECT
+    min(CASE WHEN q = 0.05 THEN (SELECT vmin FROM st)
+          + (bin + 0.5) * ((SELECT vmax FROM st) - (SELECT vmin FROM st)) / 4096
+        END) AS lo,
+    min(CASE WHEN q = 0.95 THEN (SELECT vmin FROM st)
+          + (bin + 0.5) * ((SELECT vmax FROM st) - (SELECT vmin FROM st)) / 4096
+        END) AS hi
+  FROM hit),
+w AS (SELECT event_type,
+             CAST(floor(least(greatest(value, lo), hi) * 1000000 + 0.5)
+                  AS BIGINT) AS vmic
+      FROM events CROSS JOIN bounds)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(vmic) AS DOUBLE) / (1000000.0 * count(*)), 6)
+         AS winsorized_mean
+FROM w GROUP BY event_type""",
+)
+def q_value_winsorized_stats(spark, sf_dir):
+    """Sketch-driven robust statistics: values clamped to the
+    [p05, p95] estimates from the 4096-bin quantile sketch (EV3's
+    machinery), then per-type winsorized means — outlier-robust
+    reporting whose trim bounds come from one constant-state pass
+    instead of a full sort. Clamped values go through integer
+    micro-units so the mean is order-independent; the bounds
+    themselves replay exactly (same bin arithmetic as
+    value_quantile_bins, div-by-zero-guarded the same way)."""
+    from pyspark.sql import Window as _W
+
+    ev = table(spark, sf_dir, "events")
+    st = ev.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.count("*").alias("n"),
+    )
+    b = ev.crossJoin(F.broadcast(st)).select(
+        F.least(
+            F.lit(4095),
+            F.coalesce(
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    / F.nullif(F.col("vmax") - F.col("vmin"), F.lit(0.0))
+                    * 4096
+                ).cast("int"),
+                F.lit(0),
+            ),
+        ).alias("bin")
+    )
+    bc = b.groupBy("bin").agg(F.count("*").alias("c"))
+    cum = bc.select(
+        "bin",
+        F.sum("c")
+        .over(_W.orderBy("bin").rowsBetween(_W.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    qs = spark.createDataFrame([(0.05,), (0.95,)], "q double")
+    hit = (
+        qs.crossJoin(cum.crossJoin(F.broadcast(st.select("n"))))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")).cast("long"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = hit.crossJoin(F.broadcast(st)).select(
+        "q",
+        (
+            F.col("vmin")
+            + (F.col("bin") + 0.5) * (F.col("vmax") - F.col("vmin")) / 4096
+        ).alias("est"),
+    )
+    bounds = est.agg(
+        F.min(F.when(F.col("q") == 0.05, F.col("est"))).alias("lo"),
+        F.min(F.when(F.col("q") == 0.95, F.col("est"))).alias("hi"),
+    )
+    w = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.floor(
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+            * 1_000_000
+            + 0.5
+        )
+        .cast("long")
+        .alias("vmic"),
+    )
+    return w.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum("vmic").cast("double") / (F.lit(1_000_000.0) * F.count("*")), 6
+        ).alias("winsorized_mean"),
+    )
