@@ -107,6 +107,7 @@ _PRIORITY = [
     "kmeans_cluster_quality",
     # --- beyond this round's 50-slot window; first checked next round
     "knn_label_vote", "user_paths", "value_winsorized_stats",
+    "streaming_decontaminated_intake",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

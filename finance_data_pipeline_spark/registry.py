@@ -6943,3 +6943,57 @@ def q_value_winsorized_stats(spark, sf_dir):
             F.sum("vmic").cast("double") / (F.lit(1_000_000.0) * F.count("*")), 6
         ).alias("winsorized_mean"),
     )
+
+
+@query(
+    "streaming_decontaminated_intake",
+    f"""WITH {_SHINGLES_CTE},
+bench AS (SELECT doc_id FROM documents
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'),
+bsh AS (SELECT DISTINCT s.sh FROM sh s JOIN bench b ON s.doc_id = b.doc_id),
+train AS (SELECT doc_id FROM documents
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'f'),
+contaminated AS (
+  SELECT DISTINCT s.doc_id FROM sh s
+  JOIN bsh ON s.sh = bsh.sh
+  JOIN train t ON s.doc_id = t.doc_id)
+SELECT doc_id FROM train
+WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)""",
+)
+def q_streaming_decontaminated_intake(spark, sf_dir):
+    """ST2×X6 — the decontamination INTAKE GATE: training documents
+    arrive as micro-batches (two parity-split drops) and each batch is
+    admitted only if it shares no 3-gram with the static benchmark
+    shingle set (distinct-ed once, reused every batch). Admission
+    never feeds back — the benchmark is fixed — so the drained stream
+    must equal batch decontaminate() exactly; the oracle is the SAME
+    SQL as decontaminated_corpus. Idempotent per-batch partition
+    overwrite; no state store. See streaming.decontaminate_gate."""
+    import tempfile
+
+    from finance_data_pipeline_spark.streaming import pipeline as sp
+
+    docs = table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    bench_sh = (
+        dedup._spread(docs.filter(nib == "f"))
+        .select(F.explode(dedup.word_shingles("text", 3)).alias("_sh"))
+        .select(dedup.md5_token_hash("_sh").alias("_h"))
+        .distinct()
+        .localCheckpoint()
+    )
+    train = docs.filter(nib != "f")
+    staged = tempfile.mkdtemp(prefix="fdps_decon_stream_")
+    train.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        f"{staged}/b0"
+    )
+    train.filter(F.col("doc_id") % 2 == 1).write.mode("overwrite").parquet(
+        f"{staged}/b1"
+    )
+    out = tempfile.mkdtemp(prefix="fdps_decon_out_") + "/admitted"
+    stream = sp.stream_documents(spark, f"{staged}/b*")
+    q = sp.decontaminate_gate(
+        stream, bench_sh, out, tempfile.mkdtemp(prefix="fdps_ckpt_"), k=3
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select("doc_id")

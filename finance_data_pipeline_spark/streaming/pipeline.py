@@ -317,6 +317,56 @@ def neardup_gate(
     return writer.start()
 
 
+def decontaminate_gate(
+    docs: DataFrame,
+    bench_hashes: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    k: int = 3,
+    trigger_available_now: bool = True,
+):
+    """Streaming decontamination intake gate (ST2×X6) — the third
+    intake gate next to the quality filter (stateless) and the
+    near-dup gate (stateful index): each micro-batch of documents is
+    shingled, semi-joined against the STATIC benchmark shingle-hash
+    frame, and only docs sharing no k-gram with the eval suite are
+    admitted. Unlike the near-dup gate, admission never feeds back
+    (the benchmark side is fixed), so batches are independent and the
+    drained stream equals the batch decontaminate() filter exactly —
+    which is what the registry oracle asserts.
+
+    Scale shape per batch: the bench hash set is distinct-ed ONCE
+    upstream (eval-set-sized at any corpus scale) and re-used every
+    batch; the batch side explodes to 60-bit longs, semi-joins, and
+    anti-joins back on doc_id — no strings cross the wire, no state
+    store. Each batch overwrites its own ``batch=<id>`` partition, so
+    foreachBatch re-delivery after a crash is idempotent.
+    """
+    from finance_data_pipeline_spark.extensions.dedup import (
+        md5_token_hash,
+        word_shingles,
+    )
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        sh = batch.select(
+            "doc_id", F.explode(word_shingles("text", k)).alias("_sh")
+        ).select("doc_id", md5_token_hash("_sh").alias("_h"))
+        contaminated = (
+            sh.join(bench_hashes, "_h", "left_semi").select("doc_id").distinct()
+        )
+        admitted = batch.join(contaminated, "doc_id", "left_anti")
+        admitted.select("doc_id").write.mode("overwrite").parquet(
+            f"{out_path}/batch={batch_id}"
+        )
+
+    writer = docs.writeStream.foreachBatch(gate).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stateful_running_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator #2 (applyInPandasWithState): per
     event_type RUNNING row/value totals across micro-batches — the
