@@ -397,3 +397,53 @@ def read_xml(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Small-file compaction — the table-maintenance job every
+    long-running ingestion needs (streaming sinks and per-batch
+    partition overwrites accumulate files far below the HDFS/S3 sweet
+    spot, and at 100 TB a scan's task count is the FILE count, so a
+    10k-file table wastes 10k task schedules on kilobyte reads).
+
+    Rewrites ``src_path`` into ``dst_path`` as ``ceil(rows /
+    target_rows_per_file)`` similarly-sized files via one
+    round-robin repartition — no shuffle key needed, compaction
+    preserves rows not order. Also caps per-file rows with
+    ``maxRecordsPerFile`` so a future append through the same writer
+    config cannot recreate the problem in reverse (one giant file).
+    Returns the output file count. The one driver-side action is the
+    row count that sizes the output; the rewrite itself is a single
+    distributed pass.
+
+    Deliberately writes to a NEW path: an in-place overwrite that
+    fails mid-write destroys the source; the caller swaps paths (or
+    views) after the write commits — the same commit discipline the
+    streaming sinks use.
+    """
+    import math
+
+    df = spark.read.parquet(src_path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(dst_path)
+    )
+    import glob as _glob
+    import os as _os
+
+    return len(
+        [
+            f
+            for f in _glob.glob(_os.path.join(dst_path, "*.parquet"))
+            if not _os.path.basename(f).startswith(("_", "."))
+        ]
+    )

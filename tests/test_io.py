@@ -359,3 +359,30 @@ def test_custom_ohlcv_stream_offsets_resume_and_match_batch(spark, tmp_path):
         .load()
     )
     assert got == sorted(map(tuple, batch.collect()))
+
+
+def test_compact_parquet_merges_small_files_preserving_rows(spark, tmp_path):
+    """64 kilobyte-scale files compact into the expected handful of
+    similarly-sized files with identical data; maxRecordsPerFile also
+    bounds the other direction (no single giant output file)."""
+    from finance_data_pipeline_spark.io import compact_parquet
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "fragmented")
+    ev.repartition(64).write.parquet(src)
+    import glob
+    import os
+
+    n_src = len([
+        f for f in glob.glob(os.path.join(src, "*.parquet"))
+        if not os.path.basename(f).startswith(("_", "."))
+    ])
+    assert n_src == 64
+    dst = str(tmp_path / "compacted")
+    total = ev.count()
+    n_out = compact_parquet(spark, src, dst, target_rows_per_file=total // 3)
+    # ceil(total / (total//3)) = 4 files (integer division remainder)
+    assert n_out == -(-total // (total // 3))
+    back = spark.read.parquet(dst)
+    assert back.count() == total
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, ev.collect()))
