@@ -595,3 +595,95 @@ def test_temperature_quota_randomized(spark, counts):
         assert kept == quota <= sizes[srcname]
     # quotas from floor(x + 0.5) can each be off by < 1/2
     assert sum(q for _, q in per.values()) <= budget + len(counts)
+
+
+# (event_id unique via enumerate, user from tiny space, second offset)
+_burst_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),          # user_id
+        st.integers(min_value=0, max_value=1200),       # epoch second
+    ),
+    max_size=24,
+)
+
+
+@given(rows=_burst_rows)
+@settings(**SETTINGS)
+def test_windowed_pair_join_always_equals_naive_theta_join(spark, rows):
+    """For ANY timestamp layout (bin-edge collisions, duplicates,
+    empty), the radius-binned equi join returns exactly the naive
+    per-key theta join's pairs — the optimization is invisible."""
+    from finance_data_pipeline_spark.operators import relational as rel
+
+    ev = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(rows)],
+        "event_id long, user_id long, t long",
+    ).select("event_id", "user_id", F.col("t").cast("timestamp").alias("ts"))
+    got = {
+        (r.user_id, r.id_a, r.id_b, r.dt_sec)
+        for r in rel.windowed_pair_join(
+            ev, key="user_id", ts="ts", id_col="event_id", radius_sec=300
+        ).collect()
+    }
+    a, b = ev.alias("a"), ev.alias("b")
+    naive = {
+        (r["user_id"], r["id_a"], r["id_b"], r["dt_sec"])
+        for r in a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") < F.col("b.event_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("id_a"),
+            F.col("b.event_id").alias("id_b"),
+            (
+                F.unix_timestamp("b.ts").cast("long")
+                - F.unix_timestamp("a.ts").cast("long")
+            ).alias("dt_sec"),
+        )
+        .filter(F.abs(F.col("dt_sec")) <= 300)
+        .collect()
+    }
+    assert got == naive
+
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg"])
+_doc_text = st.lists(_word, min_size=1, max_size=12).map(" ".join)
+
+
+@given(texts=st.lists(_doc_text, min_size=2, max_size=8))
+@settings(**SETTINGS)
+def test_decontaminate_spans_idempotent_and_bounded(spark, texts):
+    """Scrubbing an already-scrubbed corpus removes nothing more
+    (idempotence over the digest), and n_removed never exceeds
+    n_tokens. Doc 0 is the benchmark; tiny word alphabet forces
+    4-gram collisions."""
+    import hashlib
+
+    from finance_data_pipeline_spark.extensions import dedup
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(0,)], "doc_id long")
+    out = dedup.decontaminate_spans(docs, bench, n=4).collect()
+    assert {r.doc_id for r in out} == set(range(1, len(texts)))
+    for r in out:
+        assert 0 <= r.n_removed <= r.n_tokens
+    # rebuild the cleaned texts (from the original tokens minus removed
+    # spans we can't see directly — so round-trip via a second pass on
+    # docs whose digests say they were untouched)
+    untouched = [r.doc_id for r in out if r.n_removed == 0]
+    if untouched:
+        again = {
+            r.doc_id: r.cleaned_md5
+            for r in dedup.decontaminate_spans(
+                docs.filter(F.col("doc_id").isin([0] + untouched)), bench, n=4
+            ).collect()
+        }
+        first = {r.doc_id: r.cleaned_md5 for r in out}
+        for d in untouched:
+            assert again[d] == first[d] == hashlib.md5(
+                " ".join(texts[d].lower().split()).encode()
+            ).hexdigest()
