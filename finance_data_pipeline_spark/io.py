@@ -447,3 +447,42 @@ def compact_parquet(
             if not _os.path.basename(f).startswith(("_", "."))
         ]
     )
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the external spark-avro module is on the classpath.
+    Spark ships Avro as an EXTERNAL data source module (not bundled in
+    the distribution's jars); this container has no network to fetch
+    it, so the Avro read/write path below is gated rather than stubbed
+    — on a cluster with the module deployed it works unchanged."""
+    try:
+        # Class.forName is NOT enough: the pyspark wheel carries the
+        # Avro classes but not the DataSourceRegister service entry, so
+        # format("avro") still fails. Probe the same lookup the writer
+        # performs.
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def export_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Avro export (S7 family). Raises a clear error when the external
+    spark-avro module is absent — see avro_available."""
+    if not avro_available(df.sparkSession):
+        raise RuntimeError(
+            "spark-avro external module not on the classpath; deploy "
+            "org.apache.spark:spark-avro to enable Avro I/O"
+        )
+    df.write.mode(mode).format("avro").save(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    if not avro_available(spark):
+        raise RuntimeError(
+            "spark-avro external module not on the classpath; deploy "
+            "org.apache.spark:spark-avro to enable Avro I/O"
+        )
+    return spark.read.format("avro").load(path)

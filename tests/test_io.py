@@ -386,3 +386,22 @@ def test_compact_parquet_merges_small_files_preserving_rows(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == total
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, ev.collect()))
+
+
+def test_avro_round_trip_or_documented_gate(spark, tmp_path):
+    """Avro ships as an EXTERNAL Spark module; this container has no
+    network to deploy it, so the helper must either round-trip (module
+    present) or fail with the deploy instruction — never a raw
+    ClassNotFound at run time."""
+    import pytest
+
+    from finance_data_pipeline_spark.io import avro_available, export_avro, read_avro
+
+    df = spark.range(5).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    path = str(tmp_path / "avro")
+    if avro_available(spark):
+        export_avro(df, path)
+        assert read_avro(spark, path).count() == 5
+    else:
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            export_avro(df, path)
