@@ -107,7 +107,7 @@ _PRIORITY = [
     "kmeans_cluster_quality",
     # --- beyond this round's 50-slot window; first checked next round
     "knn_label_vote", "user_paths", "value_winsorized_stats",
-    "streaming_decontaminated_intake",
+    "streaming_decontaminated_intake", "dsir_selected_corpus",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

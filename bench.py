@@ -73,6 +73,7 @@ HEADLINE = [
     "decontaminate_spans",
     "media_audio_energy",
     "kmeans_cluster_quality",
+    "dsir_selected_corpus",
 ]
 
 

@@ -274,3 +274,100 @@ def mixture_epoch_plan(
             ).alias("epochs"),
         )
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    top_n: int = 100,
+    bench_nibble: str = "f",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance selection (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every source (training) doc by its mean hashed-n-gram
+    log-likelihood ratio against a TARGET distribution, keep the
+    ``top_n`` best — "give me the web documents that look most like
+    the target domain". The target here is the deterministic md5
+    benchmark split (a real run passes the actual target corpus; the
+    plumbing is identical), features are unigram hash buckets
+    (hashed_tf's vocabulary-free trick), and both distributions get
+    +1 smoothing over ``n_buckets`` cells so no bucket has zero mass.
+
+    Cross-engine exactness, same discipline as unigram_logprob: both
+    per-bucket log-probs are pure functions of exact integer counts
+    (identical double inputs to ln in both engines), quantized to
+    micro-unit longs BEFORE the per-doc sum, so the fold is
+    order-independent; the final top-n is a distributed
+    TakeOrderedAndProject (per-partition heaps — never a global sort
+    or full-corpus window) with doc_id tie-breaks.
+
+    Scale shape: the bucket distributions are two n_buckets-row
+    aggregates (map-side combined); the scoring join is a BROADCAST of
+    the n_buckets-row log-ratio table against the token stream —
+    nothing corpus-sized shuffles except the per-doc fold on doc_id.
+    """
+    from finance_data_pipeline_spark.extensions.dedup import (
+        _spread,
+        md5_token_hash,
+        tokens,
+    )
+
+    nib = hash_nibble(id_col)
+    is_bench = nib == bench_nibble
+
+    def bucket_stream(side: DataFrame) -> DataFrame:
+        return (
+            _spread(side.select(F.col(id_col).alias("_id"), F.col(text_col)))
+            .select("_id", F.explode(tokens(text_col)).alias("_w"))
+            .select("_id", (md5_token_hash("_w") % n_buckets).alias("_b"))
+        )
+
+    tgt = bucket_stream(docs.filter(is_bench))
+    src = bucket_stream(docs.filter(~is_bench))
+    buckets = docs.sparkSession.range(n_buckets).select(
+        F.col("id").alias("_b")
+    )
+
+    def log_micro(counts: DataFrame, alias: str) -> DataFrame:
+        total = counts.agg(F.sum("_c").alias("_t"))
+        return (
+            buckets.join(counts, "_b", "left")
+            .select("_b", F.coalesce("_c", F.lit(0)).alias("_c"))
+            .crossJoin(F.broadcast(total))
+            .select(
+                "_b",
+                F.round(
+                    F.log(
+                        (F.col("_c") + 1).cast("double")
+                        / (F.col("_t") + n_buckets).cast("double")
+                    )
+                    * 1_000_000,
+                    0,
+                )
+                .cast("long")
+                .alias(alias),
+            )
+        )
+
+    lt = log_micro(tgt.groupBy("_b").agg(F.count("*").alias("_c")), "_lt")
+    ls = log_micro(src.groupBy("_b").agg(F.count("*").alias("_c")), "_ls")
+    lr = lt.join(ls, "_b").select(
+        "_b", (F.col("_lt") - F.col("_ls")).alias("_lr")
+    )
+    per_doc = (
+        src.join(F.broadcast(lr), "_b")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("_lr").alias("_s"))
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            F.round(
+                F.col("_s").cast("double")
+                / (F.lit(1_000_000.0) * F.col("n_tokens")),
+                6,
+            ).alias("avg_log_ratio"),
+        )
+    )
+    return per_doc.orderBy(F.desc("avg_log_ratio"), id_col).limit(top_n)

@@ -6997,3 +6997,53 @@ def q_streaming_decontaminated_intake(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.read.parquet(out).select("doc_id")
+
+
+@query(
+    "dsir_selected_corpus",
+    f"""WITH {_NORM_CTE},
+tok AS (SELECT doc_id, unnest(words) AS t FROM norm),
+tb AS (SELECT doc_id, ({_MD5_H_SQL}) % 64 AS b FROM tok),
+bench AS (SELECT doc_id FROM documents
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'),
+tgtc AS (SELECT b, CAST(count(*) AS BIGINT) AS c
+         FROM tb JOIN bench USING (doc_id) GROUP BY b),
+srcs AS (SELECT tb.doc_id, tb.b FROM tb
+         ANTI JOIN bench ON tb.doc_id = bench.doc_id),
+srcc AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM srcs GROUP BY b),
+bk AS (SELECT unnest(range(0, 64)) AS b),
+lt AS (SELECT bk.b,
+         CAST(round(ln(CAST(coalesce(t.c, 0) + 1 AS DOUBLE)
+                       / CAST((SELECT sum(c) FROM tgtc) + 64 AS DOUBLE))
+                    * 1000000) AS BIGINT) AS lt
+       FROM bk LEFT JOIN tgtc t ON bk.b = t.b),
+ls AS (SELECT bk.b,
+         CAST(round(ln(CAST(coalesce(s.c, 0) + 1 AS DOUBLE)
+                       / CAST((SELECT sum(c) FROM srcc) + 64 AS DOUBLE))
+                    * 1000000) AS BIGINT) AS ls
+       FROM bk LEFT JOIN srcc s ON bk.b = s.b),
+lr AS (SELECT lt.b, lt.lt - ls.ls AS lr FROM lt JOIN ls ON lt.b = ls.b),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(lr) AS BIGINT) AS s
+        FROM srcs JOIN lr ON srcs.b = lr.b GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       round(CAST(s AS DOUBLE) / (1000000.0 * n_tokens), 6) AS avg_log_ratio
+FROM (SELECT *, row_number() OVER (
+        ORDER BY CAST(s AS DOUBLE) / (1000000.0 * n_tokens) DESC, doc_id)
+        AS rn
+      FROM per) WHERE rn <= 100""",
+)
+def q_dsir_selected_corpus(spark, sf_dir):
+    """X6++++ — DSIR-style importance selection (Xie et al. 2023): the
+    100 training docs whose hashed-unigram distribution best matches
+    the target split, by mean log-likelihood ratio between
+    +1-smoothed 64-bucket target and source distributions — "the web
+    documents that look most like the target domain", the published
+    alternative to classifier-based quality selection. Per-bucket
+    log-probs quantize to micro-unit longs before the per-doc fold
+    (order-independent, the unigram_logprob discipline); the top-100
+    is a distributed TakeOrderedAndProject, never a global sort. See
+    sampling.dsir_select."""
+    return sampling.dsir_select(
+        table(spark, sf_dir, "documents"), n_buckets=64, top_n=100
+    )
