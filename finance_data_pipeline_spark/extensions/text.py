@@ -7,7 +7,7 @@ the 100 TB sweep is one narrow map stage over the text column.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from finance_data_pipeline_spark.extensions.dedup import normalized, tokens, word_shingles
@@ -743,4 +743,165 @@ def cms_term_counts(
         .groupBy(F.col("t").alias("term"), "exact_cnt")
         .agg(F.min("cnt").alias("est_cnt"))
         .select("term", "exact_cnt", "est_cnt")
+    )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    lambda_pct: int = 80,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated bigram LM quality score — the perplexity-filter
+    upgrade over unigram_logprob (CCNet's 5-gram KenLM sits further
+    along the same axis; the plumbing — train counts, smooth, score
+    per doc — is identical at every order): per doc, the mean of
+    ln(p(w_i | w_{i-1})) under p = λ·p_bigram + (1-λ)·p_unigram, with
+    the first token scored by its unigram probability. Interpolation
+    (Jelinek-Mercer) handles unseen bigrams without zero-probability
+    spikes; ``lambda_pct`` is an integer percentage so the mixture
+    weight is exactly representable.
+
+    Cross-engine exactness: p_bi = c(w1,w2)/c(w1·) and p_uni =
+    c(w2)/T are pure functions of exact integer counts; the mixture
+    λ·p_bi + (1-λ)·p_uni is computed in one fixed operation order,
+    ln of that double is quantized to micro-unit longs before the
+    per-doc fold. Tokens travel as engine-portable 60-bit md5 hashes
+    (bigram key = two hashes packed into a struct — never string
+    concatenation of raw text across the wire).
+
+    Scale: one bigram count groupBy (map-side combined), one unigram
+    count groupBy, one broadcast 1-row total, two hash joins of the
+    doc's bigram stream against the count tables, one per-doc fold.
+    Linear in corpus token count.
+    """
+    from finance_data_pipeline_spark.extensions.dedup import (
+        _spread,
+        md5_token_hash,
+        tokens,
+    )
+
+    lam = lambda_pct / 100.0
+    toks = tokens(text_col)
+    base = _spread(docs.select(F.col(id_col).alias("_id"), F.col(text_col)))
+    stream = base.select(
+        "_id", F.posexplode(toks).alias("_p", "_w")
+    ).select("_id", "_p", md5_token_hash("_w").alias("_h"))
+    w = Window.partitionBy("_id").orderBy("_p")
+    pairs = stream.select(
+        "_id", "_p", F.lag("_h").over(w).alias("_h1"), F.col("_h").alias("_h2")
+    )
+    uni = stream.groupBy("_h").agg(F.count("*").alias("_cu"))
+    total = uni.agg(F.sum("_cu").alias("_t"))
+    bi = (
+        pairs.filter(F.col("_h1").isNotNull())
+        .groupBy("_h1", "_h2")
+        .agg(F.count("*").alias("_cb"))
+    )
+    ctx = bi.groupBy("_h1").agg(F.sum("_cb").alias("_cc"))
+    scored = (
+        pairs.join(uni.select(F.col("_h").alias("_h2"), "_cu"), "_h2")
+        .crossJoin(F.broadcast(total))
+        .join(bi, ["_h1", "_h2"], "left")
+        .join(ctx, "_h1", "left")
+        .select(
+            "_id",
+            F.round(
+                F.log(
+                    F.when(
+                        F.col("_h1").isNull(),
+                        F.col("_cu").cast("double") / F.col("_t").cast("double"),
+                    ).otherwise(
+                        F.lit(lam)
+                        * (
+                            F.coalesce("_cb", F.lit(0)).cast("double")
+                            / F.col("_cc").cast("double")
+                        )
+                        + F.lit(1.0 - lam)
+                        * (
+                            F.col("_cu").cast("double")
+                            / F.col("_t").cast("double")
+                        )
+                    )
+                )
+                * 1_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("_lp"),
+        )
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("_lp").alias("_s"))
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            F.round(
+                F.col("_s").cast("double")
+                / (F.lit(1_000_000.0) * F.col("n_tokens")),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def source_unigram_kl(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source distribution drift: KL(p_source ‖ p_corpus) over
+    +1-smoothed hashed-unigram buckets — the monitoring statistic that
+    flags an ingestion source whose content distribution has drifted
+    from the corpus (feed swapped language, went template-spam, or
+    changed domain). A retrain/remix decision reads this per source
+    the way dsir_select reads the same machinery per document.
+
+    KL terms are pure functions of exact integer counts; each of the
+    ``n_buckets`` terms is quantized to a nano-unit long before the
+    per-source sum (64 doubles summed in engine-dependent order would
+    drift in the last bits), so the statistic replays exactly in SQL.
+    Scale: one (source, bucket) count aggregate — bounded keys — plus
+    a bucket-level corpus rollup; nothing corpus-sized shuffles twice.
+    """
+    from finance_data_pipeline_spark.extensions.dedup import (
+        _spread,
+        md5_token_hash,
+        tokens,
+    )
+
+    stream = (
+        _spread(docs.select(F.col(source_col).alias("_src"), F.col(text_col)))
+        .select("_src", F.explode(tokens(text_col)).alias("_w"))
+        .select("_src", (md5_token_hash("_w") % n_buckets).alias("_b"))
+    )
+    sc = stream.groupBy("_src", "_b").agg(F.count("*").alias("_c"))
+    stot = sc.groupBy("_src").agg(F.sum("_c").alias("_ts"))
+    cc = sc.groupBy("_b").agg(F.sum("_c").alias("_cc"))
+    ctot = cc.agg(F.sum("_cc").alias("_t"))
+    buckets = docs.sparkSession.range(n_buckets).select(F.col("id").alias("_b"))
+    grid = stot.crossJoin(F.broadcast(buckets))
+    full = (
+        grid.join(sc, ["_src", "_b"], "left")
+        .select("_src", "_b", "_ts", F.coalesce("_c", F.lit(0)).alias("_c"))
+        .join(F.broadcast(cc), "_b")
+        .crossJoin(F.broadcast(ctot))
+    )
+    ps = (F.col("_c") + 1).cast("double") / (F.col("_ts") + n_buckets).cast("double")
+    pc = (F.col("_cc") + 1).cast("double") / (F.col("_t") + n_buckets).cast("double")
+    term = (ps * (F.log(ps) - F.log(pc)) * 1_000_000_000)
+    return (
+        full.select(
+            "_src", F.round(term, 0).cast("long").alias("_k")
+        )
+        .groupBy("_src")
+        .agg(
+            F.round(
+                F.sum("_k").cast("double") / F.lit(1_000_000_000.0), 6
+            ).alias("kl_nats")
+        )
+        .select(F.col("_src").alias(source_col), "kl_nats")
     )

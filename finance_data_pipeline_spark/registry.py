@@ -7047,3 +7047,84 @@ def q_dsir_selected_corpus(spark, sf_dir):
     return sampling.dsir_select(
         table(spark, sf_dir, "documents"), n_buckets=64, top_n=100
     )
+
+
+@query(
+    "bigram_logprob",
+    f"""WITH {_NORM_CTE},
+tokp AS (SELECT doc_id, p - 1 AS p, w FROM (
+  SELECT doc_id, unnest(words) AS w, generate_subscripts(words, 1) AS p
+  FROM norm)),
+pairs AS (SELECT doc_id, p,
+                 lag(w) OVER (PARTITION BY doc_id ORDER BY p) AS w1,
+                 w AS w2
+          FROM tokp),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(words) AS w FROM norm) GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uni),
+bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+       FROM pairs WHERE w1 IS NOT NULL GROUP BY w1, w2),
+ctx AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cc FROM bi GROUP BY w1),
+sc AS (SELECT p.doc_id,
+  CAST(round(ln(CASE WHEN p.w1 IS NULL
+    THEN CAST(u.c AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE)
+    ELSE 0.8 * (CAST(coalesce(b.cb, 0) AS DOUBLE) / CAST(x.cc AS DOUBLE))
+         + (1.0 - 0.8)
+           * (CAST(u.c AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE))
+    END) * 1000000) AS BIGINT) AS lp
+  FROM pairs p JOIN uni u ON u.w = p.w2
+  LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+  LEFT JOIN ctx x ON x.w1 = p.w1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(CAST(sum(lp) AS DOUBLE) / (1000000.0 * count(*)), 6)
+         AS avg_logprob
+FROM sc GROUP BY doc_id""",
+)
+def q_bigram_logprob(spark, sf_dir):
+    """X4+ — interpolated bigram LM quality score, the perplexity-
+    filter upgrade over unigram_logprob (CCNet's 5-gram KenLM sits
+    further along the same axis; train-counts/smooth/score plumbing is
+    identical at every order): mean ln p(w_i|w_{{i-1}}) under
+    0.8·p_bigram + 0.2·p_unigram, first token scored by unigram.
+    Jelinek-Mercer interpolation handles unseen bigrams; log-probs
+    quantize to micro-unit longs before the per-doc fold. See
+    text.bigram_logprob."""
+    return text.bigram_logprob(table(spark, sf_dir, "documents"), lambda_pct=80)
+
+
+@query(
+    "source_unigram_kl",
+    f"""WITH {_NORM_CTE},
+tok AS (SELECT d.source AS src, unnest(n.words) AS t
+        FROM documents d JOIN norm n ON d.doc_id = n.doc_id),
+tb AS (SELECT src, ({_MD5_H_SQL}) % 64 AS b FROM tok),
+sc AS (SELECT src, b, CAST(count(*) AS BIGINT) AS c FROM tb GROUP BY src, b),
+stot AS (SELECT src, CAST(sum(c) AS BIGINT) AS ts FROM sc GROUP BY src),
+cc AS (SELECT b, CAST(sum(c) AS BIGINT) AS ccv FROM sc GROUP BY b),
+ctot AS (SELECT CAST(sum(ccv) AS BIGINT) AS t FROM cc),
+bk AS (SELECT unnest(range(0, 64)) AS b),
+grid AS (SELECT s.src, s.ts, bk.b FROM stot s CROSS JOIN bk),
+f AS (SELECT g.src, g.b, g.ts, coalesce(sc.c, 0) AS c, cc.ccv AS ccv
+      FROM grid g LEFT JOIN sc ON sc.src = g.src AND sc.b = g.b
+      JOIN cc ON cc.b = g.b),
+terms AS (SELECT src,
+  CAST(round(
+    (CAST(c + 1 AS DOUBLE) / CAST(ts + 64 AS DOUBLE))
+    * (ln(CAST(c + 1 AS DOUBLE) / CAST(ts + 64 AS DOUBLE))
+       - ln(CAST(ccv + 1 AS DOUBLE)
+            / CAST((SELECT t FROM ctot) + 64 AS DOUBLE)))
+    * 1000000000) AS BIGINT) AS k
+  FROM f)
+SELECT src AS source, round(CAST(sum(k) AS DOUBLE) / 1000000000.0, 6)
+  AS kl_nats
+FROM terms GROUP BY src""",
+)
+def q_source_unigram_kl(spark, sf_dir):
+    """X4++ — per-source distribution drift: KL(p_source ‖ p_corpus)
+    over +1-smoothed 64-bucket hashed unigrams — the monitoring
+    statistic that flags an ingestion feed whose content distribution
+    drifted (language swap, template spam, domain change). Bounded
+    (source × bucket) aggregates only; each of the 64 KL terms
+    quantizes to a nano-unit long before the per-source sum so the
+    statistic replays exactly. See text.source_unigram_kl."""
+    return text.source_unigram_kl(table(spark, sf_dir, "documents"))
