@@ -108,7 +108,7 @@ _PRIORITY = [
     # --- beyond this round's 50-slot window; first checked next round
     "knn_label_vote", "user_paths", "value_winsorized_stats",
     "streaming_decontaminated_intake", "dsir_selected_corpus",
-    "bigram_logprob", "source_unigram_kl",
+    "bigram_logprob", "source_unigram_kl", "embedding_top_pc",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

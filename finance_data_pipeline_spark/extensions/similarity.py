@@ -1186,3 +1186,81 @@ def embedding_standardize(
             (F.col("_x") - F.col("_mean")) / F.nullif("_std", F.lit(0.0)), 6
         ).alias("z"),
     )
+
+
+def power_iteration_pc(
+    vectors: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Dominant principal direction by distributed power iteration —
+    the missing linear-algebra primitive next to the fixed-point Lloyd
+    trainer: v ← Σ_x (x·v)·x, normalized, repeated. The top PC of the
+    (uncentered) second-moment matrix drives whitening decisions,
+    coarse 1-D orderings for range-partitioning embeddings, and "is
+    there one dominant axis" diagnostics (run embedding_standardize
+    first when centered PCA is wanted).
+
+    Exact cross-engine replay of an iterative float algorithm, same
+    playbook as kmeans_centroids: per-row contributions (x·v)·x_j are
+    quantized to micro-unit longs BEFORE the reduce (long sums are
+    order-independent; a float Σ over rows differs between engines),
+    the norm uses an exact DECIMAL(38) sum of squared components (w_j²
+    at corpus scale overflows a long), and the normalized vector is
+    re-quantized to micro-units each round so every iteration starts
+    from bit-identical state in both engines. Dot products are
+    UNROLLED fixed-order sums — never a HOF fold or list_dot_product,
+    whose accumulation orders differ across engines.
+
+    Driver state per iteration is the 64-value component vector (the
+    same bounded-collect pattern as the BPE trainer's 1-row argmax) —
+    never row data. One posexplode aggregate per iteration; linear in
+    corpus size. Returns (dim_idx, loading) — ``dim`` rows.
+    """
+    v = [1.0 / 8.0] * dim  # exact binary fraction; unit for dim=64
+    base = _spread(
+        vectors.select(
+            F.transform(vec_col, lambda x: x.cast("double")).alias("_e")
+        )
+    )
+    for _ in range(iters):
+        d = F.col("_e").getItem(0) * F.lit(v[0])
+        for j in range(1, dim):
+            d = d + F.col("_e").getItem(j) * F.lit(v[j])
+        contrib = base.select(
+            d.alias("_d"), F.posexplode("_e").alias("_pos", "_x")
+        ).select(
+            "_pos",
+            F.round(F.col("_d") * F.col("_x") * 1_000_000, 0)
+            .cast("long")
+            .alias("_c"),
+        )
+        w = contrib.groupBy("_pos").agg(F.sum("_c").alias("_w"))
+        s = w.agg(
+            F.sum(
+                F.col("_w").cast("decimal(38,0)") * F.col("_w").cast("decimal(38,0)")
+            ).alias("_s")
+        )
+        rows = (
+            w.crossJoin(F.broadcast(s))
+            .select(
+                "_pos",
+                F.round(
+                    F.col("_w").cast("double")
+                    / F.sqrt(F.col("_s").cast("double"))
+                    * 1_000_000,
+                    0,
+                )
+                .cast("long")
+                .alias("_vq"),
+            )
+            .collect()
+        )
+        vq = {r._pos: r._vq for r in rows}
+        v = [vq.get(j, 0) / 1_000_000 for j in range(dim)]
+    out = vectors.sparkSession.createDataFrame(
+        [(j, v[j]) for j in range(dim)], "dim_idx long, loading double"
+    )
+    return out

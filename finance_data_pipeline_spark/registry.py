@@ -7128,3 +7128,53 @@ def q_source_unigram_kl(spark, sf_dir):
     quantizes to a nano-unit long before the per-source sum so the
     statistic replays exactly. See text.source_unigram_kl."""
     return text.source_unigram_kl(table(spark, sf_dir, "documents"))
+
+
+def _pc_iter_sql(i: int, prev_vec: str) -> str:
+    """One power-iteration round: micro-quantized contributions,
+    exact long sums per dimension, HUGEINT sum-of-squares norm,
+    re-quantized normalized vector as an ordered list."""
+    return f"""w{i} AS (
+  SELECT p.pos AS pos,
+         CAST(sum(CAST(round(d * e[p.pos] * 1000000) AS BIGINT)) AS BIGINT)
+           AS w
+  FROM (SELECT e, ({prev_vec}) AS d FROM v{', ' + f'vl{i - 1}' if i > 1 else ''})
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
+  GROUP BY p.pos),
+s{i} AS (SELECT sum(CAST(w AS HUGEINT) * CAST(w AS HUGEINT)) AS s FROM w{i}),
+vl{i} AS (SELECT list(CAST(round(CAST(w AS DOUBLE) / sqrt(CAST(s AS DOUBLE))
+                                 * 1000000) AS BIGINT) / 1000000.0
+                      ORDER BY pos) AS vv
+          FROM w{i} CROSS JOIN s{i})"""
+
+
+_PC_SQL = (
+    "WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),\n"
+    + _pc_iter_sql(1, " + ".join(f"e[{j + 1}] * 0.125" for j in range(64)))
+    + ",\n"
+    + _pc_iter_sql(2, " + ".join(f"e[{j + 1}] * vv[{j + 1}]" for j in range(64)))
+    + ",\n"
+    + _pc_iter_sql(3, " + ".join(f"e[{j + 1}] * vv[{j + 1}]" for j in range(64)))
+    + """
+SELECT pos - 1 AS dim_idx,
+       CAST(round(CAST(w AS DOUBLE) / sqrt(CAST(s AS DOUBLE)) * 1000000)
+            AS BIGINT) / 1000000.0 AS loading
+FROM w3 CROSS JOIN s3"""
+)
+
+
+@query("embedding_top_pc", _PC_SQL)
+def q_embedding_top_pc(spark, sf_dir):
+    """X3+++ — dominant principal direction by distributed power
+    iteration (3 rounds from the exact 1/8-unit seed): the iterative
+    LINEAR-ALGEBRA primitive next to the fixed-point Lloyd trainer —
+    whitening decisions, 1-D range-partition orderings for embeddings,
+    dominant-axis diagnostics. Per-row contributions quantize to
+    micro-unit longs before the reduce, the norm uses an exact
+    DECIMAL/HUGEINT sum of squares, the vector re-quantizes each
+    round, and every dot product is an unrolled fixed-order sum — so
+    the whole iterative float computation replays bit-identically in
+    SQL. See similarity.power_iteration_pc."""
+    return similarity.power_iteration_pc(
+        table(spark, sf_dir, "embeddings"), iters=3
+    )

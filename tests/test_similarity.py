@@ -180,3 +180,24 @@ def test_kmeans_cluster_quality_invariants(spark):
     for r in rows:
         assert r.mean_margin >= 0, r
         assert -1.0 <= r.mean_cohesion <= 1.0, r
+
+
+def test_power_iteration_pc_unit_norm_and_dominance(spark):
+    """The returned direction is unit-norm (up to micro-quantization)
+    and captures at least as much uncentered second-moment energy as
+    any coordinate axis — the defining property of the dominant
+    direction power iteration converges to."""
+    from finance_data_pipeline_spark.extensions import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pc = {r.dim_idx: r.loading
+          for r in similarity.power_iteration_pc(emb, iters=3).collect()}
+    assert len(pc) == 64
+    norm = sum(x * x for x in pc.values()) ** 0.5
+    assert abs(norm - 1.0) < 1e-3
+    rows = [list(r.embedding) for r in emb.collect()]
+    v = [pc[j] for j in range(64)]
+    energy_pc = sum(sum(x[j] * v[j] for j in range(64)) ** 2 for x in rows)
+    for axis in range(64):
+        energy_axis = sum(x[axis] ** 2 for x in rows)
+        assert energy_pc >= energy_axis * 0.999, axis
