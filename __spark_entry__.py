@@ -109,6 +109,7 @@ _PRIORITY = [
     "knn_label_vote", "user_paths", "value_winsorized_stats",
     "streaming_decontaminated_intake", "dsir_selected_corpus",
     "bigram_logprob", "source_unigram_kl", "embedding_top_pc",
+    "embedding_pc_projection",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

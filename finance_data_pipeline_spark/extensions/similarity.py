@@ -1264,3 +1264,35 @@ def power_iteration_pc(
         [(j, v[j]) for j in range(dim)], "dim_idx long, loading double"
     )
     return out
+
+
+def pc_projection(
+    vectors: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Project every vector onto the dominant principal direction —
+    the USE of power_iteration_pc: a 1-D embedding ordering for
+    repartitionByRange (cluster-preserving data layout: neighbors in
+    PC order are likely neighbors in cosine, so range partitions keep
+    similar vectors together for cheaper downstream blocking), and the
+    axis for dominant-direction outlier trims.
+
+    The learned 64-value vector is baked into the projection as plan
+    literals (same broadcast-of-tiny-state move as the LSH planes);
+    the projection itself is one narrow codegen map — an unrolled
+    fixed-order dot per row, no shuffle at all.
+    """
+    pc = {
+        r.dim_idx: r.loading
+        for r in power_iteration_pc(vectors, iters, id_col, vec_col, dim).collect()
+    }
+    e = F.transform(vec_col, lambda x: x.cast("double"))
+    score = e.getItem(0) * F.lit(pc[0])
+    for j in range(1, dim):
+        score = score + e.getItem(j) * F.lit(pc[j])
+    return vectors.select(
+        F.col(id_col), F.round(score, 6).alias("pc_score")
+    )

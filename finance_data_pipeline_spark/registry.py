@@ -7178,3 +7178,28 @@ def q_embedding_top_pc(spark, sf_dir):
     return similarity.power_iteration_pc(
         table(spark, sf_dir, "embeddings"), iters=3
     )
+
+
+_PC_PROJ_SQL = (
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),\n"
+    + _pc_iter_sql(1, " + ".join(f"e[{j + 1}] * 0.125" for j in range(64)))
+    + ",\n"
+    + _pc_iter_sql(2, " + ".join(f"e[{j + 1}] * vv[{j + 1}]" for j in range(64)))
+    + ",\n"
+    + _pc_iter_sql(3, " + ".join(f"e[{j + 1}] * vv[{j + 1}]" for j in range(64)))
+    + "\nSELECT vec_id, round("
+    + " + ".join(f"e[{j + 1}] * vv[{j + 1}]" for j in range(64))
+    + ", 6) AS pc_score FROM v CROSS JOIN vl3"
+)
+
+
+@query("embedding_pc_projection", _PC_PROJ_SQL)
+def q_embedding_pc_projection(spark, sf_dir):
+    """X3++++ applied — every vector projected onto the power-iteration
+    top PC: the 1-D ordering for repartitionByRange embedding layout
+    (PC-order neighbors are likely cosine neighbors, so range
+    partitions keep similar vectors co-located for cheaper blocking)
+    and the axis for dominant-direction trims. The learned 64-value
+    vector bakes into the plan as literals; the projection is one
+    narrow codegen map — zero shuffles. See similarity.pc_projection."""
+    return similarity.pc_projection(table(spark, sf_dir, "embeddings"), iters=3)
