@@ -109,7 +109,8 @@ _PRIORITY = [
     "knn_label_vote", "user_paths", "value_winsorized_stats",
     "streaming_decontaminated_intake", "dsir_selected_corpus",
     "bigram_logprob", "source_unigram_kl", "embedding_top_pc",
-    "embedding_pc_projection",
+    "embedding_pc_projection", "streaming_asof_enrichment",
+    "asof_join_events_bars_nearest",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -93,9 +93,47 @@ def asof_join(
     Forward direction is the same pass with the window order reversed —
     no second formulation to maintain. Equal timestamps match in both
     directions (right sorts before left at the same ts).
+    ``direction="nearest"`` composes both passes and picks the match
+    with the smaller |Δt| per row (ties → backward, the earlier row —
+    a FIXED documented rule, since engines must agree bit-for-bit);
+    costs two window passes instead of one, still never a range join.
     """
     from pyspark.sql import Window
 
+    if direction == "nearest":
+        r2 = right.select(key, right_ts, *right_cols).withColumn(
+            "_r_ts_val", F.col(right_ts)
+        )
+        cols2 = [*right_cols, "_r_ts_val"]
+        step = asof_join(left, r2, key, left_ts, right_ts, cols2, "backward")
+        for c in cols2:
+            step = step.withColumnRenamed(f"{c}_asof", f"_bwd_{c}")
+        step = asof_join(step, r2, key, left_ts, right_ts, cols2, "forward")
+        for c in cols2:
+            step = step.withColumnRenamed(f"{c}_asof", f"_fwd_{c}")
+        # NTZ timestamps can't cast straight to double — route through
+        # timestamp (session tz is pinned UTC) to fractional epoch secs.
+        def _secs(c):
+            return F.col(c).cast("timestamp").cast("double")
+
+        lts = _secs(left_ts)
+        db = lts - _secs("_bwd__r_ts_val")
+        df_ = _secs("_fwd__r_ts_val") - lts
+        choose_bwd = F.col("_fwd__r_ts_val").isNull() | (
+            F.col("_bwd__r_ts_val").isNotNull() & (db <= df_)
+        )
+        out = step.select(
+            "*",
+            *[
+                F.when(choose_bwd, F.col(f"_bwd_{c}"))
+                .otherwise(F.col(f"_fwd_{c}"))
+                .alias(f"{c}_asof")
+                for c in right_cols
+            ],
+        )
+        return out.drop(
+            *[f"_bwd_{c}" for c in cols2], *[f"_fwd_{c}" for c in cols2]
+        )
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     lt = left.select(

@@ -7203,3 +7203,107 @@ def q_embedding_pc_projection(spark, sf_dir):
     vector bakes into the plan as literals; the projection is one
     narrow codegen map — zero shuffles. See similarity.pc_projection."""
     return similarity.pc_projection(table(spark, sf_dir, "embeddings"), iters=3)
+
+
+@query(
+    "streaming_asof_enrichment",
+    f"""WITH {BARS},
+ev AS (SELECT event_id, 'H' || CAST(user_id % 10 AS VARCHAR) AS symbol, ts, value
+       FROM events)
+SELECT e.event_id, e.symbol, e.ts, e.value, b.close AS close_asof
+FROM ev e ASOF LEFT JOIN bars b
+  ON e.symbol = b.symbol AND e.ts >= b.bar_ts""",
+)
+def q_streaming_asof_enrichment(spark, sf_dir):
+    """ST6×J6 — as-of enrichment of a STREAM: each micro-batch of
+    events is priced against the latest static hourly bar at-or-before
+    its timestamp (the quant-infra shape: a trade stream against a
+    quote table). The as-of result is row-local given the static right
+    side, so per-batch batch semantics compose to exactly the batch
+    join — the oracle is asof_join_events_bars' SQL verbatim. Runs the
+    union + last-ignorenulls plan per micro-batch inside foreachBatch
+    (stream-stateless: no watermark state, the static side re-resolves
+    each batch); idempotent batch-partition overwrite."""
+    import tempfile
+
+    from finance_data_pipeline_spark.streaming import pipeline as sp
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit("H"), (F.col("user_id") % 10).cast("string")).alias("symbol"),
+        "ts",
+        "value",
+    )
+    bars = _bars(spark, sf_dir).localCheckpoint()
+    staged = tempfile.mkdtemp(prefix="fdps_asof_stream_")
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
+        f"{staged}/b0"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
+        f"{staged}/b1"
+    )
+    out = tempfile.mkdtemp(prefix="fdps_asof_out_") + "/priced"
+
+    def price_batch(batch, batch_id):
+        rel.asof_join(
+            batch, bars, key="symbol", left_ts="ts", right_ts="bar_ts",
+            right_cols=["close"],
+        ).select("event_id", "symbol", "ts", "value", "close_asof").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/batch={batch_id}")
+
+    stream = spark.readStream.schema(ev.schema).parquet(f"{staged}/b*")
+    q = (
+        stream.writeStream.foreachBatch(price_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fdps_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select(
+        "event_id", "symbol", "ts", "value", "close_asof"
+    )
+
+
+@query(
+    "asof_join_events_bars_nearest",
+    f"""WITH {BARS},
+ev AS (SELECT event_id, 'H' || CAST(user_id % 10 AS VARCHAR) AS symbol, ts, value
+       FROM events),
+b AS (SELECT e.event_id, e.symbol, e.ts, e.value,
+             bb.close AS bc, bb.bar_ts AS bt
+      FROM ev e ASOF LEFT JOIN bars bb
+        ON e.symbol = bb.symbol AND e.ts >= bb.bar_ts),
+f AS (SELECT e.event_id, ff.close AS fc, ff.bar_ts AS ft
+      FROM ev e ASOF LEFT JOIN bars ff
+        ON e.symbol = ff.symbol AND e.ts <= ff.bar_ts)
+SELECT b.event_id, b.symbol, b.ts, b.value,
+       CASE WHEN ft IS NULL THEN bc
+            WHEN bt IS NULL THEN fc
+            WHEN epoch(b.ts) - epoch(bt) <= epoch(ft) - epoch(b.ts) THEN bc
+            ELSE fc END AS close_nearest
+FROM b JOIN f ON b.event_id = f.event_id""",
+)
+def q_asof_join_nearest(spark, sf_dir):
+    """Nearest as-of join (pandas merge_asof direction='nearest'):
+    each event priced against whichever hourly bar is temporally
+    closest, ties to the earlier bar (the engine-agreed documented
+    rule) — completing the backward/forward/nearest as-of trio. Two
+    union-window passes composed (operators/relational.py asof_join),
+    still never a range join; gap comparison on fractional-second
+    epoch doubles identical in both engines."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit("H"), (F.col("user_id") % 10).cast("string")).alias("symbol"),
+        "ts",
+        "value",
+    )
+    bars = _bars(spark, sf_dir)
+    out = rel.asof_join(
+        ev, bars, key="symbol", left_ts="ts", right_ts="bar_ts",
+        right_cols=["close"], direction="nearest",
+    )
+    return out.select(
+        "event_id", "symbol", "ts", "value",
+        F.col("close_asof").alias("close_nearest"),
+    )

@@ -64,7 +64,35 @@ def test_asof_rejects_unknown_direction(spark):
     )
     with pytest.raises(ValueError):
         rel.asof_join(df, df, key="k", left_ts="ts", right_ts="ts",
-                      right_cols=[], direction="nearest")
+                      right_cols=[], direction="sideways")
+
+
+def test_asof_nearest_picks_smaller_gap_with_backward_ties(spark):
+    """Nearest: 10:20 is 20min after the 10:00 bar and 40min before
+    11:00 → backward wins; 10:50 is 50/10 → forward wins; 10:30 is the
+    exact tie → backward (the documented rule); 09:00 has no earlier
+    bar → forward; 12:00 has no later bar → backward."""
+    left = spark.createDataFrame(
+        [("A", f"2024-01-01 {h}") for h in
+         ("10:20:00", "10:50:00", "10:30:00", "09:00:00", "12:00:00")],
+        "k string, ts string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("A", "2024-01-01 10:00:00", 1.0), ("A", "2024-01-01 11:00:00", 2.0)],
+        "k string, rts string, v double",
+    ).select("k", F.col("rts").cast("timestamp").alias("rts"), "v")
+    out = {
+        (r.ts.hour, r.ts.minute): r.v_asof
+        for r in rel.asof_join(
+            left, right, key="k", left_ts="ts", right_ts="rts",
+            right_cols=["v"], direction="nearest",
+        ).collect()
+    }
+    assert out[(10, 20)] == 1.0
+    assert out[(10, 50)] == 2.0
+    assert out[(10, 30)] == 1.0  # tie -> backward
+    assert out[(9, 0)] == 1.0   # only forward exists -> 10:00 bar
+    assert out[(12, 0)] == 2.0  # only backward exists
 
 
 # --- windowed_pair_join ---------------------------------------------------
