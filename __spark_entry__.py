@@ -110,7 +110,8 @@ _PRIORITY = [
     "streaming_decontaminated_intake", "dsir_selected_corpus",
     "bigram_logprob", "source_unigram_kl", "embedding_top_pc",
     "embedding_pc_projection", "streaming_asof_enrichment",
-    "asof_join_events_bars_nearest",
+    "asof_join_events_bars_nearest", "quality_vs_dup_rate",
+    "pack_shard_manifest",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -7307,3 +7307,111 @@ def q_asof_join_nearest(spark, sf_dir):
         "event_id", "symbol", "ts", "value",
         F.col("close_asof").alias("close_nearest"),
     )
+
+
+@query(
+    "quality_vs_dup_rate",
+    f"""WITH {_NEAR_PAIRS_CTE},
+dup_docs AS (SELECT id_a AS doc_id FROM np UNION SELECT id_b FROM np),
+qs AS (SELECT n.doc_id, {_QSCORE_SQL} AS quality_score FROM norm n)
+SELECT q.quality_score,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       round(CAST(sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+FROM qs q LEFT JOIN dup_docs dd ON q.doc_id = dd.doc_id
+GROUP BY q.quality_score""",
+)
+def q_quality_vs_dup_rate(spark, sf_dir):
+    """X2×X4 calibration — near-duplicate rate per quality-score
+    stratum: tests the curation assumption that low-quality docs carry
+    the duplicate mass (if dup_rate is flat across strata, dedup and
+    quality filtering remove DIFFERENT mass and both passes pay for
+    themselves; if correlated, one pass may subsume the other). The
+    score domain is tiny (≤8 distinct heuristic values), so the rollup
+    is map-side combined; the dup flag is one broadcast join of the
+    verified pair membership."""
+    docs = table(spark, sf_dir, "documents")
+    qs = text.quality_score(docs)
+    pairs = dedup.near_dup_pairs(docs, threshold=0.7)
+    dup_docs = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        qs.join(F.broadcast(dup_docs), "doc_id", "left")
+        .groupBy("quality_score")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce("_dup", F.lit(0)).cast("long")).alias("n_dup_docs"),
+        )
+        .select(
+            "quality_score",
+            "n_docs",
+            "n_dup_docs",
+            F.round(
+                F.col("n_dup_docs").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )
+
+
+@query(
+    "pack_shard_manifest",
+    f"""WITH {_NORM_CTE},
+t AS (SELECT d.doc_id, d.lang, CAST(len(n.words) AS BIGINT) AS n_tokens
+      FROM documents d JOIN norm n ON d.doc_id = n.doc_id),
+c AS (SELECT doc_id, lang, n_tokens,
+        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS cum_before
+      FROM t),
+placed AS (SELECT doc_id, lang, n_tokens,
+             CAST(floor(cum_before / 128) AS BIGINT) AS start_pack,
+             CAST(floor((cum_before + n_tokens - 1) / 128) AS BIGINT)
+               AS end_pack
+           FROM c),
+sharded AS (SELECT lang, doc_id, n_tokens,
+                   CAST(start_pack // 8 AS BIGINT) AS shard_id,
+                   CAST(end_pack // 8 AS BIGINT) AS end_shard
+            FROM placed)
+SELECT lang, shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs_starting,
+       CAST(min(doc_id) AS BIGINT) AS first_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS last_doc_id,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_started,
+       CAST(sum(CASE WHEN end_shard > shard_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_spilling
+FROM sharded GROUP BY lang, shard_id""",
+)
+def q_pack_shard_manifest(spark, sf_dir):
+    """X6+ applied — WebDataset-style shard manifest over the packed
+    layout: group each language's 128-token packs into 8-pack training
+    shards and report, per shard, the docs starting in it, their
+    doc-id range, token mass, and how many spill into the next shard —
+    the index a dataloader reads to fetch shards without scanning the
+    corpus. One extra bounded-key rollup over packed_sequences'
+    cumulative-sum placement; no new corpus pass."""
+    placed = chunking.packed_sequences(
+        table(spark, sf_dir, "documents"), seq_len=128
+    )
+    sharded = placed.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        F.expr("start_pack div 8").alias("shard_id"),
+        F.expr("end_pack div 8").alias("end_shard"),
+    )
+    return sharded.groupBy("lang", "shard_id").agg(
+        F.count("*").alias("n_docs_starting"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+        F.sum("n_tokens").alias("tokens_started"),
+        F.sum((F.col("end_shard") > F.col("shard_id")).cast("long")).alias(
+            "n_docs_spilling"
+        ),
+    )
