@@ -884,10 +884,18 @@ def source_unigram_kl(
     ctot = cc.agg(F.sum("_cc").alias("_t"))
     buckets = docs.sparkSession.range(n_buckets).select(F.col("id").alias("_b"))
     grid = stot.crossJoin(F.broadcast(buckets))
+    # LEFT join + coalesce on the corpus side too: a bucket no token
+    # hashes into still carries smoothed mass on BOTH sides, and for a
+    # small source those are exactly the positive KL terms — an inner
+    # join dropped them and let the "KL" go negative (caught by the
+    # drifted-source invariant test).
     full = (
         grid.join(sc, ["_src", "_b"], "left")
         .select("_src", "_b", "_ts", F.coalesce("_c", F.lit(0)).alias("_c"))
-        .join(F.broadcast(cc), "_b")
+        .join(F.broadcast(cc), "_b", "left")
+        .select("*", F.coalesce("_cc", F.lit(0)).alias("_ccf"))
+        .drop("_cc")
+        .withColumnRenamed("_ccf", "_cc")
         .crossJoin(F.broadcast(ctot))
     )
     ps = (F.col("_c") + 1).cast("double") / (F.col("_ts") + n_buckets).cast("double")

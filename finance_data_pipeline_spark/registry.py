@@ -7104,9 +7104,10 @@ cc AS (SELECT b, CAST(sum(c) AS BIGINT) AS ccv FROM sc GROUP BY b),
 ctot AS (SELECT CAST(sum(ccv) AS BIGINT) AS t FROM cc),
 bk AS (SELECT unnest(range(0, 64)) AS b),
 grid AS (SELECT s.src, s.ts, bk.b FROM stot s CROSS JOIN bk),
-f AS (SELECT g.src, g.b, g.ts, coalesce(sc.c, 0) AS c, cc.ccv AS ccv
+f AS (SELECT g.src, g.b, g.ts, coalesce(sc.c, 0) AS c,
+             coalesce(cc.ccv, 0) AS ccv
       FROM grid g LEFT JOIN sc ON sc.src = g.src AND sc.b = g.b
-      JOIN cc ON cc.b = g.b),
+      LEFT JOIN cc ON cc.b = g.b),
 terms AS (SELECT src,
   CAST(round(
     (CAST(c + 1 AS DOUBLE) / CAST(ts + 64 AS DOUBLE))

@@ -298,3 +298,86 @@ def test_priority_lists_reference_real_queries_without_duplicates():
     assert set(entrymod._TAIL) == rows_only, (
         set(entrymod._TAIL) ^ rows_only
     )
+
+
+# --- scorer semantics -----------------------------------------------------
+
+
+def test_knn_label_vote_recovers_separable_labels(spark):
+    """Two well-separated synthetic clusters: every query's predicted
+    label must equal its true label with a unanimous-ish vote."""
+    from finance_data_pipeline_spark.extensions import similarity
+
+    rows = []
+    for i in range(30):
+        base = [0.0] * 64
+        if i % 2 == 0:
+            base[0] = 1.0 + (i % 5) * 0.01  # cluster A along dim 0
+            lab = 0
+        else:
+            base[1] = 1.0 + (i % 5) * 0.01  # cluster B along dim 1
+            lab = 1
+        rows.append((i, base, lab))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = similarity.knn_label_vote(emb, n_queries=10, k=5).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.predicted_label == r.true_label, r
+        assert r.votes == 5  # clusters are fully separated
+
+
+def test_bigram_logprob_prefers_repeated_patterns(spark):
+    """A corpus dominated by one bigram pattern scores that pattern's
+    doc higher than a doc of the same unigrams in scrambled order —
+    the signal unigram models cannot see."""
+    from finance_data_pipeline_spark.extensions import text
+
+    fluent = "the cat sat on the mat " * 5
+    scrambled = "cat the mat sat the on " * 5
+    docs = spark.createDataFrame(
+        [(1, fluent), (2, fluent), (3, fluent), (4, scrambled)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.avg_logprob for r in text.bigram_logprob(docs).collect()}
+    assert got[1] > got[4]
+    # unigram distributions are identical, so the unigram scorer ties
+    uni = {r.doc_id: r.avg_logprob for r in text.unigram_logprob(docs).collect()}
+    assert uni[1] == uni[4]
+
+
+def test_dsir_ranks_target_like_docs_first(spark):
+    """Docs sharing the synthetic target split's vocabulary must
+    outrank docs from a disjoint vocabulary."""
+    import hashlib
+
+    from finance_data_pipeline_spark.extensions import sampling
+
+    # find ids whose md5 nibble is 'f' (the bench/target split)
+    target_ids = [i for i in range(200)
+                  if hashlib.md5(str(i).encode()).hexdigest()[0] == "f"][:3]
+    other_ids = [i for i in range(200)
+                 if hashlib.md5(str(i).encode()).hexdigest()[0] != "f"]
+    rows = [(i, "alpha beta gamma delta " * 3) for i in target_ids]
+    rows += [(other_ids[0], "alpha beta gamma delta " * 3)]      # target-like
+    rows += [(j, "xx yy zz ww " * 3) for j in other_ids[1:6]]    # off-target
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sampling.dsir_select(docs, n_buckets=64, top_n=6).collect()
+    ranked = [r.doc_id for r in sorted(out, key=lambda r: -r.avg_log_ratio)]
+    assert ranked[0] == other_ids[0], ranked
+
+
+def test_source_unigram_kl_flags_drifted_source(spark):
+    """A source whose vocabulary diverges from the corpus gets a larger
+    KL than sources matching the corpus mixture."""
+    from finance_data_pipeline_spark.extensions import text
+
+    rows = [(i, "common words shared across sources", "s_norm")
+            for i in range(20)]
+    rows += [(100 + i, "vollkommen andere sprache hier drin", "s_drift")
+             for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kl = {r.source: r.kl_nats for r in text.source_unigram_kl(docs).collect()}
+    assert kl["s_drift"] > kl["s_norm"]
+    assert kl["s_norm"] >= 0 and kl["s_drift"] >= 0
