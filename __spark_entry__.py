@@ -111,7 +111,7 @@ _PRIORITY = [
     "bigram_logprob", "source_unigram_kl", "embedding_top_pc",
     "embedding_pc_projection", "streaming_asof_enrichment",
     "asof_join_events_bars_nearest", "quality_vs_dup_rate",
-    "pack_shard_manifest",
+    "pack_shard_manifest", "daily_volume_anomalies",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

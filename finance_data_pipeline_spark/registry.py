@@ -7416,3 +7416,80 @@ def q_pack_shard_manifest(spark, sf_dir):
             "n_docs_spilling"
         ),
     )
+
+
+@query(
+    "daily_volume_anomalies",
+    """WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(n) AS BIGINT) AS total
+  FROM daily GROUP BY event_type),
+m AS (
+  SELECT d.event_type, d.day, d.n, s.n_days,
+         CAST(s.total AS DOUBLE) / CAST(s.n_days AS DOUBLE) AS mean_n
+  FROM daily d JOIN stats s ON d.event_type = s.event_type),
+v AS (
+  SELECT event_type,
+         CAST(sum(CAST(round((CAST(n AS DOUBLE) - mean_n)
+                             * (CAST(n AS DOUBLE) - mean_n) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS ssq_mic
+  FROM m GROUP BY event_type)
+SELECT m.event_type, m.day, m.n,
+       round(m.mean_n, 6) AS mean_n,
+       round((CAST(m.n AS DOUBLE) - m.mean_n)
+             / sqrt(CAST(v.ssq_mic AS DOUBLE) / (1000000.0 * m.n_days)), 6)
+         AS z_score
+FROM m JOIN v ON m.event_type = v.event_type
+WHERE abs((CAST(m.n AS DOUBLE) - m.mean_n)
+          / sqrt(CAST(v.ssq_mic AS DOUBLE) / (1000000.0 * m.n_days))) > 2.0""",
+)
+def q_daily_volume_anomalies(spark, sf_dir):
+    """EV5 — event-volume anomaly days: per event type, days whose
+    count deviates more than 2 population standard deviations from
+    that type's daily mean — the ops-monitoring query that catches a
+    broken tracker or a bot burst. Two bounded-key aggregates (types ×
+    30 days); squared deviations quantize to micro-unit longs before
+    the variance sum (mean_n is an exact-integer quotient, identical
+    in both engines, so each deviation is the same double), keeping
+    the float z-scores hash-exact."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"), F.sum("n").alias("total")
+    )
+    m = daily.join(stats, "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        "n_days",
+        (F.col("total").cast("double") / F.col("n_days").cast("double")).alias(
+            "mean_n"
+        ),
+    )
+    dev = F.col("n").cast("double") - F.col("mean_n")
+    v = m.groupBy("event_type").agg(
+        F.sum(
+            F.round(dev * dev * 1_000_000, 0).cast("long")
+        ).alias("ssq_mic")
+    )
+    z = (F.col("n").cast("double") - F.col("mean_n")) / F.sqrt(
+        F.col("ssq_mic").cast("double") / (F.lit(1_000_000.0) * F.col("n_days"))
+    )
+    return (
+        m.join(v, "event_type")
+        .filter(F.abs(z) > 2.0)
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round(F.col("mean_n"), 6).alias("mean_n"),
+            F.round(z, 6).alias("z_score"),
+        )
+    )
