@@ -112,6 +112,7 @@ _PRIORITY = [
     "embedding_pc_projection", "streaming_asof_enrichment",
     "asof_join_events_bars_nearest", "quality_vs_dup_rate",
     "pack_shard_manifest", "daily_volume_anomalies",
+    "streaming_late_data_policy",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

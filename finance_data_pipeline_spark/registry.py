@@ -7493,3 +7493,88 @@ def q_daily_volume_anomalies(spark, sf_dir):
             F.round(z, 6).alias("z_score"),
         )
     )
+
+
+@query(
+    "streaming_late_data_policy",
+    """WITH mx AS (SELECT max(ts) AS m FROM events),
+ontime AS (SELECT * FROM events
+           WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'),
+daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                      AS BIGINT) AS vmic
+          FROM ontime GROUP BY 1, 2)
+SELECT day, event_type, n, vmic FROM daily CROSS JOIN mx
+WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= m - INTERVAL 2 DAY""",
+)
+def q_streaming_late_data_policy(spark, sf_dir):
+    """ST3+ — the watermark DROP rule made observable, including the
+    engine's ONE-BATCH FILTER LAG (measured, not assumed): Spark's
+    late-row filter for a stateful aggregate uses the watermark from
+    the PREVIOUS trigger, while emission/eviction uses the current one
+    — so a late row is dropped only once a batch has already run under
+    the advanced watermark. Staging: batch 1 = the newest events (days
+    16-30; establishes max_ts, so the NEXT batch runs with watermark
+    max_ts − 2d), batch 2 = day-15 events (processed under that
+    watermark, which becomes the FILTER watermark for batch 3), batch
+    3 = days 1-14 — every row targets a window the filter watermark
+    passed, so ALL are dropped. The oracle is exactly "days ≥ 15,
+    windows whose end the final watermark passed" — a late row leaking
+    in (or an on-time window withheld) fails the hash. Completes the
+    watermark surface: dedup (ST3) and session/interval eviction
+    (ST4+/ST8+) were pinned; the aggregate-state drop was not."""
+    import os
+    import tempfile
+    import uuid
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    d15 = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    d16 = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    staged = tempfile.mkdtemp(prefix="fdps_late_")
+    # NEWEST-FIRST staging (inverse of _staged_event_stream).
+    seen: list[set] = []
+    for i, part in enumerate(
+        [
+            ev.filter(F.col("ts") >= d16),
+            ev.filter((F.col("ts") >= d15) & (F.col("ts") < d16)),
+            ev.filter(F.col("ts") < d15),
+        ]
+    ):
+        part.coalesce(1).write.mode("append" if i else "overwrite").parquet(staged)
+        names = {f for f in os.listdir(staged) if not f.startswith(("_", "."))}
+        seen.append(names - set().union(*seen) if seen else names)
+    for i, names in enumerate(seen):
+        for f in names:
+            t = 1_000_000_000 * (i + 1)
+            os.utime(os.path.join(staged, f), (t, t))
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    agg = (
+        sdf.withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.expr("cast(floor(value * 1000000 + 0.5) as bigint)")
+            ).alias("vmic"),
+        )
+    )
+    name = f"fdps_late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fdps_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("w.start").cast("date").alias("day"), "event_type", "n", "vmic"
+    )
