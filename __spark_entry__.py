@@ -113,6 +113,7 @@ _PRIORITY = [
     "asof_join_events_bars_nearest", "quality_vs_dup_rate",
     "pack_shard_manifest", "daily_volume_anomalies",
     "streaming_late_data_policy",
+    "split_leakage_check", "canonical_dedup_stats", "embedding_sq8_error",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -7578,3 +7578,176 @@ def q_streaming_late_data_policy(spark, sf_dir):
     return spark.table(name).select(
         F.col("w.start").cast("date").alias("day"), "event_type", "n", "vmic"
     )
+
+
+# =========================================================================
+# Round-4 closing additions: split hygiene, canonical dedup, SQ8 report
+# =========================================================================
+
+
+@query(
+    "split_leakage_check",
+    f"""WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+verified AS (
+  SELECT id_a, id_b FROM pairs
+  JOIN sizes s1 ON id_a = s1.doc_id
+  JOIN sizes s2 ON id_b = s2.doc_id
+  WHERE common * 1.0 / (s1.n + s2.n - common) >= 0.7),
+sp AS (SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+              THEN 'test' ELSE 'train' END AS split
+       FROM documents),
+lab AS (SELECT least(sa.split, sb.split) || '-' || greatest(sa.split, sb.split)
+          AS split_pair, id_a, id_b
+        FROM verified
+        JOIN sp sa ON id_a = sa.doc_id
+        JOIN sp sb ON id_b = sb.doc_id),
+np AS (SELECT split_pair, CAST(count(*) AS BIGINT) AS n_pairs
+       FROM lab GROUP BY 1),
+nd AS (SELECT split_pair, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM (SELECT split_pair, id_a AS doc_id FROM lab
+             UNION ALL SELECT split_pair, id_b FROM lab)
+       GROUP BY 1)
+SELECT np.split_pair, n_pairs, n_docs FROM np JOIN nd USING (split_pair)""",
+)
+def q_split_leakage_check(spark, sf_dir):
+    """X6×X2 — train/test leakage audit: near-duplicate pairs (the
+    exact-verified MinHash/LSH pipeline, threshold 0.7) classified by
+    which side of the deterministic hash split each member landed on.
+    A 'test-train' row is benchmark leakage a plain within-split dedup
+    never sees; eval-set hygiene for a pretraining pipeline. The split
+    frame never shuffles: the tiny verified pair set is checkpointed
+    once (the dup_triangles seam) and broadcast through both
+    enrichment joins."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = (
+        dedup.near_dup_pairs(docs, threshold=0.7)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    sp = sampling.hash_split(docs).select("doc_id", "split")
+    lab_a = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("_sa")).join(
+        F.broadcast(pairs), "id_a"
+    )
+    lab = (
+        sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("_sb"))
+        .join(F.broadcast(lab_a), "id_b")
+        .select(
+            F.concat(
+                F.least("_sa", "_sb"), F.lit("-"), F.greatest("_sa", "_sb")
+            ).alias("split_pair"),
+            "id_a",
+            "id_b",
+        )
+        .localCheckpoint()
+    )
+    np_ = lab.groupBy("split_pair").agg(F.count("*").cast("long").alias("n_pairs"))
+    stacked = lab.select("split_pair", F.col("id_a").alias("doc_id")).unionAll(
+        lab.select("split_pair", F.col("id_b").alias("doc_id"))
+    )
+    nd = stacked.groupBy("split_pair").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    return np_.join(nd, "split_pair")
+
+
+@query(
+    "canonical_dedup_stats",
+    """WITH c AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS canon
+  FROM documents),
+k AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY canon ORDER BY doc_id) AS rn
+      FROM c)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM k GROUP BY source""",
+)
+def q_canonical_dedup_stats(spark, sf_dir):
+    """X1+ — near-exact dedup on a CANONICAL form (casefold, strip
+    punctuation, collapse whitespace): catches re-encoded/reformatted
+    copies that byte-exact hashing (exact_dedup's lower+trim) misses —
+    the standard normalization step before fuzzy dedup. Per-source
+    keep/drop accounting; one hash-partitioned window on the 16-byte
+    canonical digest, text itself never shuffles."""
+    docs = table(spark, sf_dir, "documents")
+    canon = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    )
+    ranked = docs.select(
+        "doc_id", "source", canon.alias("_canon")
+    ).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("_canon").orderBy("doc_id")),
+    )
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias("n_dropped"),
+    )
+
+
+@query(
+    "embedding_sq8_error",
+    """WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id, label, e,
+             list_aggregate(e, 'min') AS mn,
+             list_aggregate(e, 'max') AS mx
+      FROM v),
+r AS (SELECT vec_id, label,
+        CASE WHEN mx = mn THEN CAST(0.0 AS DOUBLE) ELSE
+          sqrt(list_sum(list_transform(e, x ->
+            (x - (mn + floor((x - mn) / ((mx - mn) / 255.0) + 0.5)
+                       * ((mx - mn) / 255.0)))
+            * (x - (mn + floor((x - mn) / ((mx - mn) / 255.0) + 0.5)
+                         * ((mx - mn) / 255.0)))))
+               / len(e)) END AS rmse,
+        CASE WHEN mx = mn THEN CAST(0.0 AS DOUBLE) ELSE
+          list_max(list_transform(e, x ->
+            abs(x - (mn + floor((x - mn) / ((mx - mn) / 255.0) + 0.5)
+                          * ((mx - mn) / 255.0))))) END AS max_err
+      FROM q)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(rmse), 6) AS avg_rmse_q8,
+       round(max(max_err), 6) AS max_abs_err_q8
+FROM r GROUP BY label""",
+)
+def q_embedding_sq8_error(spark, sf_dir):
+    """X3+ — int8 scalar quantization (per-vector min/max grid, the
+    faiss SQ8 layout) reconstruction report: per label, avg RMSE and
+    worst per-element error of dequantized vectors — the 8× memory cut
+    a 100 TB ANN index takes before PQ. All row-local higher-order
+    functions (transform/aggregate) on the JVM; one partial-agg
+    shuffle on label. Quantization rounds via floor(x+0.5) so Spark
+    and the oracle round identically (no banker's rounding)."""
+    e = F.col("embedding").cast("array<double>")
+    mn = F.array_min(e)
+    mx = F.array_max(e)
+    scale = (mx - mn) / F.lit(255.0)
+
+    def deq(x):
+        return mn + F.floor((x - mn) / scale + F.lit(0.5)) * scale
+
+    errs = F.transform(e, lambda x: x - deq(x))
+    sq_sum = F.aggregate(errs, F.lit(0.0), lambda a, x: a + x * x)
+    rmse = F.when(mx == mn, F.lit(0.0)).otherwise(
+        F.sqrt(sq_sum / F.size(e))
+    )
+    max_err = F.when(mx == mn, F.lit(0.0)).otherwise(
+        F.array_max(F.transform(errs, F.abs))
+    )
+    per_vec = table(spark, sf_dir, "embeddings").select(
+        "label", rmse.alias("_rmse"), max_err.alias("_max_err")
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.round(F.avg("_rmse"), 6).alias("avg_rmse_q8"),
+        F.round(F.max("_max_err"), 6).alias("max_abs_err_q8"),
+    )
