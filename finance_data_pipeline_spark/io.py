@@ -399,6 +399,44 @@ def read_xml(
     return reader.load(path)
 
 
+def write_parquet_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    fpp: float = 0.01,
+    ndv: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Point-lookup layout: write parquet with a BLOOM FILTER per
+    ``bloom_cols`` column chunk (plus zstd compression). Min/max stats
+    only skip files for range-clustered columns; a bloom filter skips
+    row groups for EQUALITY probes on high-cardinality, unsorted keys
+    (doc_id, user_id, content hash) — the `WHERE key = x` debugging
+    scan that otherwise reads all 100 TB touches only the row groups
+    whose filter admits the key, at ~1.2 bytes/value for 1% fpp.
+
+    Readers need no cooperation: the filter rides in the file footer
+    metadata, and Spark's parquet scan consults it whenever an
+    equality predicate on the column is pushed down (engines without
+    bloom support — pyarrow 16, duckdb 1.0 — just ignore it, as
+    tests/test_io.py shows by reading the same file back with both).
+
+    ``ndv`` (expected distinct values per file) sizes the filter;
+    estimating it would cost an action, so callers at scale pass their
+    known per-file key cardinality and the default leaves sizing to
+    the parquet writer.
+    """
+    writer = df.write.mode(mode).option("compression", "zstd")
+    for c in bloom_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        writer = writer.option(f"parquet.bloom.filter.fpp#{c}", str(fpp))
+        if ndv is not None:
+            writer = writer.option(
+                f"parquet.bloom.filter.expected.ndv#{c}", str(ndv)
+            )
+    writer.parquet(path)
+
+
 def compact_parquet(
     spark: SparkSession,
     src_path: str,
