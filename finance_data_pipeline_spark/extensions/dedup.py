@@ -1406,3 +1406,82 @@ def source_ngram_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+# --- X1+: canonical-form dedup / X6×X2: split leakage ---------------------
+
+
+def canonical_text(text_col="text"):
+    """Canonical form for near-exact dedup: casefold, strip everything
+    but [a-z0-9], collapse runs of separators to one space, trim —
+    catches re-encoded / reformatted copies byte-exact hashing misses."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+
+def canonical_dedup_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-``group_col`` keep/drop accounting of dedup on the canonical
+    form: keeper = min ``id_col`` per canonical md5 (global groups; the
+    keeper's group gets the kept count). One hash-partitioned window on
+    the 16-byte digest — text itself never shuffles."""
+    ranked = docs.select(
+        id_col, group_col, F.md5(canonical_text(text_col)).alias("_canon")
+    ).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("_canon").orderBy(id_col))
+    )
+    return ranked.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias("n_dropped"),
+    )
+
+
+def split_leakage(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/test leakage audit: exact-verified near-dup pairs (MinHash
+    → LSH → Jaccard ≥ ``threshold``) classified by which side of the
+    deterministic hash split (sampling.hash_split) each member landed
+    on. A 'test-train' row is benchmark leakage a within-split dedup
+    never sees. The corpus-sized split frame never shuffles: the tiny
+    verified pair set is localCheckpointed once and broadcast through
+    both enrichment joins."""
+    from finance_data_pipeline_spark.extensions import sampling
+
+    pairs = (
+        near_dup_pairs(docs, threshold=threshold, id_col=id_col, text_col=text_col)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    sp = sampling.hash_split(docs, key_col=id_col).select(id_col, "split")
+    lab_a = sp.select(F.col(id_col).alias("id_a"), F.col("split").alias("_sa")).join(
+        F.broadcast(pairs), "id_a"
+    )
+    lab = (
+        sp.select(F.col(id_col).alias("id_b"), F.col("split").alias("_sb"))
+        .join(F.broadcast(lab_a), "id_b")
+        .select(
+            F.concat(
+                F.least("_sa", "_sb"), F.lit("-"), F.greatest("_sa", "_sb")
+            ).alias("split_pair"),
+            "id_a",
+            "id_b",
+        )
+        .localCheckpoint()
+    )
+    n_pairs = lab.groupBy("split_pair").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    stacked = lab.select("split_pair", F.col("id_a").alias(id_col)).unionAll(
+        lab.select("split_pair", F.col("id_b").alias(id_col))
+    )
+    n_docs = stacked.groupBy("split_pair").agg(
+        F.countDistinct(id_col).cast("long").alias("n_docs")
+    )
+    return n_pairs.join(n_docs, "split_pair")

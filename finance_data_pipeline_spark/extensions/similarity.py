@@ -1296,3 +1296,40 @@ def pc_projection(
     return vectors.select(
         F.col(id_col), F.round(score, 6).alias("pc_score")
     )
+
+
+def sq8_error_report(
+    embeds: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """X3+ — int8 scalar quantization (per-vector min/max grid, the
+    faiss SQ8 layout) reconstruction report: per ``group_col``, avg
+    RMSE and worst per-element error of dequantized vectors — the 8×
+    memory cut an ANN index takes before PQ. Row-local higher-order
+    functions on the JVM; one partial-agg shuffle on the group key.
+    Quantizes via floor(x+0.5) so Spark and the DuckDB oracle round
+    identically (no banker's rounding). Per-element error is bounded
+    by scale/2 = (max-min)/510, which the property tests assert."""
+    e = F.col(vec_col).cast("array<double>")
+    mn = F.array_min(e)
+    mx = F.array_max(e)
+    scale = (mx - mn) / F.lit(255.0)
+
+    def deq(x):
+        return mn + F.floor((x - mn) / scale + F.lit(0.5)) * scale
+
+    errs = F.transform(e, lambda x: x - deq(x))
+    sq_sum = F.aggregate(errs, F.lit(0.0), lambda a, x: a + x * x)
+    rmse = F.when(mx == mn, F.lit(0.0)).otherwise(F.sqrt(sq_sum / F.size(e)))
+    max_err = F.when(mx == mn, F.lit(0.0)).otherwise(
+        F.array_max(F.transform(errs, F.abs))
+    )
+    per_vec = embeds.select(
+        group_col, rmse.alias("_rmse"), max_err.alias("_max_err")
+    )
+    return per_vec.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.round(F.avg("_rmse"), 6).alias("avg_rmse_q8"),
+        F.round(F.max("_max_err"), 6).alias("max_abs_err_q8"),
+    )

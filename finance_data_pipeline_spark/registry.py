@@ -7619,40 +7619,9 @@ def q_split_leakage_check(spark, sf_dir):
     exact-verified MinHash/LSH pipeline, threshold 0.7) classified by
     which side of the deterministic hash split each member landed on.
     A 'test-train' row is benchmark leakage a plain within-split dedup
-    never sees; eval-set hygiene for a pretraining pipeline. The split
-    frame never shuffles: the tiny verified pair set is checkpointed
-    once (the dup_triangles seam) and broadcast through both
-    enrichment joins."""
-    docs = table(spark, sf_dir, "documents")
-    pairs = (
-        dedup.near_dup_pairs(docs, threshold=0.7)
-        .select("id_a", "id_b")
-        .localCheckpoint()
-    )
-    sp = sampling.hash_split(docs).select("doc_id", "split")
-    lab_a = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("_sa")).join(
-        F.broadcast(pairs), "id_a"
-    )
-    lab = (
-        sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("_sb"))
-        .join(F.broadcast(lab_a), "id_b")
-        .select(
-            F.concat(
-                F.least("_sa", "_sb"), F.lit("-"), F.greatest("_sa", "_sb")
-            ).alias("split_pair"),
-            "id_a",
-            "id_b",
-        )
-        .localCheckpoint()
-    )
-    np_ = lab.groupBy("split_pair").agg(F.count("*").cast("long").alias("n_pairs"))
-    stacked = lab.select("split_pair", F.col("id_a").alias("doc_id")).unionAll(
-        lab.select("split_pair", F.col("id_b").alias("doc_id"))
-    )
-    nd = stacked.groupBy("split_pair").agg(
-        F.countDistinct("doc_id").cast("long").alias("n_docs")
-    )
-    return np_.join(nd, "split_pair")
+    never sees; eval-set hygiene for a pretraining pipeline. See
+    dedup.split_leakage for the shuffle discipline."""
+    return dedup.split_leakage(table(spark, sf_dir, "documents"), threshold=0.7)
 
 
 @query(
@@ -7675,22 +7644,9 @@ def q_canonical_dedup_stats(spark, sf_dir):
     copies that byte-exact hashing (exact_dedup's lower+trim) misses —
     the standard normalization step before fuzzy dedup. Per-source
     keep/drop accounting; one hash-partitioned window on the 16-byte
-    canonical digest, text itself never shuffles."""
-    docs = table(spark, sf_dir, "documents")
-    canon = F.md5(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
-    )
-    ranked = docs.select(
-        "doc_id", "source", canon.alias("_canon")
-    ).withColumn(
-        "rn",
-        F.row_number().over(Window.partitionBy("_canon").orderBy("doc_id")),
-    )
-    return ranked.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
-        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias("n_dropped"),
-    )
+    canonical digest, text itself never shuffles. See
+    dedup.canonical_dedup_stats."""
+    return dedup.canonical_dedup_stats(table(spark, sf_dir, "documents"))
 
 
 @query(
@@ -7726,28 +7682,6 @@ def q_embedding_sq8_error(spark, sf_dir):
     a 100 TB ANN index takes before PQ. All row-local higher-order
     functions (transform/aggregate) on the JVM; one partial-agg
     shuffle on label. Quantization rounds via floor(x+0.5) so Spark
-    and the oracle round identically (no banker's rounding)."""
-    e = F.col("embedding").cast("array<double>")
-    mn = F.array_min(e)
-    mx = F.array_max(e)
-    scale = (mx - mn) / F.lit(255.0)
-
-    def deq(x):
-        return mn + F.floor((x - mn) / scale + F.lit(0.5)) * scale
-
-    errs = F.transform(e, lambda x: x - deq(x))
-    sq_sum = F.aggregate(errs, F.lit(0.0), lambda a, x: a + x * x)
-    rmse = F.when(mx == mn, F.lit(0.0)).otherwise(
-        F.sqrt(sq_sum / F.size(e))
-    )
-    max_err = F.when(mx == mn, F.lit(0.0)).otherwise(
-        F.array_max(F.transform(errs, F.abs))
-    )
-    per_vec = table(spark, sf_dir, "embeddings").select(
-        "label", rmse.alias("_rmse"), max_err.alias("_max_err")
-    )
-    return per_vec.groupBy("label").agg(
-        F.count("*").cast("long").alias("n_vecs"),
-        F.round(F.avg("_rmse"), 6).alias("avg_rmse_q8"),
-        F.round(F.max("_max_err"), 6).alias("max_abs_err_q8"),
-    )
+    and the oracle round identically (no banker's rounding). See
+    similarity.sq8_error_report."""
+    return similarity.sq8_error_report(table(spark, sf_dir, "embeddings"))

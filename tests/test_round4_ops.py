@@ -381,3 +381,77 @@ def test_source_unigram_kl_flags_drifted_source(spark):
     kl = {r.source: r.kl_nats for r in text.source_unigram_kl(docs).collect()}
     assert kl["s_drift"] > kl["s_norm"]
     assert kl["s_norm"] >= 0 and kl["s_drift"] >= 0
+
+
+def test_canonical_dedup_collapses_formatting_variants(spark):
+    """Punctuation / case / whitespace variants of one text share a
+    canonical hash: min doc_id keeps, the rest drop, and a genuinely
+    different text is untouched."""
+    rows = [
+        (1, "Hello, World!", "a"),
+        (2, "hello world", "a"),
+        (3, "  HELLO -- world  ", "b"),
+        (4, "something else entirely", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in dedup.canonical_dedup_stats(docs).collect()}
+    assert out["a"].n_docs == 2 and out["a"].n_kept == 1 and out["a"].n_dropped == 1
+    # doc 3 is a dup of doc 1 (keeper in source a) -> b keeps only doc 4
+    assert out["b"].n_docs == 2 and out["b"].n_kept == 1 and out["b"].n_dropped == 1
+
+
+def test_canonical_dedup_counts_are_consistent(spark):
+    """On real data: per-source kept+dropped == docs, and global kept
+    equals the number of distinct canonical hashes."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = dedup.canonical_dedup_stats(docs).collect()
+    assert all(r.n_kept + r.n_dropped == r.n_docs for r in out)
+    n_canon = (
+        docs.select(F.md5(dedup.canonical_text("text")).alias("c"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_kept for r in out) == n_canon
+    assert sum(r.n_docs for r in out) == docs.count()
+
+
+def test_split_leakage_flags_cross_split_duplicate(spark):
+    """An exact duplicate placed across the hash-split boundary must
+    surface as one test-train pair; a within-train duplicate pair must
+    land in train-train. doc_ids are picked by their real md5 nibble
+    so the test pins the split, not luck."""
+    test_ids = [i for i in range(300)
+                if _md5(str(i))[0] < "2"]
+    train_ids = [i for i in range(300)
+                 if _md5(str(i))[0] >= "2"]
+    dup = "the exact same duplicated document body repeated verbatim " * 4
+    other = "an unrelated training document about completely different topics " * 4
+    rows = [
+        (test_ids[0], dup, "s"),
+        (train_ids[0], dup, "s"),
+        (train_ids[1], other, "s"),
+        (train_ids[2], other, "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.split_pair: r for r in dedup.split_leakage(docs, threshold=0.7).collect()}
+    assert out["test-train"].n_pairs == 1 and out["test-train"].n_docs == 2
+    assert out["train-train"].n_pairs == 1 and out["train-train"].n_docs == 2
+    assert "test-test" not in out
+
+
+def test_sq8_error_bounded_by_half_quantization_step(spark):
+    """SQ8 theory: per-element reconstruction error ≤ scale/2 where
+    scale=(max-min)/255; rmse ≤ max error; a constant vector costs 0."""
+    from finance_data_pipeline_spark.extensions import similarity
+
+    rows = [
+        (1, [0.0, 0.5, 1.0], "a"),       # 0 and 1 land on grid exactly
+        (2, [2.0, 2.0, 2.0], "b"),       # constant -> zero error
+        (3, [-1.0, 0.3333, 1.0], "a"),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    out = {r.label: r for r in similarity.sq8_error_report(emb).collect()}
+    assert out["b"].avg_rmse_q8 == 0.0 and out["b"].max_abs_err_q8 == 0.0
+    bound = 2.0 / 255.0 / 2.0 + 1e-9    # widest range is [-1, 1]
+    assert 0.0 < out["a"].max_abs_err_q8 <= round(bound, 6) + 1e-6
+    assert out["a"].avg_rmse_q8 <= out["a"].max_abs_err_q8
