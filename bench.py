@@ -74,6 +74,7 @@ HEADLINE = [
     "media_audio_energy",
     "kmeans_cluster_quality",
     "dsir_selected_corpus",
+    "split_leakage_check",
 ]
 
 

@@ -7685,3 +7685,89 @@ def q_embedding_sq8_error(spark, sf_dir):
     and the oracle round identically (no banker's rounding). See
     similarity.sq8_error_report."""
     return similarity.sq8_error_report(table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "event_transition_matrix",
+    """WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events),
+c AS (SELECT event_type AS cur_type, next_type,
+             CAST(count(*) AS BIGINT) AS n_transitions
+      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT cur_type, sum(n_transitions) AS tot FROM c GROUP BY 1)
+SELECT c.cur_type, c.next_type, c.n_transitions,
+       round(c.n_transitions * 1.0 / t.tot, 6) AS p_next
+FROM c JOIN t USING (cur_type)""",
+)
+def q_event_transition_matrix(spark, sf_dir):
+    """EV4+ — first-order Markov transition matrix over per-user event
+    timelines: P(next event type | current), the normalized counterpart
+    of user_paths' raw top sequences. One lead() in a per-user window
+    (partitioned — no global sort), one bounded-domain aggregate
+    (|event_types|² ≤ 25 rows), row totals broadcast back for the
+    normalization. Ties inside a user's timeline order by event_id so
+    both engines walk the identical sequence."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    cnt = steps.groupBy(
+        F.col("event_type").alias("cur_type"), "next_type"
+    ).agg(F.count("*").cast("long").alias("n_transitions"))
+    tot = cnt.groupBy("cur_type").agg(F.sum("n_transitions").alias("_tot"))
+    return (
+        cnt.join(F.broadcast(tot), "cur_type")
+        .select(
+            "cur_type",
+            "next_type",
+            "n_transitions",
+            F.round(F.col("n_transitions") / F.col("_tot"), 6).alias("p_next"),
+        )
+    )
+
+
+@query(
+    "dau_wau_stickiness",
+    """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM days GROUP BY 1),
+cover AS (SELECT DISTINCT user_id, day + CAST(x AS INTEGER) AS day
+          FROM days, range(7) t(x)),
+wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau FROM cover GROUP BY 1)
+SELECT dau.day, dau.dau, wau.wau,
+       round(dau.dau * 1.0 / wau.wau, 6) AS stickiness
+FROM dau JOIN wau USING (day)""",
+)
+def q_dau_wau_stickiness(spark, sf_dir):
+    """EV5 — DAU/WAU stickiness: per day, distinct active users vs
+    distinct users active in the trailing 7 days, and their ratio (the
+    product-analytics engagement headline). A trailing count-distinct
+    window doesn't decompose, so WAU is computed by COVERAGE: each
+    (user, active-day) pair fans out to the ≤7 future days it covers
+    (bounded ×7 row cost, row-local), then one distinct + count per
+    day — two hash aggregates, no window over the full user base, no
+    distinct-over-range join. Days outside the observed range drop via
+    the join with DAU."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    dau = days.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    cover = days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+    ).distinct()
+    wau = cover.groupBy("day").agg(F.count("*").cast("long").alias("wau"))
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+    )

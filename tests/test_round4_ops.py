@@ -455,3 +455,33 @@ def test_sq8_error_bounded_by_half_quantization_step(spark):
     bound = 2.0 / 255.0 / 2.0 + 1e-9    # widest range is [-1, 1]
     assert 0.0 < out["a"].max_abs_err_q8 <= round(bound, 6) + 1e-6
     assert out["a"].avg_rmse_q8 <= out["a"].max_abs_err_q8
+
+
+def test_transition_matrix_rows_normalize_to_one(spark):
+    """Each current-type row of the Markov matrix sums to probability
+    ~1, and counts are conserved (sum of transitions = events - one
+    per user timeline)."""
+    from finance_data_pipeline_spark.registry import QUERIES
+
+    out = QUERIES["event_transition_matrix"](spark, "/root/testdata/sf0.001").collect()
+    by_cur = {}
+    for r in out:
+        by_cur.setdefault(r.cur_type, []).append(r)
+    for cur, rows in by_cur.items():
+        assert abs(sum(r.p_next for r in rows) - 1.0) < 1e-4, cur
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_transitions for r in out) == ev.count() - n_users
+
+
+def test_dau_wau_stickiness_bounds(spark):
+    """WAU dominates DAU (a day's actives are inside its trailing
+    week), so stickiness sits in (0, 1]; every observed day appears."""
+    from finance_data_pipeline_spark.registry import QUERIES
+
+    out = QUERIES["dau_wau_stickiness"](spark, "/root/testdata/sf0.001").collect()
+    assert all(r.wau >= r.dau > 0 for r in out)
+    assert all(0.0 < r.stickiness <= 1.0 for r in out)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    n_days = ev.select(F.col("ts").cast("date")).distinct().count()
+    assert len(out) == n_days
