@@ -114,7 +114,7 @@ _PRIORITY = [
     "pack_shard_manifest", "daily_volume_anomalies",
     "streaming_late_data_policy",
     "split_leakage_check", "canonical_dedup_stats", "embedding_sq8_error",
-    "event_transition_matrix", "dau_wau_stickiness",
+    "event_transition_matrix", "dau_wau_stickiness", "dup_kcore",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

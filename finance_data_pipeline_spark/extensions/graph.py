@@ -163,3 +163,54 @@ def triangles(pairs: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
         .agg(F.count("*").alias("n_triangles"))
     )
     return per_node
+
+
+def kcore(
+    pairs: DataFrame,
+    k: int = 2,
+    rounds: int = 4,
+    a: str = "id_a",
+    b: str = "id_b",
+) -> DataFrame:
+    """Bounded k-core peel over an undirected pair graph: ``rounds``
+    iterations of "drop every node with degree < k, and every edge
+    touching a dropped node". Returns (node, core_degree) for
+    survivors — on the near-dup graph this separates dense duplicate
+    cores (template farms, mirror sets: every member similar to many
+    others) from incidental chains that triadic closure alone
+    over-merges.
+
+    A FIXED round count instead of a convergence test keeps the
+    operator a pure function of the edge set, so the whole peel
+    replays exactly in a SQL oracle (the same determinism contract as
+    pagerank's fixed iterations and the Lloyd trainer); peeling
+    removes at least one node per non-converged round inside any
+    finite component, and the semantics tests assert the default has
+    converged on the test graphs. Per-round localCheckpoint truncates
+    lineage — degrees and the edge filter are re-aggregated from the
+    materialized edge list (tiny next to the corpus), never re-derived
+    through the upstream pipeline (the dup_triangles lesson).
+    """
+    edges = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    for _ in range(rounds):
+        keep = (
+            edges.groupBy("u")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= k)
+            .select("u")
+        )
+        edges = (
+            edges.join(keep, "u")
+            .join(keep.select(F.col("u").alias("v")), "v")
+            .localCheckpoint()
+        )
+    return edges.groupBy("u").agg(
+        F.count("*").cast("long").alias("core_degree")
+    ).select(F.col("u").alias("node"), "core_degree")

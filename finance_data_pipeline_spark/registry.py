@@ -7771,3 +7771,38 @@ def q_dau_wau_stickiness(spark, sf_dir):
         "wau",
         F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
     )
+
+
+@query(
+    "dup_kcore",
+    f"""WITH {_NEAR_PAIRS_CTE},
+und AS (SELECT DISTINCT id_a AS u, id_b AS v FROM np),
+e0 AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+k1 AS (SELECT u FROM e0 GROUP BY u HAVING count(*) >= 2),
+e1 AS (SELECT e.u, e.v FROM e0 e JOIN k1 x ON e.u = x.u JOIN k1 y ON e.v = y.u),
+k2 AS (SELECT u FROM e1 GROUP BY u HAVING count(*) >= 2),
+e2 AS (SELECT e.u, e.v FROM e1 e JOIN k2 x ON e.u = x.u JOIN k2 y ON e.v = y.u),
+k3 AS (SELECT u FROM e2 GROUP BY u HAVING count(*) >= 2),
+e3 AS (SELECT e.u, e.v FROM e2 e JOIN k3 x ON e.u = x.u JOIN k3 y ON e.v = y.u),
+k4 AS (SELECT u FROM e3 GROUP BY u HAVING count(*) >= 2),
+e4 AS (SELECT e.u, e.v FROM e3 e JOIN k4 x ON e.u = x.u JOIN k4 y ON e.v = y.u)
+SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+FROM e4 GROUP BY u""",
+)
+def q_dup_kcore(spark, sf_dir):
+    """X7c — 2-core of the verified near-dup graph (4 peel rounds,
+    converged on this graph — asserted in tests): survivors are docs
+    similar to ≥2 OTHER core docs even after fringe removal, i.e. the
+    dense mirror/template clusters worth aggressive collapsing, while
+    chain-only links (the transitive-merge false-positives triadic
+    closure worries about) peel away. Same determinism contract as
+    pagerank: fixed rounds → exact SQL replay; per-round
+    localCheckpoint keeps the plan linear (graph.kcore)."""
+    from finance_data_pipeline_spark.extensions import graph
+
+    pairs = dedup.near_dup_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.7
+    ).select("id_a", "id_b")
+    return graph.kcore(pairs, k=2, rounds=4).select(
+        F.col("node").alias("doc_id"), "core_degree"
+    )

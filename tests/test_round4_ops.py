@@ -485,3 +485,34 @@ def test_dau_wau_stickiness_bounds(spark):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     n_days = ev.select(F.col("ts").cast("date")).distinct().count()
     assert len(out) == n_days
+
+
+def test_kcore_peels_chains_keeps_triangle(spark):
+    """A path graph fully peels at k=2 (endpoints cascade inward); a
+    triangle with a pendant keeps exactly the triangle at degree 2."""
+    from finance_data_pipeline_spark.extensions import graph
+
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    assert graph.kcore(path, k=2, rounds=4).count() == 0
+
+    tri = spark.createDataFrame(
+        [(10, 11), (11, 12), (10, 12), (12, 13)], "id_a long, id_b long"
+    )
+    out = {r.node: r.core_degree for r in graph.kcore(tri, k=2, rounds=4).collect()}
+    assert out == {10: 2, 11: 2, 12: 2}
+
+
+def test_kcore_default_rounds_converged_on_dup_graph(spark):
+    """The registry's 4 peel rounds must have reached the fixpoint on
+    the real near-dup graph (round 5 changes nothing), so the bounded
+    oracle equals true 2-core semantics there."""
+    from finance_data_pipeline_spark.extensions import dedup, graph
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = dedup.near_dup_pairs(docs, threshold=0.7).select("id_a", "id_b")
+    pairs = pairs.localCheckpoint()
+    r4 = sorted(map(tuple, graph.kcore(pairs, rounds=4).collect()))
+    r5 = sorted(map(tuple, graph.kcore(pairs, rounds=5).collect()))
+    assert r4 == r5
