@@ -371,3 +371,37 @@ def dsir_select(
         )
     )
     return per_doc.orderBy(F.desc("avg_log_ratio"), id_col).limit(top_n)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int = 1,
+    n_shards: int = 16,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle: every row gets a
+    shard and an in-shard position from md5(key:epoch) — a different
+    pseudo-random permutation each epoch (epoch is salted into the
+    hash) with ZERO RNG state, so any worker can recompute any shard's
+    order independently and a re-run is bit-identical.
+
+    This is the dataloader-order materialization step of a pretraining
+    pipeline: physically it is repartition-by-shard + sort-within-shard
+    (exactly what the row_number window partitioned on shard compiles
+    to — ONE shuffle whose reduce side is the per-shard sort the shard
+    file needs anyway). ``n_shards`` must divide 16 (shards come from
+    the leading md5 nibble, keeping the expression engine-portable).
+    """
+    if 16 % n_shards:
+        raise ValueError(f"n_shards={n_shards} must divide 16 (md5 nibble domain)")
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{epoch}")))
+    nib = F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
+    out = df.select(
+        key_col,
+        h.alias("_h"),
+        (nib % F.lit(n_shards)).cast("long").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("_h", key_col)
+    return out.select(
+        key_col, "shard", F.row_number().over(w).cast("long").alias("pos")
+    )

@@ -7806,3 +7806,28 @@ def q_dup_kcore(spark, sf_dir):
     return graph.kcore(pairs, k=2, rounds=4).select(
         F.col("node").alias("doc_id"), "core_degree"
     )
+
+
+@query(
+    "epoch_shuffle",
+    """WITH k AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':1') AS h FROM documents),
+s AS (SELECT doc_id, h,
+             CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 16
+                  AS BIGINT) AS shard
+      FROM k)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+            AS BIGINT) AS pos
+FROM s""",
+)
+def q_epoch_shuffle(spark, sf_dir):
+    """X6+++ — deterministic epoch-1 training-order shuffle: shard +
+    in-shard position from md5(doc_id:epoch), a fresh pseudo-random
+    permutation per epoch with zero RNG state (any worker recomputes
+    any shard independently; re-runs are bit-identical). Physically
+    one shuffle whose reduce side IS the per-shard sort the shard file
+    needs. See sampling.epoch_shuffle."""
+    return sampling.epoch_shuffle(
+        table(spark, sf_dir, "documents"), epoch=1, n_shards=16
+    )

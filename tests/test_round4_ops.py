@@ -516,3 +516,30 @@ def test_kcore_default_rounds_converged_on_dup_graph(spark):
     r4 = sorted(map(tuple, graph.kcore(pairs, rounds=4).collect()))
     r5 = sorted(map(tuple, graph.kcore(pairs, rounds=5).collect()))
     assert r4 == r5
+
+
+def test_epoch_shuffle_permutes_differently_per_epoch(spark):
+    """Different epochs give different orders over the same docs; the
+    permutation is deterministic per epoch, positions are dense 1..n
+    per shard, and every doc appears exactly once."""
+    from finance_data_pipeline_spark.extensions import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    e1 = sampling.epoch_shuffle(docs, epoch=1, n_shards=8)
+    e2 = sampling.epoch_shuffle(docs, epoch=2, n_shards=8)
+    r1 = sorted(map(tuple, e1.collect()))
+    r2 = sorted(map(tuple, e2.collect()))
+    assert r1 != r2                                   # epoch changes the permutation
+    assert r1 == sorted(map(tuple, sampling.epoch_shuffle(docs, 1, 8).collect()))
+    assert len(r1) == docs.count()
+    assert len({d for d, _, _ in r1}) == docs.count()
+    by_shard = {}
+    for _, s, p in r1:
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), s
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sampling.epoch_shuffle(docs, 1, n_shards=5)
