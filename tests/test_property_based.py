@@ -687,3 +687,56 @@ def test_decontaminate_spans_idempotent_and_bounded(spark, texts):
             assert again[d] == first[d] == hashlib.md5(
                 " ".join(texts[d].lower().split()).encode()
             ).hexdigest()
+
+
+text_strat = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    max_size=60,
+)
+
+
+@given(texts=st.lists(text_strat, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_canonical_text_idempotent_and_format_invariant(spark, texts):
+    """canonical(canonical(x)) == canonical(x); uppercasing or doubling
+    the whitespace of the input never changes its canonical form — the
+    exact property the near-exact dedup relies on."""
+    from finance_data_pipeline_spark.extensions import dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    canon = df.select(
+        "doc_id", dedup.canonical_text("text").alias("c1")
+    ).withColumn("c2", dedup.canonical_text(F.col("c1")))
+    for r in canon.collect():
+        assert r.c1 == r.c2
+    mangled = df.select(
+        "doc_id",
+        F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
+    )
+    a = {r.doc_id: r.c for r in df.select("doc_id", dedup.canonical_text("text").alias("c")).collect()}
+    b = {r.doc_id: r.c for r in mangled.select("doc_id", dedup.canonical_text("text").alias("c")).collect()}
+    assert a == b
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1,
+                 max_size=30, unique=True),
+    epoch=st.integers(min_value=1, max_value=9),
+)
+@settings(**SETTINGS)
+def test_epoch_shuffle_partition_properties(spark, ids, epoch):
+    """Any id set, any epoch: output is a bijection over the input ids,
+    shard ids stay inside [0, n_shards), and per-shard positions are
+    dense from 1."""
+    from finance_data_pipeline_spark.extensions import sampling
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = sampling.epoch_shuffle(df, epoch=epoch, n_shards=4).collect()
+    assert sorted(r.doc_id for r in out) == sorted(ids)
+    assert all(0 <= r.shard < 4 for r in out)
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
