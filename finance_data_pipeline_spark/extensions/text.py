@@ -913,3 +913,116 @@ def source_unigram_kl(
         )
         .select(F.col("_src").alias(source_col), "kl_nats")
     )
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_files: int = 8,
+) -> None:
+    """Materialize the BM25 retrieval state as an on-disk inverted
+    index, so N later searches amortize ONE corpus scan (the bucketing
+    argument applied to text retrieval — bm25_topk recomputes term
+    stats per call, which is right for batch joins and wrong for
+    online lookups).
+
+    Layout under ``path``:
+
+    * ``postings/`` — (term `_h`, doc, tf, dl), denormalized so a
+      search needs no doc-table join; range-partitioned AND sorted on
+      `_h` so file/row-group min-max stats prune a term lookup to a
+      sliver, with a bloom filter on `_h` (io.write_parquet_bloom)
+      catching the equality probes min-max can't.
+    * ``terms/`` — (_h, df) document frequencies.
+    * ``stats/`` — one row (n_docs, sum_dl).
+
+    All three are plain parquet: any Spark session (or engine) can
+    serve queries with no session state, and incremental maintenance
+    is a partition-wise merge of new postings.
+    """
+    from finance_data_pipeline_spark.extensions.dedup import tokens
+    from finance_data_pipeline_spark.io import write_parquet_bloom
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_t")
+    ).select(F.col(id_col), F.xxhash64("_t").alias("_h"))
+    tf = toks.groupBy(id_col, "_h").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    postings = tf.join(dl, id_col)
+    write_parquet_bloom(
+        postings.repartitionByRange(n_files, "_h").sortWithinPartitions("_h"),
+        f"{path}/postings",
+        bloom_cols=["_h"],
+    )
+    tf.groupBy("_h").agg(F.count("*").cast("long").alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/terms")
+    dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_topk_indexed(
+    spark,
+    index_path: str,
+    query_text: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    exclude_id: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Online BM25 search against a build_text_index layout: tokenize
+    the query with the EXACT corpus tokenizer (a 1-row frame through
+    the same expression — no Python re-implementation to drift), push
+    the hashed term IN-list into the postings scan (min-max prune +
+    bloom row-group skip), and score only the matched slivers.
+
+    Identical arithmetic to bm25_topk (idf, decimal-cast contribution
+    sum, 6-dp round, id tie-break), so the two agree exactly on the
+    same corpus — asserted in tests. Driver-side pulls are the 1-row
+    stats and the query's own term hashes, both bounded by the query,
+    never the corpus.
+    """
+    from finance_data_pipeline_spark.extensions.dedup import tokens
+
+    q = spark.createDataFrame([(query_text,)], "text string")
+    hashes = [
+        r._h
+        for r in q.select(F.explode(tokens("text")).alias("_t"))
+        .select(F.xxhash64("_t").alias("_h"))
+        .distinct()
+        .collect()
+    ]
+    n_docs, sum_dl = spark.read.parquet(f"{index_path}/stats").first()
+    avgdl = float(sum_dl) / float(n_docs)
+    post = spark.read.parquet(f"{index_path}/postings").filter(
+        F.col("_h").isin(hashes)
+    )
+    if exclude_id is not None:
+        post = post.filter(F.col(id_col) != exclude_id)
+    terms = spark.read.parquet(f"{index_path}/terms").filter(
+        F.col("_h").isin(hashes)
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tfv = F.col("tf").cast("double")
+    contrib = (
+        idf
+        * (tfv * (1.0 + k1))
+        / (tfv + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.lit(avgdl)))
+    ).cast("decimal(28,12)")
+    return (
+        post.join(F.broadcast(terms), "_h")
+        .withColumn("_c", contrib)
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_c").cast("double"), 6).alias("score"))
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )

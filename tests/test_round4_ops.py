@@ -543,3 +543,51 @@ def test_epoch_shuffle_permutes_differently_per_epoch(spark):
 
     with _pytest.raises(ValueError):
         sampling.epoch_shuffle(docs, 1, n_shards=5)
+
+
+def test_indexed_bm25_matches_from_scratch_and_prunes(spark, tmp_path):
+    """The materialized inverted index must (a) reproduce bm25_topk's
+    exact rows for the same query doc, (b) push the term IN-list into
+    the postings scan, and (c) lay postings out range-sorted on the
+    term hash."""
+    import glob
+    import os
+
+    from finance_data_pipeline_spark.extensions import text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = str(tmp_path / "bm25_idx")
+    text.build_text_index(docs, idx, n_files=4)
+
+    qtext = docs.filter(F.col("doc_id") == 2).select("text").first().text
+    got = text.bm25_topk_indexed(spark, idx, qtext, k=10, exclude_id=2)
+    want = (
+        text.bm25_topk(docs, n_queries=3, k=10)
+        .filter(F.col("query_id") == 2)
+        .select(F.col("neighbor_id").alias("doc_id"), "score")
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(_h" in plan
+
+    files = sorted(
+        f for f in glob.glob(os.path.join(idx, "postings", "*.parquet"))
+        if not os.path.basename(f).startswith(("_", "."))
+    )
+    assert len(files) == 4
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        st = md.row_group(0).column(names["_h"]).statistics
+        lo = st.min
+        hi = pq.ParquetFile(f).metadata.row_group(md.num_row_groups - 1).column(
+            names["_h"]
+        ).statistics.max
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next
