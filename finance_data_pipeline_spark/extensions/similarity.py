@@ -177,6 +177,39 @@ def hyperplane_lsh_topk(
     return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
 
 
+def _train_ivf_centroids(
+    vectors: DataFrame,
+    n_cells: int,
+    sample_size: int,
+    train_iters: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+) -> np.ndarray:
+    """Driver-side spherical k-means on a bounded, deterministic sample
+    (first ``sample_size`` ids) — standard IVF practice: the coarse
+    quantizer trains on O(sample) vectors regardless of corpus size.
+    Shared by the in-session ivf_topk and the on-disk build_ivf_index."""
+    samp_pdf = (
+        vectors.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(id_col)
+        .limit(sample_size)
+        .toPandas()
+    )
+    samp = np.stack(samp_pdf["v"].to_numpy())
+    samp = samp / np.maximum(np.linalg.norm(samp, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = samp[rng.choice(len(samp), size=min(n_cells, len(samp)), replace=False)]
+    for _ in range(train_iters):
+        assign = np.argmax(samp @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = samp[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -206,23 +239,9 @@ def ivf_topk(
     by cell; a query touches n_probe/n_cells of the data. Recall is
     tunable via n_probe (n_probe = n_cells ⇒ exact).
     """
-    samp_pdf = (
-        vectors.select(F.col(vec_col).cast("array<double>").alias("v"))
-        .orderBy(id_col)
-        .limit(sample_size)
-        .toPandas()
+    cents = _train_ivf_centroids(
+        vectors, n_cells, sample_size, train_iters, seed, id_col, vec_col
     )
-    samp = np.stack(samp_pdf["v"].to_numpy())
-    samp = samp / np.maximum(np.linalg.norm(samp, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    cents = samp[rng.choice(len(samp), size=min(n_cells, len(samp)), replace=False)]
-    for _ in range(train_iters):
-        assign = np.argmax(samp @ cents.T, axis=1)
-        for c in range(len(cents)):
-            members = samp[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                cents[c] = m / max(np.linalg.norm(m), 1e-12)
     bc = vectors.sparkSession.sparkContext.broadcast(cents)
 
     def _normed(series: pd.Series) -> np.ndarray:
@@ -1332,4 +1351,98 @@ def sq8_error_report(
         F.count("*").cast("long").alias("n_vecs"),
         F.round(F.avg("_rmse"), 6).alias("avg_rmse_q8"),
         F.round(F.max("_max_err"), 6).alias("max_abs_err_q8"),
+    )
+
+
+def build_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    sample_size: int = 4096,
+    train_iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF index on disk — the vector-side twin of
+    build_text_index: one corpus pass assigns every vector to its
+    nearest trained centroid and writes the corpus PARTITIONED BY CELL
+    (Hive-style directories), so an online search that probes p of c
+    cells scans exactly p/c of the data via partition pruning — no
+    session state, any engine can serve it.
+
+    Layout under ``path``: ``cells/cell=<i>/`` holding (id, embedding)
+    and ``centroids/`` holding (cell, centroid array<double>). Corpus
+    assignment is the same broadcast numpy-GEMM Arrow pass as ivf_topk
+    (no shuffle beyond the partitioned write's file routing).
+    """
+    import pandas as pd
+
+    cents = _train_ivf_centroids(
+        vectors, n_cells, sample_size, train_iters, seed, id_col, vec_col
+    )
+    bc = vectors.sparkSession.sparkContext.broadcast(cents)
+
+    @F.pandas_udf("int")
+    def cell_of(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy()).astype("float64")
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ bc.value.T, axis=1).astype("int32"))
+
+    (
+        vectors.select(
+            id_col,
+            F.col(vec_col).cast("array<double>").alias(vec_col),
+            cell_of(F.col(vec_col).cast("array<double>")).alias("cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+    spark = vectors.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in cents[i]]) for i in range(len(cents))],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ann_search_ivf_indexed(
+    spark,
+    index_path: str,
+    query_vec: list,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Online ANN against a build_ivf_index layout: rank the (tiny)
+    centroid table driver-side to pick the ``n_probe`` nearest cells,
+    then scan ONLY those cell directories (partition pruning — the
+    plan's PartitionFilters carries the IN-list) and re-rank exactly
+    by cosine in JVM expressions (query literals unrolled into the
+    plan — no Python in the scan path). n_probe = n_cells ⇒ exact
+    brute force. Driver-side pulls: the centroid table (n_cells rows)
+    only."""
+    q = np.asarray(query_vec, dtype="float64")
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    cents = spark.read.parquet(f"{index_path}/centroids").collect()
+    sims = [(float(np.dot(qn, np.asarray(r.centroid))), r.cell) for r in cents]
+    probes = [c for _, c in sorted(sims, key=lambda t: (-t[0], t[1]))[:n_probe]]
+    rows = spark.read.parquet(f"{index_path}/cells").filter(
+        F.col("cell").isin(probes)
+    )
+    e = F.col(vec_col)
+    qarr = F.array(*[F.lit(float(x)) for x in qn])
+    dot = F.aggregate(
+        F.zip_with(e, qarr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    norm = F.sqrt(F.aggregate(e, F.lit(0.0), lambda a, x: a + x * x))
+    return (
+        rows.select(
+            id_col,
+            "cell",
+            F.round(dot / F.greatest(norm, F.lit(1e-12)), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
     )

@@ -591,3 +591,51 @@ def test_indexed_bm25_matches_from_scratch_and_prunes(spark, tmp_path):
     ranges.sort()
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev <= lo_next
+
+
+def test_indexed_ivf_prunes_partitions_and_matches_bruteforce(spark, tmp_path):
+    """ann_search_ivf_indexed must (a) equal a numpy brute-force cosine
+    ranking over exactly the probed cells' members, (b) equal global
+    brute force when probing every cell, and (c) show the cell IN-list
+    as a partition filter (directory pruning, not row filtering)."""
+    import numpy as np
+
+    from finance_data_pipeline_spark.extensions import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivf_idx")
+    similarity.build_ivf_index(emb, idx, n_cells=8)
+
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    qvec = [float(x) for x in qrow.embedding]
+
+    got = similarity.ann_search_ivf_indexed(spark, idx, qvec, k=5, n_probe=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    rows = got.collect()
+    cells = spark.read.parquet(f"{idx}/cells")
+    probed = {r.cell for r in rows}
+    members = cells.filter(F.col("cell").isin([int(c) for c in probed])).collect()
+    qn = np.asarray(qvec) / np.linalg.norm(qvec)
+    exact = sorted(
+        (
+            (round(float(np.dot(qn, np.asarray(m.embedding) / max(np.linalg.norm(m.embedding), 1e-12))), 6), -m.vec_id)
+            for m in members
+        ),
+        reverse=True,
+    )
+    got_pairs = [(r.cosine, -r.vec_id) for r in rows]
+    # the probed-cell brute force must agree on every returned row
+    assert got_pairs == exact[: len(got_pairs)]
+
+    full = similarity.ann_search_ivf_indexed(spark, idx, qvec, k=5, n_probe=8)
+    allm = cells.collect()
+    exact_all = sorted(
+        (
+            (round(float(np.dot(qn, np.asarray(m.embedding) / max(np.linalg.norm(m.embedding), 1e-12))), 6), -m.vec_id)
+            for m in allm
+        ),
+        reverse=True,
+    )[:5]
+    assert [(r.cosine, -r.vec_id) for r in full.collect()] == exact_all
