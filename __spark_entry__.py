@@ -115,7 +115,7 @@ _PRIORITY = [
     "streaming_late_data_policy",
     "split_leakage_check", "canonical_dedup_stats", "embedding_sq8_error",
     "event_transition_matrix", "dau_wau_stickiness", "dup_kcore",
-    "epoch_shuffle",
+    "epoch_shuffle", "contrastive_pairs",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -405,3 +405,48 @@ def epoch_shuffle(
     return out.select(
         key_col, "shard", F.row_number().over(w).cast("long").alias("pos")
     )
+
+
+def contrastive_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Embedding-training pair mining: POSITIVES are the exact-verified
+    near-duplicate pairs (Jaccard ≥ ``threshold`` — texts that should
+    embed close), NEGATIVES are hash-adjacent same-source doc pairs
+    (topically plausible hard-ish negatives, deterministic — zero RNG)
+    with any accidental near-dup anti-joined away. Returns
+    (id_a, id_b, pair_type).
+
+    Scale shape: negative pairing windows are partitioned by
+    (source, md5-prefix bucket) — 256 buckets per source keep every
+    sort partition bounded instead of sorting a whole source in one
+    task (pairs spanning a bucket boundary are simply not emitted;
+    negatives need volume, not completeness). The tiny positive set
+    localCheckpoints once and broadcasts into the anti-join."""
+    from finance_data_pipeline_spark.extensions.dedup import near_dup_pairs
+
+    pos = (
+        near_dup_pairs(docs, threshold=threshold, id_col=id_col, text_col=text_col)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col, "_bkt").orderBy("_h", id_col)
+    neg = (
+        docs.select(group_col, id_col, h.alias("_h"))
+        .withColumn("_bkt", F.substring("_h", 1, 2))
+        .withColumn("_nxt", F.lead(id_col).over(w))
+        .filter(F.col("_nxt").isNotNull())
+        .select(
+            F.least(id_col, "_nxt").alias("id_a"),
+            F.greatest(id_col, "_nxt").alias("id_b"),
+        )
+        .join(F.broadcast(pos), ["id_a", "id_b"], "left_anti")
+    )
+    return pos.withColumn("pair_type", F.lit("positive")).unionAll(
+        neg.withColumn("pair_type", F.lit("negative"))
+    )

@@ -7831,3 +7831,30 @@ def q_epoch_shuffle(spark, sf_dir):
     return sampling.epoch_shuffle(
         table(spark, sf_dir, "documents"), epoch=1, n_shards=16
     )
+
+
+@query(
+    "contrastive_pairs",
+    f"""WITH {_NEAR_PAIRS_CTE},
+neg0 AS (
+  SELECT doc_id,
+         lead(doc_id) OVER (
+           PARTITION BY source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS nxt
+  FROM documents),
+neg AS (SELECT least(doc_id, nxt) AS id_a, greatest(doc_id, nxt) AS id_b
+        FROM neg0 WHERE nxt IS NOT NULL),
+negc AS (SELECT id_a, id_b FROM neg
+         WHERE NOT EXISTS (SELECT 1 FROM np
+                           WHERE np.id_a = neg.id_a AND np.id_b = neg.id_b))
+SELECT id_a, id_b, 'positive' AS pair_type FROM np
+UNION ALL
+SELECT id_a, id_b, 'negative' AS pair_type FROM negc""",
+)
+def q_contrastive_pairs(spark, sf_dir):
+    """X6+++++ — embedding-training pair mining: exact-verified
+    near-dup pairs as positives, hash-adjacent same-source pairs as
+    deterministic negatives (accidental near-dups anti-joined away).
+    Negative windows partition by (source, md5-prefix bucket) so no
+    task ever sorts a whole source. See sampling.contrastive_pairs."""
+    return sampling.contrastive_pairs(table(spark, sf_dir, "documents"))

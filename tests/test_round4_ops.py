@@ -639,3 +639,25 @@ def test_indexed_ivf_prunes_partitions_and_matches_bruteforce(spark, tmp_path):
         reverse=True,
     )[:5]
     assert [(r.cosine, -r.vec_id) for r in full.collect()] == exact_all
+
+
+def test_contrastive_pairs_labels_and_no_overlap(spark):
+    """Positives are exactly the verified near-dup pairs; negatives
+    never repeat a positive pair; every pair is ordered id_a < id_b."""
+    from finance_data_pipeline_spark.extensions import dedup, sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = sampling.contrastive_pairs(docs).collect()
+    pos = {(r.id_a, r.id_b) for r in out if r.pair_type == "positive"}
+    neg = {(r.id_a, r.id_b) for r in out if r.pair_type == "negative"}
+    want_pos = {
+        (r.id_a, r.id_b)
+        for r in dedup.near_dup_pairs(docs, threshold=0.7).collect()
+    }
+    assert pos == want_pos
+    assert not pos & neg
+    assert all(a < b for a, b in pos | neg)
+    # At sf0.001 the 256 hash buckets per source are sparse (500 docs),
+    # so negatives are few; at corpus scale buckets fill and negatives
+    # dominate. Here just require the mechanism produced some.
+    assert len(neg) > 0
