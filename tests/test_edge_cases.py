@@ -245,3 +245,39 @@ def test_session4_operators_handle_empty_inputs(spark):
     )
     r = quality.hll_distinct(ev, "user_id").first()
     assert r.present_buckets == 0 and r.est_distinct == 0.0 and r.exact_distinct == 0
+
+
+def test_new_ops_degrade_on_empty_inputs(spark):
+    """The session's new operators must return empty frames (never
+    raise) on empty inputs: canonical dedup, split leakage, k-core,
+    epoch shuffle, contrastive pairs, SQ8 report."""
+    from finance_data_pipeline_spark.extensions import graph, sampling
+    from finance_data_pipeline_spark.extensions.similarity import sq8_error_report
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, source string"
+    )
+    assert dedup.canonical_dedup_stats(empty_docs).count() == 0
+    assert dedup.split_leakage(empty_docs).count() == 0
+    assert sampling.contrastive_pairs(empty_docs).count() == 0
+    assert sampling.epoch_shuffle(empty_docs).count() == 0
+
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert graph.kcore(empty_pairs).count() == 0
+
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, label string"
+    )
+    assert sq8_error_report(empty_emb).count() == 0
+
+
+def test_sq8_single_element_vector(spark):
+    """A 1-dim vector is degenerate (min == max) — defined as zero
+    error, not NaN/divide-by-zero."""
+    from finance_data_pipeline_spark.extensions.similarity import sq8_error_report
+
+    emb = spark.createDataFrame(
+        [(1, [3.5], "x")], "vec_id long, embedding array<double>, label string"
+    )
+    [r] = sq8_error_report(emb).collect()
+    assert r.avg_rmse_q8 == 0.0 and r.max_abs_err_q8 == 0.0
