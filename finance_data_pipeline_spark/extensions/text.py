@@ -1026,3 +1026,71 @@ def bm25_topk_indexed(
         .orderBy(F.desc("score"), id_col)
         .limit(k)
     )
+
+
+def merge_text_index(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_files: int = 8,
+) -> None:
+    """Incremental maintenance for build_text_index: fold a batch of
+    NEW documents into an existing index without rescanning the old
+    corpus — postings union (one pass over the new batch only), term
+    document-frequencies added, the 1-row stats summed. Equals a full
+    rebuild over old+new exactly (tested), which is the property that
+    makes the index trustworthy under continuous ingestion.
+
+    Writes to ``out_path`` rather than in place — the same
+    commit-then-swap discipline as compact_parquet: a failed merge
+    must never corrupt the serving index. Old postings are passed
+    through the range-repartition with the new ones so the merged
+    layout keeps its `_h` pruning property.
+    """
+    from finance_data_pipeline_spark.extensions.dedup import tokens
+    from finance_data_pipeline_spark.io import write_parquet_bloom
+
+    toks = new_docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_t")
+    ).select(F.col(id_col), F.xxhash64("_t").alias("_h"))
+    tf = toks.groupBy(id_col, "_h").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    new_postings = tf.join(dl, id_col)
+
+    old_postings = spark.read.parquet(f"{index_path}/postings")
+    merged = old_postings.select(id_col, "_h", "tf", "dl").unionByName(
+        new_postings.select(id_col, "_h", "tf", "dl")
+    )
+    write_parquet_bloom(
+        merged.repartitionByRange(n_files, "_h").sortWithinPartitions("_h"),
+        f"{out_path}/postings",
+        bloom_cols=["_h"],
+    )
+
+    new_df = tf.groupBy("_h").agg(F.count("*").cast("long").alias("df"))
+    old_df = spark.read.parquet(f"{index_path}/terms")
+    (
+        old_df.unionByName(new_df)
+        .groupBy("_h")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .write.mode("overwrite")
+        .parquet(f"{out_path}/terms")
+    )
+
+    new_stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    (
+        spark.read.parquet(f"{index_path}/stats")
+        .unionByName(new_stats)
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_path}/stats")
+    )

@@ -661,3 +661,30 @@ def test_contrastive_pairs_labels_and_no_overlap(spark):
     # so negatives are few; at corpus scale buckets fill and negatives
     # dominate. Here just require the mechanism produced some.
     assert len(neg) > 0
+
+
+def test_merge_text_index_equals_full_rebuild(spark, tmp_path):
+    """Folding a new batch into an existing index must equal rebuilding
+    from the union corpus: same postings set, same term dfs, same
+    stats, and identical BM25 answers."""
+    from finance_data_pipeline_spark.extensions import text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    p_old = str(tmp_path / "idx_old")
+    p_merged = str(tmp_path / "idx_merged")
+    p_full = str(tmp_path / "idx_full")
+    text.build_text_index(old, p_old, n_files=4)
+    text.merge_text_index(spark, p_old, new, p_merged, n_files=4)
+    text.build_text_index(docs, p_full, n_files=4)
+
+    for sub in ("postings", "terms", "stats"):
+        a = sorted(map(tuple, spark.read.parquet(f"{p_merged}/{sub}").collect()))
+        b = sorted(map(tuple, spark.read.parquet(f"{p_full}/{sub}").collect()))
+        assert a == b, sub
+
+    qtext = docs.filter(F.col("doc_id") == 2).select("text").first().text
+    got = text.bm25_topk_indexed(spark, p_merged, qtext, k=10, exclude_id=2)
+    want = text.bm25_topk_indexed(spark, p_full, qtext, k=10, exclude_id=2)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
