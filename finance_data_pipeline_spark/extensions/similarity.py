@@ -1446,3 +1446,50 @@ def ann_search_ivf_indexed(
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
     )
+
+
+def add_to_ivf_index(
+    new_vectors: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF maintenance — the standard vector-DB "add"
+    path: assign the new batch against the EXISTING centroids (no
+    retraining; the coarse quantizer is deliberately stable so cell
+    routing never changes under ingestion) and append the rows into
+    their cell directories. Existing files are never rewritten —
+    append-only per partition (tested by file inventory), so the cost
+    of an add is O(batch), not O(index), and concurrent readers keep
+    a consistent view of the old files.
+
+    Centroid drift under heavy ingestion is handled the way FAISS
+    does: rebuild with build_ivf_index when recall degrades, not by
+    mutating cells in place.
+    """
+    import pandas as pd
+
+    spark = new_vectors.sparkSession
+    cents_rows = sorted(
+        spark.read.parquet(f"{index_path}/centroids").collect(),
+        key=lambda r: r.cell,
+    )
+    cents = np.stack([np.asarray(r.centroid, dtype="float64") for r in cents_rows])
+    bc = spark.sparkContext.broadcast(cents)
+
+    @F.pandas_udf("int")
+    def cell_of(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy()).astype("float64")
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ bc.value.T, axis=1).astype("int32"))
+
+    (
+        new_vectors.select(
+            id_col,
+            F.col(vec_col).cast("array<double>").alias(vec_col),
+            cell_of(F.col(vec_col).cast("array<double>")).alias("cell"),
+        )
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{index_path}/cells")
+    )

@@ -688,3 +688,42 @@ def test_merge_text_index_equals_full_rebuild(spark, tmp_path):
     got = text.bm25_topk_indexed(spark, p_merged, qtext, k=10, exclude_id=2)
     want = text.bm25_topk_indexed(spark, p_full, qtext, k=10, exclude_id=2)
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_ivf_add_appends_without_rewriting_old_files(spark, tmp_path):
+    """Adding a batch must leave every pre-existing cell file untouched
+    (append-only ingestion), route new vectors with the SAME centroids
+    a full build over the union would use, and serve searches over the
+    union corpus."""
+    import glob
+    import os
+
+    from finance_data_pipeline_spark.extensions import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    idx = str(tmp_path / "ivf_inc")
+    similarity.build_ivf_index(old, idx, n_cells=8)
+
+    def inventory():
+        return {
+            f: os.path.getmtime(f)
+            for f in glob.glob(os.path.join(idx, "cells", "cell=*", "*.parquet"))
+        }
+
+    before = inventory()
+    similarity.add_to_ivf_index(new, idx)
+    after = inventory()
+    assert set(before) <= set(after)
+    assert all(after[f] == m for f, m in before.items())   # old files untouched
+    assert len(after) > len(before)
+
+    cells = spark.read.parquet(f"{idx}/cells")
+    assert cells.count() == emb.count()
+    assert cells.select("vec_id").distinct().count() == emb.count()
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    got = similarity.ann_search_ivf_indexed(spark, idx, qvec, k=5, n_probe=8)
+    # probing every cell == exact: vec 0 itself must rank first
+    assert got.first().vec_id == 0
