@@ -116,6 +116,8 @@ _PRIORITY = [
     "split_leakage_check", "canonical_dedup_stats", "embedding_sq8_error",
     "event_transition_matrix", "dau_wau_stickiness", "dup_kcore",
     "epoch_shuffle", "contrastive_pairs",
+    "calendar_fill", "ohlc_resample_weekly", "k_anonymity_audit",
+    "zorder_skip_stats",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

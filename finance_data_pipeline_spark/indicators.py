@@ -211,3 +211,76 @@ def with_indicators(df: DataFrame, time_col: str = "date", include_ema: bool = T
     if include_ema:
         out = with_ema_macd(out, time_col=time_col)
     return out
+
+
+# --- calendar regularization + resampling --------------------------------
+
+
+def calendar_fill(stocks: DataFrame, time_col: str = "date") -> DataFrame:
+    """Densify each symbol's history to an unbroken daily calendar and
+    forward-fill the close over the introduced gaps.
+
+    The reference tolerates holes in its per-symbol history (the upsert
+    re-fetch never backfills skipped sessions; quality.continuity_check
+    only *detects* them, fetch_and_store.py:285-294). This is the repair
+    operator: every symbol gets one row per day between its first and
+    last observation, with ``is_filled`` marking synthesized rows,
+    ``close_ffill`` carrying the last known close forward, and volume 0
+    on non-trading rows — the shape a downstream join or indicator pass
+    can rely on without per-row null checks.
+
+    Scale: the gap fan-out is ``sequence(min,max)`` per symbol — output
+    is bounded by symbols × calendar span regardless of input skew, and
+    both the left join and the forward-fill window shuffle once on
+    (symbol). No driver-side calendar, no cross join against a global
+    date dimension (which would densify symbols outside their own
+    trading range).
+    """
+    span = stocks.groupBy("symbol").agg(
+        F.min(time_col).alias("_d0"), F.max(time_col).alias("_d1")
+    )
+    days = span.select(
+        "symbol", F.explode(F.sequence("_d0", "_d1")).alias(time_col)
+    )
+    joined = days.join(
+        stocks.select("symbol", time_col, "close", "volume"),
+        ["symbol", time_col],
+        "left",
+    )
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "symbol",
+        time_col,
+        F.col("close").isNull().alias("is_filled"),
+        F.last("close", ignorenulls=True).over(w).alias("close_ffill"),
+        F.coalesce("volume", F.lit(0)).cast("long").alias("volume"),
+    )
+
+
+def resample_ohlc(stocks: DataFrame, grain: str = "week", time_col: str = "date") -> DataFrame:
+    """Downsample daily OHLCV bars to a coarser grain (week/month) with
+    the correct per-field semantics: open = first bar's open, close =
+    last bar's close (``min_by``/``max_by`` on the timestamp — no
+    window, no sort), high/low = extrema, volume = sum.
+
+    The reference's analyze step plots daily bars only; any longer-term
+    view re-reads MySQL and re-aggregates in pandas per symbol
+    (analyze_visualize.py:98-141). Here the downsample is one partial-
+    aggregated shuffle on (symbol, bucket) — ``min_by``/``max_by`` are
+    single-pass JVM aggregates, so the plan has no WindowExec and
+    map-side combine applies; at 100 TB the shuffle carries one row per
+    symbol-bucket, not per bar.
+    """
+    bucket = F.date_trunc(grain, F.col(time_col).cast("timestamp")).cast("date")
+    return stocks.groupBy("symbol", bucket.alias("bucket_start")).agg(
+        F.min_by("open", time_col).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", time_col).alias("close"),
+        F.sum("volume").cast("long").alias("volume"),
+        F.count(F.lit(1)).cast("long").alias("n_bars"),
+    )

@@ -515,3 +515,136 @@ def salting_plan(
             F.ceil(ratio).cast("long").alias("salt_factor"),
         )
     )
+
+
+# --- multi-dimensional layout / data skipping ---------------------------
+
+
+def zorder_expr(xb: str, yb: str, bits: int = 8) -> str:
+    """Bit-interleave expression text for a 2-D Z-order (Morton) value.
+
+    Plain integer ``>> & << |`` arithmetic so the SAME string evaluates
+    identically under Spark SQL and any ANSI engine — the registry
+    embeds it in both the DataFrame plan and the DuckDB oracle.
+    """
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xb} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({yb} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def zorder_layout_stats(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_files: int = 16,
+    bits: int = 8,
+    rect_tenths: tuple[int, int] = (4, 6),
+) -> DataFrame:
+    """Quantify file skipping under three physical layouts — linear by
+    ``x``, linear by ``y``, Z-order on both — for a rectangle predicate
+    covering tenths ``[lo, hi)`` of each dimension's range.
+
+    Rows are assigned to ``n_files`` equal-width buckets of the layout
+    key (the deterministic, shuffle-free stand-in for what
+    ``repartitionByRange(z).sortWithinPartitions(z)`` produces with
+    sampled quantiles on a real write). Per file the min/max of BOTH
+    dimensions — exactly the parquet footer stats a reader consults —
+    decide whether the rectangle can skip it. Output per layout:
+    ``files_hit`` (files whose [min,max] box intersects the rectangle),
+    ``rows_scanned`` (rows actually read), ``rows_match`` (true
+    selectivity, identical across layouts by construction).
+
+    Scale: one broadcast of the 1-row global bounds, then a single scan
+    feeding a 3-way GROUPING SETS aggregate (one Expand, one shuffle on
+    (layout, file)) and a tiny per-layout rollup — the three layouts are
+    costed in one pass, never three. All integer arithmetic (``DIV``,
+    shifts), so the audit is engine-portable and exactly reproducible.
+    """
+    lo_t, hi_t = rect_tenths
+    width = 1 << bits
+    base = df.select(
+        F.col(x_col).cast("long").alias("x"), F.col(y_col).cast("long").alias("y")
+    )
+    b = base.agg(
+        F.min("x").alias("xmin"),
+        F.max("x").alias("xmax"),
+        F.min("y").alias("ymin"),
+        F.max("y").alias("ymax"),
+    )
+    g = (
+        base.join(F.broadcast(b))
+        .selectExpr(
+            "x",
+            "y",
+            f"((x - xmin) * {width}) DIV (xmax - xmin + 1) AS xb",
+            f"((y - ymin) * {width}) DIV (ymax - ymin + 1) AS yb",
+            f"xmin + ((xmax - xmin + 1) * {lo_t}) DIV 10 AS x_lo",
+            f"xmin + ((xmax - xmin + 1) * {hi_t}) DIV 10 - 1 AS x_hi",
+            f"ymin + ((ymax - ymin + 1) * {lo_t}) DIV 10 AS y_lo",
+            f"ymin + ((ymax - ymin + 1) * {hi_t}) DIV 10 - 1 AS y_hi",
+            "xmin",
+            "xmax",
+            "ymin",
+            "ymax",
+        )
+        .withColumn("zv", F.expr(zorder_expr("xb", "yb", bits)))
+        .selectExpr(
+            "*",
+            f"(zv * {n_files}) DIV {1 << (2 * bits)} AS f_zorder",
+            f"((x - xmin) * {n_files}) DIV (xmax - xmin + 1) AS f_linear_x",
+            f"((y - ymin) * {n_files}) DIV (ymax - ymin + 1) AS f_linear_y",
+        )
+    )
+    in_rect = (
+        (F.col("x") >= F.col("x_lo"))
+        & (F.col("x") <= F.col("x_hi"))
+        & (F.col("y") >= F.col("y_lo"))
+        & (F.col("y") <= F.col("y_hi"))
+    ).cast("long")
+    per_file = (
+        g.withColumn("in_rect", in_rect)
+        .groupingSets(
+            [["f_zorder"], ["f_linear_x"], ["f_linear_y"]],
+            "f_zorder",
+            "f_linear_x",
+            "f_linear_y",
+        )
+        .agg(
+            F.expr(
+                "CASE WHEN grouping(f_zorder) = 0 THEN 'zorder' "
+                "WHEN grouping(f_linear_x) = 0 THEN 'linear_x' "
+                "ELSE 'linear_y' END"
+            ).alias("layout"),
+            F.min("x").alias("fx0"),
+            F.max("x").alias("fx1"),
+            F.min("y").alias("fy0"),
+            F.max("y").alias("fy1"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("in_rect").cast("long").alias("n_match"),
+            F.min("x_lo").alias("x_lo"),
+            F.min("x_hi").alias("x_hi"),
+            F.min("y_lo").alias("y_lo"),
+            F.min("y_hi").alias("y_hi"),
+        )
+    )
+    hit = (
+        (F.col("fx1") >= F.col("x_lo"))
+        & (F.col("fx0") <= F.col("x_hi"))
+        & (F.col("fy1") >= F.col("y_lo"))
+        & (F.col("fy0") <= F.col("y_hi"))
+    )
+    return (
+        per_file.withColumn("hit", hit.cast("long"))
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("files_total"),
+            F.sum("hit").cast("long").alias("files_hit"),
+            F.sum(F.when(F.col("hit") == 1, F.col("n")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.sum("n_match").cast("long").alias("rows_match"),
+        )
+        .orderBy("layout")
+    )

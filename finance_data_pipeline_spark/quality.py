@@ -274,3 +274,21 @@ def hll_distinct(
         F.round(est, 4).alias("est_distinct"),
         "exact_distinct",
     )
+
+
+def k_anonymity(df: DataFrame, qi_cols: list[str], k: int = 5) -> DataFrame:
+    """Privacy audit over a set of quasi-identifier columns: the size of
+    every QI equivalence class, flagging classes smaller than ``k``
+    (re-identifiable under k-anonymity).
+
+    Companion to the PII scrub (text.pii_scrub): scrubbing removes
+    direct identifiers from payloads, but a training-data release is
+    still linkable through quasi-identifier combinations in its
+    metadata. One hash-aggregate shuffle on the QI tuple; output is
+    bounded by the QI cross-domain, not the row count, so the audit
+    frame broadcasts at any scale. Callers bin continuous columns
+    (e.g. balance → band) BEFORE the audit — raw continuous QIs make
+    every class size 1 and the report meaningless.
+    """
+    g = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).cast("long").alias("class_n"))
+    return g.withColumn("at_risk", F.col("class_n") < k)

@@ -7858,3 +7858,147 @@ def q_contrastive_pairs(spark, sf_dir):
     Negative windows partition by (source, md5-prefix bucket) so no
     task ever sorts a whole source. See sampling.contrastive_pairs."""
     return sampling.contrastive_pairs(table(spark, sf_dir, "documents"))
+
+
+# =========================================================================
+# Calendar regularization / resampling / governance / layout (round 4)
+# =========================================================================
+
+
+@query(
+    "calendar_fill",
+    f"""WITH {STOCKS},
+span AS (SELECT symbol, min(date) AS d0, max(date) AS d1 FROM stocks GROUP BY symbol),
+days AS (SELECT symbol, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS date
+         FROM span),
+j AS (SELECT d.symbol, d.date, s.close, s.volume
+      FROM days d LEFT JOIN stocks s ON s.symbol = d.symbol AND s.date = d.date)
+SELECT symbol, date,
+       close IS NULL AS is_filled,
+       last_value(close IGNORE NULLS) OVER (
+         PARTITION BY symbol ORDER BY date
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffill,
+       CAST(coalesce(volume, 0) AS BIGINT) AS volume
+FROM j ORDER BY symbol, date""",
+)
+def q_calendar_fill(spark, sf_dir):
+    """Gap repair for the per-symbol daily history: densify to an
+    unbroken calendar (sequence-explode per symbol, bounded by each
+    symbol's own span) and forward-fill close via last-ignorenulls —
+    the fix for the holes quality.continuity_check detects
+    (fetch_and_store.py:285-294 only warns). Close values pass through
+    unchanged, so the oracle compares raw doubles."""
+    return indicators.calendar_fill(_stocks(spark, sf_dir)).orderBy("symbol", "date")
+
+
+@query(
+    "ohlc_resample_weekly",
+    f"""WITH {STOCKS}
+SELECT symbol, CAST(date_trunc('week', date) AS DATE) AS bucket_start,
+       arg_min(open, date) AS open, max(high) AS high, min(low) AS low,
+       arg_max(close, date) AS close,
+       CAST(sum(volume) AS BIGINT) AS volume,
+       CAST(count(*) AS BIGINT) AS n_bars
+FROM stocks GROUP BY symbol, bucket_start ORDER BY symbol, bucket_start""",
+)
+def q_ohlc_resample_weekly(spark, sf_dir):
+    """W-family downsample: daily bars → weekly OHLCV with correct
+    per-field semantics (open = earliest bar via min_by, close =
+    latest via max_by, extrema, summed volume) in ONE partial-agg
+    shuffle — no WindowExec, no per-symbol pandas re-aggregation
+    (analyze_visualize.py:98-141 re-reads and re-groups per symbol).
+    All fields are exact picks or integer sums → raw-double stable."""
+    return indicators.resample_ohlc(
+        _stocks(spark, sf_dir), grain="week"
+    ).orderBy("symbol", "bucket_start")
+
+
+@query(
+    "k_anonymity_audit",
+    """WITH q AS (SELECT c_nationkey, c_mktsegment,
+                         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+                  FROM customer)
+SELECT c_nationkey, c_mktsegment, bal_band,
+       CAST(count(*) AS BIGINT) AS class_n,
+       count(*) < 5 AS at_risk
+FROM q GROUP BY c_nationkey, c_mktsegment, bal_band
+ORDER BY c_nationkey, c_mktsegment, bal_band""",
+)
+def q_k_anonymity_audit(spark, sf_dir):
+    """Governance audit: k-anonymity over (nation, segment, balance
+    band) quasi-identifiers — every equivalence class smaller than k=5
+    is re-identifiable even after pii_scrub removes direct identifiers.
+    One hash-agg shuffle; output bounded by the QI cross-domain (~25
+    nations × 5 segments × ~11 bands), so the report broadcasts at any
+    input scale. See quality.k_anonymity."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    return quality.k_anonymity(
+        c, ["c_nationkey", "c_mktsegment", "bal_band"], k=5
+    ).orderBy("c_nationkey", "c_mktsegment", "bal_band")
+
+
+_ZEXPR = rel.zorder_expr("xb", "yb", 8)
+
+
+@query(
+    "zorder_skip_stats",
+    f"""WITH base AS (SELECT CAST(o_custkey AS BIGINT) AS x,
+                     CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS y
+              FROM orders),
+b AS (SELECT min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax FROM base),
+g AS (SELECT x, y,
+        ((x - xmin) * 256) // (xmax - xmin + 1) AS xb,
+        ((y - ymin) * 256) // (ymax - ymin + 1) AS yb,
+        xmin + ((xmax - xmin + 1) * 4) // 10 AS x_lo,
+        xmin + ((xmax - xmin + 1) * 6) // 10 - 1 AS x_hi,
+        ymin + ((ymax - ymin + 1) * 4) // 10 AS y_lo,
+        ymin + ((ymax - ymin + 1) * 6) // 10 - 1 AS y_hi,
+        xmin, xmax, ymin, ymax
+      FROM base CROSS JOIN b),
+z AS (SELECT *, {_ZEXPR} AS zv FROM g),
+asn AS (SELECT *,
+          (zv * 64) // 65536 AS f_zorder,
+          ((x - xmin) * 64) // (xmax - xmin + 1) AS f_linear_x,
+          ((y - ymin) * 64) // (ymax - ymin + 1) AS f_linear_y,
+          CASE WHEN x >= x_lo AND x <= x_hi AND y >= y_lo AND y <= y_hi
+               THEN 1 ELSE 0 END AS in_rect
+        FROM z),
+pf AS (SELECT CASE WHEN grouping(f_zorder) = 0 THEN 'zorder'
+                   WHEN grouping(f_linear_x) = 0 THEN 'linear_x'
+                   ELSE 'linear_y' END AS layout,
+              min(x) AS fx0, max(x) AS fx1, min(y) AS fy0, max(y) AS fy1,
+              count(*) AS n, sum(in_rect) AS n_match,
+              min(x_lo) AS x_lo, min(x_hi) AS x_hi,
+              min(y_lo) AS y_lo, min(y_hi) AS y_hi
+       FROM asn GROUP BY GROUPING SETS ((f_zorder), (f_linear_x), (f_linear_y))),
+h AS (SELECT layout, n, n_match,
+             CASE WHEN fx1 >= x_lo AND fx0 <= x_hi AND fy1 >= y_lo AND fy0 <= y_hi
+                  THEN 1 ELSE 0 END AS hit
+      FROM pf)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS files_total,
+       CAST(sum(hit) AS BIGINT) AS files_hit,
+       CAST(sum(CASE WHEN hit = 1 THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(sum(n_match) AS BIGINT) AS rows_match
+FROM h GROUP BY layout ORDER BY layout""",
+)
+def q_zorder_skip_stats(spark, sf_dir):
+    """Physical-layout audit: how many files a (custkey × orderdate)
+    rectangle query must read under linear-by-custkey, linear-by-date,
+    and Z-order clustering of orders. File boxes = the parquet footer
+    min/max a reader prunes with; all three layouts are costed in ONE
+    grouping-sets pass (single Expand + shuffle). The production write
+    path this audits is repartitionByRange(z).sortWithinPartitions(z);
+    the Morton value is plain integer bit math (rel.zorder_expr), so
+    the whole audit replays exactly in ANSI SQL."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lit("1970-01-01").cast("date")).alias("epoch_day"),
+    )
+    return rel.zorder_layout_stats(
+        o, "o_custkey", "epoch_day", n_files=64, bits=8, rect_tenths=(4, 6)
+    )

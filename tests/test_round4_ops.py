@@ -727,3 +727,115 @@ def test_ivf_add_appends_without_rewriting_old_files(spark, tmp_path):
     got = similarity.ann_search_ivf_indexed(spark, idx, qvec, k=5, n_probe=8)
     # probing every cell == exact: vec 0 itself must rank first
     assert got.first().vec_id == 0
+
+
+# --- calendar_fill / resample_ohlc / k_anonymity / zorder ---------------
+
+
+def test_calendar_fill_densifies_and_forward_fills(spark):
+    from finance_data_pipeline_spark import indicators
+
+    s = spark.createDataFrame(
+        [
+            ("A", "2024-01-01", 10.0, 100),
+            ("A", "2024-01-04", 13.0, 400),   # 2-day gap before this row
+            ("B", "2024-02-01", 5.0, 50),     # single-day symbol
+        ],
+        "symbol string, date string, close double, volume long",
+    ).select("symbol", F.col("date").cast("date").alias("date"), "close", "volume")
+    out = indicators.calendar_fill(s).orderBy("symbol", "date").collect()
+    a = [r for r in out if r.symbol == "A"]
+    assert [str(r.date) for r in a] == [
+        "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"
+    ]
+    assert [r.is_filled for r in a] == [False, True, True, False]
+    assert [r.close_ffill for r in a] == [10.0, 10.0, 10.0, 13.0]
+    assert [r.volume for r in a] == [100, 0, 0, 400]
+    b = [r for r in out if r.symbol == "B"]
+    # span is per-symbol: B stays one row, never densified into A's range
+    assert len(b) == 1 and b[0].is_filled is False
+
+
+def test_resample_ohlc_picks_first_open_last_close(spark):
+    from finance_data_pipeline_spark import indicators
+
+    s = spark.createDataFrame(
+        [
+            # one ISO week (Mon 2024-01-01 .. Sun 2024-01-07), out of order
+            ("A", "2024-01-03", 20.0, 25.0, 19.0, 24.0, 300),
+            ("A", "2024-01-01", 10.0, 15.0, 9.0, 14.0, 100),
+            ("A", "2024-01-05", 30.0, 35.0, 29.0, 34.0, 500),
+            # next week
+            ("A", "2024-01-08", 40.0, 45.0, 39.0, 44.0, 800),
+        ],
+        "symbol string, date string, open double, high double, low double,"
+        " close double, volume long",
+    ).select(
+        "symbol", F.col("date").cast("date").alias("date"),
+        "open", "high", "low", "close", "volume",
+    )
+    out = indicators.resample_ohlc(s, grain="week").orderBy("bucket_start").collect()
+    assert len(out) == 2
+    w1 = out[0]
+    assert str(w1.bucket_start) == "2024-01-01"
+    assert w1.open == 10.0     # Monday's open, not the max/min
+    assert w1.close == 34.0    # Friday's close
+    assert (w1.high, w1.low, w1.volume, w1.n_bars) == (35.0, 9.0, 900, 3)
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    from finance_data_pipeline_spark import quality
+
+    df = spark.createDataFrame(
+        [("US", "A")] * 5 + [("US", "B")] * 2 + [("FR", "A")],
+        "country string, seg string",
+    )
+    out = {
+        (r.country, r.seg): (r.class_n, r.at_risk)
+        for r in quality.k_anonymity(df, ["country", "seg"], k=5).collect()
+    }
+    assert out[("US", "A")] == (5, False)
+    assert out[("US", "B")] == (2, True)
+    assert out[("FR", "A")] == (1, True)
+
+
+def test_zorder_expr_is_morton_interleave():
+    from finance_data_pipeline_spark.operators.relational import zorder_expr
+
+    def morton(x, y, bits):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    expr = zorder_expr("xb", "yb", 4)
+    for xb in (0, 3, 7, 15):
+        for yb in (0, 5, 10, 15):
+            assert eval(expr) == morton(xb, yb, 4)
+
+
+def test_zorder_layout_stats_invariants(spark):
+    from finance_data_pipeline_spark.operators import relational as rel
+
+    # dense 32x32 integer grid: every (x, y) cell once
+    g = spark.range(32 * 32).selectExpr("id DIV 32 AS x", "id % 32 AS y")
+    out = {
+        r.layout: r
+        for r in rel.zorder_layout_stats(
+            g, "x", "y", n_files=16, bits=5, rect_tenths=(4, 6)
+        ).collect()
+    }
+    assert set(out) == {"linear_x", "linear_y", "zorder"}
+    # identical true selectivity regardless of layout
+    match = {r.rows_match for r in out.values()}
+    assert len(match) == 1 and match.pop() > 0
+    for r in out.values():
+        assert r.files_total == 16
+        assert 1 <= r.files_hit <= 16
+        assert r.rows_scanned >= r.rows_match
+    # on a uniform grid the Morton layout prunes at least as well as the
+    # better linear layout (2-D blocks vs 1-D stripes)
+    assert out["zorder"].rows_scanned <= min(
+        out["linear_x"].rows_scanned, out["linear_y"].rows_scanned
+    )
