@@ -117,7 +117,7 @@ _PRIORITY = [
     "event_transition_matrix", "dau_wau_stickiness", "dup_kcore",
     "epoch_shuffle", "contrastive_pairs",
     "calendar_fill", "ohlc_resample_weekly", "k_anonymity_audit",
-    "zorder_skip_stats",
+    "zorder_skip_stats", "join_size_estimate",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -648,3 +648,89 @@ def zorder_layout_stats(
         )
         .orderBy("layout")
     )
+
+
+def cms_join_size(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    depth: int = 3,
+    width: int = 8192,
+    include_exact: bool = True,
+) -> DataFrame:
+    """Equi-join cardinality estimate from count-min sketch inner
+    products (Cormode & Muthukrishnan 2005 §4.2) — the optimizer-style
+    pre-flight that decides broadcast vs shuffle vs salt BEFORE running
+    a join: |A ⋈ B| = Σ_k f_A(k)·f_B(k), estimated as
+    min_d Σ_cell A_d[cell]·B_d[cell], always ≥ the true size.
+
+    Each side collapses to a depth×width integer sketch (one map-side-
+    combined groupBy; constant state at any input size), so at 100 TB
+    the estimate costs two scans and a broadcast-sized join of two
+    ~24k-cell frames — never the join itself. Hashes are disjoint
+    md5-slice folds of the key (same family as cms_term_counts), so the
+    whole estimate replays bit-identically in SQL. A depth row with NO
+    overlapping cells proves the key sets are disjoint — the estimate
+    for that row is 0, not "absent" (left join against the row range).
+
+    Output: one row with ``est_rows`` (and ``exact_rows`` when
+    ``include_exact`` — the audit mode; turn it off at scale, the exact
+    side is the computation the sketch exists to avoid).
+    """
+    spark = left.sparkSession
+
+    def cells(df: DataFrame, key: str, cnt_name: str) -> DataFrame:
+        k = df.select(F.col(key).cast("string").alias("k"))
+        return (
+            k.select(
+                F.posexplode(
+                    F.array(
+                        *[
+                            F.conv(
+                                F.substring(F.md5("k"), 1 + 10 * j, 10), 16, 10
+                            ).cast("long")
+                            % width
+                            for j in range(depth)
+                        ]
+                    )
+                ).alias("row", "cell")
+            )
+            .groupBy("row", "cell")
+            .agg(F.count(F.lit(1)).alias(cnt_name))
+        )
+
+    ca = cells(left, left_key, "cnt_a")
+    cb = cells(right, right_key, "cnt_b")
+    dots = (
+        ca.join(cb, ["row", "cell"])
+        .groupBy("row")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("dot"))
+    )
+    rows = spark.range(depth).select(F.col("id").cast("int").alias("row"))
+    est = (
+        rows.join(dots, "row", "left")
+        .select(F.coalesce("dot", F.lit(0)).alias("dot"))
+        .agg(F.min("dot").cast("long").alias("est_rows"))
+    )
+    if not include_exact:
+        return est
+    ea = (
+        left.select(F.col(left_key).cast("string").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    eb = (
+        right.select(F.col(right_key).cast("string").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    exact = (
+        ea.join(eb, "k")
+        .agg(
+            F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+            .cast("long")
+            .alias("exact_rows")
+        )
+    )
+    return est.crossJoin(exact)

@@ -8002,3 +8002,42 @@ def q_zorder_skip_stats(spark, sf_dir):
     return rel.zorder_layout_stats(
         o, "o_custkey", "epoch_day", n_files=64, bits=8, rect_tenths=(4, 6)
     )
+
+
+_CMS_K_HASHES = ", ".join(
+    f"{{'r': {j}, 'c': {_md5_slice_sql('k', 1 + 10 * j, 10)} % 8192}}"
+    for j in range(3)
+)
+
+
+@query(
+    "join_size_estimate",
+    f"""WITH a AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+b AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+ca0 AS (SELECT unnest([{_CMS_K_HASHES}]) AS x FROM a),
+ca AS (SELECT x.r AS row, x.c AS cell, count(*) AS cnt_a FROM ca0 GROUP BY 1, 2),
+cb0 AS (SELECT unnest([{_CMS_K_HASHES}]) AS x FROM b),
+cb AS (SELECT x.r AS row, x.c AS cell, count(*) AS cnt_b FROM cb0 GROUP BY 1, 2),
+dots AS (SELECT ca.row AS row, sum(cnt_a * cnt_b) AS dot
+         FROM ca JOIN cb ON ca.row = cb.row AND ca.cell = cb.cell GROUP BY 1),
+est AS (SELECT CAST(min(coalesce(dot, 0)) AS BIGINT) AS est_rows
+        FROM range(3) t(r) LEFT JOIN dots ON t.r = dots.row),
+ea AS (SELECT k, count(*) AS na FROM a GROUP BY k),
+eb AS (SELECT k, count(*) AS nb FROM b GROUP BY k),
+ex AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS exact_rows
+       FROM ea JOIN eb USING (k))
+SELECT est_rows, exact_rows FROM est CROSS JOIN ex""",
+)
+def q_join_size_estimate(spark, sf_dir):
+    """Optimizer-support operator: CMS inner-product estimate of
+    |events ⋈ orders ON user_id = o_custkey| — the broadcast-vs-
+    shuffle-vs-salt pre-flight. Each side collapses to a constant
+    3×8192 integer sketch (map-side combined), so the estimate never
+    runs the join it sizes; est ≥ exact by construction, both reported
+    here in audit mode. See rel.cms_join_size."""
+    return rel.cms_join_size(
+        table(spark, sf_dir, "events"),
+        table(spark, sf_dir, "orders"),
+        "user_id",
+        "o_custkey",
+    )

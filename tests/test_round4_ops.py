@@ -839,3 +839,37 @@ def test_zorder_layout_stats_invariants(spark):
     assert out["zorder"].rows_scanned <= min(
         out["linear_x"].rows_scanned, out["linear_y"].rows_scanned
     )
+
+
+def test_cms_join_size_exact_when_collision_free(spark):
+    from finance_data_pipeline_spark.operators import relational as rel
+
+    left = spark.createDataFrame([(i % 5,) for i in range(50)], "k long")
+    right = spark.createDataFrame([(i,) for i in range(3)], "k long")
+    r = rel.cms_join_size(left, right, "k", "k").collect()[0]
+    # keys 0,1,2 appear 10x each on the left -> exact join size 30; with
+    # 8 distinct keys in a width-8192 sketch, collisions are absent and
+    # the CMS inner product is exact
+    assert r.exact_rows == 30
+    assert r.est_rows == 30
+
+
+def test_cms_join_size_disjoint_keys_estimates_zero(spark):
+    from finance_data_pipeline_spark.operators import relational as rel
+
+    left = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    right = spark.createDataFrame([(i,) for i in range(100, 110)], "k long")
+    r = rel.cms_join_size(left, right, "k", "k").collect()[0]
+    assert r.exact_rows == 0
+    # a depth row with no overlapping cells proves disjointness -> 0,
+    # not "min over the rows that happened to collide"
+    assert r.est_rows == 0
+
+
+def test_cms_join_size_always_upper_bound(spark):
+    from finance_data_pipeline_spark.operators import relational as rel
+
+    left = spark.createDataFrame([(i % 37,) for i in range(500)], "k long")
+    right = spark.createDataFrame([(i % 53,) for i in range(400)], "k long")
+    r = rel.cms_join_size(left, right, "k", "k").collect()[0]
+    assert r.est_rows >= r.exact_rows > 0
