@@ -118,6 +118,8 @@ _PRIORITY = [
     "epoch_shuffle", "contrastive_pairs",
     "calendar_fill", "ohlc_resample_weekly", "k_anonymity_audit",
     "zorder_skip_stats", "join_size_estimate",
+    "label_prop_communities", "rolling_beta_30",
+    "quality_ensemble_rank", "leakage_safe_split",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -15,7 +15,7 @@ the reference's per-table pipeline (fetch_and_store.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from finance_data_pipeline_spark.extensions.dedup import _spread
@@ -214,3 +214,66 @@ def kcore(
     return edges.groupBy("u").agg(
         F.count("*").cast("long").alias("core_degree")
     ).select(F.col("u").alias("node"), "core_degree")
+
+
+def label_propagation(
+    pairs: DataFrame,
+    rounds: int = 3,
+    a: str = "id_a",
+    b: str = "id_b",
+) -> DataFrame:
+    """Synchronous frequency label propagation over an undirected pair
+    graph — community detection that, unlike connected components
+    (dedup.connected_components: min-label flood = one community per
+    component), splits a component along its dense regions: each node
+    repeatedly adopts the label held by the MOST of its neighbors. On
+    the near-dup graph this separates two template farms that a single
+    bridge pair glues into one connected component — the distinction a
+    curation pipeline needs before per-cluster representative picking.
+
+    Determinism contract (the registry parity rules): synchronous
+    updates from labels(t) only, a FIXED round count, and ties broken
+    by the smallest label — the labeling is a pure function of the
+    edge set, so the whole computation replays round-for-round in a
+    SQL oracle (fixed-iteration family: pagerank, kcore, Lloyd). The
+    node's own label is not in the vote (pure neighbor majority);
+    every node in a pair graph has degree ≥ 1, so the argmax is
+    always defined.
+
+    Scale shape per round: one shuffle join of the edge list against
+    the N-row label vector (keyed on the neighbor endpoint), one
+    map-side-combined (node, label) count, and one per-node window
+    whose partition size is bounded by the node's degree — never by
+    graph size. The symmetrized edge list is localCheckpoint()ed once
+    up front so `rounds` iterations re-read a materialized frame
+    instead of re-deriving the upstream near-dup cascade per round
+    (the dup_triangles lesson), and each round's labels are
+    checkpointed so plans stay O(1) deep regardless of `rounds`.
+
+    Returns (node, community) for every node in the pair graph.
+    """
+    und = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    sym = _spread(
+        und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        votes = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .select(F.col("u").alias("node"), "lbl")
+            .groupBy("node", "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+        labels = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -450,3 +450,48 @@ def contrastive_pairs(
     return pos.withColumn("pair_type", F.lit("positive")).unionAll(
         neg.withColumn("pair_type", F.lit("negative"))
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame | None = None,
+    id_col: str = "doc_id",
+    test_sixteenths: int = 2,
+    near_dup_threshold: float = 0.7,
+) -> DataFrame:
+    """The FIX operator for what dedup.split_leakage audits: assign the
+    train/test split by NEAR-DUP CLUSTER instead of by document, so a
+    whole duplicate family always lands in one split and no test doc
+    has a training-set near-twin. Split key = the cluster's connected-
+    component id (min member) for clustered docs, the doc's own id for
+    singletons; the bucket rule is the same md5-nibble hash_split uses,
+    so the test fraction stays test_sixteenths/16 in expectation and
+    the assignment is engine-portable and layout-independent.
+
+    ``clusters`` accepts a precomputed (doc_id, cluster_id) frame (the
+    dup_clusters output) — the same re-derivation seam dup_clusters and
+    training_corpus expose. Default (None) computes it from ``docs``.
+
+    Scale shape: the cluster frame is the near-dup graph's node set —
+    orders of magnitude smaller than the corpus — joined back to docs
+    on the id (one shuffle, or a broadcast when the dup graph is
+    small); the split itself is row-local on the coalesced key.
+
+    Returns (doc_id, split_key, split).
+    """
+    from finance_data_pipeline_spark.extensions.dedup import dup_clusters
+
+    if clusters is None:
+        clusters = dup_clusters(docs, threshold=near_dup_threshold)
+    keyed = docs.select(F.col(id_col)).join(
+        clusters.withColumnRenamed("doc_id", id_col), id_col, "left"
+    )
+    return keyed.select(
+        id_col,
+        F.coalesce("cluster_id", F.col(id_col)).alias("split_key"),
+    ).withColumn(
+        "split",
+        F.when(
+            keep_fraction("split_key", test_sixteenths), F.lit("test")
+        ).otherwise(F.lit("train")),
+    )

@@ -1094,3 +1094,80 @@ def merge_text_index(
         .write.mode("overwrite")
         .parquet(f"{out_path}/stats")
     )
+
+
+def quality_ensemble_rank(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Rank-ensemble quality score: three heterogeneous per-document
+    signals — the heuristic quality_score, token count, and
+    distinct-token ratio — each converted to a within-language
+    percent_rank, then averaged. Rank-averaging is the standard way a
+    curation pipeline combines signals on incomparable scales (a raw
+    weighted sum would let the unbounded token count dominate the
+    [0,1] heuristics); ranking within language keeps one language's
+    length distribution from crowding out another's.
+
+    percent_rank is (rank-1)/(n-1) with ANSI tie semantics in both
+    Spark and DuckDB, so the ensemble is exactly reproducible in the
+    SQL oracle; values are exact small rationals in doubles and the
+    3-way average is the same IEEE arithmetic on both sides (rounded
+    to 6 dp for the hash anyway).
+
+    Scale shape: one codegen Project computes all three signals in a
+    single scan pass, then ONE shuffle on lang feeds three window
+    functions over the same (lang, signal) sort — doc-level rows only.
+    Languages are the partition keys, so skew follows the corpus lang
+    mix; a 90%-English corpus puts 90% of doc-level rows in one
+    partition — acceptable because rows are narrow doc-level tuples
+    (the window never sees text), and a two-level rank (salted
+    pre-rank + merge) is the escape hatch if a single language's DOC
+    COUNT outgrows an executor.
+
+    Returns (doc_id, lang, q_rank, len_rank, ttr_rank, ensemble_rank).
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    punct_ratio = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", "")) / n_chars
+    all_stop = [w for ws in _LANG_MARKERS.values() for w in ws]
+    score = (
+        F.when((n_tok >= 10) & (n_tok <= 100_000), 0.4).otherwise(0.0)
+        + F.when(punct_ratio <= 0.2, 0.3).otherwise(0.0)
+        + F.when(_marker_hits(toks, all_stop) >= 2, 0.3).otherwise(0.0)
+    )
+    sig = docs.select(
+        F.col(id_col),
+        F.col(lang_col).alias("lang"),
+        F.round(score, 6).alias("_q"),
+        n_tok.cast("long").alias("_len"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1)), 6
+        ).alias("_ttr"),
+    )
+    def _pr(col, out):
+        # order by the signal alone: percent_rank gives tied rows the
+        # same value, so no id tiebreak is needed (or wanted — it would
+        # split ties nondeterministically between engines).
+        w = Window.partitionBy("lang").orderBy(F.asc(col))
+        return F.percent_rank().over(w).alias(out)
+    ranked = sig.select(
+        id_col,
+        "lang",
+        _pr("_q", "q_rank"),
+        _pr("_len", "len_rank"),
+        _pr("_ttr", "ttr_rank"),
+    )
+    return ranked.select(
+        id_col,
+        "lang",
+        F.round("q_rank", 6).alias("q_rank"),
+        F.round("len_rank", 6).alias("len_rank"),
+        F.round("ttr_rank", 6).alias("ttr_rank"),
+        F.round(
+            (F.col("q_rank") + F.col("len_rank") + F.col("ttr_rank")) / 3.0, 6
+        ).alias("ensemble_rank"),
+    )

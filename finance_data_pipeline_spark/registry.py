@@ -8041,3 +8041,167 @@ def q_join_size_estimate(spark, sf_dir):
         "user_id",
         "o_custkey",
     )
+
+
+# --- round-4 session 3: communities / finance beta / ensemble / split ----
+
+_LPA_ROUNDS_SQL = "\n".join(
+    f"""v{r} AS (SELECT e.u AS node, l.lbl, count(*) AS c
+      FROM e JOIN l{r - 1} l ON e.v = l.node GROUP BY 1, 2),
+l{r} AS (SELECT node, lbl FROM (
+  SELECT node, lbl, row_number() OVER (PARTITION BY node
+                                       ORDER BY c DESC, lbl) AS rn
+  FROM v{r}) WHERE rn = 1),"""
+    for r in range(1, 4)
+)
+
+
+@query(
+    "label_prop_communities",
+    f"""WITH {_NEAR_PAIRS_CTE},
+e AS (SELECT id_a AS u, id_b AS v FROM np UNION ALL SELECT id_b, id_a FROM np),
+l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM e),
+{_LPA_ROUNDS_SQL}
+final AS (SELECT node, lbl FROM l3)
+SELECT node AS doc_id, CAST(lbl AS BIGINT) AS community FROM final""",
+)
+def q_label_prop_communities(spark, sf_dir):
+    """X7c — frequency label propagation over the near-dup graph:
+    3 synchronous rounds, each node adopting its neighbors' most
+    common label (ties → smallest). Splits dense duplicate families
+    that one bridge pair glues into a single connected component —
+    the community view dup_clusters' min-label CC cannot give. The
+    verified pair set is derived once (localCheckpoint seam, the
+    dup_triangles lesson) and the oracle replays the identical three
+    rounds as unrolled SQL. See graph.label_propagation."""
+    from finance_data_pipeline_spark.extensions import graph
+
+    pairs = dedup.near_dup_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.7
+    ).select("id_a", "id_b")
+    return graph.label_propagation(pairs, rounds=3).select(
+        F.col("node").alias("doc_id"),
+        F.col("community").cast("long").alias("community"),
+    )
+
+
+@query(
+    "rolling_beta_30",
+    f"""WITH {STOCKS},
+r AS (SELECT symbol, date,
+        close / lag(close) OVER ({_W_DATE}) - 1 AS ret
+      FROM stocks),
+mkt AS (SELECT date,
+          CAST(sum(CAST(ret AS DECIMAL(38,12))) AS DOUBLE) / count(ret) AS mret
+        FROM r WHERE ret IS NOT NULL GROUP BY date),
+j AS (SELECT symbol, r.date AS date, ret, mret
+      FROM r JOIN mkt ON r.date = mkt.date WHERE ret IS NOT NULL)
+SELECT symbol, date,
+  round(covar_samp(ret, mret)
+          OVER ({_W_DATE} ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+        / nullif(var_samp(mret)
+          OVER ({_W_DATE} ROWS BETWEEN 29 PRECEDING AND CURRENT ROW), 0),
+        4) AS beta_30
+FROM j""",
+)
+def q_rolling_beta(spark, sf_dir):
+    """W-family extension — 30-day rolling market beta per symbol:
+    cov(ret, market)/var(market) over a 30-row window, market = the
+    equal-weight cross-sectional mean daily return. The market frame
+    aggregates to one row per DATE (tiny at any scale) and broadcasts
+    back onto the per-symbol return stream, so the only data-sized
+    shuffle is the per-symbol window sort. The cross-sectional mean
+    sums through DECIMAL so it is summation-order exact (parity
+    rules); the windowed co-moments are self-rounded to 4 dp on both
+    sides like rolling_corr_30. Zero-variance windows (first row per
+    symbol) → NULL via nullif/try_divide in both engines."""
+    s = _stocks(spark, sf_dir)
+    wl = Window.partitionBy("symbol").orderBy("date")
+    r = s.select(
+        "symbol",
+        "date",
+        (F.col("close") / F.lag("close").over(wl) - 1).alias("ret"),
+    )
+    mkt = (
+        r.filter(F.col("ret").isNotNull())
+        .groupBy("date")
+        .agg(
+            (
+                F.sum(F.col("ret").cast("decimal(38,12)")).cast("double")
+                / F.count("ret")
+            ).alias("mret")
+        )
+    )
+    j = r.join(F.broadcast(mkt), "date").filter(F.col("ret").isNotNull())
+    w30 = Window.partitionBy("symbol").orderBy("date").rowsBetween(-29, 0)
+    return j.select(
+        "symbol",
+        "date",
+        F.round(
+            F.try_divide(
+                F.covar_samp("ret", "mret").over(w30),
+                F.nullif(F.var_samp("mret").over(w30), F.lit(0.0)),
+            ),
+            4,
+        ).alias("beta_30"),
+    )
+
+
+@query(
+    "quality_ensemble_rank",
+    f"""WITH {_NORM_CTE},
+sig0 AS (SELECT doc_id,
+          {_QSCORE_SQL} AS q,
+          CAST(len(words) AS BIGINT) AS len,
+          round(len(list_distinct(words)) * 1.0 / greatest(len(words), 1), 6)
+            AS ttr
+        FROM norm),
+sig AS (SELECT s.doc_id AS doc_id, d.lang AS lang, q, len, ttr
+        FROM sig0 s JOIN documents d ON s.doc_id = d.doc_id),
+ranked AS (SELECT doc_id, lang,
+             percent_rank() OVER (PARTITION BY lang ORDER BY q) AS qr,
+             percent_rank() OVER (PARTITION BY lang ORDER BY len) AS lr,
+             percent_rank() OVER (PARTITION BY lang ORDER BY ttr) AS tr
+           FROM sig)
+SELECT doc_id, lang,
+  round(qr, 6) AS q_rank, round(lr, 6) AS len_rank, round(tr, 6) AS ttr_rank,
+  round((qr + lr + tr) / 3.0, 6) AS ensemble_rank
+FROM ranked""",
+)
+def q_quality_ensemble_rank(spark, sf_dir):
+    """X4+ — rank-ensemble quality: quality_score, token count, and
+    distinct-token ratio each percent_rank'd within language, then
+    averaged — the standard way to combine signals on incomparable
+    scales without letting the unbounded one dominate. One scan pass
+    computes all three signals, one shuffle on lang feeds all three
+    windows. percent_rank's (rank-1)/(n-1) tie semantics are identical
+    in both engines, so the ensemble replays exactly. See
+    text.quality_ensemble_rank."""
+    return text.quality_ensemble_rank(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "leakage_safe_split",
+    f"""WITH RECURSIVE {_NEAR_PAIRS_CTE},
+{_CLUSTERS_SQL_TAIL}
+SELECT d.doc_id,
+  CAST(coalesce(cc.cluster_id, d.doc_id) AS BIGINT) AS split_key,
+  CASE WHEN substr(md5(CAST(coalesce(cc.cluster_id, d.doc_id) AS VARCHAR)), 1, 1) < '2'
+       THEN 'test' ELSE 'train' END AS split
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id""",
+)
+def q_leakage_safe_split(spark, sf_dir):
+    """X6×X2 FIX — the repair operator for what split_leakage_check
+    audits: split assignment keyed on the near-dup CLUSTER id (CC min
+    member; singletons key on their own id), so a whole duplicate
+    family lands in one split and no test doc has a training near-twin.
+    Same md5-nibble bucket rule as corpus_split → the test fraction is
+    unchanged in expectation and the assignment is engine-portable.
+    See sampling.leakage_safe_split."""
+    return sampling.leakage_safe_split(
+        table(spark, sf_dir, "documents"), test_sixteenths=2
+    ).select(
+        "doc_id",
+        F.col("split_key").cast("long").alias("split_key"),
+        "split",
+    )

@@ -1,0 +1,192 @@
+"""Edge semantics for the round-4 session-3 operators: frequency label
+propagation, rolling market beta, the quality rank ensemble, and the
+leakage-safe split. (Oracle parity for the registry entries is covered
+parametrically by tests/test_oracle_parity.py.)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from finance_data_pipeline_spark.extensions import graph, sampling, text
+from finance_data_pipeline_spark.extensions.dedup import connected_components
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a long, id_b long")
+
+
+# --- graph.label_propagation ----------------------------------------------
+
+
+def test_lpa_splits_bridged_cliques_that_cc_merges(spark):
+    """Two 4-cliques joined by ONE bridge edge: connected components
+    sees a single component, but frequency LPA keeps each clique on
+    its own (min-member) label — the bridge endpoint's 3 same-clique
+    neighbors outvote its 1 cross-clique neighbor."""
+    clique_a = [(a, b) for a in range(4) for b in range(4) if a < b]
+    clique_b = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    bridge = [(3, 10)]
+    pairs = _pairs(spark, clique_a + clique_b + bridge)
+
+    cc = connected_components(pairs)
+    assert {r.cluster_id for r in cc.collect()} == {0}
+
+    lpa = {r.node: r.community for r in graph.label_propagation(pairs, rounds=3).collect()}
+    assert {lpa[n] for n in range(4)} == {0}
+    assert {lpa[n] for n in range(10, 14)} == {10}
+
+
+def test_lpa_tie_breaks_to_smallest_label(spark):
+    """A path 0-1-2: node 1 sees labels {0, 2} once each — the tie
+    must deterministically resolve to the smaller label."""
+    pairs = _pairs(spark, [(0, 1), (1, 2)])
+    out = {r.node: r.community for r in graph.label_propagation(pairs, rounds=1).collect()}
+    assert out[1] == 0
+    # endpoints have a single neighbor: they adopt its label.
+    assert out[0] == 1 and out[2] == 1
+
+
+def test_lpa_is_pure_neighbor_vote(spark):
+    """A star: leaves all adopt the hub's label in round 1; the hub
+    adopts the smallest leaf label (its own label is not in the vote)."""
+    pairs = _pairs(spark, [(5, 1), (5, 2), (5, 3)])
+    out = {r.node: r.community for r in graph.label_propagation(pairs, rounds=1).collect()}
+    assert out[1] == out[2] == out[3] == 5
+    assert out[5] == 1
+
+
+# --- rolling beta ----------------------------------------------------------
+
+
+def _stocks_frame(spark, rows):
+    return spark.createDataFrame(rows, "symbol string, date date, close double")
+
+
+def test_identical_series_have_beta_one(spark):
+    """When every symbol moves exactly with the equal-weight market
+    (identical return series), beta is 1.0 wherever it is defined."""
+    import datetime as dt
+
+    rows = []
+    for sym in ("A", "B"):
+        px = 100.0
+        for i, r in enumerate([0.01, -0.02, 0.03, 0.015, -0.005] * 3):
+            px *= 1 + r
+            rows.append((sym, dt.date(2024, 1, 1) + dt.timedelta(days=i), px))
+    s = _stocks_frame(spark, rows)
+    from finance_data_pipeline_spark.registry import QUERIES  # noqa: F401  (env check)
+    from pyspark.sql import Window
+
+    wl = Window.partitionBy("symbol").orderBy("date")
+    r = s.select(
+        "symbol", "date", (F.col("close") / F.lag("close").over(wl) - 1).alias("ret")
+    )
+    mkt = (
+        r.filter(F.col("ret").isNotNull())
+        .groupBy("date")
+        .agg(F.avg("ret").alias("mret"))
+    )
+    j = r.join(F.broadcast(mkt), "date").filter(F.col("ret").isNotNull())
+    w30 = Window.partitionBy("symbol").orderBy("date").rowsBetween(-29, 0)
+    out = j.select(
+        "symbol",
+        "date",
+        F.round(
+            F.try_divide(
+                F.covar_samp("ret", "mret").over(w30),
+                F.nullif(F.var_samp("mret").over(w30), F.lit(0.0)),
+            ),
+            4,
+        ).alias("beta_30"),
+    ).collect()
+    betas = [row.beta_30 for row in out if row.beta_30 is not None]
+    assert betas and all(b == 1.0 for b in betas)
+
+
+def test_registry_rolling_beta_runs_and_first_window_is_null(spark):
+    from finance_data_pipeline_spark.registry import QUERIES
+
+    out = QUERIES["rolling_beta_30"](spark, "/root/testdata/sf0.001").toPandas()
+    assert {"symbol", "date", "beta_30"} == set(out.columns)
+    assert len(out) > 0
+    # single-row windows have undefined sample variance -> NULL beta
+    # (drop_duplicates, not groupby().first(): pandas' first() skips NaN)
+    first = out.sort_values(["symbol", "date"]).drop_duplicates("symbol", keep="first")
+    assert first["beta_30"].isna().all()
+
+
+# --- quality ensemble ------------------------------------------------------
+
+
+def test_ensemble_rank_bounds_and_average(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the and of to a big document " + "word " * 40, "en"),
+            (2, "tiny", "en"),
+            (3, "the and of to a medium document " + "term " * 15, "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in text.quality_ensemble_rank(docs).collect()}
+    for r in out.values():
+        for c in ("q_rank", "len_rank", "ttr_rank", "ensemble_rank"):
+            assert 0.0 <= getattr(r, c) <= 1.0
+        assert abs(
+            r.ensemble_rank - round((r.q_rank + r.len_rank + r.ttr_rank) / 3, 6)
+        ) < 1e-9
+    # doc 2 fails every heuristic and is shortest: it cannot out-rank doc 1
+    assert out[2].ensemble_rank <= out[1].ensemble_rank
+
+
+def test_ensemble_ranks_within_language_only(spark):
+    """A lone doc in its language gets rank 0 everywhere (n-1 = 0),
+    regardless of how the other language's docs score."""
+    docs = spark.createDataFrame(
+        [
+            (1, "el la de que y " + "palabra " * 30, "es"),
+            (2, "the and of to a " + "word " * 50, "en"),
+            (3, "the and of to a " + "word " * 10, "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in text.quality_ensemble_rank(docs).collect()}
+    assert out[1].q_rank == out[1].len_rank == out[1].ttr_rank == 0.0
+    assert out[1].ensemble_rank == 0.0
+
+
+# --- leakage-safe split -----------------------------------------------------
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every near-dup cluster lands wholly in one split (the property
+    split_leakage_check audits), and singletons use their own id —
+    matching corpus_split's assignment for non-duplicated docs."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en"),
+            (2, base, "en"),          # near-dup of 1
+            (3, base + " lambda", "en"),  # near-dup of 1 and 2
+            (40, "completely different text about other things entirely", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in sampling.leakage_safe_split(docs).collect()}
+    assert out[1].split_key == out[2].split_key == out[3].split_key == 1
+    assert len({out[i].split for i in (1, 2, 3)}) == 1
+    assert out[40].split_key == 40
+    nib = hashlib.md5(b"40").hexdigest()[0]
+    assert out[40].split == ("test" if nib < "2" else "train")
+
+
+def test_leakage_safe_split_accepts_precomputed_clusters(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "en")], "doc_id long, text string, lang string"
+    )
+    clusters = spark.createDataFrame([(2, 1)], "doc_id long, cluster_id long")
+    out = {r.doc_id: r for r in sampling.leakage_safe_split(docs, clusters=clusters).collect()}
+    assert out[2].split_key == 1 and out[1].split_key == 1
+    assert out[1].split == out[2].split
