@@ -120,6 +120,7 @@ _PRIORITY = [
     "zorder_skip_stats", "join_size_estimate",
     "label_prop_communities", "rolling_beta_30",
     "quality_ensemble_rank", "leakage_safe_split",
+    "ewma_volatility", "growth_accounting", "rfm_scores", "benford_audit",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -75,6 +75,8 @@ HEADLINE = [
     "kmeans_cluster_quality",
     "dsir_selected_corpus",
     "split_leakage_check",
+    "label_prop_communities",
+    "rolling_beta_30",
 ]
 
 

@@ -186,6 +186,58 @@ def with_ema_macd(
     return df.groupBy("symbol").applyInPandas(add_ewm, schema=out_schema)
 
 
+
+def with_ewma_volatility(
+    df: DataFrame,
+    span: int = 20,
+    annualize: int = 252,
+    col: str = "close",
+    time_col: str = "date",
+) -> DataFrame:
+    """W-family extension — RiskMetrics-style EWMA volatility: the
+    pandas ``ewm(span, adjust=True)`` mean of SQUARED daily returns,
+    square-rooted and annualized by √annualize. The exponentially
+    weighted estimator reacts to regime shifts faster than the
+    equal-weight rolling stddev (indicators.volatility) — the classic
+    J.P. Morgan RiskMetrics (1996, public) construction, expressed in
+    the same adjust=True form as the EMA family so the identical
+    recurrence-replay oracle proves every value bit-exactly.
+
+    The first row per symbol (undefined return) is DROPPED before the
+    ewm — not NaN-skipped inside it — so the weight sequence is a pure
+    function of the row index and the recursive-CTE oracle replays it
+    without pandas' ignore_na gap-weight rules.
+
+    Physical plan: one groupBy(symbol) shuffle into Arrow-batched
+    pandas partitions, exactly like with_ema_macd; symbol partitions
+    are bounded (one symbol's history), never corpus-sized.
+
+    Returns (symbol, date, ret, ewma_var, ewma_vol_ann).
+    """
+    out_schema = (
+        "symbol string, "
+        f"`{time_col}` date, ret double, ewma_var double, ewma_vol_ann double"
+    )
+    ann = float(annualize)
+
+    def add_vol(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([time_col])
+        ret = pdf[col] / pdf[col].shift(1) - 1
+        out = pd.DataFrame(
+            {"symbol": pdf["symbol"], time_col: pdf[time_col], "ret": ret}
+        ).iloc[1:]
+        var = (out["ret"] * out["ret"]).ewm(span=span, adjust=True).mean()
+        out["ewma_var"] = var
+        # np.sqrt is the IEEE correctly-rounded sqrt — identical to the
+        # SQL oracle's sqrt(); (x ** 0.5) would route through pow().
+        import numpy as np
+
+        out["ewma_vol_ann"] = np.sqrt(var * ann)
+        return out
+
+    return df.groupBy("symbol").applyInPandas(add_vol, schema=out_schema)
+
+
 # --- batched indicator application --------------------------------------
 
 

@@ -292,3 +292,76 @@ def k_anonymity(df: DataFrame, qi_cols: list[str], k: int = 5) -> DataFrame:
     """
     g = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).cast("long").alias("class_n"))
     return g.withColumn("at_risk", F.col("class_n") < k)
+
+
+# Benford's-law expected first-digit probabilities log10(1 + 1/d),
+# baked as literals so BOTH engines compare against the exact same
+# doubles (runtime log10 could differ in the last ulp between libms).
+BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829993,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_first_digit(
+    df: DataFrame, value_col: str = "value", scale: int = 100
+) -> DataFrame:
+    """Benford's-law audit of a monetary column: observed first-
+    significant-digit shares vs the log10(1+1/d) law, with the
+    per-digit chi-square contribution — the classic fabricated-data /
+    ingestion-bug screen for financial pipelines (Benford 1938;
+    Nigrini's forensic-accounting use is the textbook application).
+
+    Engine portability: the value is converted to integer minor units
+    first (``CAST(round(value·scale) AS BIGINT)``) and the digit taken
+    from the INTEGER's decimal string — integer→string is exact in
+    every engine, where a floor(log10(·)) digit extraction can flip at
+    power-of-ten boundaries when two libms disagree by one ulp.
+    Non-positive amounts are excluded (Benford applies to positive
+    magnitudes).
+
+    Scale shape: one map-side-combined 9-group aggregate over a
+    row-local digit projection; the 9-row result then joins the
+    baked-in expectation literals — constant-size state at any
+    row count.
+
+    Returns (digit, n, obs_share, exp_share, chi2_term) — 9 rows.
+    """
+    cents = F.round(F.col(value_col) * scale).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.filter(cents > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    spark = df.sparkSession
+    expected = spark.createDataFrame(
+        [(d, p) for d, p in BENFORD_P.items()], "digit int, exp_share double"
+    )
+    tot = counts.agg(F.sum("n").alias("_tot"))
+    return (
+        expected.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.round(F.coalesce("n", F.lit(0)) / F.col("_tot"), 6).alias("obs_share"),
+            "exp_share",
+            F.round(
+                (F.coalesce("n", F.lit(0)) / F.col("_tot") - F.col("exp_share"))
+                * (F.coalesce("n", F.lit(0)) / F.col("_tot") - F.col("exp_share"))
+                / F.col("exp_share")
+                * F.col("_tot"),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

@@ -8205,3 +8205,244 @@ def q_leakage_safe_split(spark, sf_dir):
         F.col("split_key").cast("long").alias("split_key"),
         "split",
     )
+
+
+# --- round-4 session 3, batch B: EWMA vol / growth / RFM / Benford -------
+
+
+_EWMA_ORACLE = f"""WITH RECURSIVE {STOCKS},
+r0 AS (SELECT symbol, date,
+         close / lag(close) OVER ({_W_DATE}) - 1 AS ret
+       FROM stocks),
+base AS (SELECT symbol, date, ret,
+           row_number() OVER ({_W_DATE}) AS rn
+         FROM r0 WHERE ret IS NOT NULL),
+ew AS (
+  SELECT symbol, date, ret, rn,
+         ret * ret AS a, CAST(1 AS DOUBLE) AS o
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.symbol, b.date, b.ret, b.rn,
+    CASE WHEN ew.a = b.ret * b.ret THEN ew.a
+         ELSE (ew.o * (CAST(19 AS DOUBLE)/21) * ew.a + b.ret * b.ret)
+              / (ew.o * (CAST(19 AS DOUBLE)/21) + 1) END,
+    ew.o * (CAST(19 AS DOUBLE)/21) + 1
+  FROM ew JOIN base b ON b.symbol = ew.symbol AND b.rn = ew.rn + 1
+)
+SELECT symbol, date, ret,
+       round(a, 10) AS ewma_var,
+       round(sqrt(a * 252), 6) AS ewma_vol_ann
+FROM ew"""
+
+
+@query("ewma_volatility", _EWMA_ORACLE)
+def q_ewma_volatility(spark, sf_dir):
+    """W-family — RiskMetrics-style EWMA volatility (span 20,
+    annualized √252): pandas ewm(adjust=True) mean of squared daily
+    returns, the same exact-parity recurrence family as ema_macd —
+    the oracle replays pandas' (o·w·a+x)/(o·w+1) update bit-for-bit
+    on ret² with w = 19/21. First row per symbol is dropped (not
+    NaN-skipped) so weights are a pure function of row index. See
+    indicators.with_ewma_volatility."""
+    out = indicators.with_ewma_volatility(_stocks(spark, sf_dir), span=20)
+    return out.select(
+        "symbol",
+        "date",
+        "ret",
+        F.round("ewma_var", 10).alias("ewma_var"),
+        F.round("ewma_vol_ann", 6).alias("ewma_vol_ann"),
+    )
+
+
+@query(
+    "growth_accounting",
+    """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+f AS (SELECT user_id, min(day) AS first_day FROM act GROUP BY user_id),
+l AS (SELECT a.user_id, a.day, f.first_day,
+        lag(a.day) OVER (PARTITION BY a.user_id ORDER BY a.day) AS prev_day,
+        lead(a.day) OVER (PARTITION BY a.user_id ORDER BY a.day) AS next_day
+      FROM act a JOIN f ON a.user_id = f.user_id),
+cls AS (SELECT day,
+          CASE WHEN day = first_day THEN 'new'
+               WHEN prev_day = day - 1 THEN 'retained'
+               ELSE 'resurrected' END AS status
+        FROM l),
+ch AS (SELECT day + 1 AS day, 'churned' AS status FROM l
+       WHERE (next_day IS NULL OR next_day <> day + 1)
+         AND day + 1 <= (SELECT max(day) FROM act)),
+allr AS (SELECT day, status FROM cls UNION ALL SELECT day, status FROM ch)
+SELECT day,
+  CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+  CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+  CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+  CAST(sum(CASE WHEN status = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+FROM allr GROUP BY day""",
+)
+def q_growth_accounting(spark, sf_dir):
+    """EV8 — daily growth accounting (the new/retained/resurrected/
+    churned user decomposition of social-network growth reports,
+    popularized publicly by a16z/Social Capital): per active day a
+    user is new (first day), retained (active yesterday too), or
+    resurrected (returning after a gap); churned is charged to the
+    day AFTER the last day of an activity run (bounded to the
+    observed range). Scale shape: one distinct shuffle to (user, day)
+    grain, per-user lag/lead in ONE window pass, then a map-side-
+    combined conditional aggregate on day — day-grain output, no
+    global windows, no self-joins."""
+    e = table(spark, sf_dir, "events")
+    act = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    wu = Window.partitionBy("user_id").orderBy("day")
+    l = act.select(
+        "user_id",
+        "day",
+        F.min("day").over(Window.partitionBy("user_id")).alias("first_day"),
+        F.lag("day").over(wu).alias("prev_day"),
+        F.lead("day").over(wu).alias("next_day"),
+    )
+    cls = l.select(
+        "day",
+        F.when(F.col("day") == F.col("first_day"), "new")
+        .when(F.col("prev_day") == F.date_sub("day", 1), "retained")
+        .otherwise("resurrected")
+        .alias("status"),
+    )
+    maxday = act.agg(F.max("day").alias("_maxday"))
+    ch = (
+        l.filter(
+            F.col("next_day").isNull()
+            | (F.col("next_day") != F.date_add("day", 1))
+        )
+        .crossJoin(F.broadcast(maxday))
+        .filter(F.date_add("day", 1) <= F.col("_maxday"))
+        .select(F.date_add("day", 1).alias("day"), F.lit("churned").alias("status"))
+    )
+    return (
+        cls.unionByName(ch)
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("status") == "new", 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(F.when(F.col("status") == "retained", 1).otherwise(0))
+            .cast("long")
+            .alias("n_retained"),
+            F.sum(F.when(F.col("status") == "resurrected", 1).otherwise(0))
+            .cast("long")
+            .alias("n_resurrected"),
+            F.sum(F.when(F.col("status") == "churned", 1).otherwise(0))
+            .cast("long")
+            .alias("n_churned"),
+        )
+    )
+
+
+@query(
+    "rfm_scores",
+    """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events),
+u0 AS (SELECT user_id,
+        max(CAST(ts AS DATE)) AS last_day,
+        CAST(count(*) AS BIGINT) AS f_cnt,
+        round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 6) AS m_sum
+      FROM events GROUP BY user_id),
+u AS (SELECT user_id,
+        CAST(date_diff('day', last_day, ref_day) AS BIGINT) AS r_days,
+        f_cnt, m_sum
+      FROM u0 CROSS JOIN mx)
+SELECT user_id, r_days, f_cnt, m_sum,
+  CAST(ntile(5) OVER (ORDER BY r_days, user_id) AS BIGINT) AS r_bucket,
+  CAST(ntile(5) OVER (ORDER BY f_cnt DESC, user_id) AS BIGINT) AS f_bucket,
+  CAST(ntile(5) OVER (ORDER BY m_sum DESC, user_id) AS BIGINT) AS m_bucket
+FROM u""",
+)
+def q_rfm_scores(spark, sf_dir):
+    """EV9 — RFM (recency/frequency/monetary) quintile scoring, the
+    classic customer-value segmentation: days since last event, event
+    count, and DECIMAL-summed value per user, each ntile(5)-bucketed
+    under a fully deterministic (metric, user_id) order so both
+    engines cut identical buckets. Scale note: rows here are USER-
+    grain (orders of magnitude under event volume), but the three
+    global ntile windows still funnel through one partition — the
+    honest 100 TB path swaps them for percentile_approx threshold
+    assignment (profile_table's exact=False pattern); at user counts
+    that fit one executor the exact window is preferable because the
+    oracle replays it bit-for-bit."""
+    e = table(spark, sf_dir, "events")
+    asof = e.agg(F.max(F.col("ts").cast("date")).alias("_asof"))
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("_last"),
+            F.count(F.lit(1)).cast("long").alias("f_cnt"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,12)")).cast("double"), 6
+            ).alias("m_sum"),
+        )
+        .crossJoin(F.broadcast(asof))
+        .select(
+            "user_id",
+            F.datediff("_asof", "_last").cast("long").alias("r_days"),
+            "f_cnt",
+            "m_sum",
+        )
+    )
+    return u.select(
+        "user_id",
+        "r_days",
+        "f_cnt",
+        "m_sum",
+        F.ntile(5)
+        .over(Window.orderBy("r_days", "user_id"))
+        .cast("long")
+        .alias("r_bucket"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("f_cnt"), "user_id"))
+        .cast("long")
+        .alias("f_bucket"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("m_sum"), "user_id"))
+        .cast("long")
+        .alias("m_bucket"),
+    )
+
+
+_BENFORD_VALUES = ", ".join(
+    # string-cast literals: DuckDB parses bare x.y literals as DECIMAL,
+    # whose double conversion can land one ulp off the Python double;
+    # VARCHAR→DOUBLE goes through correctly-rounded strtod instead.
+    f"({d}, CAST('{p!r}' AS DOUBLE))" for d, p in (
+        (1, 0.3010299956639812), (2, 0.17609125905568124),
+        (3, 0.12493873660829993), (4, 0.09691001300805642),
+        (5, 0.07918124604762482), (6, 0.06694678963061322),
+        (7, 0.05799194697768673), (8, 0.05115252244738129),
+        (9, 0.04575749056067514),
+    )
+)
+
+
+@query(
+    "benford_audit",
+    f"""WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+       FROM events WHERE CAST(round(value * 100) AS BIGINT) > 0),
+d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM c),
+cnt AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM cnt),
+e(digit, exp_share) AS (VALUES {_BENFORD_VALUES})
+SELECT e.digit AS digit,
+  CAST(coalesce(cnt.n, 0) AS BIGINT) AS n,
+  round(coalesce(cnt.n, 0) / tot, 6) AS obs_share,
+  exp_share,
+  round((coalesce(cnt.n, 0) / tot - exp_share)
+        * (coalesce(cnt.n, 0) / tot - exp_share) / exp_share * tot, 6)
+    AS chi2_term
+FROM e LEFT JOIN cnt ON e.digit = cnt.digit CROSS JOIN t""",
+)
+def q_benford_audit(spark, sf_dir):
+    """EP5 — Benford's-law first-digit audit on event values: the
+    forensic-accounting screen for fabricated or ingestion-corrupted
+    monetary data. Digits come from the INTEGER minor-unit string
+    (exact in every engine), never floor(log10(·)) (which can flip at
+    power-of-ten boundaries when libms disagree by an ulp); expected
+    shares are baked literals so both engines compare the same
+    doubles. Constant 9-row output from one map-side-combined
+    aggregate. See quality.benford_first_digit."""
+    return quality.benford_first_digit(table(spark, sf_dir, "events"), "value")

@@ -190,3 +190,133 @@ def test_leakage_safe_split_accepts_precomputed_clusters(spark):
     out = {r.doc_id: r for r in sampling.leakage_safe_split(docs, clusters=clusters).collect()}
     assert out[2].split_key == 1 and out[1].split_key == 1
     assert out[1].split == out[2].split
+
+
+# --- batch B: EWMA volatility / growth accounting / RFM / Benford ---------
+
+
+def test_ewma_vol_constant_returns_equal_var(spark):
+    """A constant return series has ewma_var == ret² at every row and
+    annualized vol = |ret|·√252 (the recurrence's fixed point — also
+    exercises the pandas avg==x short-circuit branch)."""
+    import datetime as dt
+    import math
+
+    from finance_data_pipeline_spark import indicators
+
+    rows, px = [], 100.0
+    for i in range(12):
+        px *= 1.02
+        rows.append(("A", dt.date(2024, 1, 1) + dt.timedelta(days=i), px))
+    s = spark.createDataFrame(rows, "symbol string, date date, close double")
+    out = indicators.with_ewma_volatility(s, span=20).collect()
+    assert len(out) == 11  # first row dropped
+    for r in out:
+        assert abs(r.ewma_var - r.ret * r.ret) < 1e-15
+        assert abs(r.ewma_vol_ann - abs(r.ret) * math.sqrt(252)) < 1e-12
+
+
+def test_ewma_vol_matches_pandas_reference(spark):
+    """Direct parity with pandas ewm(adjust=True) on an irregular
+    series — the contract the oracle replays."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from finance_data_pipeline_spark import indicators
+
+    closes = [100.0, 103.0, 99.5, 99.5, 107.2, 101.1, 101.1, 95.0]
+    rows = [
+        ("B", dt.date(2024, 2, 1) + dt.timedelta(days=i), c)
+        for i, c in enumerate(closes)
+    ]
+    s = spark.createDataFrame(rows, "symbol string, date date, close double")
+    got = {
+        r.date: (r.ewma_var, r.ewma_vol_ann)
+        for r in indicators.with_ewma_volatility(s, span=20).collect()
+    }
+    ser = pd.Series(closes)
+    ret = (ser / ser.shift(1) - 1).iloc[1:]
+    var = (ret * ret).ewm(span=20, adjust=True).mean()
+    vol = np.sqrt(var * 252.0)
+    for i, (v, sd) in enumerate(zip(var, vol)):
+        d = dt.date(2024, 2, 2) + dt.timedelta(days=i)
+        assert got[d][0] == v and got[d][1] == sd
+
+
+def test_growth_accounting_classifies_lifecycle(spark):
+    """User active on d1, d2, d4: new@d1, retained@d2, churned@d3
+    (charged to the day after the run ends), resurrected@d4; the final
+    activity day contributes no churn row beyond the observed range."""
+    from finance_data_pipeline_spark.registry import QUERIES
+    import pandas as pd
+
+    e = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 7, "view", 1.0, "{}"),
+            (2, "2024-01-02 10:00:00", 7, "view", 1.0, "{}"),
+            (3, "2024-01-04 10:00:00", 7, "view", 1.0, "{}"),
+            (4, "2024-01-04 11:00:00", 8, "view", 1.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value", "props")
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="ga_")
+    e.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {
+        str(r.day): (r.n_new, r.n_retained, r.n_resurrected, r.n_churned)
+        for r in QUERIES["growth_accounting"](spark, d).collect()
+    }
+    assert out["2024-01-01"] == (1, 0, 0, 0)
+    assert out["2024-01-02"] == (0, 1, 0, 0)
+    assert out["2024-01-03"] == (0, 0, 0, 1)
+    # d4: user 7 resurrected, user 8 new; no churn day inside range
+    assert out["2024-01-04"] == (1, 0, 1, 0)
+    assert "2024-01-05" not in out
+
+
+def test_benford_digit_extraction_and_shares(spark):
+    from finance_data_pipeline_spark import quality
+
+    vals = [0.05, 0.19, 1.23, 12.31, 490.02, 900.00, 0.0, -5.0]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    out = {r.digit: r for r in quality.benford_first_digit(df).collect()}
+    assert len(out) == 9
+    # 0.05 -> 5; 0.19 -> 1; 1.23 -> 1; 12.31 -> 1; 490.02 -> 4; 900 -> 9
+    assert out[1].n == 3 and out[4].n == 1 and out[5].n == 1 and out[9].n == 1
+    assert out[2].n == 0 and out[2].obs_share == 0.0
+    total = sum(r.n for r in out.values())
+    assert total == 6  # zero and negative excluded
+    for r in out.values():
+        assert r.chi2_term >= 0.0
+
+
+def test_rfm_buckets_are_deterministic_quintiles(spark):
+    from finance_data_pipeline_spark.registry import QUERIES
+    import tempfile, os
+
+    rows = []
+    for u in range(10):
+        # user u has u+1 events, value 10*(u+1) each, last day staggered
+        for k in range(u + 1):
+            rows.append(
+                (len(rows), f"2024-01-{u + 1:02d} 09:00:00", u, "buy", 10.0 * (u + 1), "{}")
+            )
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value", "props")
+    d = tempfile.mkdtemp(prefix="rfm_")
+    e.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r.user_id: r for r in QUERIES["rfm_scores"](spark, d).collect()}
+    assert len(out) == 10
+    # 10 users over 5 buckets -> every bucket exactly twice per metric
+    for metric in ("r_bucket", "f_bucket", "m_bucket"):
+        counts = {}
+        for r in out.values():
+            counts[getattr(r, metric)] = counts.get(getattr(r, metric), 0) + 1
+        assert counts == {1: 2, 2: 2, 3: 2, 4: 2, 5: 2}
+    # user 9: most events + highest value + most recent -> best buckets
+    assert out[9].f_bucket == 1 and out[9].m_bucket == 1 and out[9].r_bucket == 1
