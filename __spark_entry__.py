@@ -121,6 +121,8 @@ _PRIORITY = [
     "label_prop_communities", "rolling_beta_30",
     "quality_ensemble_rank", "leakage_safe_split",
     "ewma_volatility", "growth_accounting", "rfm_scores", "benford_audit",
+    "embedding_prefix_energy", "drawdown_duration", "fd_audit",
+    "streaming_dedup_watermark",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -1493,3 +1493,63 @@ def add_to_ivf_index(
         .partitionBy("cell")
         .parquet(f"{index_path}/cells")
     )
+
+
+def prefix_energy_report(
+    vectors: DataFrame,
+    dims: tuple[int, ...] = (8, 16, 32),
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-readiness report (Kusupati et al. 2022, public MRL
+    paper): per label and prefix length k, the average and worst-case
+    fraction of a vector's L2 energy captured by its first k
+    dimensions. Embeddings trained with matryoshka losses front-load
+    energy, so truncating to k dims is a cheap 64/k× index shrink;
+    this report is the measurement a pipeline reads BEFORE committing
+    to a truncated ANN index (the dimension-axis analogue of the SQ8
+    quantization report's value-axis error).
+
+    Parity: energy_k = dot(e[:k], e[:k]) / dot(e, e) — both dots the
+    same sequential zip_with/aggregate fold as the ANN oracles'
+    list_dot_product, per-row identical IEEE math; per-group averages
+    sum through DECIMAL. A zero vector's denominator is nullif-guarded
+    to NULL (skipped by the aggregates) in both engines, avoiding the
+    Spark-NaN / DuckDB-error divergence on 0.0/0.0.
+
+    Scale: per-row HOF projection (interpreted, not codegen — linear
+    in vectors×dims, embarrassingly parallel, acceptable for a
+    report-style query), then one map-side-combined groupBy on
+    (label, k) — output bounded by |labels|·|dims|.
+    """
+    from finance_data_pipeline_spark.functions import dot
+
+    full = dot(vec_col, vec_col)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("int").alias("k"),
+                (
+                    dot(F.slice(vec_col, 1, k), F.slice(vec_col, 1, k))
+                    / F.nullif(full, F.lit(0.0))
+                ).alias("frac"),
+            )
+            for k in dims
+        ]
+    )
+    rows = (
+        _spread(vectors.select(label_col, vec_col))
+        .select(label_col, F.explode(entries).alias("e"))
+        .select(label_col, F.col("e.k").alias("k"), F.col("e.frac").alias("frac"))
+    )
+    return (
+        rows.groupBy(label_col, "k")
+        .agg(
+            F.round(
+                F.sum(F.col("frac").cast("decimal(38,12)")).cast("double")
+                / F.count("frac"),
+                6,
+            ).alias("avg_energy_frac"),
+            F.round(F.min("frac"), 6).alias("min_energy_frac"),
+        )
+    )

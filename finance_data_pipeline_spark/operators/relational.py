@@ -734,3 +734,38 @@ def cms_join_size(
         )
     )
     return est.crossJoin(exact)
+
+
+def fd_audit(df: DataFrame, pairs: Sequence[tuple[str, str]]) -> DataFrame:
+    """Approximate functional-dependency audit (the data-profiling
+    primitive behind schema discovery à la Metanome/HyFD, public):
+    for each candidate (determinant → dependent) pair, how many
+    determinant groups exist, how many are VIOLATING (more than one
+    distinct dependent value), and the violation rate. A 0.0 rate
+    certifies the FD holds on this snapshot — the check that catches
+    denormalization drift (one order key with two statuses) before a
+    downstream join silently fans out.
+
+    Scale shape: one exact distinct-aggregate shuffle PER PAIR (the
+    pair list is a handful of hand-picked candidates, not the n²
+    column cross product), each collapsing to a single row before the
+    constant-size union — nothing driver-side, output bounded by
+    len(pairs).
+    """
+    out = None
+    for det, dep in pairs:
+        g = df.groupBy(det).agg(F.countDistinct(dep).alias("_n_dep"))
+        r = g.agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum((F.col("_n_dep") > 1).cast("long")).cast("long").alias("n_violations"),
+        ).select(
+            F.lit(det).alias("determinant"),
+            F.lit(dep).alias("dependent"),
+            "n_groups",
+            "n_violations",
+            F.round(F.col("n_violations") / F.col("n_groups"), 6).alias(
+                "violation_rate"
+            ),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out

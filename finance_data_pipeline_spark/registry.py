@@ -8446,3 +8446,176 @@ def q_benford_audit(spark, sf_dir):
     doubles. Constant 9-row output from one map-side-combined
     aggregate. See quality.benford_first_digit."""
     return quality.benford_first_digit(table(spark, sf_dir, "events"), "value")
+
+
+# --- round-4 session 3, batch C: prefix energy / drawdown / FD / stream --
+
+
+@query(
+    "embedding_prefix_energy",
+    """WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+fr AS (
+  SELECT label, k,
+    list_dot_product(e[1:k], e[1:k])
+      / nullif(list_dot_product(e, e), 0) AS frac
+  FROM v CROSS JOIN (SELECT unnest([8, 16, 32]) AS k) ks)
+SELECT label, CAST(k AS INTEGER) AS k,
+  round(CAST(sum(CAST(frac AS DECIMAL(38,12))) AS DOUBLE) / count(frac), 6)
+    AS avg_energy_frac,
+  round(min(frac), 6) AS min_energy_frac
+FROM fr GROUP BY label, k""",
+)
+def q_embedding_prefix_energy(spark, sf_dir):
+    """X3++++ — Matryoshka-readiness: per label and prefix length k,
+    the avg/min fraction of L2 energy in the first k dims — the
+    measurement before committing to a truncated (64/k× smaller) ANN
+    index. Both sides compute dot(e[:k],e[:k])/dot(e,e) with the same
+    sequential fold; zero vectors nullif-guarded. See
+    similarity.prefix_energy_report."""
+    return similarity.prefix_energy_report(
+        table(spark, sf_dir, "embeddings"), dims=(8, 16, 32)
+    )
+
+
+@query(
+    "drawdown_duration",
+    f"""WITH {STOCKS},
+p AS (SELECT symbol, date, close,
+        max(close) OVER ({_W_DATE} ROWS UNBOUNDED PRECEDING) AS peak
+      FROM stocks),
+fl AS (SELECT symbol, date, (close < peak) AS uw,
+         CASE WHEN close < peak THEN 0 ELSE 1 END AS newpeak
+       FROM p),
+isl AS (SELECT symbol, date, uw,
+          sum(newpeak) OVER ({_W_DATE} ROWS UNBOUNDED PRECEDING) AS grp
+        FROM fl),
+agg AS (SELECT symbol, CAST(count(*) AS BIGINT) AS n_days,
+          CAST(sum(CASE WHEN uw THEN 1 ELSE 0 END) AS BIGINT) AS underwater_days
+        FROM isl GROUP BY symbol),
+runs AS (SELECT symbol, grp, count(*) AS len FROM isl WHERE uw GROUP BY symbol, grp),
+mx AS (SELECT symbol, CAST(max(len) AS BIGINT) AS max_underwater_run
+       FROM runs GROUP BY symbol)
+SELECT a.symbol AS symbol, n_days, underwater_days,
+  coalesce(mx.max_underwater_run, CAST(0 AS BIGINT)) AS max_underwater_run
+FROM agg a LEFT JOIN mx ON a.symbol = mx.symbol""",
+)
+def q_drawdown_duration(spark, sf_dir):
+    """W-family — drawdown DURATION (the time axis max_drawdown's depth
+    metric ignores): per symbol, the longest consecutive underwater run
+    (close strictly below the running peak) plus total underwater days.
+    Gaps-and-islands: a new-peak flag, its running sum as the island
+    id, one count per island — the same pattern as change_islands /
+    session bursts, all integer-exact. Two window passes over the same
+    per-symbol sort (ONE shuffle), then bounded-key aggregates."""
+    s = _stocks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    p = s.select(
+        "symbol", "date", "close", F.max("close").over(w).alias("peak")
+    )
+    fl = p.select(
+        "symbol",
+        "date",
+        (F.col("close") < F.col("peak")).alias("uw"),
+        F.when(F.col("close") < F.col("peak"), 0).otherwise(1).alias("newpeak"),
+    )
+    isl = fl.select("symbol", "uw", F.sum("newpeak").over(w).alias("grp"))
+    agg = isl.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("uw").cast("long")).cast("long").alias("underwater_days"),
+    )
+    runs = (
+        isl.filter("uw")
+        .groupBy("symbol", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    mx = runs.groupBy("symbol").agg(
+        F.max("len").cast("long").alias("max_underwater_run")
+    )
+    return agg.join(mx, "symbol", "left").select(
+        "symbol",
+        "n_days",
+        "underwater_days",
+        F.coalesce("max_underwater_run", F.lit(0).cast("long")).alias(
+            "max_underwater_run"
+        ),
+    )
+
+
+@query(
+    "fd_audit",
+    """WITH g1 AS (SELECT o_orderkey, count(DISTINCT o_orderstatus) AS nd
+        FROM orders GROUP BY o_orderkey),
+g2 AS (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd
+        FROM orders GROUP BY o_custkey),
+g3 AS (SELECT o_orderpriority, count(DISTINCT o_orderstatus) AS nd
+        FROM orders GROUP BY o_orderpriority),
+u AS (
+  SELECT 'o_orderkey' AS determinant, 'o_orderstatus' AS dependent,
+    CAST(count(*) AS BIGINT) AS n_groups,
+    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+  FROM g1
+  UNION ALL
+  SELECT 'o_custkey', 'o_orderpriority', CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM g2
+  UNION ALL
+  SELECT 'o_orderpriority', 'o_orderstatus', CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM g3)
+SELECT determinant, dependent, n_groups, n_violations,
+  round(n_violations * 1.0 / n_groups, 6) AS violation_rate
+FROM u""",
+)
+def q_fd_audit(spark, sf_dir):
+    """EP6 — functional-dependency audit (HyFD/Metanome-style schema
+    profiling): violation rate of three candidate FDs on orders —
+    o_orderkey→o_orderstatus (holds: key), o_custkey→o_orderpriority
+    and o_orderpriority→o_orderstatus (violated). One exact
+    distinct-agg shuffle per hand-picked pair, each collapsing to one
+    row. See rel.fd_audit."""
+    return rel.fd_audit(
+        table(spark, sf_dir, "orders"),
+        [
+            ("o_orderkey", "o_orderstatus"),
+            ("o_custkey", "o_orderpriority"),
+            ("o_orderpriority", "o_orderstatus"),
+        ],
+    )
+
+
+@query(
+    "streaming_dedup_watermark",
+    "SELECT event_id, event_type, value FROM events",
+)
+def q_streaming_dedup_watermark(spark, sf_dir):
+    """ST3+ — dropDuplicatesWithinWatermark (the Spark 3.5+/4 successor
+    to plain streaming dropDuplicates): dedup guaranteed for duplicates
+    arriving within the watermark delay of each other, with key state
+    EVICTED afterward — state bounded by the delay window instead of
+    lifetime key cardinality, the right contract for refetch-overlap
+    duplicates on an unbounded stream. Source staged twice (the
+    overlap-refetch pattern) under availableNow, so the result equals
+    SELECT DISTINCT over one copy — the oracle. See
+    pipeline.dedup_within_watermark."""
+    import tempfile
+    import uuid
+
+    from finance_data_pipeline_spark.streaming import pipeline as sp
+
+    staged = tempfile.mkdtemp(prefix="fdps_dupw_events_")
+    src = table(spark, sf_dir, "events")
+    src.write.mode("overwrite").parquet(staged)
+    src.write.mode("append").parquet(staged)
+    name = f"fdps_dedupw_{uuid.uuid4().hex[:8]}"
+    q = (
+        sp.dedup_within_watermark(sp.stream_events(spark, staged), watermark="365 days")
+        .select("event_id", "event_type", "value")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fdps_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

@@ -487,3 +487,17 @@ def tws_running_totals(events: DataFrame) -> DataFrame:
     return events.groupBy("event_type").transformWithStateInPandas(
         RunningTotals(), out_schema, "append", "none"
     )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """ST3 successor API — ``dropDuplicatesWithinWatermark``: unlike
+    plain dropDuplicates (state per key for the STREAM'S LIFETIME
+    unless the key embeds event time), this guarantees dedup only for
+    duplicates arriving within the watermark delay of each other and
+    EVICTS key state afterward — the right contract for refetch
+    overlap (duplicates arrive close together) on an unbounded stream,
+    because state is bounded by the delay window, not by key
+    cardinality over all time."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
