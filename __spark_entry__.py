@@ -123,6 +123,9 @@ _PRIORITY = [
     "ewma_volatility", "growth_accounting", "rfm_scores", "benford_audit",
     "embedding_prefix_energy", "drawdown_duration", "fd_audit",
     "streaming_dedup_watermark",
+    "user_value_skyline", "order_reconciliation",
+    "personalized_pagerank", "effective_token_mass",
+    "per_source_sample_k", "decayed_engagement", "last_touch_attribution",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -180,6 +180,9 @@ def main() -> None:
             docs, clusters=shared_clusters
         ),
         "dup_triangles": lambda s, d: _graph.triangles(shared_pairs),
+        "label_prop_communities": lambda s, d: _graph.label_propagation(
+            shared_pairs, rounds=3
+        ),
     }
 
     # Two full construct+materialize cycles per query, report the min:

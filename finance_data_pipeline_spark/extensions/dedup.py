@@ -1485,3 +1485,51 @@ def split_leakage(
         F.countDistinct(id_col).cast("long").alias("n_docs")
     )
     return n_pairs.join(n_docs, "split_pair")
+
+
+def effective_token_mass(
+    docs: DataFrame,
+    clusters: DataFrame | None = None,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Dedup-adjusted corpus size: per source, the raw token count and
+    the EFFECTIVE token count where every near-dup cluster's mass
+    counts once (each member weighted 1/cluster_size — the soft-dedup
+    weighting aggregated up to dataset accounting). The number a
+    scaling-law budget should use: 1B raw tokens of 10× duplicated
+    text is ~100M effective tokens.
+
+    ``clusters`` accepts a precomputed (doc_id, cluster_id) frame (the
+    dup_clusters seam). Per-doc weights are row-local after one
+    doc-level join against the cluster-size frame (dup-graph nodes
+    only — tiny next to the corpus); sums go through DECIMAL so the
+    result is summation-order exact.
+
+    Returns (source, raw_tokens, effective_tokens, retention_ratio).
+    """
+    if clusters is None:
+        clusters = dup_clusters(docs, threshold=threshold)
+    csize = clusters.groupBy("cluster_id").agg(F.count("*").alias("_cn"))
+    cl = clusters.join(csize, "cluster_id").select(id_col, "_cn")
+    tok = docs.select(
+        F.col(id_col), F.col(group_col), F.size(tokens(text_col)).cast("long").alias("_nt")
+    )
+    eff = tok.join(cl, id_col, "left").select(
+        group_col,
+        "_nt",
+        (F.col("_nt") / F.coalesce("_cn", F.lit(1))).alias("_eff"),
+    )
+    return eff.groupBy(group_col).agg(
+        F.sum("_nt").cast("long").alias("raw_tokens"),
+        F.round(
+            F.sum(F.col("_eff").cast("decimal(38,12)")).cast("double"), 6
+        ).alias("effective_tokens"),
+        F.round(
+            F.sum(F.col("_eff").cast("decimal(38,12)")).cast("double")
+            / F.sum("_nt").cast("double"),
+            6,
+        ).alias("retention_ratio"),
+    )

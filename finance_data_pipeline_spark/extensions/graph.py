@@ -277,3 +277,92 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank (the topic-sensitive variant, Haveliwala
+    2002): teleport mass returns ONLY to the seed set, so ranks measure
+    proximity to the seeds rather than global centrality — the
+    "more like these" expansion primitive (seed domains → related
+    domains; seed customers → similar customers). Same integer
+    fixed-point discipline as pagerank(): every division is integer
+    floor division, so the whole iteration replays bit-exactly in an
+    unrolled SQL oracle.
+
+    ``seeds`` is a one-column (node) frame; it is intersected with the
+    graph's node set, counted once on the driver (a bounded count, like
+    pagerank's N), and broadcast into the per-round teleport term.
+    Initial rank: scale // n_seeds on seeds, 0 elsewhere — total mass
+    conserved up to floor rounding exactly as the oracle computes it.
+
+    Scale shape per round: identical to pagerank() — one edge⋈rank
+    shuffle, one map-side-combined sum, one left join onto nodes, with
+    localCheckpoint truncating lineage per round.
+    """
+    ed = _spread(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    nodes = (
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    seed_nodes = (
+        nodes.join(seeds.select(F.col(seeds.columns[0]).alias("node")), "node")
+        .select("node")
+        .localCheckpoint()
+    )
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("rank_scaled"),
+            F.lit(0.0).alias("pagerank"),
+        )
+    deg = ed.groupBy("src").agg(F.count("*").alias("deg"))
+    ed_deg = ed.join(deg, "src").localCheckpoint()
+    teleport = ((100 - damping_pct) * scale // 100) // n_seeds
+
+    flagged = nodes.join(
+        seed_nodes.withColumn("_is_seed", F.lit(True)), "node", "left"
+    ).select("node", F.coalesce("_is_seed", F.lit(False)).alias("_is_seed"))
+    flagged = flagged.localCheckpoint()
+    ranks = flagged.select(
+        "node",
+        F.when(F.col("_is_seed"), F.lit(scale // n_seeds))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
+    ).localCheckpoint()
+    for _ in range(iters):
+        contrib = ed_deg.join(ranks, ed_deg["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"), F.expr("r div deg").alias("c")
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            flagged.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("_is_seed"), F.lit(teleport)).otherwise(F.lit(0))
+                    + F.expr(
+                        f"({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) div 100"
+                    )
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_scaled"),
+        (F.col("r") / F.lit(float(scale))).alias("pagerank"),
+    )

@@ -495,3 +495,32 @@ def leakage_safe_split(
             keep_fraction("split_key", test_sixteenths), F.lit("test")
         ).otherwise(F.lit("train")),
     )
+
+
+def per_group_sample_k(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-k-per-group deterministic sample: rank rows inside each
+    group by (md5(key), key) and keep the first k — the uniform
+    "k docs from every source" inspection sample. Unlike sampleBy
+    (seeded RNG, fraction-based, layout-dependent count) this is a
+    pure function of the keys: reproducible across engines, runs and
+    partitionings, and exact-k whenever the group has ≥ k rows.
+
+    Scale: ONE shuffle on group_col; the per-group sort is bounded by
+    group size (the md5 rank needs no global order). Groups smaller
+    than k keep all rows.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

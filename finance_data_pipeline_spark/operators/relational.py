@@ -769,3 +769,39 @@ def fd_audit(df: DataFrame, pairs: Sequence[tuple[str, str]]) -> DataFrame:
         )
         out = r if out is None else out.unionByName(r)
     return out
+
+
+def skyline_2d(
+    df: DataFrame, x: str, y: str, keep_cols: Sequence[str] = ()
+) -> DataFrame:
+    """2-D skyline (Pareto frontier, maximizing both ``x`` and ``y``):
+    rows not dominated by any other row — the classic Börzsönyi et al.
+    2001 SKYLINE operator, as a distributed plan instead of the naive
+    O(n²) NOT EXISTS self-join.
+
+    Formulation: with mt(x) = max y at each distinct x and
+    M(x) = max mt over all STRICTLY GREATER x, a row survives iff
+    y = mt(x) and (M(x) is NULL or y > M(x)). The running max runs
+    over the DISTINCT-x frame — bounded by the x value domain, not
+    the row count — so the only unbounded-data shuffles are one
+    groupBy(x) and the survivor semi-join; the ordered window touches
+    |distinct x| rows. Ties: identical (x, y) points all survive
+    (no strict dominance between them), matching the NOT EXISTS
+    definition the oracle uses as an independent formulation.
+    """
+    from pyspark.sql import Window
+
+    mt = df.groupBy(x).agg(F.max(y).alias("_mt"))
+    w = (
+        Window.orderBy(F.desc(x)).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fr = mt.select(x, "_mt", F.max("_mt").over(w).alias("_M"))
+    cols = [x, y, *keep_cols]
+    return (
+        df.join(F.broadcast(fr), x)
+        .filter(
+            (F.col(y) == F.col("_mt"))
+            & (F.col("_M").isNull() | (F.col(y) > F.col("_M")))
+        )
+        .select(*cols)
+    )

@@ -8619,3 +8619,327 @@ def q_streaming_dedup_watermark(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+# --- round-4 session 3, batch D: skyline / reconcile / PPR / eff tokens --
+
+
+@query(
+    "user_value_skyline",
+    """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS f_cnt,
+        round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 6) AS m_sum
+      FROM events GROUP BY user_id)
+SELECT f_cnt, m_sum, user_id FROM u a
+WHERE NOT EXISTS (
+  SELECT 1 FROM u b
+  WHERE b.f_cnt >= a.f_cnt AND b.m_sum >= a.m_sum
+    AND (b.f_cnt > a.f_cnt OR b.m_sum > a.m_sum))""",
+)
+def q_user_value_skyline(spark, sf_dir):
+    """O5 — SKYLINE / Pareto frontier (Börzsönyi et al. 2001): users
+    not dominated in (event count, total value) — the maximal-vector
+    operator classic SQL lacks. The Spark plan is the distributed
+    sweep (max-y per x, running max over the DISTINCT-x frame), NOT
+    the O(n²) NOT EXISTS self-join the oracle uses as an independent
+    formulation — agreement between the two validates the sweep's
+    dominance algebra. See rel.skyline_2d."""
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("f_cnt"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,12)")).cast("double"), 6
+        ).alias("m_sum"),
+    )
+    return rel.skyline_2d(u, "f_cnt", "m_sum", keep_cols=["user_id"])
+
+
+@query(
+    "order_reconciliation",
+    """WITH l AS (SELECT l_orderkey,
+        CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                      AS DECIMAL(38,12))) AS DOUBLE) AS computed
+      FROM lineitem GROUP BY l_orderkey),
+j AS (SELECT o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS total, l.computed
+      FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CASE WHEN computed IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_without_lines,
+  CAST(sum(CASE WHEN computed IS NOT NULL AND abs(total - computed) > 0.01
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+  round(max(CASE WHEN computed IS NOT NULL
+                 THEN abs(total - computed) END), 4) AS max_abs_diff
+FROM j""",
+)
+def q_order_reconciliation(spark, sf_dir):
+    """EP7 — financial reconciliation: does each order's header total
+    equal the sum of its lines' extendedprice·(1−discount)·(1+tax)?
+    The cross-table consistency audit a finance pipeline runs after
+    every load (the reference trusts its single table; a lakehouse
+    can't). Line sums go through DECIMAL (order-exact); per-order
+    diffs are identical IEEE math; output is ONE row — map-side
+    combined all the way up."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    per_line = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(38,12)")
+    l = li.groupBy("l_orderkey").agg(
+        F.sum(per_line).cast("double").alias("computed")
+    )
+    j = o.select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("total")
+    ).join(l, o["o_orderkey"] == l["l_orderkey"], "left")
+    diff = F.abs(F.col("total") - F.col("computed"))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("computed").isNull().cast("long"))
+        .cast("long")
+        .alias("n_without_lines"),
+        F.sum((F.col("computed").isNotNull() & (diff > 0.01)).cast("long"))
+        .cast("long")
+        .alias("n_mismatched"),
+        F.round(F.max(F.when(F.col("computed").isNotNull(), diff)), 4).alias(
+            "max_abs_diff"
+        ),
+    )
+
+
+def _ppr_round(prev: str) -> str:
+    """One integer personalized-PageRank round: teleport only to seeds."""
+    return f"""SELECT n.node,
+  CAST((CASE WHEN sd.node IS NOT NULL
+        THEN ((100 - 85) * 1000000000::BIGINT // 100) // (SELECT ns FROM sparams)
+        ELSE 0 END)
+       + (85 * coalesce(s.s, 0)::BIGINT) // 100 AS BIGINT) AS r
+FROM nodes n LEFT JOIN seeds sd ON sd.node = n.node LEFT JOIN (
+  SELECT e.dst AS node, sum(pr.r // d.deg) AS s
+  FROM edges e JOIN {prev} pr ON pr.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY e.dst) s ON s.node = n.node"""
+
+
+@query(
+    "personalized_pagerank",
+    f"""WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (SELECT s AS src, c AS dst FROM e0
+          UNION ALL SELECT c AS src, s AS dst FROM e0),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+seeds AS (SELECT node FROM nodes WHERE node % 2 = 0 AND node // 2 <= 3),
+sparams AS (SELECT count(*) AS ns FROM seeds),
+r0 AS (SELECT n.node,
+         CAST(CASE WHEN sd.node IS NOT NULL
+              THEN 1000000000 // (SELECT ns FROM sparams) ELSE 0 END AS BIGINT) AS r
+       FROM nodes n LEFT JOIN seeds sd ON sd.node = n.node),
+r1 AS ({_ppr_round("r0")}),
+r2 AS ({_ppr_round("r1")}),
+r3 AS ({_ppr_round("r2")}),
+r4 AS ({_ppr_round("r3")}),
+r5 AS ({_ppr_round("r4")})
+SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS node_type,
+       node // 2 AS entity_key, r AS rank_scaled,
+       r / 1000000000.0 AS pagerank
+FROM r5 WHERE r > 0 ORDER BY r DESC, node LIMIT 20""",
+)
+def q_personalized_pagerank(spark, sf_dir):
+    """X7+ — personalized PageRank (Haveliwala 2002 topic-sensitive
+    variant) seeded on suppliers 1-3 of the supplier↔customer trade
+    graph: teleport mass returns only to the seeds, so ranks measure
+    proximity to them — the "customers most connected to these
+    suppliers" expansion. Integer fixed-point, full 5-round SQL
+    replay; zero-rank nodes (unreached under floor division) are
+    excluded on both sides. See graph.personalized_pagerank."""
+    from finance_data_pipeline_spark.extensions import graph
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") * 2).alias("s"),
+            (F.col("o_custkey") * 2 + 1).alias("c"),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("s").alias("src"), F.col("c").alias("dst")).union(
+        e0.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .filter((F.col("node") % 2 == 0) & (F.expr("node div 2") <= 3))
+        .distinct()
+    )
+    pr = graph.personalized_pagerank(edges, seeds, iters=5)
+    return (
+        pr.filter(F.col("rank_scaled") > 0)
+        .orderBy(F.desc("rank_scaled"), "node")
+        .limit(20)
+        .select(
+            F.when(F.col("node") % 2 == 0, "supplier")
+            .otherwise("customer")
+            .alias("node_type"),
+            F.expr("node div 2").alias("entity_key"),
+            "rank_scaled",
+            "pagerank",
+        )
+    )
+
+
+@query(
+    "effective_token_mass",
+    f"""WITH RECURSIVE {_NEAR_PAIRS_CTE},
+{_CLUSTERS_SQL_TAIL},
+csize AS (SELECT cluster_id, count(*) AS cn FROM cc GROUP BY cluster_id),
+tok AS (SELECT n.doc_id, d.source, CAST(len(words) AS BIGINT) AS nt
+        FROM norm n JOIN documents d ON n.doc_id = d.doc_id),
+eff AS (SELECT t.source, t.nt,
+          t.nt / CAST(coalesce(cs.cn, 1) AS DOUBLE) AS ef
+        FROM tok t LEFT JOIN cc ON t.doc_id = cc.doc_id
+        LEFT JOIN csize cs ON cc.cluster_id = cs.cluster_id)
+SELECT source,
+  CAST(sum(nt) AS BIGINT) AS raw_tokens,
+  round(CAST(sum(CAST(ef AS DECIMAL(38,12))) AS DOUBLE), 6) AS effective_tokens,
+  round(CAST(sum(CAST(ef AS DECIMAL(38,12))) AS DOUBLE)
+        / CAST(sum(nt) AS DOUBLE), 6) AS retention_ratio
+FROM eff GROUP BY source""",
+)
+def q_effective_token_mass(spark, sf_dir):
+    """X6+++ — dedup-adjusted dataset accounting: per source, raw vs
+    EFFECTIVE tokens where each near-dup cluster's mass counts once
+    (members weighted 1/cluster_size — soft-dedup weights aggregated
+    to the number a scaling-law token budget should actually use).
+    Cluster sizes join at doc grain (dup-graph nodes only, tiny);
+    DECIMAL sums keep both engines summation-order exact. See
+    dedup.effective_token_mass."""
+    return dedup.effective_token_mass(table(spark, sf_dir, "documents"))
+
+
+# --- round-4 session 3, batch E: sampling / decay / attribution ----------
+
+
+@query(
+    "per_source_sample_k",
+    """SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents) WHERE rk <= 5""",
+)
+def q_per_source_sample_k(spark, sf_dir):
+    """X6++ — exactly-5-per-source deterministic inspection sample:
+    md5-ranked inside each group, reproducible across engines/layouts
+    (no sampleBy RNG), exact-k for groups with ≥ k rows. One shuffle
+    on source; per-group sort bounded by group size. See
+    sampling.per_group_sample_k."""
+    return sampling.per_group_sample_k(
+        table(spark, sf_dir, "documents").select("doc_id", "source"),
+        "source",
+        k=5,
+    ).select("doc_id", "source")
+
+
+@query(
+    "decayed_engagement",
+    """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events),
+w AS (SELECT event_type,
+        CAST(date_diff('day', CAST(ts AS DATE), ref_day) // 7 AS BIGINT)
+          AS bucket,
+        value
+      FROM events CROSS JOIN mx)
+SELECT event_type,
+  round(CAST(sum(CAST(value * power(2.0, -bucket) AS DECIMAL(38,12)))
+             AS DOUBLE), 6) AS decayed_value,
+  round(CAST(sum(CAST(power(2.0, -bucket) AS DECIMAL(38,12))) AS DOUBLE), 6)
+    AS decayed_count
+FROM w GROUP BY event_type""",
+)
+def q_decayed_engagement(spark, sf_dir):
+    """EV10 — exponentially time-decayed engagement per event type,
+    half-life = one week: each event contributes value·2^(−age/7days).
+    The decay factor is an EXACT power of two (2^-k is exactly
+    representable and power(2,-k) is exact in both engines), so the
+    per-row product is identical IEEE math and the DECIMAL sum is
+    order-exact — a decayed score with a bit-exact oracle, where an
+    exp(−λ·Δt) formulation would drift between libms. Ages bucket by
+    integer floor division; one map-side-combined aggregate over the
+    bounded event-type domain."""
+    e = table(spark, sf_dir, "events")
+    ref = e.agg(F.max(F.col("ts").cast("date")).alias("_ref"))
+    w = e.crossJoin(F.broadcast(ref)).select(
+        "event_type",
+        F.expr("datediff(_ref, CAST(ts AS DATE)) div 7").alias("bucket"),
+        "value",
+    )
+    decay = F.pow(F.lit(2.0), -F.col("bucket"))
+    return w.groupBy("event_type").agg(
+        F.round(
+            F.sum((F.col("value") * decay).cast("decimal(38,12)")).cast("double"),
+            6,
+        ).alias("decayed_value"),
+        F.round(
+            F.sum(decay.cast("decimal(38,12)")).cast("double"), 6
+        ).alias("decayed_count"),
+    )
+
+
+@query(
+    "last_touch_attribution",
+    """WITH clicks AS (SELECT user_id, ts AS click_ts FROM events
+           WHERE event_type = 'click'),
+purch AS (SELECT event_id, user_id, ts AS p_ts, value FROM events
+          WHERE event_type = 'purchase'),
+att AS (SELECT p.event_id, p.user_id, p.p_ts, p.value,
+          (SELECT max(c.click_ts) FROM clicks c
+           WHERE c.user_id = p.user_id AND c.click_ts <= p.p_ts) AS last_click_ts
+        FROM purch p)
+SELECT CAST(p_ts AS DATE) AS day,
+  CAST(count(*) AS BIGINT) AS n_purchases,
+  CAST(sum(CASE WHEN last_click_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_attributed,
+  round(CAST(sum(CASE WHEN last_click_ts IS NOT NULL
+                 THEN CAST(value AS DECIMAL(38,12))
+                 ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE), 6)
+    AS attributed_value
+FROM att GROUP BY CAST(p_ts AS DATE)""",
+)
+def q_last_touch_attribution(spark, sf_dir):
+    """EV11 — last-touch marketing attribution: each purchase credits
+    the user's most recent click at or before it. The Spark plan is
+    the as-of join (union + last-ignorenulls window — ONE shuffle on
+    (user, ts), never a per-user range join); the oracle states the
+    same semantics as a correlated MAX subquery — agreement validates
+    the as-of machinery on a second surface. DECIMAL-summed values,
+    day-grain output."""
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    att = rel.asof_join(
+        purch,
+        clicks.withColumn("click_ts", F.col("c_ts")),
+        key="user_id",
+        left_ts="ts",
+        right_ts="c_ts",
+        right_cols=["click_ts"],
+        direction="backward",
+    )
+    return att.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum(F.col("click_ts_asof").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_attributed"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("click_ts_asof").isNotNull(),
+                    F.col("value").cast("decimal(38,12)"),
+                ).otherwise(F.lit(0).cast("decimal(38,12)"))
+            ).cast("double"),
+            6,
+        ).alias("attributed_value"),
+    )

@@ -413,3 +413,162 @@ def test_fd_audit_holds_and_violations(spark):
     assert out[("a", "b")].n_groups == 2
     assert out[("a", "b")].n_violations == 2
     assert out[("a", "b")].violation_rate == 1.0
+
+
+# --- batch D: skyline / reconciliation / PPR / effective tokens ----------
+
+
+def test_skyline_2d_matches_naive_dominance(spark):
+    import itertools
+    import random
+
+    from finance_data_pipeline_spark.operators import relational as rel
+
+    rng = random.Random(7)
+    pts = [(i, rng.randint(0, 9), round(rng.uniform(0, 10), 2)) for i in range(60)]
+    df = spark.createDataFrame(pts, "pid long, x long, y double")
+    got = {r.pid for r in rel.skyline_2d(df, "x", "y", keep_cols=["pid"]).collect()}
+    naive = {
+        p[0]
+        for p in pts
+        if not any(
+            q[1] >= p[1] and q[2] >= p[2] and (q[1] > p[1] or q[2] > p[2])
+            for q in pts
+        )
+    }
+    assert got == naive
+
+
+def test_skyline_keeps_duplicate_maximal_points(spark):
+    from finance_data_pipeline_spark.operators import relational as rel
+
+    df = spark.createDataFrame(
+        [(1, 5, 5.0), (2, 5, 5.0), (3, 4, 9.0), (4, 4, 1.0)],
+        "pid long, x long, y double",
+    )
+    got = {r.pid for r in rel.skyline_2d(df, "x", "y", keep_cols=["pid"]).collect()}
+    assert got == {1, 2, 3}
+
+
+def test_order_reconciliation_flags_injected_drift(spark):
+    """On consistent synthetic books the audit reports what it reports;
+    semantics pinned on a hand-built frame with one bad order."""
+    li = spark.createDataFrame(
+        [
+            (100, 10.0, 0.1, 0.05),   # 10*0.9*1.05 = 9.45
+            (100, 20.0, 0.0, 0.0),    # 20     -> total 29.45
+            (200, 50.0, 0.5, 0.0),    # 25
+        ],
+        "l_orderkey long, l_extendedprice double, l_discount double, l_tax double",
+    )
+    o = spark.createDataFrame(
+        [(100, 29.45), (200, 99.0), (300, 5.0)],
+        "o_orderkey long, o_totalprice double",
+    )
+    from pyspark.sql import functions as SF
+
+    per_line = (
+        SF.col("l_extendedprice") * (1 - SF.col("l_discount")) * (1 + SF.col("l_tax"))
+    ).cast("decimal(38,12)")
+    l = li.groupBy("l_orderkey").agg(SF.sum(per_line).cast("double").alias("computed"))
+    j = o.select("o_orderkey", SF.col("o_totalprice").cast("double").alias("total")).join(
+        l, o["o_orderkey"] == l["l_orderkey"], "left"
+    )
+    diff = SF.abs(SF.col("total") - SF.col("computed"))
+    row = j.agg(
+        SF.count(SF.lit(1)).alias("n_orders"),
+        SF.sum(SF.col("computed").isNull().cast("long")).alias("n_without_lines"),
+        SF.sum((SF.col("computed").isNotNull() & (diff > 0.01)).cast("long")).alias(
+            "n_mismatched"
+        ),
+    ).first()
+    assert row.n_orders == 3 and row.n_without_lines == 1 and row.n_mismatched == 1
+
+
+def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
+    """Two disconnected stars; seeding one hub leaves the OTHER star's
+    nodes at rank zero (teleport never reaches a disconnected
+    component), while global pagerank ranks both symmetrically."""
+    from finance_data_pipeline_spark.extensions import graph
+
+    edges = []
+    for leaf in (1, 2, 3):
+        edges += [(100, leaf), (leaf, 100)]
+    for leaf in (11, 12, 13):
+        edges += [(200, leaf), (leaf, 200)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(100,)], "node long")
+    out = {r.node: r.rank_scaled for r in graph.personalized_pagerank(e, seeds, iters=3).collect()}
+    assert out[100] > 0 and out[1] > 0
+    assert out[200] == 0 and out[11] == 0
+
+
+def test_personalized_pagerank_empty_seed_set(spark):
+    from finance_data_pipeline_spark.extensions import graph
+
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([(99,)], "node long")  # not in graph
+    out = graph.personalized_pagerank(e, seeds, iters=2).collect()
+    assert all(r.rank_scaled == 0 for r in out)
+
+
+def test_effective_token_mass_weights_clusters_once(spark):
+    from finance_data_pipeline_spark.extensions import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "web", "en"),
+            (2, "a b c d", "web", "en"),   # exact twin of 1 -> cluster of 2
+            (3, "x y z", "books", "en"),
+        ],
+        "doc_id long, text string, source string, lang string",
+    )
+    clusters = spark.createDataFrame([(1, 1), (2, 1)], "doc_id long, cluster_id long")
+    out = {r.source: r for r in dedup.effective_token_mass(docs, clusters=clusters).collect()}
+    assert out["web"].raw_tokens == 8
+    assert out["web"].effective_tokens == 4.0      # each of the 2 docs at 1/2
+    assert out["web"].retention_ratio == 0.5
+    assert out["books"].raw_tokens == 3
+    assert out["books"].effective_tokens == 3.0
+    assert out["books"].retention_ratio == 1.0
+
+
+# --- batch E: per-group sampling / decayed engagement --------------------
+
+
+def test_per_group_sample_k_exact_and_small_groups(spark):
+    from finance_data_pipeline_spark.extensions import sampling
+
+    rows = [(i, "big") for i in range(20)] + [(100 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.per_group_sample_k(df, "source", k=5).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by["big"]) == 5
+    assert by["small"] == {100, 101, 102}
+    # deterministic: a second run picks the identical set
+    out2 = sampling.per_group_sample_k(df, "source", k=5).collect()
+    assert {r.doc_id for r in out2} == {r.doc_id for r in out}
+
+
+def test_decayed_engagement_power_of_two_buckets(spark):
+    import os
+    import tempfile
+
+    from finance_data_pipeline_spark.registry import QUERIES
+
+    e = spark.createDataFrame(
+        [
+            (1, "2024-01-15 00:00:00", 1, "view", 8.0, "{}"),   # age 0  -> x1
+            (2, "2024-01-08 00:00:00", 1, "view", 8.0, "{}"),   # age 7  -> x1/2
+            (3, "2024-01-01 00:00:00", 1, "view", 8.0, "{}"),   # age 14 -> x1/4
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value", "props")
+    d = tempfile.mkdtemp(prefix="dec_")
+    e.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    row = QUERIES["decayed_engagement"](spark, d).first()
+    assert row.event_type == "view"
+    assert row.decayed_value == 8.0 + 4.0 + 2.0
+    assert row.decayed_count == 1.0 + 0.5 + 0.25
