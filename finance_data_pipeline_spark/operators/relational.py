@@ -805,3 +805,39 @@ def skyline_2d(
         )
         .select(*cols)
     )
+
+
+def fk_orphan_audit(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Referential-integrity audit: how many child rows (and distinct
+    child keys) have no matching parent — the FK orphan check a
+    lakehouse needs because nothing enforces constraints at write
+    time. Orphans are found with a LEFT ANTI join (never a fan-out);
+    totals are map-side-combined counts. One row out.
+    """
+    orphans = child.join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        child_key,
+        "left_anti",
+    )
+    tot = child.agg(
+        F.count(F.lit(1)).cast("long").alias("n_child_rows"),
+        F.countDistinct(child_key).cast("long").alias("n_child_keys"),
+    )
+    orp = orphans.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orphan_rows"),
+        F.countDistinct(child_key).cast("long").alias("n_orphan_keys"),
+    )
+    return tot.crossJoin(orp).select(
+        "n_child_rows",
+        "n_child_keys",
+        "n_orphan_rows",
+        "n_orphan_keys",
+        F.round(F.col("n_orphan_rows") / F.col("n_child_rows"), 6).alias(
+            "orphan_row_rate"
+        ),
+    )

@@ -8943,3 +8943,30 @@ def q_last_touch_attribution(spark, sf_dir):
             6,
         ).alias("attributed_value"),
     )
+
+
+@query(
+    "fk_orphan_audit",
+    """WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n_child_rows,
+        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_child_keys
+      FROM lineitem),
+orp AS (SELECT CAST(count(*) AS BIGINT) AS n_orphan_rows,
+          CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orphan_keys
+        FROM lineitem l WHERE NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+SELECT n_child_rows, n_child_keys, n_orphan_rows, n_orphan_keys,
+  round(n_orphan_rows * 1.0 / n_child_rows, 6) AS orphan_row_rate
+FROM tot CROSS JOIN orp""",
+)
+def q_fk_orphan_audit(spark, sf_dir):
+    """EP8 — referential-integrity audit (lineitem→orders): orphan
+    child rows found with a LEFT ANTI join, completing the
+    data-quality audit trio with fd_audit (intra-table dependencies)
+    and order_reconciliation (cross-table amounts). One row out,
+    map-side-combined counts. See rel.fk_orphan_audit."""
+    return rel.fk_orphan_audit(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
+        "l_orderkey",
+        "o_orderkey",
+    )

@@ -572,3 +572,16 @@ def test_decayed_engagement_power_of_two_buckets(spark):
     assert row.event_type == "view"
     assert row.decayed_value == 8.0 + 4.0 + 2.0
     assert row.decayed_count == 1.0 + 0.5 + 0.25
+
+
+def test_fk_orphan_audit_counts_orphans(spark):
+    from finance_data_pipeline_spark.operators import relational as rel
+
+    child = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (9, "d"), (9, "e")], "k long, payload string"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    row = rel.fk_orphan_audit(child, parent, "k", "pk").first()
+    assert row.n_child_rows == 5 and row.n_child_keys == 3
+    assert row.n_orphan_rows == 2 and row.n_orphan_keys == 1
+    assert row.orphan_row_rate == 0.4
