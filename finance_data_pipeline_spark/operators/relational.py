@@ -841,3 +841,62 @@ def fk_orphan_audit(
             "orphan_row_rate"
         ),
     )
+
+
+def global_rank(
+    df: DataFrame,
+    col: str,
+    keep_cols: Sequence[str],
+    bins: int = 32,
+) -> DataFrame:
+    """EXACT global rank() (ties share a rank) WITHOUT the
+    single-partition window a plain ``Window.orderBy`` collapses to —
+    the distributed total-order pattern the RFM/ensemble docstrings
+    reference as the 100 TB path.
+
+    Mechanics: approx_percentile picks ≤ bins-1 split values (a
+    bounded driver collect, like the IVF trainer's sample); rows are
+    assigned to range bins by VALUE COMPARISON, so equal values always
+    share a bin and every row in an earlier bin is STRICTLY smaller.
+    Global rank = (rows in earlier bins) + (rank within bin) — the
+    first term from a broadcast cumulative bin-count frame, the second
+    from a window partitioned by bin (state bounded by the largest
+    bin, ~n/bins under any boundary quality). The output is exact for
+    ANY split choice — approx_percentile's estimation error only skews
+    bin sizes, never ranks — so the sketch's nondeterminism cannot
+    reach the result.
+    """
+    from pyspark.sql import Window
+
+    splits = [
+        s
+        for s in (
+            df.agg(
+                F.percentile_approx(
+                    col, [i / bins for i in range(1, bins)], 10_000
+                ).alias("s")
+            ).first()["s"]
+            or []
+        )
+        if s is not None
+    ]
+    splits = sorted(set(splits))
+    c = F.col(col)
+    bin_expr = F.lit(0)
+    for s in splits:
+        bin_expr = bin_expr + (c > F.lit(s)).cast("int")
+    binned = df.select(*keep_cols, col, bin_expr.alias("_bin"))
+    counts = binned.groupBy("_bin").agg(F.count(F.lit(1)).alias("_bn"))
+    wcum = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_bin", F.coalesce(F.sum("_bn").over(wcum), F.lit(0)).alias("_before")
+    )
+    wbin = Window.partitionBy("_bin").orderBy(col)
+    return (
+        binned.join(F.broadcast(offsets), "_bin")
+        .select(
+            *keep_cols,
+            col,
+            (F.col("_before") + F.rank().over(wbin)).cast("long").alias("rank"),
+        )
+    )

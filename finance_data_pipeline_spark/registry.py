@@ -8970,3 +8970,29 @@ def q_fk_orphan_audit(spark, sf_dir):
         "l_orderkey",
         "o_orderkey",
     )
+
+
+@query(
+    "global_token_rank",
+    f"""WITH {_NORM_CTE},
+t AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens FROM norm)
+SELECT doc_id, n_tokens,
+  CAST(rank() OVER (ORDER BY n_tokens) AS BIGINT) AS rank
+FROM t""",
+)
+def q_global_token_rank(spark, sf_dir):
+    """O6 — exact global rank of every document by token count,
+    computed WITHOUT a single-partition window: range-binned rank
+    (approx_percentile splits → per-bin windows + broadcast cumulative
+    offsets; exact for any split choice). The distributed total-order
+    pattern the RFM scale note references; the oracle is the plain
+    rank() window — agreement proves the binned decomposition. See
+    rel.global_rank."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return rel.global_rank(t, "n_tokens", keep_cols=["doc_id"], bins=16)

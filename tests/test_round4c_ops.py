@@ -585,3 +585,41 @@ def test_fk_orphan_audit_counts_orphans(spark):
     assert row.n_child_rows == 5 and row.n_child_keys == 3
     assert row.n_orphan_rows == 2 and row.n_orphan_keys == 1
     assert row.orphan_row_rate == 0.4
+
+
+def test_global_rank_matches_window_rank_with_ties(spark):
+    import random
+
+    from pyspark.sql import Window
+
+    from finance_data_pipeline_spark.operators import relational as rel
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(0, 20)) for i in range(300)]  # heavy ties
+    df = spark.createDataFrame(rows, "pid long, v long")
+    got = {r.pid: r.rank for r in rel.global_rank(df, "v", ["pid"], bins=8).collect()}
+    ref = {
+        r.pid: r.rnk
+        for r in df.select(
+            "pid", F.rank().over(Window.orderBy("v")).alias("rnk")
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_global_rank_plan_has_no_unpartitioned_window_over_data(spark):
+    """The per-row window must be partitioned by _bin; the only
+    unpartitioned window runs over the bin-count frame (≤ bins rows)."""
+    from finance_data_pipeline_spark.operators import relational as rel
+
+    df = spark.range(1000).select(
+        F.col("id").alias("pid"), (F.col("id") % 37).alias("v")
+    )
+    out = rel.global_rank(df, "v", ["pid"], bins=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every window over the ranked value column is partitioned by _bin
+    specs = [
+        seg for seg in plan.split("windowspecdefinition(")[1:] if "v#" in seg.split(")")[0]
+    ]
+    assert specs, plan
+    assert all(seg.split(")")[0].find("_bin") != -1 for seg in specs), plan
