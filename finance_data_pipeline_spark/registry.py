@@ -8996,3 +8996,56 @@ def q_global_token_rank(spark, sf_dir):
         .alias("n_tokens"),
     )
     return rel.global_rank(t, "n_tokens", keep_cols=["doc_id"], bins=16)
+
+
+@query(
+    "robust_return_anomalies",
+    f"""WITH {STOCKS},
+r AS (SELECT symbol, date,
+        close / lag(close) OVER ({_W_DATE}) - 1 AS ret
+      FROM stocks),
+rr AS (SELECT symbol, date, ret FROM r WHERE ret IS NOT NULL),
+med AS (SELECT symbol, quantile_cont(ret, 0.5) AS med FROM rr GROUP BY symbol),
+ad AS (SELECT rr.symbol, rr.date, rr.ret, med.med,
+         abs(rr.ret - med.med) AS adev
+       FROM rr JOIN med ON rr.symbol = med.symbol),
+mad AS (SELECT symbol, quantile_cont(adev, 0.5) AS mad FROM ad GROUP BY symbol)
+SELECT a.symbol AS symbol, a.date AS date, round(a.ret, 6) AS ret,
+  round(a.adev / (1.4826 * nullif(mad.mad, 0)), 4) AS robust_z
+FROM ad a JOIN mad ON a.symbol = mad.symbol
+WHERE a.adev / (1.4826 * nullif(mad.mad, 0)) > 3.0""",
+)
+def q_robust_return_anomalies(spark, sf_dir):
+    """W22 — ROBUST outlier detection: median/MAD z-score on daily
+    returns (|ret − median| > 3·1.4826·MAD), the breakdown-resistant
+    alternative to price_anomalies' mean/stddev rule — one fat-finger
+    day inflates a stddev but not a median. Exact grouped percentiles
+    (Spark `percentile` ≡ DuckDB quantile_cont, both the R-7 linear
+    interpolation; per-symbol groups are one symbol's history, so the
+    exact aggregate's memory is bounded); a zero MAD (≥half the days
+    flat) nullifies the score and flags nothing in both engines.
+    Two grouped aggregates + two joins back; 4 dp rounding absorbs
+    the engines' interpolation-order ulp."""
+    s = _stocks(spark, sf_dir)
+    wl = Window.partitionBy("symbol").orderBy("date")
+    rr = s.select(
+        "symbol",
+        "date",
+        (F.col("close") / F.lag("close").over(wl) - 1).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    med = rr.groupBy("symbol").agg(F.percentile("ret", F.lit(0.5)).alias("med"))
+    ad = rr.join(med, "symbol").select(
+        "symbol", "date", "ret", F.abs(F.col("ret") - F.col("med")).alias("adev")
+    )
+    mad = ad.groupBy("symbol").agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    z = F.col("adev") / (F.lit(1.4826) * F.nullif(F.col("mad"), F.lit(0.0)))
+    return (
+        ad.join(mad, "symbol")
+        .filter(z > 3.0)
+        .select(
+            "symbol",
+            "date",
+            F.round("ret", 6).alias("ret"),
+            F.round(z, 4).alias("robust_z"),
+        )
+    )
