@@ -400,3 +400,94 @@ def media_phash_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+SCENE_CUT_SCHEMA = "media_id long, frame_idx long, t_ms long, delta long"
+
+
+def _probe_energy_expr(probes: int) -> str:
+    """Spark SQL expression: sum of squared probe bytes for frame
+    `frame_idx` over hex column `_hx` of byte length `_plen` (the
+    audio_frame_energy technique, shared so video reuses it)."""
+
+    def byte(j: int) -> str:
+        return (
+            "cast(conv(substring(_hx,"
+            f" cast(((frame_idx * {probes} + {j}) % _plen) * 2 + 1 as int), 2),"
+            " 16, 10) as bigint)"
+        )
+
+    return " + ".join(f"({byte(j)} * {byte(j)})" for j in range(probes))
+
+
+def scene_cuts(
+    media: DataFrame,
+    every_ms: int = 500,
+    probes: int = 8,
+    factor_pct: int = 150,
+) -> DataFrame:
+    """Video scene-cut detection — the shot-segmentation pass of a
+    video curation pipeline: a frame boundary is a CUT when its
+    energy jump exceeds ``factor_pct``% of the clip's mean jump. A
+    real implementation would decode frames and compare histograms;
+    this kernel probes payload bytes per sampled frame (the
+    audio_frame_energy technique — JVM hex indexing + integer
+    arithmetic, no Python) and keeps the fan-out, windowing and
+    thresholding identical, so the whole operator replays exactly in
+    SQL.
+
+    Exactness: energies and deltas are integers; the relative
+    threshold is evaluated as ``delta · 100 · n_deltas >
+    factor_pct · Σdeltas`` — ALL-INTEGER cross-multiplication, no
+    float mean, so the rule is bit-portable. Single-frame clips have
+    no deltas and emit nothing; an all-equal-energy clip has Σ = 0
+    and emits nothing (0 > 0 is false).
+
+    Scale: one explode row per sampled frame (bounded by duration),
+    one per-media window pass for the lag, one map-side-combined
+    per-media stat join — payload bytes never shuffle (only the hex
+    projection of probed frames does).
+    """
+    from pyspark.sql import Window
+
+    src = media.filter(F.col("modality") == "video").select(
+        "media_id",
+        F.hex("payload").alias("_hx"),
+        F.octet_length("payload").alias("_plen"),
+        F.col("meta.duration_ms").alias("_dur"),
+    )
+    frames = src.select(
+        "media_id",
+        "_hx",
+        "_plen",
+        F.explode(
+            F.sequence(F.lit(0), F.expr(f"_dur div {every_ms}"))
+        ).alias("frame_idx"),
+    )
+    e = frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.expr(_probe_energy_expr(probes)).alias("_en"),
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    d = e.select(
+        "media_id",
+        "frame_idx",
+        F.abs(F.col("_en") - F.lag("_en").over(w)).alias("_delta"),
+    ).filter(F.col("_delta").isNotNull())
+    stats = d.groupBy("media_id").agg(
+        F.sum("_delta").alias("_sumd"), F.count(F.lit(1)).alias("_nd")
+    )
+    return (
+        d.join(F.broadcast(stats), "media_id")
+        .filter(
+            F.col("_delta") * 100 * F.col("_nd")
+            > F.lit(factor_pct) * F.col("_sumd")
+        )
+        .select(
+            "media_id",
+            "frame_idx",
+            (F.col("frame_idx") * every_ms).cast("long").alias("t_ms"),
+            F.col("_delta").cast("long").alias("delta"),
+        )
+    )

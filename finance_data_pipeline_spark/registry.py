@@ -9049,3 +9049,38 @@ def q_robust_return_anomalies(spark, sf_dir):
             F.round(z, 4).alias("robust_z"),
         )
     )
+
+
+@query(
+    "media_scene_cuts",
+    """WITH vid AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS plen,
+         CAST(1000 + (n_chars * 7) % 5000 AS BIGINT) AS dur
+  FROM documents WHERE doc_id % 3 = 2),
+fr AS (SELECT media_id, hx, plen, unnest(range(0, dur // 500 + 1)) AS f FROM vid),
+e AS (SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
+        CAST((((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 0) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 0) % plen) * 2 + 2 AS INT), 1)) - 1)) * ((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 0) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 0) % plen) * 2 + 2 AS INT), 1)) - 1))) + (((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 1) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 1) % plen) * 2 + 2 AS INT), 1)) - 1)) * ((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 1) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 1) % plen) * 2 + 2 AS INT), 1)) - 1))) + (((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 2) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 2) % plen) * 2 + 2 AS INT), 1)) - 1)) * ((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 2) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 2) % plen) * 2 + 2 AS INT), 1)) - 1))) + (((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 3) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 3) % plen) * 2 + 2 AS INT), 1)) - 1)) * ((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 3) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 3) % plen) * 2 + 2 AS INT), 1)) - 1))) + (((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 4) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 4) % plen) * 2 + 2 AS INT), 1)) - 1)) * ((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 4) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 4) % plen) * 2 + 2 AS INT), 1)) - 1))) + (((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 5) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 5) % plen) * 2 + 2 AS INT), 1)) - 1)) * ((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 5) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 5) % plen) * 2 + 2 AS INT), 1)) - 1))) + (((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 6) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 6) % plen) * 2 + 2 AS INT), 1)) - 1)) * ((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 6) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 6) % plen) * 2 + 2 AS INT), 1)) - 1))) + (((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 7) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 7) % plen) * 2 + 2 AS INT), 1)) - 1)) * ((strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 7) % plen) * 2 + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substring(hx, CAST(((f * 8 + 7) % plen) * 2 + 2 AS INT), 1)) - 1))) AS BIGINT) AS en
+      FROM fr),
+d AS (SELECT media_id, frame_idx,
+        abs(en - lag(en) OVER (PARTITION BY media_id ORDER BY frame_idx)) AS delta
+      FROM e),
+dd AS (SELECT * FROM d WHERE delta IS NOT NULL),
+st AS (SELECT media_id, sum(delta) AS sumd, count(*) AS nd FROM dd GROUP BY media_id)
+SELECT dd.media_id AS media_id, dd.frame_idx AS frame_idx,
+  CAST(dd.frame_idx * 500 AS BIGINT) AS t_ms, CAST(dd.delta AS BIGINT) AS delta
+FROM dd JOIN st ON dd.media_id = st.media_id
+WHERE dd.delta * 100 * st.nd > 150 * st.sumd""",
+)
+def q_media_scene_cuts(spark, sf_dir):
+    """X5+++ — video scene-cut detection: a frame boundary is a cut
+    when its energy jump exceeds 150% of the clip's mean jump,
+    evaluated as an ALL-INTEGER cross-multiplication (delta·100·n >
+    150·Σdelta) so the relative rule is bit-portable. Probe-byte
+    energies via JVM hex indexing (the audio technique); one explode
+    per sampled frame, one per-media window, payload never shuffles.
+    See multimodal.scene_cuts."""
+    media = multimodal.synthetic_media(
+        dedup._spread(table(spark, sf_dir, "documents"))
+    )
+    return multimodal.scene_cuts(media, every_ms=500, probes=8, factor_pct=150)

@@ -623,3 +623,34 @@ def test_global_rank_plan_has_no_unpartitioned_window_over_data(spark):
     ]
     assert specs, plan
     assert all(seg.split(")")[0].find("_bin") != -1 for seg in specs), plan
+
+
+def test_scene_cuts_flags_known_jump(spark):
+    """Hand-built media: one video whose probe-byte stream makes frame
+    energies computable — verify against a straight numpy reimplementation."""
+    from finance_data_pipeline_spark.extensions import multimodal
+
+    text = "abcdefgh" * 10 + "ZZZZZZZZ"  # tail bytes spike the last frames
+    docs = spark.createDataFrame(
+        [(2, text, "en", "web", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = multimodal.synthetic_media(docs)  # doc_id%3==2 -> video
+    out = multimodal.scene_cuts(media, every_ms=500, probes=8).collect()
+    # reimplement: duration, frames, energies, deltas, integer rule
+    payload = text.encode()
+    dur = 1000 + (len(text) * 7) % 5000
+    n_frames = dur // 500 + 1
+    energies = []
+    for f in range(n_frames):
+        e = sum(payload[(f * 8 + j) % len(payload)] ** 2 for j in range(8))
+        energies.append(e)
+    deltas = [abs(b - a) for a, b in zip(energies, energies[1:])]
+    s, n = sum(deltas), len(deltas)
+    expect = {
+        i + 1 for i, d in enumerate(deltas) if d * 100 * n > 150 * s
+    }
+    assert {r.frame_idx for r in out} == expect
+    for r in out:
+        assert r.delta == deltas[r.frame_idx - 1]
+        assert r.t_ms == r.frame_idx * 500
