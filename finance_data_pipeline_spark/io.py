@@ -524,3 +524,63 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
             "org.apache.spark:spark-avro to enable Avro I/O"
         )
     return spark.read.format("avro").load(path)
+
+
+# --- S11: snapshot-versioned store (time travel / rollback) ---------------
+
+
+def write_snapshot(df: DataFrame, store: str) -> int:
+    """Append an immutable full snapshot version to ``store`` and
+    return its version number — the minimal time-travel layout
+    (Delta/Iceberg's idea reduced to its portable core): data lives in
+    ``v=N/`` directories that are NEVER rewritten, and a tiny JSON
+    manifest names the current version. Readers pin a version for
+    reproducible reruns (the training-data freeze a curation pipeline
+    needs); rollback is a manifest pointer move, no data copy.
+
+    Concurrency note for a real deployment: the manifest swap is the
+    single commit point — on an object store it should be a
+    conditional put (or a rename on HDFS); data files being immutable
+    makes retries idempotent.
+    """
+    import json
+    import os
+
+    manifest = os.path.join(store, "manifest.json")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            current = json.load(f)["version"]
+    else:
+        os.makedirs(store, exist_ok=True)
+        current = 0
+    version = current + 1
+    df.write.mode("errorifexists").parquet(os.path.join(store, f"v={version}"))
+    with open(manifest, "w") as f:
+        json.dump({"version": version}, f)
+    return version
+
+
+def read_snapshot(spark: SparkSession, store: str, version: int | None = None) -> DataFrame:
+    """Read the store at a pinned ``version`` (time travel) or at the
+    manifest's current version (default). Only the one ``v=N/``
+    directory is listed — old versions cost storage, never scan time."""
+    import json
+    import os
+
+    if version is None:
+        with open(os.path.join(store, "manifest.json")) as f:
+            version = json.load(f)["version"]
+    return spark.read.parquet(os.path.join(store, f"v={version}"))
+
+
+def rollback_snapshot(store: str, version: int) -> None:
+    """Point the manifest back at an older version — O(1), no data
+    movement; newer versions remain on disk for re-roll-forward."""
+    import json
+    import os
+
+    target = os.path.join(store, f"v={version}")
+    if not os.path.isdir(target):
+        raise ValueError(f"version {version} does not exist in {store}")
+    with open(os.path.join(store, "manifest.json"), "w") as f:
+        json.dump({"version": version}, f)

@@ -9084,3 +9084,30 @@ def q_media_scene_cuts(spark, sf_dir):
         dedup._spread(table(spark, sf_dir, "documents"))
     )
     return multimodal.scene_cuts(media, every_ms=500, probes=8, factor_pct=150)
+
+
+@query(
+    "time_travel_read",
+    f"""WITH {STOCKS}
+SELECT symbol, date, close FROM stocks WHERE date <= DATE '{CUTOFF}'""",
+)
+def q_time_travel_read(spark, sf_dir):
+    """S11 — snapshot-versioned store with time travel: v1 = history
+    ≤ CUTOFF, v2 = v1 upserted with the post-CUTOFF batch (current),
+    then a PINNED READ of v1 — the reproducible training-data freeze.
+    The oracle is the ≤ CUTOFF slice, proving the pinned read sees
+    exactly the frozen snapshot even after the store advanced; data
+    directories are immutable, the manifest swap is the only commit
+    point, rollback is a pointer move. See io.write_snapshot /
+    read_snapshot / rollback_snapshot."""
+    import tempfile
+
+    from finance_data_pipeline_spark import io as fio
+
+    s = _stocks(spark, sf_dir).select("symbol", "date", "close")
+    store = tempfile.mkdtemp(prefix="fdps_tt_")
+    v1 = fio.write_snapshot(s.filter(F.col("date") <= _date(CUTOFF)), store)
+    ingest_batch2 = s.filter(F.col("date") > _date(CUTOFF))
+    merged = fio.read_snapshot(spark, store).unionByName(ingest_batch2)
+    fio.write_snapshot(merged, store)
+    return fio.read_snapshot(spark, store, version=v1)

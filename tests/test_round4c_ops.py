@@ -654,3 +654,26 @@ def test_scene_cuts_flags_known_jump(spark):
     for r in out:
         assert r.delta == deltas[r.frame_idx - 1]
         assert r.t_ms == r.frame_idx * 500
+
+
+def test_snapshot_store_time_travel_and_rollback(spark, tmp_path):
+    from finance_data_pipeline_spark import io as fio
+
+    store = str(tmp_path / "store")
+    d1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    d2 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    v1 = fio.write_snapshot(d1, store)
+    v2 = fio.write_snapshot(d2, store)
+    assert (v1, v2) == (1, 2)
+    # current read sees v2; pinned read sees v1 unchanged
+    assert fio.read_snapshot(spark, store).count() == 2
+    assert fio.read_snapshot(spark, store, version=1).count() == 1
+    # rollback is a pointer move; re-roll-forward still possible
+    fio.rollback_snapshot(store, 1)
+    assert fio.read_snapshot(spark, store).count() == 1
+    fio.rollback_snapshot(store, 2)
+    assert fio.read_snapshot(spark, store).count() == 2
+    import pytest
+
+    with pytest.raises(ValueError):
+        fio.rollback_snapshot(store, 9)
