@@ -127,7 +127,7 @@ _PRIORITY = [
     "personalized_pagerank", "effective_token_mass",
     "per_source_sample_k", "decayed_engagement", "last_touch_attribution",
     "fk_orphan_audit", "global_token_rank", "robust_return_anomalies",
-    "media_scene_cuts", "time_travel_read",
+    "media_scene_cuts", "time_travel_read", "store_change_feed",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -9111,3 +9111,51 @@ def q_time_travel_read(spark, sf_dir):
     merged = fio.read_snapshot(spark, store).unionByName(ingest_batch2)
     fio.write_snapshot(merged, store)
     return fio.read_snapshot(spark, store, version=v1)
+
+
+@query(
+    "store_change_feed",
+    f"""WITH {STOCKS},
+v1 AS (SELECT symbol, date, close FROM stocks WHERE date <= DATE '{CUTOFF}'),
+v2a AS (SELECT symbol, date,
+          CASE WHEN date = DATE '{CUTOFF}' THEN round(close * 1.01, 2)
+               ELSE close END AS close
+        FROM stocks),
+d AS (SELECT coalesce(a.symbol, b.symbol) AS symbol,
+        coalesce(a.date, b.date) AS date,
+        CASE WHEN a.symbol IS NULL THEN 'added'
+             WHEN b.symbol IS NULL THEN 'removed'
+             ELSE 'changed' END AS change_type,
+        a.close AS oc, b.close AS nc
+      FROM v1 a FULL OUTER JOIN v2a b
+        ON a.symbol = b.symbol AND a.date = b.date)
+SELECT symbol, date, change_type FROM d
+WHERE oc IS NULL OR nc IS NULL OR oc <> nc""",
+)
+def q_store_change_feed(spark, sf_dir):
+    """S11+ — change data feed between two versions of the snapshot
+    store: v1 = history ≤ CUTOFF; v2 = full history with CUTOFF-day
+    closes restated +1% (a correction batch). The diff runs on the
+    store's own pinned reads (write → read-back → compare), so it
+    exercises the real storage path, not in-memory frames: rows after
+    CUTOFF report 'added', restated rows 'changed' — the changelog a
+    downstream sync consumes when upstream can't emit one. One
+    full-outer join on the key, null-safe struct equality. See
+    io.write_snapshot + rel.snapshot_diff."""
+    import tempfile
+
+    from finance_data_pipeline_spark import io as fio
+
+    s = _stocks(spark, sf_dir).select("symbol", "date", "close")
+    store = tempfile.mkdtemp(prefix="fdps_cdf_")
+    fio.write_snapshot(s.filter(F.col("date") <= _date(CUTOFF)), store)
+    v2 = s.withColumn(
+        "close",
+        F.when(
+            F.col("date") == _date(CUTOFF), F.round(F.col("close") * 1.01, 2)
+        ).otherwise(F.col("close")),
+    )
+    fio.write_snapshot(v2, store)
+    old = fio.read_snapshot(spark, store, version=1)
+    new = fio.read_snapshot(spark, store, version=2)
+    return rel.snapshot_diff(old, new, keys=["symbol", "date"])
