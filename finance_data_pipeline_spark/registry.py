@@ -9159,3 +9159,87 @@ def q_store_change_feed(spark, sf_dir):
     old = fio.read_snapshot(spark, store, version=1)
     new = fio.read_snapshot(spark, store, version=2)
     return rel.snapshot_diff(old, new, keys=["symbol", "date"])
+
+
+@query(
+    "capm_regression",
+    f"""WITH {STOCKS},
+r AS (SELECT symbol, date,
+        close / lag(close) OVER ({_W_DATE}) - 1 AS ret
+      FROM stocks),
+mkt AS (SELECT date,
+          CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE) / count(ret) AS mret
+        FROM r WHERE ret IS NOT NULL GROUP BY date),
+j AS (SELECT symbol, ret AS y, mret AS x
+      FROM r JOIN mkt ON r.date = mkt.date WHERE ret IS NOT NULL),
+s AS (SELECT symbol,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+        CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+        CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+        CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+        CAST(sum(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy
+      FROM j GROUP BY symbol)
+SELECT symbol, n,
+  round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6) AS beta,
+  round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0) * sx) / n, 6)
+    AS alpha,
+  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
+FROM s""",
+)
+def q_capm_regression(spark, sf_dir):
+    """W23 — full-sample CAPM regression per symbol: OLS of daily
+    return on the equal-weight market return, solved in CLOSED FORM
+    from five DECIMAL-exact sufficient statistics (n, Σx, Σy, Σxy,
+    Σx², Σy²) — beta = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), alpha from the
+    centroid, R² from the squared correlation. Distributed learning
+    with a bit-exact oracle: the sums are summation-order exact in
+    both engines (the DECIMAL discipline), the closed-form division
+    is identical IEEE math, and no iterative solver is needed — the
+    deterministic counterpart of a gradient-descent fit. ONE
+    map-side-combined aggregate per symbol after the broadcast
+    market join; zero-variance symbols nullify to NULL in both
+    engines."""
+    s = _stocks(spark, sf_dir)
+    wl = Window.partitionBy("symbol").orderBy("date")
+    r = s.select(
+        "symbol",
+        "date",
+        (F.col("close") / F.lag("close").over(wl) - 1).alias("ret"),
+    )
+    mkt = (
+        r.filter(F.col("ret").isNotNull())
+        .groupBy("date")
+        .agg(
+            (
+                F.sum(F.col("ret").cast("decimal(38,18)")).cast("double")
+                / F.count("ret")
+            ).alias("mret")
+        )
+    )
+    j = (
+        r.join(F.broadcast(mkt), "date")
+        .filter(F.col("ret").isNotNull())
+        .select("symbol", F.col("ret").alias("y"), F.col("mret").alias("x"))
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")
+    stats = j.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    beta = num / F.nullif(denx, F.lit(0.0))
+    return stats.select(
+        "symbol",
+        "n",
+        F.round(beta, 6).alias("beta"),
+        F.round((F.col("sy") - beta * F.col("sx")) / F.col("n"), 6).alias("alpha"),
+        F.round(num * num / F.nullif(denx * deny, F.lit(0.0)), 6).alias("r2"),
+    )

@@ -677,3 +677,47 @@ def test_snapshot_store_time_travel_and_rollback(spark, tmp_path):
 
     with pytest.raises(ValueError):
         fio.rollback_snapshot(store, 9)
+
+
+def test_capm_regression_recovers_known_line(spark):
+    """y = 2x + 0.001 exactly -> beta 2, alpha 0.001, r2 1 (the market
+    here is the average of the two symbols, so construct symbols
+    symmetric about the market: A = m + d, B = m - d with d = c*m form
+    so each regresses on m with known slope)."""
+    import datetime as dt
+
+    from finance_data_pipeline_spark.registry import QUERIES  # noqa: F401
+    # Construct: market ret m_t arbitrary; A's ret = 2*m - mean adj...
+    # simpler: three symbols A,B,C with returns a*m, so market = m*(a1+a2+a3)/3.
+    # Choose multipliers (0.5, 1.0, 1.5): mean multiplier = 1 -> market = m.
+    import tempfile, os
+    ms = [0.01, -0.02, 0.03, 0.015, -0.005, 0.02, -0.01, 0.025]
+    rows = []
+    for sym, mult in (("A", 0.5), ("B", 1.0), ("C", 1.5)):
+        px = 100.0
+        rows.append((sym, dt.date(2024, 1, 1), px))
+        for i, m in enumerate(ms):
+            px *= 1 + mult * m
+            rows.append((sym, dt.date(2024, 1, 2) + dt.timedelta(days=i), px))
+    s = spark.createDataFrame(rows, "symbol string, date date, close double")
+    from pyspark.sql import Window
+
+    wl = Window.partitionBy("symbol").orderBy("date")
+    r = s.select("symbol", "date", (F.col("close") / F.lag("close").over(wl) - 1).alias("ret"))
+    mkt = r.filter(F.col("ret").isNotNull()).groupBy("date").agg(F.avg("ret").alias("mret"))
+    j = r.join(mkt, "date").filter(F.col("ret").isNotNull()).select(
+        "symbol", F.col("ret").alias("y"), F.col("mret").alias("x")
+    )
+    stats = j.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"), F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).collect()
+    for row in stats:
+        beta = (row.n * row.sxy - row.sx * row.sy) / (row.n * row.sxx - row.sx**2)
+        expect = {"A": 0.5, "B": 1.0, "C": 1.5}[row.symbol]
+        assert abs(beta - expect) < 1e-9
+        r2 = (row.n * row.sxy - row.sx * row.sy) ** 2 / (
+            (row.n * row.sxx - row.sx**2) * (row.n * row.syy - row.sy**2)
+        )
+        assert abs(r2 - 1.0) < 1e-9
