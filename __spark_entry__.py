@@ -128,7 +128,7 @@ _PRIORITY = [
     "per_source_sample_k", "decayed_engagement", "last_touch_attribution",
     "fk_orphan_audit", "global_token_rank", "robust_return_anomalies",
     "media_scene_cuts", "time_travel_read", "store_change_feed",
-    "capm_regression",
+    "capm_regression", "streaming_versioned_commits",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

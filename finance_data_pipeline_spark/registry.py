@@ -9243,3 +9243,48 @@ def q_capm_regression(spark, sf_dir):
         F.round((F.col("sy") - beta * F.col("sx")) / F.col("n"), 6).alias("alpha"),
         F.round(num * num / F.nullif(denx * deny, F.lit(0.0)), 6).alias("r2"),
     )
+
+
+@query(
+    "streaming_versioned_commits",
+    "SELECT event_id, event_type, value FROM events",
+)
+def q_streaming_versioned_commits(spark, sf_dir):
+    """ST2×S11 — micro-batches committing snapshot versions: events
+    staged as two mtime-ordered files under maxFilesPerTrigger=1, so
+    each batch appends one immutable store version (running union);
+    the CURRENT read after the stream drains equals the full table —
+    the oracle — while v=1 remains pinned as the first batch's freeze
+    (asserted in tests/test_round4c_ops.py). See
+    pipeline.versioned_commit_sink."""
+    import os
+    import tempfile
+
+    from finance_data_pipeline_spark import io as fio
+    from finance_data_pipeline_spark.streaming import pipeline as sp
+
+    e = table(spark, sf_dir, "events")
+    staged = tempfile.mkdtemp(prefix="fdps_vc_events_")
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    first = {f for f in os.listdir(staged) if not f.startswith(("_", "."))}
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(
+        staged
+    )
+    for f in os.listdir(staged):
+        if f.startswith(("_", ".")):
+            continue
+        t = 1_000_000_000 if f in first else 2_000_000_000
+        os.utime(os.path.join(staged, f), (t, t))
+    store = tempfile.mkdtemp(prefix="fdps_vc_store_")
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    q = sp.versioned_commit_sink(
+        stream, store, tempfile.mkdtemp(prefix="fdps_ckpt_")
+    )
+    q.awaitTermination(300)
+    return fio.read_snapshot(spark, store).select("event_id", "event_type", "value")

