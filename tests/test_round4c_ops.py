@@ -752,3 +752,41 @@ def test_streaming_versioned_commits_pin_batch_prefixes(spark, tmp_path):
     q.awaitTermination(300)
     assert fio.read_snapshot(spark, store, version=1).count() == 6
     assert fio.read_snapshot(spark, store).count() == 10
+
+
+def test_versioned_commit_sink_resumes_from_checkpoint(spark, tmp_path):
+    """Restart semantics: drain one file, stop, add a second file,
+    restart with the SAME checkpoint — batch 1 is not recommitted
+    (exactly one new version appears) and current equals the union."""
+    import os
+
+    from finance_data_pipeline_spark import io as fio
+    from finance_data_pipeline_spark.streaming import pipeline as sp
+
+    e = spark.createDataFrame(
+        [(i, "t", float(i)) for i in range(8)],
+        "event_id long, event_type string, value double",
+    )
+    staged = str(tmp_path / "staged")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+    e.filter(F.col("event_id") < 4).coalesce(1).write.mode("overwrite").parquet(staged)
+    stream = (
+        spark.readStream.schema(e.schema).option("maxFilesPerTrigger", "1").parquet(staged)
+    )
+    sp.versioned_commit_sink(stream, store, ckpt).awaitTermination(300)
+    assert fio.read_snapshot(spark, store).count() == 4
+    v_after_first = 1
+    # second file arrives; resume from the same checkpoint
+    e.filter(F.col("event_id") >= 4).coalesce(1).write.mode("append").parquet(staged)
+    stream2 = (
+        spark.readStream.schema(e.schema).option("maxFilesPerTrigger", "1").parquet(staged)
+    )
+    sp.versioned_commit_sink(stream2, store, ckpt).awaitTermination(300)
+    import json
+
+    with open(os.path.join(store, "manifest.json")) as f:
+        current = json.load(f)["version"]
+    assert current == v_after_first + 1  # exactly ONE new version
+    assert fio.read_snapshot(spark, store).count() == 8
+    assert fio.read_snapshot(spark, store, version=1).count() == 4
