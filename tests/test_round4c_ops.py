@@ -790,3 +790,61 @@ def test_versioned_commit_sink_resumes_from_checkpoint(spark, tmp_path):
     assert current == v_after_first + 1  # exactly ONE new version
     assert fio.read_snapshot(spark, store).count() == 8
     assert fio.read_snapshot(spark, store, version=1).count() == 4
+
+
+def test_token_drivers_ols_recovers_planted_plane(spark):
+    """On synthetic features with y = 3 + 2*x1 - 1*x2 exactly, the
+    Cramer solution recovers the coefficients and r2 = 1."""
+    import itertools
+
+    rows = []
+    vals = [0.0, 0.25, 0.5, 0.75, 1.0]
+    for x1, x2 in itertools.product(vals, vals):
+        rows.append((float(x1), float(x2), 3.0 + 2.0 * x1 - 1.0 * x2))
+    feat = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    s = feat.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"), F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    ).first()
+    n, s1, s2, sy = s.n, s.s1, s.s2, s.sy
+    s11, s12, s22, s1y, s2y = s.s11, s.s12, s.s22, s.s1y, s.s2y
+    det = n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)
+    det0 = sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)
+    det1 = n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)
+    det2 = n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)
+    assert abs(det0/det - 3.0) < 1e-9
+    assert abs(det1/det - 2.0) < 1e-9
+    assert abs(det2/det + 1.0) < 1e-9
+
+
+def test_chi2_terms_zero_under_exact_independence(spark):
+    """A perfectly independent 2x2 contingency table yields zero chi2
+    everywhere (obs == expected exactly)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from finance_data_pipeline_spark.registry import QUERIES
+
+    rows, eid = [], 0
+    # counts: vbin0/hbin0=10, vbin0/hbin2=10, vbin3/hbin0=5, vbin3/hbin2=5
+    # -> row shares equal across hbins -> exact independence
+    for vval, hr, cnt in ((10.0, 1, 10), (10.0, 13, 10), (400.0, 1, 5), (400.0, 13, 5)):
+        for _ in range(cnt):
+            rows.append((eid, f"2024-01-01 {hr:02d}:00:00", 1, "view", vval, "{}"))
+            eid += 1
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value", "props")
+    d = tempfile.mkdtemp(prefix="chi_")
+    e.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = QUERIES["value_hour_independence"](spark, d).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.chi2_term == 0.0 and r.n == round(r.expected)
