@@ -129,7 +129,7 @@ _PRIORITY = [
     "fk_orphan_audit", "global_token_rank", "robust_return_anomalies",
     "media_scene_cuts", "time_travel_read", "store_change_feed",
     "capm_regression", "streaming_versioned_commits",
-    "value_hour_independence", "token_drivers_ols",
+    "value_hour_independence", "token_drivers_ols", "udtf_sentences",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -1171,3 +1171,35 @@ def quality_ensemble_rank(
             (F.col("q_rank") + F.col("len_rank") + F.col("ttr_rank")) / 3.0, 6
         ).alias("ensemble_rank"),
     )
+
+
+def sentence_split_udtf():
+    """Spark 4 Python UDTF (user-defined TABLE function) — the
+    row→rows extension API, registered for SQL LATERAL use: split a
+    document into trimmed sentences on [.!?]+ runs with a per-doc
+    index. Arrow-optimized (``useArrow=True`` → ArrowEvalPythonUDTF:
+    batched Arrow transfer, not the row-pickling BatchEvalPython the
+    plan sweep bans).
+
+    Policy note: this exists to cover the UDTF extension surface —
+    for hot-path fan-outs the JVM-native explode/transform forms
+    (doc_chunks, line segmentation) remain the 100 TB path; a Python
+    generator per row costs Python CPU however the data arrives. The
+    strip set is pinned to " \\t\\n\\r" so the SQL oracle's trim()
+    chars match Python exactly.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sent_idx int, sentence string", useArrow=True)
+    class SentenceSplit:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF contract
+            import re
+
+            i = 0
+            for seg in re.split(r"[.!?]+", text or ""):
+                seg2 = seg.strip(" \t\n\r")
+                if seg2:
+                    yield (doc_id, i, seg2)
+                    i += 1
+
+    return SentenceSplit

@@ -9475,3 +9475,35 @@ def q_token_drivers_ols(spark, sf_dir):
             6,
         ).alias("r2"),
     )
+
+
+@query(
+    "udtf_sentences",
+    """WITH segs AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(text, '[.!?]+')) AS seg,
+    generate_subscripts(regexp_split_to_array(text, '[.!?]+'), 1) AS ord
+  FROM documents),
+t AS (SELECT doc_id, trim(seg, ' ' || chr(9) || chr(10) || chr(13)) AS sentence,
+        ord
+      FROM segs),
+n AS (SELECT doc_id, sentence,
+        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS INTEGER)
+          AS sent_idx
+      FROM t WHERE sentence <> '')
+SELECT doc_id, sent_idx, sentence FROM n""",
+)
+def q_udtf_sentences(spark, sf_dir):
+    """F12 — Spark 4 Python UDTF surface: sentence segmentation as a
+    SQL LATERAL table function (Arrow-optimized; ArrowEvalPythonUDTF
+    in the plan, so the BatchEvalPython ban still holds). Covers the
+    row→rows Python extension API alongside the Python DataSource
+    (batch + streaming); JVM-native explode forms remain the
+    hot-path answer for fan-outs. See text.sentence_split_udtf."""
+    spark.udtf.register("fdps_sentence_split", text.sentence_split_udtf())
+    table(spark, sf_dir, "documents").createOrReplaceTempView("fdps_docs_udtf")
+    return spark.sql(
+        """SELECT s.doc_id, s.sent_idx, s.sentence
+           FROM fdps_docs_udtf d,
+           LATERAL fdps_sentence_split(d.doc_id, d.text) s"""
+    )
