@@ -9507,3 +9507,50 @@ def q_udtf_sentences(spark, sf_dir):
            FROM fdps_docs_udtf d,
            LATERAL fdps_sentence_split(d.doc_id, d.text) s"""
     )
+
+
+@query(
+    "value_gini_by_type",
+    """WITH r AS (SELECT event_type, value,
+        row_number() OVER (PARTITION BY event_type
+                           ORDER BY value, event_id) AS i
+      FROM events),
+s AS (SELECT event_type,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        CAST(sum(CAST(i * value AS DECIMAL(38,12))) AS DOUBLE) AS six
+      FROM r GROUP BY event_type)
+SELECT event_type, n, round(sx, 6) AS total_value,
+  round(2.0 * six / (n * sx) - (n + 1.0) / n, 6) AS gini
+FROM s""",
+)
+def q_value_gini_by_type(spark, sf_dir):
+    """EV13 — Gini concentration of event value per type (the
+    inequality headline: is revenue spread or whale-driven?) via the
+    exact rank formulation G = 2Σi·xᵢ/(nΣx) − (n+1)/n over
+    ascending-sorted values. The rank is a PER-TYPE window (a
+    distributed per-key sort, not a single-partition global window)
+    with an event_id tiebreak pinning tied values to one order in
+    both engines — and since tied values are interchangeable in Σi·xᵢ
+    (equal x share consecutive i), the statistic is tie-robust anyway.
+    Both sums DECIMAL-exact; one window pass + one aggregate."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = e.select("event_type", "value", F.row_number().over(w).alias("i"))
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(38,12)")).cast("double").alias("sx"),
+        F.sum((F.col("i") * F.col("value")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("six"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round("sx", 6).alias("total_value"),
+        F.round(
+            F.lit(2.0) * F.col("six") / (F.col("n") * F.col("sx"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

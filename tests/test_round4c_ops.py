@@ -848,3 +848,28 @@ def test_chi2_terms_zero_under_exact_independence(spark):
     assert len(out) == 4
     for r in out:
         assert r.chi2_term == 0.0 and r.n == round(r.expected)
+
+
+def test_gini_extremes(spark):
+    """Uniform values -> gini ~ 0; one whale holding everything -> gini
+    -> (n-1)/n (the discrete maximum)."""
+    import os
+    import tempfile
+
+    from finance_data_pipeline_spark.registry import QUERIES
+
+    rows = []
+    for i in range(10):  # 'flat': all equal
+        rows.append((i, "2024-01-01 10:00:00", 1, "flat", 5.0, "{}"))
+    for i in range(10):  # 'whale': 9 zeros-ish + one huge
+        rows.append((100 + i, "2024-01-01 10:00:00", 1, "whale",
+                     0.01 if i < 9 else 1000.0, "{}"))
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value", "props")
+    d = tempfile.mkdtemp(prefix="gini_")
+    e.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r.event_type: r.gini for r in QUERIES["value_gini_by_type"](spark, d).collect()}
+    assert out["flat"] == 0.0
+    assert 0.85 < out["whale"] <= 0.9  # near (n-1)/n = 0.9
