@@ -336,3 +336,49 @@ def resample_ohlc(stocks: DataFrame, grain: str = "week", time_col: str = "date"
         F.sum("volume").cast("long").alias("volume"),
         F.count(F.lit(1)).cast("long").alias("n_bars"),
     )
+
+
+def with_holt_linear(
+    df: DataFrame,
+    col: str = "close",
+    time_col: str = "date",
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (the classic
+    level+trend forecaster; Holt 1957, public) with α = β = 1/2:
+    lₜ = ½yₜ + ½(lₜ₋₁+bₜ₋₁), bₜ = ½(lₜ−lₜ₋₁) + ½bₜ₋₁, initialized
+    l₁ = y₁, b₁ = y₂−y₁. The halves are exact binary fractions and the
+    update is written in ONE fixed operation order, so the whole
+    recurrence replays bit-identically in the recursive-CTE oracle
+    (the EMA family's parity discipline extended to a coupled
+    two-state recurrence). Emits per row the smoothed level, trend,
+    and the one-step-ahead forecast l+b — the first forecasting
+    operator, complementing the descriptive indicator set.
+
+    Physical plan: one groupBy(symbol) Arrow shuffle; the per-symbol
+    Python loop is O(history) on bounded arrays, the same trade
+    with_ema_macd makes for exact pandas parity.
+    """
+    out_schema = (
+        f"symbol string, `{time_col}` date, level double, trend double,"
+        " forecast_next double"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([time_col]).reset_index(drop=True)
+        y = pdf[col].tolist()
+        rows = []
+        if len(y) >= 2:
+            l_prev = y[0]
+            b_prev = y[1] - y[0]
+            rows.append((pdf["symbol"][0], pdf[time_col][0], l_prev, b_prev,
+                         l_prev + b_prev))
+            for t in range(1, len(y)):
+                l = 0.5 * y[t] + 0.5 * (l_prev + b_prev)
+                b = 0.5 * (l - l_prev) + 0.5 * b_prev
+                rows.append((pdf["symbol"][t], pdf[time_col][t], l, b, l + b))
+                l_prev, b_prev = l, b
+        return pd.DataFrame(
+            rows, columns=["symbol", time_col, "level", "trend", "forecast_next"]
+        )
+
+    return df.groupBy("symbol").applyInPandas(fit, schema=out_schema)

@@ -9554,3 +9554,51 @@ def q_value_gini_by_type(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+_HOLT_ORACLE = f"""WITH RECURSIVE {STOCKS},
+base AS (SELECT symbol, date, CAST(close AS DOUBLE) AS y,
+         row_number() OVER ({_W_DATE}) AS rn FROM stocks),
+init AS (SELECT b1.symbol, b1.y AS y1, b2.y AS y2
+         FROM base b1 JOIN base b2
+           ON b1.symbol = b2.symbol AND b1.rn = 1 AND b2.rn = 2),
+h AS (
+  SELECT b.symbol, b.date, b.rn,
+         i.y1 AS l, i.y2 - i.y1 AS b
+  FROM base b JOIN init i ON b.symbol = i.symbol WHERE b.rn = 1
+  UNION ALL
+  SELECT nb.symbol, nb.date, nb.rn,
+    CAST(0.5 AS DOUBLE) * nb.y + CAST(0.5 AS DOUBLE) * (h.l + h.b),
+    CAST(0.5 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * nb.y
+        + CAST(0.5 AS DOUBLE) * (h.l + h.b)) - h.l)
+      + CAST(0.5 AS DOUBLE) * h.b
+  FROM h JOIN base nb ON nb.symbol = h.symbol AND nb.rn = h.rn + 1
+)
+SELECT symbol, date, round(l, 6) AS level, round(b, 6) AS trend,
+       round(round(l, 6) + round(b, 6), 6) AS forecast_next
+FROM h"""
+
+
+@query("holt_linear", _HOLT_ORACLE)
+def q_holt_linear(spark, sf_dir):
+    """W24 — Holt's linear-trend exponential smoothing (α=β=½), the
+    engine's first FORECASTING operator: per-row smoothed level,
+    trend, and one-step-ahead forecast, initialized l₁=y₁, b₁=y₂−y₁.
+    Exact-halves coefficients + one fixed operation order make the
+    coupled two-state recurrence replay bit-identically in the
+    recursive-CTE oracle — the EMA parity discipline extended to
+    level+trend. See indicators.with_holt_linear."""
+    out = indicators.with_holt_linear(_stocks(spark, sf_dir))
+    # forecast derives from the ROUNDED level+trend: the sum of two 6dp
+    # decimals is never within an ulp of a .5 rounding boundary, where
+    # the engines' round() implementations can disagree (observed on 2
+    # of 2826 rows when rounding the raw l+b independently).
+    return out.select(
+        "symbol",
+        "date",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round(F.round("level", 6) + F.round("trend", 6), 6).alias(
+            "forecast_next"
+        ),
+    )

@@ -873,3 +873,35 @@ def test_gini_extremes(spark):
     out = {r.event_type: r.gini for r in QUERIES["value_gini_by_type"](spark, d).collect()}
     assert out["flat"] == 0.0
     assert 0.85 < out["whale"] <= 0.9  # near (n-1)/n = 0.9
+
+
+def test_holt_linear_tracks_exact_linear_series(spark):
+    """On an exactly linear series y_t = 10 + 2t, Holt's method locks
+    on: level == y, trend == 2, forecast == next value, at every row
+    (the recurrence's fixed point given exact initialization)."""
+    import datetime as dt
+
+    from finance_data_pipeline_spark import indicators
+
+    rows = [
+        ("L", dt.date(2024, 1, 1) + dt.timedelta(days=t), 10.0 + 2.0 * t)
+        for t in range(12)
+    ]
+    s = spark.createDataFrame(rows, "symbol string, date date, close double")
+    out = sorted(indicators.with_holt_linear(s).collect(), key=lambda r: r.date)
+    assert len(out) == 12
+    for t, r in enumerate(out):
+        assert r.level == 10.0 + 2.0 * t
+        assert r.trend == 2.0
+        assert r.forecast_next == 10.0 + 2.0 * (t + 1)
+
+
+def test_holt_linear_single_row_symbol_emits_nothing(spark):
+    import datetime as dt
+
+    from finance_data_pipeline_spark import indicators
+
+    s = spark.createDataFrame(
+        [("X", dt.date(2024, 1, 1), 5.0)], "symbol string, date date, close double"
+    )
+    assert indicators.with_holt_linear(s).count() == 0
