@@ -130,7 +130,7 @@ _PRIORITY = [
     "media_scene_cuts", "time_travel_read", "store_change_feed",
     "capm_regression", "streaming_versioned_commits",
     "value_hour_independence", "token_drivers_ols", "udtf_sentences",
-    "value_gini_by_type", "holt_linear",
+    "value_gini_by_type", "holt_linear", "sma_crossover_backtest",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

