@@ -131,6 +131,7 @@ _PRIORITY = [
     "capm_regression", "streaming_versioned_commits",
     "value_hour_independence", "token_drivers_ols", "udtf_sentences",
     "value_gini_by_type", "holt_linear", "sma_crossover_backtest",
+    "corpus_datacard",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -9692,3 +9692,79 @@ def q_sma_crossover_backtest(spark, sf_dir):
             6,
         ).alias("hit_rate"),
     )
+
+
+@query(
+    "corpus_datacard",
+    f"""WITH RECURSIVE {_NEAR_PAIRS_CTE},
+{_CLUSTERS_SQL_TAIL},
+q AS (SELECT doc_id, {_QSCORE_SQL} AS qs FROM norm),
+tok AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS nt FROM norm),
+dup AS (SELECT CAST(count(*) AS BIGINT) AS n_dup_docs FROM cc),
+base AS (SELECT
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+  FROM documents),
+tsum AS (SELECT CAST(sum(nt) AS BIGINT) AS n_tokens,
+           round(quantile_cont(nt, 0.5), 1) AS p50_tokens FROM tok),
+qsum AS (SELECT round(CAST(sum(CAST(qs AS DECIMAL(38,12))) AS DOUBLE)
+                / count(*), 6) AS mean_quality FROM q)
+SELECT b.n_docs, t.n_tokens, b.n_langs, b.n_sources,
+  round(b.n_en * 1.0 / b.n_docs, 6) AS en_share,
+  round(d.n_dup_docs * 1.0 / b.n_docs, 6) AS dup_doc_rate,
+  qsum.mean_quality, t.p50_tokens
+FROM base b CROSS JOIN tsum t CROSS JOIN dup d CROSS JOIN qsum""",
+)
+def q_corpus_datacard(spark, sf_dir):
+    """X9 — the corpus DATACARD (Gebru et al. "Datasheets for
+    Datasets", public): one profile row a release ships with — doc
+    and token counts, language/source diversity, English share,
+    near-dup involvement rate, mean heuristic quality, and the exact
+    median document length. A COMPOSITION capstone: reuses the
+    near-dup pair cascade (localCheckpointed once), the quality
+    scorer, and exact percentiles; every branch collapses to one row
+    before a constant-size cross join, so the datacard costs the
+    corpus scans — never a wide shuffle of raw rows."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tok = d.select(F.size(toks).cast("long").alias("nt"))
+    base = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum((F.col("lang") == "en").cast("long")).cast("long").alias("n_en"),
+    )
+    tsum = tok.agg(
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.round(F.percentile("nt", F.lit(0.5)), 1).alias("p50_tokens"),
+    )
+    qsum = text.quality_score(d).agg(
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality")
+    )
+    clusters = dedup.dup_clusters(d, threshold=0.7).localCheckpoint()
+    dup = clusters.agg(F.count(F.lit(1)).cast("long").alias("n_dup_docs"))
+    return (
+        base.crossJoin(F.broadcast(tsum))
+        .crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(qsum))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_langs",
+            "n_sources",
+            F.round(F.col("n_en") * F.lit(1.0) / F.col("n_docs"), 6).alias(
+                "en_share"
+            ),
+            F.round(
+                F.col("n_dup_docs") * F.lit(1.0) / F.col("n_docs"), 6
+            ).alias("dup_doc_rate"),
+            "mean_quality",
+            "p50_tokens",
+        )
+    )
