@@ -132,6 +132,10 @@ _PRIORITY = [
     "value_hour_independence", "token_drivers_ols", "udtf_sentences",
     "value_gini_by_type", "holt_linear", "sma_crossover_backtest",
     "corpus_datacard",
+    # --- round-4 additions (behind every pending row above)
+    "atr_14", "stochastic_14_3", "williams_r_14", "obv", "mfi_14",
+    "cci_20", "donchian_20", "keltner_20", "roc_10",
+    "candlestick_patterns",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

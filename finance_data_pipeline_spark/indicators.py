@@ -382,3 +382,186 @@ def with_holt_linear(
         )
 
     return df.groupBy("symbol").applyInPandas(fit, schema=out_schema)
+
+
+# --- advanced indicator family (extends the reference's EP2 menu) --------
+#
+# The reference computes SMA/EMA/MACD/RSI/Bollinger (analyze_visualize.py:
+# 98-141). The families below are the rest of the standard technical-
+# analysis menu over the same (symbol, time) keyed bars — every one a
+# windowed JVM expression over sym_window (no UDFs), so the whole family
+# rides the single per-symbol shuffle that the W1-W16 sweep already pays.
+
+
+def _prev_close(time_col: str) -> Column:
+    # First bar has no prior close; coalescing to the current close makes
+    # TR degrade to high-low there (the textbook convention) in BOTH
+    # engines without relying on null-skipping greatest() semantics.
+    return F.coalesce(F.lag("close").over(sym_window(time_col)), F.col("close"))
+
+
+def true_range(time_col: str = "bar_ts") -> Column:
+    """TR = max(high-low, |high-prev_close|, |low-prev_close|) (Wilder)."""
+    prev = _prev_close(time_col)
+    return F.greatest(
+        F.col("high") - F.col("low"),
+        F.abs(F.col("high") - prev),
+        F.abs(F.col("low") - prev),
+    )
+
+
+def with_atr(df: DataFrame, n: int = 14, time_col: str = "bar_ts") -> DataFrame:
+    """ATR as the n-bar simple moving average of TR (the SMA variant;
+    Wilder's recursive EMA smoothing is the ewm path — see with_ema_macd
+    for why recursion leaves the window algebra). min_periods=1 like W1."""
+    tr = df.withColumn("tr", true_range(time_col))
+    return tr.withColumn(f"atr_{n}", F.avg("tr").over(rolling(time_col, n)))
+
+
+def stochastic_k(n: int = 14, time_col: str = "bar_ts") -> Column:
+    """%K = 100·(close − LL_n)/(HH_n − LL_n); flat windows → null."""
+    hh = F.max("high").over(rolling(time_col, n))
+    ll = F.min("low").over(rolling(time_col, n))
+    return 100.0 * (F.col("close") - ll) / F.nullif(hh - ll, F.lit(0.0))
+
+
+def with_stochastic(
+    df: DataFrame, n: int = 14, d: int = 3, time_col: str = "bar_ts"
+) -> DataFrame:
+    """Stochastic oscillator: fast %K plus its d-bar SMA (%D). Two
+    selects because %D averages a window expression — still one
+    WindowExec pass per frame, same shuffle."""
+    k = df.withColumn("pct_k", stochastic_k(n, time_col))
+    return k.withColumn("pct_d", F.avg("pct_k").over(rolling(time_col, d)))
+
+
+def williams_r(n: int = 14, time_col: str = "bar_ts") -> Column:
+    """%R = −100·(HH_n − close)/(HH_n − LL_n) — the stochastic's mirror."""
+    hh = F.max("high").over(rolling(time_col, n))
+    ll = F.min("low").over(rolling(time_col, n))
+    return -100.0 * (hh - F.col("close")) / F.nullif(hh - ll, F.lit(0.0))
+
+
+def with_obv(df: DataFrame, time_col: str = "bar_ts") -> DataFrame:
+    """On-balance volume: cumulative signed volume (sign of the close
+    delta). Integer end-to-end — volume is LongType — so the running
+    sum is exact under any engine's summation."""
+    delta = F.col("close") - F.lag("close").over(sym_window(time_col))
+    signed = (
+        F.when(delta > 0, F.col("volume"))
+        .when(delta < 0, -F.col("volume"))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    stamped = df.withColumn("_sv", signed)
+    cum = sym_window(time_col).rowsBetween(Window.unboundedPreceding, 0)
+    return stamped.withColumn("obv", F.sum("_sv").over(cum)).drop("_sv")
+
+
+def typical_price() -> Column:
+    return (F.col("high") + F.col("low") + F.col("close")) / 3.0
+
+
+def with_mfi(df: DataFrame, n: int = 14, time_col: str = "bar_ts") -> DataFrame:
+    """Money Flow Index: volume-weighted RSI over the typical price.
+    Raw flow = tp·volume classified by the tp delta's sign; MFI =
+    100·pos/(pos+neg) — the same div-safe algebraic form as RSI (W8)."""
+    tp = typical_price()
+    base = df.withColumn("_tp", tp).withColumn(
+        "_dtp", F.col("_tp") - F.lag("_tp").over(sym_window(time_col))
+    )
+    flow = base.withColumn(
+        "_pos", F.when(F.col("_dtp") > 0, F.col("_tp") * F.col("volume")).otherwise(F.lit(0.0))
+    ).withColumn(
+        "_neg", F.when(F.col("_dtp") < 0, F.col("_tp") * F.col("volume")).otherwise(F.lit(0.0))
+    )
+    w = rolling(time_col, n)
+    out = flow.withColumn(
+        f"mfi_{n}",
+        100.0 * F.sum("_pos").over(w) / F.nullif(F.sum("_pos").over(w) + F.sum("_neg").over(w), F.lit(0.0)),
+    )
+    return out.drop("_dtp", "_pos", "_neg").withColumnRenamed("_tp", "tp")
+
+
+def with_cci(df: DataFrame, n: int = 20, time_col: str = "bar_ts") -> DataFrame:
+    """Commodity Channel Index: (tp − SMA_n(tp)) / (0.015·MAD_n) where
+    MAD is the mean absolute deviation from the *current* frame mean.
+    MAD is not a window primitive: the frame is materialized with
+    collect_list over the same ROWS frame (bounded at n elements — never
+    a per-key blowup) and folded row-locally with F.aggregate, keeping
+    the whole computation JVM-side with one WindowExec pass."""
+    tp = typical_price()
+    w = rolling(time_col, n)
+    base = df.withColumn("_tp", tp).withColumn(
+        "_tps", F.collect_list("_tp").over(w)
+    ).withColumn("_m", F.avg("_tp").over(w))
+    mad = F.aggregate(
+        F.col("_tps"),
+        F.lit(0.0),
+        lambda acc, x: acc + F.abs(x - F.col("_m")),
+    ) / F.size("_tps")
+    out = base.withColumn(
+        f"cci_{n}",
+        (F.col("_tp") - F.col("_m")) / F.nullif(0.015 * mad, F.lit(0.0)),
+    )
+    return out.drop("_tps", "_m").withColumnRenamed("_tp", "tp")
+
+
+def donchian(n: int = 20, time_col: str = "bar_ts") -> dict[str, Column]:
+    """Donchian channel: n-bar extrema of high/low plus the midline."""
+    hh = F.max("high").over(rolling(time_col, n))
+    ll = F.min("low").over(rolling(time_col, n))
+    return {"dc_upper": hh, "dc_lower": ll, "dc_mid": (hh + ll) / 2.0}
+
+
+def with_keltner(
+    df: DataFrame, n: int = 20, atr_n: int = 10, mult: float = 2.0,
+    time_col: str = "bar_ts",
+) -> DataFrame:
+    """Keltner channel (SMA variant): mid = SMA_n(typical price), bands
+    at ±mult·ATR_atr_n. Composes with_atr — both families share the one
+    per-symbol sort."""
+    base = with_atr(df.withColumn("_tp", typical_price()), atr_n, time_col)
+    mid = F.avg("_tp").over(rolling(time_col, n))
+    atr_col = F.col(f"atr_{atr_n}")
+    return (
+        base.withColumn("kc_mid", mid)
+        .withColumn("kc_upper", mid + mult * atr_col)
+        .withColumn("kc_lower", mid - mult * atr_col)
+        .drop("_tp")
+    )
+
+
+def roc(n: int = 10, col: str = "close", time_col: str = "bar_ts") -> Column:
+    """Rate of change: 100·(close/close_{t−n} − 1); null in the warm-up."""
+    prev = F.lag(col, n).over(sym_window(time_col))
+    return 100.0 * (F.col(col) / prev - 1.0)
+
+
+def candlestick_flags(time_col: str = "bar_ts") -> dict[str, Column]:
+    """Classic single/two-bar candlestick patterns as boolean columns.
+    All row-local string-free arithmetic except the engulfing pair's
+    lag; deterministic, codegen-friendly.
+
+    * doji — body ≤ 10% of the bar's range
+    * hammer — lower shadow ≥ 2× body and upper shadow ≤ body
+    * bullish_engulf — up bar whose body strictly contains the prior
+      down bar's body
+    * bearish_engulf — the mirror image
+    """
+    body = F.abs(F.col("close") - F.col("open"))
+    rng = F.col("high") - F.col("low")
+    upper = F.col("high") - F.greatest("open", "close")
+    lower = F.least("open", "close") - F.col("low")
+    w = sym_window(time_col)
+    p_open, p_close = F.lag("open").over(w), F.lag("close").over(w)
+    up, down = F.col("close") > F.col("open"), F.col("close") < F.col("open")
+    p_up, p_down = p_close > p_open, p_close < p_open
+    return {
+        "is_doji": body <= 0.1 * rng,
+        "is_hammer": (lower >= 2.0 * body) & (upper <= body) & (rng > 0),
+        "bullish_engulf": up & p_down
+        & (F.col("open") < p_close) & (F.col("close") > p_open),
+        "bearish_engulf": down & p_up
+        & (F.col("open") > p_close) & (F.col("close") < p_open),
+    }

@@ -9768,3 +9768,260 @@ def q_corpus_datacard(spark, sf_dir):
             "p50_tokens",
         )
     )
+
+
+# =========================================================================
+# round 4 — advanced technical-indicator family (indicators.py extension
+# of the reference's EP2 menu, analyze_visualize.py:98-141): ATR,
+# stochastic, Williams %R, OBV, MFI, CCI, Donchian/Keltner channels,
+# ROC, candlestick patterns. All windowed JVM expressions over the
+# hourly-bars fixture — the family shares the one per-symbol shuffle.
+# =========================================================================
+
+_TR_SQL = """greatest(high - low,
+  abs(high - coalesce(lag(close) OVER ({w}), close)),
+  abs(low - coalesce(lag(close) OVER ({w}), close)))""".replace("\n", " ")
+
+
+@query(
+    "atr_14",
+    f"""WITH {BARS},
+t AS (SELECT symbol, bar_ts, close,
+        {_TR_SQL.format(w=_W_BAR)} AS tr
+      FROM bars)
+SELECT symbol, bar_ts, close, round(tr, 6) AS tr,
+  round(avg(tr) OVER ({_W_BAR} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), 6)
+    AS atr_14
+FROM t""",
+)
+def q_atr_14(spark, sf_dir):
+    """Average True Range (Wilder 1978, SMA variant): per-bar TR from
+    the range/prev-close envelope, smoothed over 14 bars. One window
+    pass; the lag and the avg share the per-symbol sort."""
+    out = indicators.with_atr(_bars(spark, sf_dir), 14, "bar_ts")
+    return out.select(
+        "symbol", "bar_ts", "close",
+        F.round("tr", 6).alias("tr"),
+        F.round("atr_14", 6).alias("atr_14"),
+    )
+
+
+@query(
+    "stochastic_14_3",
+    f"""WITH {BARS},
+k AS (SELECT symbol, bar_ts, close,
+        100.0 * (close - min(low) OVER w14)
+          / nullif(max(high) OVER w14 - min(low) OVER w14, 0.0) AS pct_k
+      FROM bars
+      WINDOW w14 AS ({_W_BAR} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT symbol, bar_ts, close, round(pct_k, 4) AS pct_k,
+  round(avg(pct_k) OVER ({_W_BAR} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+    AS pct_d
+FROM k""",
+)
+def q_stochastic(spark, sf_dir):
+    """Stochastic oscillator %K/%D — close's position inside the 14-bar
+    high-low envelope plus the 3-bar signal average. Flat envelopes
+    (HH == LL) are null in both engines via nullif."""
+    out = indicators.with_stochastic(_bars(spark, sf_dir), 14, 3, "bar_ts")
+    return out.select(
+        "symbol", "bar_ts", "close",
+        F.round("pct_k", 4).alias("pct_k"),
+        F.round("pct_d", 4).alias("pct_d"),
+    )
+
+
+@query(
+    "williams_r_14",
+    f"""WITH {BARS}
+SELECT symbol, bar_ts, close,
+  round(-100.0 * (max(high) OVER w14 - close)
+        / nullif(max(high) OVER w14 - min(low) OVER w14, 0.0), 4) AS wr_14
+FROM bars
+WINDOW w14 AS ({_W_BAR} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""",
+)
+def q_williams_r(spark, sf_dir):
+    """Williams %R — the stochastic's mirror image on the same
+    envelope; a pure single-pass window expression."""
+    b = _bars(spark, sf_dir)
+    return b.select(
+        "symbol", "bar_ts", "close",
+        F.round(indicators.williams_r(14, "bar_ts"), 4).alias("wr_14"),
+    )
+
+
+@query(
+    "obv",
+    f"""WITH {BARS},
+d AS (SELECT symbol, bar_ts, close, volume,
+        close - lag(close) OVER ({_W_BAR}) AS delta
+      FROM bars)
+SELECT symbol, bar_ts, close,
+  CAST(sum(CASE WHEN delta > 0 THEN volume
+                WHEN delta < 0 THEN -volume ELSE 0 END)
+         OVER ({_W_BAR} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS obv
+FROM d""",
+)
+def q_obv(spark, sf_dir):
+    """On-balance volume — cumulative signed volume. Integer end-to-end
+    (volume is BIGINT), so the running sum hash-checks exactly under
+    any summation order."""
+    out = indicators.with_obv(_bars(spark, sf_dir), "bar_ts")
+    return out.select("symbol", "bar_ts", "close", "obv")
+
+
+@query(
+    "mfi_14",
+    f"""WITH {BARS},
+t AS (SELECT symbol, bar_ts, close, volume,
+        (high + low + close) / 3.0 AS tp FROM bars),
+d AS (SELECT symbol, bar_ts, close, tp,
+        tp - lag(tp) OVER ({_W_BAR}) AS dtp,
+        tp * volume AS flow FROM t),
+f AS (SELECT symbol, bar_ts, close,
+        CASE WHEN dtp > 0 THEN flow ELSE 0.0 END AS pos,
+        CASE WHEN dtp < 0 THEN flow ELSE 0.0 END AS neg FROM d)
+SELECT symbol, bar_ts, close,
+  round(100.0 * sum(pos) OVER w14
+        / nullif(sum(pos) OVER w14 + sum(neg) OVER w14, 0.0), 4) AS mfi_14
+FROM f
+WINDOW w14 AS ({_W_BAR} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""",
+)
+def q_mfi_14(spark, sf_dir):
+    """Money Flow Index — volume-weighted RSI over the typical price,
+    in the same div-safe 100·pos/(pos+neg) form as W8's RSI."""
+    out = indicators.with_mfi(_bars(spark, sf_dir), 14, "bar_ts")
+    return out.select(
+        "symbol", "bar_ts", "close", F.round("mfi_14", 4).alias("mfi_14")
+    )
+
+
+@query(
+    "cci_20",
+    f"""WITH {BARS},
+t AS (SELECT symbol, bar_ts, close,
+        (high + low + close) / 3.0 AS tp FROM bars),
+w AS (SELECT symbol, bar_ts, close, tp,
+        list(tp) OVER w20 AS tps,
+        avg(tp) OVER w20 AS m
+      FROM t
+      WINDOW w20 AS ({_W_BAR} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT symbol, bar_ts, close,
+  round((tp - m) / nullif(0.015 * (list_sum([abs(x - m) for x in tps])
+                                   / len(tps)), 0.0), 4) AS cci_20
+FROM w""",
+)
+def q_cci_20(spark, sf_dir):
+    """Commodity Channel Index — deviation of the typical price from
+    its 20-bar mean, scaled by the frame's mean absolute deviation.
+    MAD is not a window primitive: the frame is materialized as a
+    bounded collect_list (≤ 20 elements) and folded row-locally with
+    F.aggregate — JVM higher-order functions, no UDF, one WindowExec."""
+    out = indicators.with_cci(_bars(spark, sf_dir), 20, "bar_ts")
+    return out.select(
+        "symbol", "bar_ts", "close", F.round("cci_20", 4).alias("cci_20")
+    )
+
+
+@query(
+    "donchian_20",
+    f"""WITH {BARS}
+SELECT symbol, bar_ts, close,
+  round(max(high) OVER w20, 6) AS dc_upper,
+  round(min(low) OVER w20, 6) AS dc_lower,
+  round((max(high) OVER w20 + min(low) OVER w20) / 2.0, 6) AS dc_mid
+FROM bars
+WINDOW w20 AS ({_W_BAR} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
+)
+def q_donchian_20(spark, sf_dir):
+    """Donchian channel — 20-bar extrema envelope plus midline; pure
+    single-pass window extrema."""
+    b = _bars(spark, sf_dir)
+    dc = indicators.donchian(20, "bar_ts")
+    return b.select(
+        "symbol", "bar_ts", "close",
+        F.round(dc["dc_upper"], 6).alias("dc_upper"),
+        F.round(dc["dc_lower"], 6).alias("dc_lower"),
+        F.round(dc["dc_mid"], 6).alias("dc_mid"),
+    )
+
+
+@query(
+    "keltner_20",
+    f"""WITH {BARS},
+t AS (SELECT symbol, bar_ts, close,
+        (high + low + close) / 3.0 AS tp,
+        {_TR_SQL.format(w=_W_BAR)} AS tr
+      FROM bars),
+k AS (SELECT symbol, bar_ts, close,
+        avg(tp) OVER ({_W_BAR} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS kc_mid,
+        avg(tr) OVER ({_W_BAR} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS atr10
+      FROM t)
+SELECT symbol, bar_ts, close,
+  round(kc_mid, 6) AS kc_mid,
+  round(kc_mid + 2.0 * atr10, 6) AS kc_upper,
+  round(kc_mid - 2.0 * atr10, 6) AS kc_lower
+FROM k""",
+)
+def q_keltner_20(spark, sf_dir):
+    """Keltner channel (SMA variant) — typical-price midline with
+    ±2·ATR_10 bands; composes with_atr, sharing the per-symbol sort."""
+    out = indicators.with_keltner(_bars(spark, sf_dir), 20, 10, 2.0, "bar_ts")
+    return out.select(
+        "symbol", "bar_ts", "close",
+        F.round("kc_mid", 6).alias("kc_mid"),
+        F.round("kc_upper", 6).alias("kc_upper"),
+        F.round("kc_lower", 6).alias("kc_lower"),
+    )
+
+
+@query(
+    "roc_10",
+    f"""WITH {BARS}
+SELECT symbol, bar_ts, close,
+  round(100.0 * (close / lag(close, 10) OVER ({_W_BAR}) - 1.0), 4) AS roc_10
+FROM bars""",
+)
+def q_roc_10(spark, sf_dir):
+    """Rate of change — 10-bar momentum in percent; null warm-up like
+    the W2 MA family."""
+    b = _bars(spark, sf_dir)
+    return b.select(
+        "symbol", "bar_ts", "close",
+        F.round(indicators.roc(10, "close", "bar_ts"), 4).alias("roc_10"),
+    )
+
+
+@query(
+    "candlestick_patterns",
+    f"""WITH {BARS},
+p AS (SELECT symbol, bar_ts, open, high, low, close,
+        lag(open) OVER ({_W_BAR}) AS p_open,
+        lag(close) OVER ({_W_BAR}) AS p_close
+      FROM bars)
+SELECT symbol, bar_ts,
+  abs(close - open) <= 0.1 * (high - low) AS is_doji,
+  (least(open, close) - low >= 2.0 * abs(close - open)
+   AND high - greatest(open, close) <= abs(close - open)
+   AND high - low > 0) AS is_hammer,
+  coalesce(close > open AND p_close < p_open
+           AND open < p_close AND close > p_open, FALSE) AS bullish_engulf,
+  coalesce(close < open AND p_close > p_open
+           AND open > p_close AND close < p_open, FALSE) AS bearish_engulf
+FROM p""",
+)
+def q_candlestick_patterns(spark, sf_dir):
+    """Classic candlestick-pattern flags (doji, hammer, two-bar
+    engulfings) — row-local arithmetic plus one lag; every bar keeps
+    its boolean vector so downstream strategies filter without
+    re-deriving the geometry."""
+    b = _bars(spark, sf_dir)
+    flags = indicators.candlestick_flags("bar_ts")
+    return b.select(
+        "symbol", "bar_ts",
+        flags["is_doji"].alias("is_doji"),
+        flags["is_hammer"].alias("is_hammer"),
+        F.coalesce(flags["bullish_engulf"], F.lit(False)).alias("bullish_engulf"),
+        F.coalesce(flags["bearish_engulf"], F.lit(False)).alias("bearish_engulf"),
+    )
