@@ -136,6 +136,7 @@ _PRIORITY = [
     "atr_14", "stochastic_14_3", "williams_r_14", "obv", "mfi_14",
     "cci_20", "donchian_20", "keltner_20", "roc_10",
     "candlestick_patterns",
+    "char_entropy", "distinct_ngram_frac", "doc_novelty",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

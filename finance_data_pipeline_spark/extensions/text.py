@@ -1203,3 +1203,145 @@ def sentence_split_udtf():
                     i += 1
 
     return SentenceSplit
+
+
+# --- round 4: character entropy / n-gram diversity / novelty -------------
+
+# The character classes the entropy ranges over: lowercase letters,
+# digits, space. Fixed ORDER matters — both engines chain the float
+# additions in this exact sequence, so the IEEE result is identical.
+_ENTROPY_SYMBOLS = list("abcdefghijklmnopqrstuvwxyz0123456789 ")
+
+
+def char_entropy(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Shannon entropy (bits) of the normalized text's character
+    distribution over [a-z0-9 ] — the classic gibberish/boilerplate
+    signal (low entropy = repeated filler, high = encoded noise).
+
+    Scale shape: NO explode and NO shuffle — each symbol's count is
+    ``length(s) - length(translate(s, ch, ''))``, a row-local codegen
+    expression, so the whole scan is one narrow map stage regardless of
+    document size. Symbols outside the class (punctuation, unicode) are
+    simply not counted, mirroring the SQL oracle exactly. A doc with NO
+    counted characters scores entropy 0 (every term takes its 0.0
+    branch in both engines), with ``n_sym = 0`` flagging the case.
+    """
+    s = F.lower(F.trim(F.col(text_col)))
+    counts = [
+        (F.length(s) - F.length(F.translate(s, ch, ""))).cast("long")
+        for ch in _ENTROPY_SYMBOLS
+    ]
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    docs = docs.select(
+        F.col(id_col),
+        *[c.alias(f"_c{i}") for i, c in enumerate(counts)],
+        total.alias("n_sym"),
+    )
+    tot = F.nullif(F.col("n_sym").cast("double"), F.lit(0.0))
+    terms = [
+        F.when(
+            F.col(f"_c{i}") > 0,
+            -(F.col(f"_c{i}") / tot) * F.log2(F.col(f"_c{i}") / tot),
+        ).otherwise(F.lit(0.0))
+        for i in range(len(_ENTROPY_SYMBOLS))
+    ]
+    h = terms[0]
+    for t in terms[1:]:
+        h = h + t
+    return docs.select(
+        id_col, "n_sym", F.round(h, 6).alias("entropy_bits")
+    )
+
+
+def char_entropy_oracle_sql() -> str:
+    """The DuckDB twin of char_entropy over the ``documents`` view,
+    generated from the same symbol list so count and term order match
+    the Spark expression chain exactly."""
+    sym_sql = []
+    for ch in _ENTROPY_SYMBOLS:
+        lit = "''''" if ch == "'" else ch
+        sym_sql.append(f"length(s) - length(translate(s, '{lit}', ''))")
+    counts = ",\n    ".join(
+        f"CAST({e} AS BIGINT) AS c{i}" for i, e in enumerate(sym_sql)
+    )
+    total = " + ".join(f"c{i}" for i in range(len(sym_sql)))
+    terms = " + ".join(
+        f"CASE WHEN c{i} > 0 THEN -(c{i} / tot) * log2(c{i} / tot) ELSE 0.0 END"
+        for i in range(len(sym_sql))
+    )
+    return f"""WITH s0 AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+c AS (SELECT doc_id,
+    {counts}
+  FROM s0),
+t AS (SELECT *, CAST({total} AS BIGINT) AS n_sym,
+        nullif(CAST({total} AS DOUBLE), 0.0) AS tot FROM c)
+SELECT doc_id, n_sym, round({terms}, 6) AS entropy_bits FROM t"""
+
+
+def raw_word_ngrams(col: str = "text", k: int = 3) -> Column:
+    """Non-distinct k-word grams of the normalized text (frequency
+    carries signal — unlike dedup.word_shingles, nothing is deduped).
+    A doc shorter than k words yields its whole text as the one gram."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    return F.when(n >= k, grams).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def distinct_ngram_frac(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Fraction of distinct k-word grams per document — the direct
+    n-gram-diversity quality signal (low fraction = templated/looping
+    text; the memorization-screen complement of Gopher's top-bigram
+    coverage rule). Entirely row-local array math: no explode, no
+    shuffle, one narrow map stage at any corpus size."""
+    grams = raw_word_ngrams(text_col, k)
+    n = F.size(grams)
+    nd = F.size(F.array_distinct(grams))
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_grams"),
+        nd.cast("long").alias("n_distinct"),
+        F.round(nd.cast("double") / n, 6).alias("distinct_frac"),
+    )
+
+
+def doc_novelty(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Per-document novelty: the share of its distinct k-gram shingles
+    that appear in NO other document. The cross-doc twin of
+    distinct_ngram_frac — a doc can be internally diverse yet wholly
+    assembled from corpus-common phrases (boilerplate mosaics score
+    near 0 here).
+
+    Scale shape: one explode of the distinct shingle set, one
+    shingle-keyed count aggregate (map-side partial applies), one join
+    back — the same bounded pattern as contamination_overlap; never
+    all-pairs."""
+    expl = docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("sh")
+    )
+    # word_shingles is distinct per doc, so count(*) per shingle = the
+    # number of distinct docs containing it.
+    df_counts = expl.groupBy("sh").agg(F.count("*").alias("_nd"))
+    per_doc = (
+        expl.join(df_counts, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0)).cast("long").alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_shingles",
+        "n_shared",
+        F.round(
+            1.0 - F.col("n_shared").cast("double") / F.col("n_shingles"), 6
+        ).alias("novelty"),
+    )

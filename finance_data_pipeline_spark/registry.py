@@ -10025,3 +10025,57 @@ def q_candlestick_patterns(spark, sf_dir):
         F.coalesce(flags["bullish_engulf"], F.lit(False)).alias("bullish_engulf"),
         F.coalesce(flags["bearish_engulf"], F.lit(False)).alias("bearish_engulf"),
     )
+
+
+# =========================================================================
+# round 4 — text-quality additions: character entropy, n-gram diversity,
+# cross-doc novelty (text.py extensions; the quality-signal menu the
+# Gopher/CCNet rows don't already cover).
+# =========================================================================
+
+
+@query("char_entropy", text.char_entropy_oracle_sql())
+def q_char_entropy(spark, sf_dir):
+    """X4+ — Shannon entropy (bits) of each doc's character
+    distribution over [a-z0-9 ]: the gibberish/boilerplate signal.
+    Zero-shuffle row-local translate() counts; the float term chain is
+    identically ordered in both engines (oracle SQL is generated from
+    the same symbol list — text.char_entropy_oracle_sql)."""
+    return text.char_entropy(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "distinct_ngram_frac",
+    f"""WITH {_SHINGLES_CTE}
+SELECT doc_id,
+  CAST(len(shingles) AS BIGINT) AS n_grams,
+  CAST(len(list_distinct(shingles)) AS BIGINT) AS n_distinct,
+  round(CAST(len(list_distinct(shingles)) AS DOUBLE) / len(shingles), 6)
+    AS distinct_frac
+FROM shingled""",
+)
+def q_distinct_ngram_frac(spark, sf_dir):
+    """X4+ — fraction of distinct 3-word grams per doc (n-gram
+    diversity; low = templated/looping text). Row-local array math —
+    no explode, no shuffle."""
+    return text.distinct_ngram_frac(table(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "doc_novelty",
+    f"""WITH {_SHINGLES_CTE},
+df AS (SELECT sh, CAST(count(*) AS BIGINT) AS nd FROM sh GROUP BY sh)
+SELECT s.doc_id,
+  CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(sum(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+  round(1.0 - CAST(sum(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*), 6) AS novelty
+FROM sh s JOIN df ON s.sh = df.sh
+GROUP BY s.doc_id""",
+)
+def q_doc_novelty(spark, sf_dir):
+    """X4+/X2 — per-doc share of distinct 3-gram shingles appearing in
+    no other document: boilerplate mosaics score near 0 even when
+    internally diverse. One shingle-keyed aggregate + join back —
+    contamination_overlap's bounded pattern, never all-pairs."""
+    return text.doc_novelty(table(spark, sf_dir, "documents"), k=3)

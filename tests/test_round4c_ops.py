@@ -926,3 +926,48 @@ def test_backtest_no_lookahead_and_trade_count(spark):
             assert r.hit_rate is None and r.arith_return == 0.0
         else:
             assert 0.0 <= r.hit_rate <= 1.0
+
+
+# --- round-4 text additions: entropy / diversity / novelty ----------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_char_entropy_uniform_and_degenerate(spark):
+    out = {
+        r.doc_id: r
+        for r in text.char_entropy(
+            _docs(spark, [(1, "aaaa"), (2, "ab"), (3, "!!!")])
+        ).collect()
+    }
+    assert out[1].entropy_bits == 0.0  # single symbol
+    assert out[2].entropy_bits == 1.0  # two equiprobable symbols
+    # no counted chars: every CASE term takes its 0.0 branch in both
+    # engines, so the defined result is entropy 0 (not null)
+    assert out[3].n_sym == 0 and out[3].entropy_bits == 0.0
+
+
+def test_distinct_ngram_frac_counts_repeats(spark):
+    out = {
+        r.doc_id: r
+        for r in text.distinct_ngram_frac(
+            _docs(spark, [(1, "a b c a b c a b c"), (2, "hi there")])
+        ).collect()
+    }
+    assert (out[1].n_grams, out[1].n_distinct) == (7, 3)
+    assert out[1].distinct_frac == round(3 / 7, 6)
+    assert (out[2].n_grams, out[2].n_distinct, out[2].distinct_frac) == (1, 1, 1.0)
+
+
+def test_doc_novelty_shared_vs_unique(spark):
+    body = "alpha beta gamma delta epsilon"
+    out = {
+        r.doc_id: r
+        for r in text.doc_novelty(
+            _docs(spark, [(1, body), (2, body), (3, "zeta eta theta iota")])
+        ).collect()
+    }
+    assert out[1].novelty == 0.0 and out[2].novelty == 0.0  # fully shared
+    assert out[3].novelty == 1.0  # no shingle seen elsewhere
