@@ -137,6 +137,7 @@ _PRIORITY = [
     "cci_20", "donchian_20", "keltner_20", "roc_10",
     "candlestick_patterns",
     "char_entropy", "distinct_ngram_frac", "doc_novelty",
+    "streaming_ohlc_bars",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

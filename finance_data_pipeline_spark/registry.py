@@ -10079,3 +10079,52 @@ def q_doc_novelty(spark, sf_dir):
     internally diverse. One shingle-keyed aggregate + join back —
     contamination_overlap's bounded pattern, never all-pairs."""
     return text.doc_novelty(table(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "streaming_ohlc_bars",
+    ORACLES["bars_hourly_fixture"],
+)
+def q_streaming_ohlc_bars(spark, sf_dir):
+    """§2.10 × §1 — the reference's CORE ingestion aggregation (ticks →
+    keyed OHLCV bars, fetch_and_store_multi.py's frame shape) executed
+    as a real Structured Streaming query: file source → stateful
+    min_by/max_by/extrema aggregate per (symbol, hour) → memory sink,
+    availableNow. Checked against the IDENTICAL BARS-CTE oracle as the
+    batch fixture — stream/batch equivalence for the arg_min/arg_max
+    aggregate family, which no other streaming row exercises."""
+    import tempfile
+    import uuid
+
+    from finance_data_pipeline_spark.streaming import stream_events
+
+    staged = tempfile.mkdtemp(prefix="fdps_events_")
+    table(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
+    bars = (
+        stream_events(spark, staged)
+        .select(
+            F.concat(F.lit("H"), (F.col("user_id") % 10).cast("string")).alias("symbol"),
+            F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+            "ts",
+            "value",
+        )
+        .groupBy("symbol", "bar_ts")
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            (F.count("*") * 1000).alias("volume"),
+        )
+    )
+    name = f"fdps_bars_{uuid.uuid4().hex[:8]}"
+    q = (
+        bars.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fdps_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
