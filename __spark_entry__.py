@@ -138,6 +138,10 @@ _PRIORITY = [
     "candlestick_patterns",
     "char_entropy", "distinct_ngram_frac", "doc_novelty",
     "streaming_ohlc_bars",
+    "ichimoku", "pairs_spread_zscore", "volume_profile",
+    "hourly_seasonality", "variance_ratio", "ks_value_drift",
+    "psi_value_drift", "mann_whitney_u", "tokenizer_fertility",
+    "dedup_stage_funnel", "streaming_topk_hitters",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

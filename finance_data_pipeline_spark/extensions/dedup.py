@@ -1533,3 +1533,53 @@ def effective_token_mass(
             6,
         ).alias("retention_ratio"),
     )
+
+
+def dedup_stage_funnel(
+    docs: DataFrame,
+    quality_threshold: float = 0.5,
+    near_dup_threshold: float = 0.7,
+) -> DataFrame:
+    """Survivorship funnel for the training_corpus pipeline: one row
+    per cleaning stage (raw → exact dedup → near-dup representatives →
+    quality gate) with the surviving and removed document counts — the
+    ops dashboard a 100 TB corpus pass publishes alongside its output.
+
+    The near-dup cluster frame is tiny (only clustered docs) and feeds
+    two downstream stage counts, so it is localCheckpoint()ed once —
+    the dup_triangles lesson: never let two count branches re-derive
+    the MinHash/LSH/verify/CC chain.
+    """
+    from finance_data_pipeline_spark.extensions.text import quality_score
+
+    survivors = exact_dedup(docs).select("doc_id")
+    clusters = dup_clusters(docs, threshold=near_dup_threshold).localCheckpoint()
+    non_reps = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    s2 = survivors.join(non_reps, "doc_id", "left_anti")
+    quality = quality_score(docs).filter(
+        F.col("quality_score") >= quality_threshold
+    ).select("doc_id")
+    s3 = s2.join(quality, "doc_id", "left_semi")
+
+    def stage(idx: int, name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("docs_out"),
+        )
+
+    funnel = (
+        stage(0, "raw", docs)
+        .unionByName(stage(1, "exact_dedup", survivors))
+        .unionByName(stage(2, "near_dedup", s2))
+        .unionByName(stage(3, "quality_gate", s3))
+    )
+    w = Window.orderBy("stage_idx")
+    return funnel.select(
+        "stage_idx",
+        "stage",
+        "docs_out",
+        F.coalesce(F.lag("docs_out").over(w) - F.col("docs_out"), F.lit(0))
+        .cast("long")
+        .alias("docs_removed"),
+    )

@@ -565,3 +565,29 @@ def candlestick_flags(time_col: str = "bar_ts") -> dict[str, Column]:
         "bearish_engulf": down & p_up
         & (F.col("open") > p_close) & (F.col("close") < p_open),
     }
+
+
+def with_ichimoku(df: DataFrame, time_col: str = "bar_ts") -> DataFrame:
+    """Ichimoku Kinko Hyo (9/26/52): conversion/base midlines of the
+    rolling high-low envelope, spans A/B shifted 26 bars back onto the
+    current row (the data-frame convention for the cloud drawn 26
+    ahead), and the chikou lagging close 26 ahead. Midlines are
+    single-pass window extrema; the shifts are lag/lead over the same
+    per-symbol sort, so the family still costs one shuffle."""
+    def mid(n: int) -> Column:
+        return (
+            F.max("high").over(rolling(time_col, n))
+            + F.min("low").over(rolling(time_col, n))
+        ) / 2.0
+
+    w = sym_window(time_col)
+    base = df.withColumns(
+        {"tenkan": mid(9), "kijun": mid(26), "_mid52": mid(52)}
+    )
+    return base.withColumns(
+        {
+            "senkou_a": F.lag((F.col("tenkan") + F.col("kijun")) / 2.0, 26).over(w),
+            "senkou_b": F.lag("_mid52", 26).over(w),
+            "chikou": F.lead("close", 26).over(w),
+        }
+    ).drop("_mid52")

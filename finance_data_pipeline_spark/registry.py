@@ -10128,3 +10128,502 @@ def q_streaming_ohlc_bars(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+# =========================================================================
+# round 4 (batch 2) — Ichimoku, pair-trading spread, volume profile,
+# hourly seasonality, variance-ratio test; drift diagnostics (KS, PSI),
+# Mann-Whitney U; tokenizer fertility; streaming top-k.
+# =========================================================================
+
+
+@query(
+    "ichimoku",
+    f"""WITH {BARS},
+m AS (SELECT symbol, bar_ts, close,
+        (max(high) OVER w9 + min(low) OVER w9) / 2.0 AS tenkan,
+        (max(high) OVER w26 + min(low) OVER w26) / 2.0 AS kijun,
+        (max(high) OVER w52 + min(low) OVER w52) / 2.0 AS mid52
+      FROM bars
+      WINDOW w9 AS ({_W_BAR} ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+             w26 AS ({_W_BAR} ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+             w52 AS ({_W_BAR} ROWS BETWEEN 51 PRECEDING AND CURRENT ROW))
+SELECT symbol, bar_ts, close,
+  round(tenkan, 6) AS tenkan,
+  round(kijun, 6) AS kijun,
+  round(lag((tenkan + kijun) / 2.0, 26) OVER ({_W_BAR}), 6) AS senkou_a,
+  round(lag(mid52, 26) OVER ({_W_BAR}), 6) AS senkou_b,
+  round(lead(close, 26) OVER ({_W_BAR}), 6) AS chikou
+FROM m""",
+)
+def q_ichimoku(spark, sf_dir):
+    """Ichimoku cloud (9/26/52) — rolling-envelope midlines plus the
+    ±26-bar span shifts; the full five-line system in one per-symbol
+    window pass."""
+    out = indicators.with_ichimoku(_bars(spark, sf_dir), "bar_ts")
+    return out.select(
+        "symbol", "bar_ts", "close",
+        F.round("tenkan", 6).alias("tenkan"),
+        F.round("kijun", 6).alias("kijun"),
+        F.round("senkou_a", 6).alias("senkou_a"),
+        F.round("senkou_b", 6).alias("senkou_b"),
+        F.round("chikou", 6).alias("chikou"),
+    )
+
+
+@query(
+    "pairs_spread_zscore",
+    f"""WITH {BARS},
+a AS (SELECT bar_ts, close AS close_a FROM bars WHERE symbol = 'H0'),
+b AS (SELECT bar_ts, close AS close_b FROM bars WHERE symbol = 'H1'),
+s AS (SELECT a.bar_ts, close_a, close_b, close_a - close_b AS spread
+      FROM a JOIN b ON a.bar_ts = b.bar_ts),
+w AS (SELECT bar_ts, spread,
+        avg(spread) OVER w30 AS m,
+        CASE WHEN count(spread) OVER w30 >= 30
+             THEN stddev_samp(spread) OVER w30 END AS sd
+      FROM s
+      WINDOW w30 AS (ORDER BY bar_ts ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+SELECT bar_ts, round(spread, 6) AS spread,
+  round((spread - m) / nullif(sd, 0.0), 4) AS zscore
+FROM w""",
+)
+def q_pairs_spread_zscore(spark, sf_dir):
+    """Pairs-trading diagnostic: H0−H1 close spread with its 30-bar
+    rolling z-score (warm-up masked like W2). The single-pair series
+    is one window partition by construction; a production many-pair
+    scan carries a pair_id partition key in the same shape."""
+    b = _bars(spark, sf_dir)
+    a = b.filter(F.col("symbol") == "H0").select("bar_ts", F.col("close").alias("close_a"))
+    bb = b.filter(F.col("symbol") == "H1").select("bar_ts", F.col("close").alias("close_b"))
+    s = a.join(bb, "bar_ts").withColumn("spread", F.col("close_a") - F.col("close_b"))
+    w30 = Window.orderBy("bar_ts").rowsBetween(-29, 0)
+    sd = F.when(F.count("spread").over(w30) >= 30, F.stddev_samp("spread").over(w30))
+    return s.select(
+        "bar_ts",
+        F.round("spread", 6).alias("spread"),
+        F.round((F.col("spread") - F.avg("spread").over(w30)) / F.nullif(sd, F.lit(0.0)), 4).alias("zscore"),
+    )
+
+
+@query(
+    "volume_profile",
+    f"""WITH {BARS},
+b AS (SELECT symbol, CAST(floor(close / 25.0) AS BIGINT) * 25 AS price_bin,
+        volume FROM bars),
+p AS (SELECT symbol, price_bin, CAST(sum(volume) AS BIGINT) AS bin_volume,
+        CAST(count(*) AS BIGINT) AS n_bars
+      FROM b GROUP BY symbol, price_bin),
+t AS (SELECT symbol, CAST(sum(bin_volume) AS BIGINT) AS total FROM p GROUP BY symbol)
+SELECT p.symbol, price_bin, bin_volume, n_bars,
+  round(CAST(bin_volume AS DOUBLE) / t.total, 6) AS volume_share
+FROM p JOIN t ON p.symbol = t.symbol""",
+)
+def q_volume_profile(spark, sf_dir):
+    """Volume profile — traded volume by price bucket per symbol (the
+    market-profile histogram). Integer sums end-to-end; two tiny
+    keyed aggregates plus a broadcast share join."""
+    b = _bars(spark, sf_dir)
+    p = (
+        b.select(
+            "symbol",
+            (F.floor(F.col("close") / 25.0).cast("long") * 25).alias("price_bin"),
+            "volume",
+        )
+        .groupBy("symbol", "price_bin")
+        .agg(
+            F.sum("volume").cast("long").alias("bin_volume"),
+            F.count("*").cast("long").alias("n_bars"),
+        )
+    )
+    t = p.groupBy("symbol").agg(F.sum("bin_volume").cast("long").alias("total"))
+    return p.join(F.broadcast(t), "symbol").select(
+        "symbol", "price_bin", "bin_volume", "n_bars",
+        F.round(F.col("bin_volume").cast("double") / F.col("total"), 6).alias("volume_share"),
+    )
+
+
+@query(
+    "hourly_seasonality",
+    f"""WITH {BARS},
+r AS (SELECT symbol, bar_ts,
+        CAST(hour(bar_ts) AS BIGINT) AS hod,
+        close / lag(close) OVER ({_W_BAR}) - 1.0 AS ret
+      FROM bars)
+SELECT symbol, hod,
+  CAST(count(ret) AS BIGINT) AS n_bars,
+  round(CAST(sum(CAST(ret AS DECIMAL(28,14))) AS DOUBLE) / count(ret), 8)
+    AS mean_ret,
+  round(100.0 * sum(CASE WHEN ret > 0 THEN 1 ELSE 0 END) / count(ret), 4)
+    AS pct_up
+FROM r WHERE ret IS NOT NULL
+GROUP BY symbol, hod""",
+)
+def q_hourly_seasonality(spark, sf_dir):
+    """Hour-of-day seasonality matrix — mean bar return and up-bar
+    share per (symbol, hour). The float mean uses the identically-
+    ordered DECIMAL-sum trick (source_lang_entropy's pattern), so the
+    group aggregate is order-independent and hash-checks."""
+    b = _bars(spark, sf_dir)
+    r = b.select(
+        "symbol",
+        F.hour("bar_ts").cast("long").alias("hod"),
+        (F.col("close") / F.lag("close").over(Window.partitionBy("symbol").orderBy("bar_ts")) - 1.0).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    return r.groupBy("symbol", "hod").agg(
+        F.count("ret").cast("long").alias("n_bars"),
+        F.round(
+            F.sum(F.col("ret").cast("decimal(28,14)")).cast("double") / F.count("ret"), 8
+        ).alias("mean_ret"),
+        F.round(
+            100.0 * F.sum(F.when(F.col("ret") > 0, 1).otherwise(0)) / F.count("ret"), 4
+        ).alias("pct_up"),
+    )
+
+
+@query(
+    "variance_ratio",
+    f"""WITH {BARS},
+r AS (SELECT symbol, bar_ts,
+        ln(close / lag(close) OVER ({_W_BAR})) AS r1,
+        ln(close / lag(close, 2) OVER ({_W_BAR})) AS r2
+      FROM bars),
+s AS (SELECT symbol,
+        CAST(count(r1) AS BIGINT) AS n1,
+        CAST(sum(CAST(r1 AS DECIMAL(28,14))) AS DOUBLE) AS s1,
+        CAST(sum(CAST(r1 * r1 AS DECIMAL(28,14))) AS DOUBLE) AS q1,
+        CAST(count(r2) AS BIGINT) AS n2,
+        CAST(sum(CAST(r2 AS DECIMAL(28,14))) AS DOUBLE) AS s2,
+        CAST(sum(CAST(r2 * r2 AS DECIMAL(28,14))) AS DOUBLE) AS q2
+      FROM r GROUP BY symbol)
+SELECT symbol, n1 AS n_returns,
+  round((q2 - s2 * s2 / n2) / (n2 - 1)
+        / (2.0 * ((q1 - s1 * s1 / n1) / (n1 - 1))), 6) AS vr_2
+FROM s""",
+)
+def q_variance_ratio(spark, sf_dir):
+    """Lo-MacKinlay variance-ratio test at lag 2 — var(2-bar log
+    returns) / 2·var(1-bar): ≈1 under a random walk, <1 mean-reverting,
+    >1 trending. Variances are assembled from DECIMAL-cast power sums
+    so the one keyed aggregate is order-independent and exact."""
+    b = _bars(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    r = b.select(
+        "symbol",
+        F.log(F.col("close") / F.lag("close").over(w)).alias("r1"),
+        F.log(F.col("close") / F.lag("close", 2).over(w)).alias("r2"),
+    )
+    s = r.groupBy("symbol").agg(
+        F.count("r1").cast("long").alias("n1"),
+        F.sum(F.col("r1").cast("decimal(28,14)")).cast("double").alias("s1"),
+        F.sum((F.col("r1") * F.col("r1")).cast("decimal(28,14)")).cast("double").alias("q1"),
+        F.count("r2").cast("long").alias("n2"),
+        F.sum(F.col("r2").cast("decimal(28,14)")).cast("double").alias("s2"),
+        F.sum((F.col("r2") * F.col("r2")).cast("decimal(28,14)")).cast("double").alias("q2"),
+    )
+    var1 = (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1")) / (F.col("n1") - 1)
+    var2 = (F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2")) / (F.col("n2") - 1)
+    return s.select(
+        "symbol",
+        F.col("n1").alias("n_returns"),
+        F.round(var2 / (2.0 * var1), 6).alias("vr_2"),
+    )
+
+
+@query(
+    "ks_value_drift",
+    """WITH u AS (
+  SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+  FROM events WHERE event_type IN ('purchase', 'view')),
+n AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb FROM u),
+c AS (SELECT value,
+        sum(a) OVER (ORDER BY value) AS ca,
+        sum(b) OVER (ORDER BY value) AS cb
+      FROM u)
+SELECT n.na AS n_a, n.nb AS n_b,
+  round(max(abs(CAST(ca AS DOUBLE) / n.na - CAST(cb AS DOUBLE) / n.nb)), 6)
+    AS ks_d
+FROM c, n GROUP BY n.na, n.nb""",
+)
+def q_ks_value_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic between the purchase
+    and view value distributions — the standard drift monitor. The
+    default RANGE window frame makes each cumulative count include all
+    ties of the current value in BOTH engines, so the empirical CDFs
+    (integer counts over totals) are exact. The global sort is the
+    single-key case; a per-segment drift scan adds the segment to the
+    partition key in the same shape."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    u = e.select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("b"),
+    )
+    n = u.agg(
+        F.sum("a").cast("long").alias("n_a"), F.sum("b").cast("long").alias("n_b")
+    )
+    w = Window.orderBy("value")
+    c = u.select(
+        F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+    )
+    return (
+        c.crossJoin(F.broadcast(n))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("ca").cast("double") / F.col("n_a")
+                        - F.col("cb").cast("double") / F.col("n_b")
+                    )
+                ),
+                6,
+            ).alias("ks_d")
+        )
+        .select("n_a", "n_b", "ks_d")
+    )
+
+
+@query(
+    "psi_value_drift",
+    """WITH u AS (
+  SELECT least(CAST(floor(value / 35.0) AS BIGINT), 9) AS bin,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+  FROM events WHERE event_type IN ('purchase', 'view')),
+bins AS (SELECT CAST(range AS BIGINT) AS bin FROM range(0, 10)),
+c AS (SELECT bins.bin,
+        CAST(coalesce(sum(a), 0) AS BIGINT) AS ca,
+        CAST(coalesce(sum(b), 0) AS BIGINT) AS cb
+      FROM bins LEFT JOIN u ON u.bin = bins.bin GROUP BY bins.bin),
+n AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+t AS (SELECT c.bin,
+        (ca + 0.5) / (na + 5.0) AS pa,
+        (cb + 0.5) / (nb + 5.0) AS pb
+      FROM c, n)
+SELECT bin, round(pa, 8) AS share_a, round(pb, 8) AS share_b,
+  round((pa - pb) * ln(pa / pb), 8) AS psi_term
+FROM t""",
+)
+def q_psi_value_drift(spark, sf_dir):
+    """Population Stability Index terms between the purchase and view
+    value distributions over 10 fixed-width bins, with 0.5-count
+    Laplace smoothing so empty bins stay finite (the standard PSI
+    practice). Integer bin counts make each term's inputs exact; the
+    dense 10-bin frame comes from a sequence, not the data, so bins
+    with no events still appear."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    u = e.select(
+        F.least(F.floor(F.col("value") / 35.0).cast("long"), F.lit(9)).alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("b"),
+    )
+    bins = spark.range(0, 10).select(F.col("id").alias("bin"))
+    c = (
+        bins.join(u, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(F.sum("a"), F.lit(0)).cast("long").alias("ca"),
+            F.coalesce(F.sum("b"), F.lit(0)).cast("long").alias("cb"),
+        )
+    )
+    n = c.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    t = c.crossJoin(F.broadcast(n)).select(
+        "bin",
+        ((F.col("ca") + 0.5) / (F.col("na") + 5.0)).alias("pa"),
+        ((F.col("cb") + 0.5) / (F.col("nb") + 5.0)).alias("pb"),
+    )
+    return t.select(
+        "bin",
+        F.round("pa", 8).alias("share_a"),
+        F.round("pb", 8).alias("share_b"),
+        F.round((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")), 8).alias("psi_term"),
+    )
+
+
+@query(
+    "mann_whitney_u",
+    """WITH u AS (
+  SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+  FROM events WHERE event_type IN ('click', 'signup')),
+r AS (SELECT value, a,
+        rank() OVER (ORDER BY value)
+          + (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS midrank
+      FROM u),
+s AS (SELECT CAST(sum(a) AS BIGINT) AS n1,
+             CAST(sum(1 - a) AS BIGINT) AS n2,
+             sum(CASE WHEN a = 1 THEN midrank ELSE 0 END) AS r1
+      FROM r)
+SELECT n1, n2,
+  round(r1 - n1 * (n1 + 1) / 2.0, 1) AS u1,
+  round(CAST(n1 AS DOUBLE) * n2 - (r1 - n1 * (n1 + 1) / 2.0), 1) AS u2,
+  round((r1 - n1 * (n1 + 1) / 2.0 - CAST(n1 AS DOUBLE) * n2 / 2.0)
+        / sqrt(CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1) / 12.0), 4) AS z
+FROM s""",
+)
+def q_mann_whitney_u(spark, sf_dir):
+    """Mann-Whitney U between the click and signup value samples — the
+    nonparametric twin of ab_value_ttest. Tied values take midranks
+    (min-rank + half the tie count), which are exact halves, so the
+    rank sum is exact in IEEE doubles; z uses the untied-variance
+    normal approximation (documented, standard for these sizes)."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "signup")
+    )
+    u = e.select(
+        "value", F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a")
+    )
+    midrank = F.rank().over(Window.orderBy("value")) + (
+        F.count("*").over(Window.partitionBy("value")) - 1
+    ) / 2.0
+    r = u.select("value", "a", midrank.alias("midrank"))
+    s = r.agg(
+        F.sum("a").cast("long").alias("n1"),
+        F.sum(1 - F.col("a")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("a") == 1, F.col("midrank")).otherwise(0.0)).alias("r1"),
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    mean_u = F.col("n1").cast("double") * F.col("n2") / 2.0
+    sd_u = F.sqrt(
+        F.col("n1").cast("double") * F.col("n2") * (F.col("n1") + F.col("n2") + 1) / 12.0
+    )
+    return s.select(
+        "n1",
+        "n2",
+        F.round(u1, 1).alias("u1"),
+        F.round(F.col("n1").cast("double") * F.col("n2") - u1, 1).alias("u2"),
+        F.round((u1 - mean_u) / sd_u, 4).alias("z"),
+    )
+
+
+@query(
+    "tokenizer_fertility",
+    f"""WITH {_NORM_CTE},
+t AS (SELECT d.doc_id, d.lang,
+        CAST(len(n.words) AS BIGINT) AS n_words,
+        CAST(len(regexp_extract_all(lower(d.text), '([a-z]+|[0-9]+|[^a-z0-9\\s])'))
+          AS BIGINT) AS n_tokens,
+        CAST(length(d.text) AS BIGINT) AS n_chars
+      FROM documents d JOIN norm n ON d.doc_id = n.doc_id)
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_words) AS BIGINT) AS total_words,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  round(CAST(sum(n_tokens) AS DOUBLE) / sum(n_words), 6) AS fertility,
+  round(CAST(sum(n_chars) AS DOUBLE) / sum(n_tokens), 6) AS chars_per_token
+FROM t GROUP BY lang""",
+)
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (word-piece tokens per word)
+    and compression (chars per token) under the BPE-ish proxy
+    tokenizer — the mixture diagnostic that decides per-language token
+    budgets. Integer sums end-to-end; one tiny keyed aggregate."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        F.size(dedup.tokens("text")).cast("long").alias("n_words"),
+        text.bpe_ish_token_count("text").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.sum("n_words"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6
+        ).alias("chars_per_token"),
+    )
+
+
+@query(
+    "dedup_stage_funnel",
+    f"""WITH RECURSIVE {_NEAR_PAIRS_CTE},
+{_CLUSTERS_SQL_TAIL},
+keepers AS (SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (
+    PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1),
+non_reps AS (SELECT doc_id FROM cc WHERE doc_id != cluster_id),
+s2 AS (SELECT k.doc_id FROM keepers k
+       LEFT JOIN non_reps nr ON k.doc_id = nr.doc_id
+       WHERE nr.doc_id IS NULL),
+quality AS (
+  SELECT doc_id FROM norm
+  WHERE (CASE WHEN len(words) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+      + (CASE WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+              / length(text) <= 0.2 THEN 0.3 ELSE 0.0 END)
+      + (CASE WHEN ({_contains_sum_sql(_ALL_MARKERS)}) >= 2 THEN 0.3 ELSE 0.0 END)
+      >= 0.5),
+s3 AS (SELECT s2.doc_id FROM s2 JOIN quality q ON s2.doc_id = q.doc_id),
+funnel AS (
+  SELECT 0 AS stage_idx, 'raw' AS stage,
+         (SELECT count(*) FROM documents) AS docs_out
+  UNION ALL SELECT 1, 'exact_dedup', (SELECT count(*) FROM keepers)
+  UNION ALL SELECT 2, 'near_dedup', (SELECT count(*) FROM s2)
+  UNION ALL SELECT 3, 'quality_gate', (SELECT count(*) FROM s3))
+SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+  CAST(docs_out AS BIGINT) AS docs_out,
+  CAST(coalesce(lag(docs_out) OVER (ORDER BY stage_idx) - docs_out, 0)
+    AS BIGINT) AS docs_removed
+FROM funnel""",
+)
+def q_dedup_stage_funnel(spark, sf_dir):
+    """Survivorship funnel of the composed cleaning pipeline — one row
+    per stage (raw → exact → near-dup reps → quality) with surviving
+    and removed counts; the report a 100 TB corpus pass publishes
+    beside its output. Integer counts; the cluster frame is
+    localCheckpointed once so the two dependent stage counts don't
+    re-derive the MinHash/LSH/verify/CC chain."""
+    return dedup.dedup_stage_funnel(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "streaming_topk_hitters",
+    """SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id LIMIT 20""",
+)
+def q_streaming_topk_hitters(spark, sf_dir):
+    """§2.10 — streaming top-k heavy hitters: complete-mode global
+    aggregate per user with sort + limit INSIDE the streaming query
+    (allowed only in complete mode — the one output mode that rewrites
+    the full result per trigger). Deterministic total via the DECIMAL
+    sum; ties broken by user_id."""
+    import tempfile
+    import uuid
+
+    from finance_data_pipeline_spark.streaming import stream_events
+
+    staged = tempfile.mkdtemp(prefix="fdps_events_")
+    table(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
+    agg = (
+        stream_events(spark, staged)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .orderBy(F.desc("total_value"), "user_id")
+        .limit(20)
+    )
+    name = f"fdps_topk_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fdps_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
