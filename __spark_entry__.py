@@ -142,6 +142,8 @@ _PRIORITY = [
     "hourly_seasonality", "variance_ratio", "ks_value_drift",
     "psi_value_drift", "mann_whitney_u", "tokenizer_fertility",
     "dedup_stage_funnel", "streaming_topk_hitters",
+    "media_silence_runs", "cooccurrence_pmi", "mutual_info_lang_source",
+    "robust_quality_by_lang", "bar_gap_report",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

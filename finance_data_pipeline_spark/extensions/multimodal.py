@@ -13,7 +13,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -490,4 +490,47 @@ def scene_cuts(
             (F.col("frame_idx") * every_ms).cast("long").alias("t_ms"),
             F.col("_delta").cast("long").alias("delta"),
         )
+    )
+
+
+def audio_silence_runs(
+    media: DataFrame,
+    frame_ms: int = 250,
+    probes: int = 8,
+    max_energy: int = 130_000,
+) -> DataFrame:
+    """Silence segmentation over audio_frame_energy's frames: per clip,
+    the count/total/longest of consecutive sub-threshold frame runs —
+    the trim-silence / segment-speech primitive of an audio curation
+    pass. Gaps-and-islands on (frame_idx − row_number) keeps it pure
+    window algebra over the bounded frame fan-out; energies are exact
+    integers so the threshold compare replays bit-identically in SQL.
+    Clips with no silent frame report zero runs (left join keeps them).
+    """
+    frames = audio_frame_energy(media, frame_ms=frame_ms, probes=probes)
+    silent = frames.filter(F.col("energy") < max_energy)
+    grp = F.col("frame_idx") - F.row_number().over(
+        Window.partitionBy("media_id").orderBy("frame_idx")
+    )
+    runs = (
+        silent.withColumn("_grp", grp)
+        .groupBy("media_id", "_grp")
+        .agg(
+            F.count("*").cast("long").alias("run_len"),
+            F.min("frame_idx").cast("long").alias("run_start"),
+        )
+    )
+    per_clip = runs.groupBy("media_id").agg(
+        F.count("*").cast("long").alias("n_runs"),
+        F.sum("run_len").cast("long").alias("n_silent_frames"),
+        F.max("run_len").cast("long").alias("longest_run"),
+        F.min("run_start").cast("long").alias("first_run_start"),
+    )
+    clips = frames.select("media_id").distinct()
+    return clips.join(per_clip, "media_id", "left").select(
+        "media_id",
+        F.coalesce("n_runs", F.lit(0)).cast("long").alias("n_runs"),
+        F.coalesce("n_silent_frames", F.lit(0)).cast("long").alias("n_silent_frames"),
+        F.coalesce("longest_run", F.lit(0)).cast("long").alias("longest_run"),
+        F.col("first_run_start"),
     )

@@ -10627,3 +10627,261 @@ def q_streaming_topk_hitters(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+# =========================================================================
+# round 4 (batch 3) — audio silence segmentation, PMI co-occurrence,
+# column mutual information, robust per-language quality stats, bar-gap
+# continuity report.
+# =========================================================================
+
+
+def _duck_audio_energy_sql(probes: int = 8) -> str:
+    """DuckDB twin of audio_frame_energy's probe-byte energy sum,
+    generated from the same probe loop so term order matches the Spark
+    codegen expression exactly (the media_audio_energy pattern)."""
+    def byte(j: int) -> str:
+        n1 = (f"(strpos('0123456789ABCDEF', substring(hx, CAST(((f * {probes}"
+              f" + {j}) % plen) * 2 + 1 AS INT), 1)) - 1)")
+        n2 = (f"(strpos('0123456789ABCDEF', substring(hx, CAST(((f * {probes}"
+              f" + {j}) % plen) * 2 + 2 AS INT), 1)) - 1)")
+        return f"({n1} * 16 + {n2})"
+
+    return " + ".join(f"({byte(j)} * {byte(j)})" for j in range(probes))
+
+
+@query(
+    "media_silence_runs",
+    f"""WITH aud AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS plen,
+         CAST(1000 + (n_chars * 7) % 5000 AS BIGINT) AS dur
+  FROM documents WHERE doc_id % 3 = 1),
+fr AS (SELECT media_id, hx, plen, unnest(range(0, dur // 250)) AS f FROM aud),
+e AS (SELECT media_id, f, CAST({_duck_audio_energy_sql(8)} AS BIGINT) AS energy
+      FROM fr),
+s AS (SELECT media_id, f,
+        f - row_number() OVER (PARTITION BY media_id ORDER BY f) AS grp
+      FROM e WHERE energy < 130000),
+runs AS (SELECT media_id, CAST(count(*) AS BIGINT) AS run_len,
+           CAST(min(f) AS BIGINT) AS run_start
+         FROM s GROUP BY media_id, grp),
+per AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_runs,
+          CAST(sum(run_len) AS BIGINT) AS n_silent_frames,
+          CAST(max(run_len) AS BIGINT) AS longest_run,
+          CAST(min(run_start) AS BIGINT) AS first_run_start
+        FROM runs GROUP BY media_id)
+SELECT a.media_id,
+  coalesce(per.n_runs, 0) AS n_runs,
+  coalesce(per.n_silent_frames, 0) AS n_silent_frames,
+  coalesce(per.longest_run, 0) AS longest_run,
+  per.first_run_start
+FROM (SELECT DISTINCT media_id FROM fr) a
+LEFT JOIN per ON a.media_id = per.media_id""",
+)
+def q_media_silence_runs(spark, sf_dir):
+    """X5++ — silence segmentation per audio clip: count/total/longest
+    of consecutive sub-threshold frame-energy runs (gaps-and-islands
+    over the bounded frame fan-out). Energies are exact integers so
+    the threshold compare replays bit-identically in SQL; clips with
+    no silent frame stay in the report with zero runs. See
+    multimodal.audio_silence_runs."""
+    media = multimodal.synthetic_media(
+        dedup._spread(table(spark, sf_dir, "documents"))
+    )
+    return multimodal.audio_silence_runs(media, frame_ms=250, probes=8, max_energy=130_000)
+
+
+@query(
+    "cooccurrence_pmi",
+    f"""WITH {_NORM_CTE},
+tok AS (SELECT DISTINCT doc_id, unnest(words) AS tok FROM norm),
+df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY tok),
+top AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 20),
+ft AS (SELECT t.doc_id, t.tok FROM tok t JOIN top ON t.tok = top.tok),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+pair AS (SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS n_ab
+         FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         GROUP BY a.tok, b.tok)
+SELECT tok_a, tok_b, n_ab,
+  round(ln(CAST(n_ab AS DOUBLE) * n.n_docs
+           / (CAST(da.df AS DOUBLE) * db.df)), 6) AS pmi
+FROM pair
+JOIN top da ON tok_a = da.tok JOIN top db ON tok_b = db.tok, n
+WHERE n_ab >= 5""",
+)
+def q_cooccurrence_pmi(spark, sf_dir):
+    """X4++ — pointwise mutual information between the corpus's top-20
+    document-frequency tokens: the word-association miner behind
+    collocation and phrase detection. The vocabulary is a broadcast
+    20-row frame, so the per-doc pair fan-out is bounded at C(20,2)
+    and the join never leaves the doc key; counts are integers, the
+    one float is the final log."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.array_distinct(dedup.tokens("text"))).alias("tok"))
+    df_c = tok.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    top = df_c.orderBy(F.desc("df"), "tok").limit(20)
+    ft = tok.join(F.broadcast(top.select("tok")), "tok")
+    n = d.agg(F.count("*").cast("long").alias("n_docs"))
+    a = ft.select(F.col("doc_id"), F.col("tok").alias("tok_a"))
+    b = ft.select(F.col("doc_id"), F.col("tok").alias("tok_b"))
+    pair = (
+        a.join(b, ["doc_id"])
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    da = top.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    db = top.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    return (
+        pair.join(F.broadcast(da), "tok_a")
+        .join(F.broadcast(db), "tok_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok_a", "tok_b", "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double") * F.col("n_docs")
+                    / (F.col("df_a").cast("double") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+@query(
+    "mutual_info_lang_source",
+    """WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+l AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM c GROUP BY lang),
+s AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM c GROUP BY source),
+terms AS (
+  SELECT CAST((CAST(c.n AS DOUBLE) / t.tot)
+              * ln(CAST(c.n AS DOUBLE) * t.tot
+                   / (CAST(l.nl AS DOUBLE) * s.ns))
+         AS DECIMAL(28,12)) AS term
+  FROM c JOIN l ON c.lang = l.lang JOIN s ON c.source = s.source, t)
+SELECT (SELECT tot FROM t) AS n_docs,
+  round(CAST(sum(term) AS DOUBLE), 6) AS mi_nats
+FROM terms""",
+)
+def q_mutual_info_lang_source(spark, sf_dir):
+    """X4++ — mutual information between the lang and source columns:
+    the mixture-audit number that says how language-skewed each feed
+    is (0 = independent). Integer contingency counts; each term is an
+    identically-ordered IEEE double cast to DECIMAL before the sum
+    (source_lang_entropy's order-independence trick)."""
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count("*").cast("long").alias("n"))
+    t = c.agg(F.sum("n").cast("long").alias("tot"))
+    l = c.groupBy("lang").agg(F.sum("n").cast("long").alias("nl"))
+    s = c.groupBy("source").agg(F.sum("n").cast("long").alias("ns"))
+    terms = (
+        c.join(F.broadcast(l), "lang")
+        .join(F.broadcast(s), "source")
+        .crossJoin(F.broadcast(t))
+        .select(
+            (
+                (F.col("n").cast("double") / F.col("tot"))
+                * F.log(
+                    F.col("n").cast("double") * F.col("tot")
+                    / (F.col("nl").cast("double") * F.col("ns"))
+                )
+            ).cast("decimal(28,12)").alias("term"),
+            "tot",
+        )
+    )
+    return terms.groupBy("tot").agg(
+        F.round(F.sum("term").cast("double"), 6).alias("mi_nats")
+    ).select(F.col("tot").alias("n_docs"), "mi_nats")
+
+
+@query(
+    "robust_quality_by_lang",
+    f"""WITH {_NORM_CTE},
+q0 AS (SELECT doc_id, {_QSCORE_SQL} AS q FROM norm),
+q AS (SELECT q0.doc_id, d.lang, q0.q
+      FROM q0 JOIN documents d ON q0.doc_id = d.doc_id),
+med AS (SELECT lang, median(q) AS med FROM q GROUP BY lang),
+dev AS (SELECT q.lang, abs(q.q - med.med) AS adev, q.q, med.med
+        FROM q JOIN med ON q.lang = med.lang),
+mad AS (SELECT lang, median(adev) AS mad FROM dev GROUP BY lang)
+SELECT d.lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  round(any_value(d.med), 6) AS med_quality,
+  round(any_value(m.mad), 6) AS mad_quality,
+  CAST(sum(CASE WHEN m.mad > 0 AND abs(d.q - d.med) > 3 * m.mad
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.lang = m.lang
+GROUP BY d.lang""",
+)
+def q_robust_quality_by_lang(spark, sf_dir):
+    """X4+ — robust per-language quality profile: median, MAD, and the
+    3-MAD outlier count (the heavy-tail-proof twin of the mean/std
+    profile). Medians are the exact middle-pair average in BOTH
+    engines; quality scores are one-decimal doubles so every
+    comparison is exact."""
+    d = table(spark, sf_dir, "documents")
+    q = text.quality_score(d).join(d.select("doc_id", "lang"), "doc_id").select(
+        "lang", F.col("quality_score").alias("q")
+    )
+    med = q.groupBy("lang").agg(F.median("q").alias("med"))
+    dev = q.join(F.broadcast(med), "lang").withColumn(
+        "adev", F.abs(F.col("q") - F.col("med"))
+    )
+    mad = dev.groupBy("lang").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.any_value("med"), 6).alias("med_quality"),
+            F.round(F.any_value("mad"), 6).alias("mad_quality"),
+            F.sum(
+                F.when(
+                    (F.col("mad") > 0)
+                    & (F.abs(F.col("q") - F.col("med")) > 3 * F.col("mad")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "bar_gap_report",
+    f"""WITH {BARS},
+g AS (SELECT symbol, bar_ts,
+        CAST(epoch(bar_ts) AS BIGINT) AS es,
+        CAST(epoch(bar_ts) - epoch(lag(bar_ts) OVER ({_W_BAR})) AS BIGINT)
+          AS gap_s
+      FROM bars)
+SELECT symbol,
+  CAST(count(*) AS BIGINT) AS n_bars,
+  CAST((max(es) - min(es)) / 3600 + 1 AS BIGINT) AS n_expected,
+  CAST((max(es) - min(es)) / 3600 + 1 - count(*) AS BIGINT) AS n_missing,
+  CAST(coalesce(max(gap_s) / 3600 - 1, 0) AS BIGINT) AS longest_gap_hours
+FROM g GROUP BY symbol""",
+)
+def q_bar_gap_report(spark, sf_dir):
+    """Continuity report for the hourly bar series — expected vs
+    actual bar counts and the longest hole, the hourly analogue of the
+    reference's continuity check (fetch_and_store.py:285-294) and the
+    diagnosis side of calendar_fill's repair. Pure integer epoch
+    arithmetic; one window lag plus one keyed aggregate."""
+    b = _bars(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    g = b.select(
+        "symbol",
+        F.unix_timestamp("bar_ts").alias("es"),
+        (F.unix_timestamp("bar_ts") - F.unix_timestamp(F.lag("bar_ts").over(w))).alias("gap_s"),
+    )
+    return g.groupBy("symbol").agg(
+        F.count("*").cast("long").alias("n_bars"),
+        ((F.max("es") - F.min("es")) / 3600 + 1).cast("long").alias("n_expected"),
+        ((F.max("es") - F.min("es")) / 3600 + 1 - F.count("*")).cast("long").alias("n_missing"),
+        F.coalesce(F.max("gap_s") / 3600 - 1, F.lit(0)).cast("long").alias("longest_gap_hours"),
+    )

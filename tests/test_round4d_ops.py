@@ -123,3 +123,68 @@ def test_variance_ratio_of_deterministic_trend_exceeds_one(spark):
     ).collect()[0]
     assert v.v1 > 0.4
     assert math.isclose(v.v2, 0.0, abs_tol=1e-12)
+
+
+def test_audio_silence_runs_counts_islands(spark):
+    """A clip whose probe bytes are all NULs is one wall-to-wall silent
+    run; a clip of 0xFF-ish bytes has zero runs but stays in the
+    report."""
+    from finance_data_pipeline_spark.extensions import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [
+            (1, "\x00" * 64, 64),   # doc_id % 3 == 1 -> audio; zero bytes
+            (4, "\x7f" * 64, 64),   # 0x7f**2 * 8 = 129032 < 130000 -> silent
+            (7, "zzzzzzzz" * 8, 64),  # 'z'=0x7a -> 122**2*8 = 119072 silent too
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    media = mm.synthetic_media(docs)
+    out = {r.media_id: r for r in mm.audio_silence_runs(media).collect()}
+    # duration_ms = 1000 + (64*7)%5000 = 1448 -> 1448//250 = 5 frames
+    assert out[1].n_runs == 1
+    assert out[1].n_silent_frames == 5
+    assert out[1].longest_run == 5
+    assert out[1].first_run_start == 0
+
+
+def test_audio_silence_runs_loud_clip_reports_zero(spark):
+    from finance_data_pipeline_spark.extensions import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "ÿ" * 64, 64)], "doc_id long, text string, n_chars long"
+    )
+    # NB: utf-8 encodes U+00FF as two bytes 0xC3 0xBF -> energy
+    # = 8 probes of alternating 0xC3/0xBF squares, far above threshold.
+    out = mm.audio_silence_runs(mm.synthetic_media(docs)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_runs, r.n_silent_frames, r.longest_run) == (0, 0, 0)
+    assert r.first_run_start is None
+
+
+def test_bar_gap_report_detects_single_hole(spark):
+    import datetime as dt
+
+    rows = [
+        ("A", dt.datetime(2024, 1, 1, h), 1.0, 1.0, 1.0, 1.0, 1)
+        for h in (0, 1, 3, 4)  # hour 2 missing
+    ]
+    b = spark.createDataFrame(
+        rows,
+        "symbol string, bar_ts timestamp, open double, high double, low double, close double, volume long",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    g = b.select(
+        "symbol",
+        F.unix_timestamp("bar_ts").alias("es"),
+        (F.unix_timestamp("bar_ts") - F.unix_timestamp(F.lag("bar_ts").over(w))).alias("gap_s"),
+    )
+    r = g.groupBy("symbol").agg(
+        F.count("*").alias("n_bars"),
+        ((F.max("es") - F.min("es")) / 3600 + 1).cast("long").alias("n_expected"),
+        (F.max("gap_s") / 3600 - 1).cast("long").alias("longest_gap_hours"),
+    ).collect()[0]
+    assert (r.n_bars, r.n_expected, r.longest_gap_hours) == (4, 5, 1)
