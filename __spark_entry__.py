@@ -144,6 +144,7 @@ _PRIORITY = [
     "dedup_stage_funnel", "streaming_topk_hitters",
     "media_silence_runs", "cooccurrence_pmi", "mutual_info_lang_source",
     "robust_quality_by_lang", "bar_gap_report",
+    "volume_weighted_median", "part_name_matching",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -10885,3 +10885,96 @@ def q_bar_gap_report(spark, sf_dir):
         ((F.max("es") - F.min("es")) / 3600 + 1 - F.count("*")).cast("long").alias("n_missing"),
         F.coalesce(F.max("gap_s") / 3600 - 1, F.lit(0)).cast("long").alias("longest_gap_hours"),
     )
+
+
+# =========================================================================
+# round 4 (batch 4) — volume-weighted median, entity-resolution fuzzy
+# match (blocked levenshtein).
+# =========================================================================
+
+
+@query(
+    "volume_weighted_median",
+    f"""WITH {BARS},
+c AS (SELECT symbol, close, volume,
+        sum(volume) OVER (PARTITION BY symbol ORDER BY close, bar_ts
+                          ROWS UNBOUNDED PRECEDING) AS cumv,
+        sum(volume) OVER (PARTITION BY symbol) AS totv
+      FROM bars)
+SELECT symbol,
+  round(min(close), 6) AS vw_median_close,
+  CAST(any_value(totv) AS BIGINT) AS total_volume
+FROM c WHERE cumv * 2 >= totv
+GROUP BY symbol""",
+)
+def q_volume_weighted_median(spark, sf_dir):
+    """Volume-weighted median price per symbol — the 50%-of-volume
+    price level (the robust VWAP twin: where half the traded volume
+    sat at or below). Integer volume cumsums make the threshold test
+    exact; one per-symbol sort, one aggregate."""
+    b = _bars(spark, sf_dir)
+    wc = Window.partitionBy("symbol").orderBy("close", "bar_ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("symbol")
+    c = b.select(
+        "symbol", "close",
+        F.sum("volume").over(wc).alias("cumv"),
+        F.sum("volume").over(wt).alias("totv"),
+    )
+    return (
+        c.filter(F.col("cumv") * 2 >= F.col("totv"))
+        .groupBy("symbol")
+        .agg(
+            F.round(F.min("close"), 6).alias("vw_median_close"),
+            F.any_value("totv").cast("long").alias("total_volume"),
+        )
+    )
+
+
+@query(
+    "part_name_matching",
+    """WITH names AS (
+  SELECT p_name, CAST(min(p_partkey) AS BIGINT) AS rep_key,
+         CAST(count(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY p_name),
+blocked AS (
+  SELECT p_name, rep_key, n_parts,
+         list_extract(regexp_split_to_array(p_name, ' '), -1) AS block
+  FROM names)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+  a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM blocked a JOIN blocked b
+  ON a.block = b.block AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3""",
+)
+def q_part_name_matching(spark, sf_dir):
+    """Entity resolution over product names: blocking (shared head
+    noun) + edit-distance verify (levenshtein ≤ 3) — the classic
+    two-stage fuzzy-match shape. The block key bounds every
+    comparison set by the adjective vocabulary, so the self-join is
+    never all-pairs — the same candidate-then-verify discipline as
+    the MinHash dedup family, with distances exact integers in both
+    engines."""
+    p = table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(
+        F.min("p_partkey").cast("long").alias("rep_key"),
+        F.count("*").cast("long").alias("n_parts"),
+    )
+    blocked = names.withColumn(
+        "block", F.element_at(F.split("p_name", " "), -1)
+    )
+    a = blocked.select(
+        F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_parts_a"), "block"
+    )
+    b = blocked.select(
+        F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_parts_b"), "block"
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("name_a", "name_b", "edit_dist", "n_parts_a", "n_parts_b")
+    )
