@@ -145,6 +145,7 @@ _PRIORITY = [
     "media_silence_runs", "cooccurrence_pmi", "mutual_info_lang_source",
     "robust_quality_by_lang", "bar_gap_report",
     "volume_weighted_median", "part_name_matching",
+    "liquidity_measures", "fama_macbeth", "calendar_interpolate",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

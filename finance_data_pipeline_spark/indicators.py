@@ -591,3 +591,62 @@ def with_ichimoku(df: DataFrame, time_col: str = "bar_ts") -> DataFrame:
             "chikou": F.lead("close", 26).over(w),
         }
     ).drop("_mid52")
+
+
+def calendar_interpolate(stocks: DataFrame, time_col: str = "date") -> DataFrame:
+    """calendar_fill's linear-interpolation twin: the densified daily
+    calendar with gap closes interpolated between the bracketing
+    observations (time-weighted), not just carried forward — the
+    repair an indicator pass wants when gaps are long enough that LOCF
+    biases returns.
+
+    Same scale shape as calendar_fill: per-symbol sequence() fan-out
+    bounded by the trading span, one (symbol) shuffle shared by the
+    join and all four IGNORE NULLS windows. The span boundaries are
+    observed rows, so the edge guards never fire on real data but keep
+    degenerate inputs defined.
+    """
+    span = stocks.groupBy("symbol").agg(
+        F.min(time_col).alias("_d0"), F.max(time_col).alias("_d1")
+    )
+    days = span.select(
+        "symbol", F.explode(F.sequence("_d0", "_d1")).alias(time_col)
+    )
+    j = days.join(
+        stocks.select("symbol", time_col, "close"), ["symbol", time_col], "left"
+    )
+    w_prev = (
+        Window.partitionBy("symbol")
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("symbol")
+        .orderBy(time_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_date = F.when(F.col("close").isNotNull(), F.col(time_col))
+    base = j.select(
+        "symbol",
+        F.col(time_col),
+        "close",
+        F.last("close", ignorenulls=True).over(w_prev).alias("_pc"),
+        F.last(known_date, ignorenulls=True).over(w_prev).alias("_pd"),
+        F.first("close", ignorenulls=True).over(w_next).alias("_nc"),
+        F.first(known_date, ignorenulls=True).over(w_next).alias("_nd"),
+    )
+    frac = F.datediff(F.col(time_col), F.col("_pd")).cast("double") / F.datediff(
+        "_nd", "_pd"
+    )
+    interp = (
+        F.when(F.col("close").isNotNull(), F.col("close"))
+        .when(F.col("_pc").isNull(), F.col("_nc"))
+        .when(F.col("_nc").isNull(), F.col("_pc"))
+        .otherwise(F.col("_pc") + (F.col("_nc") - F.col("_pc")) * frac)
+    )
+    return base.select(
+        "symbol",
+        F.col(time_col),
+        F.col("close").isNull().alias("is_filled"),
+        interp.alias("close_interp"),
+    )

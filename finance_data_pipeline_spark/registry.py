@@ -10978,3 +10978,193 @@ def q_part_name_matching(spark, sf_dir):
         .filter(F.col("edit_dist") <= 3)
         .select("name_a", "name_b", "edit_dist", "n_parts_a", "n_parts_b")
     )
+
+
+# =========================================================================
+# round 4 (batch 5) — liquidity microstructure, Fama-MacBeth two-pass
+# regression, linear calendar interpolation.
+# =========================================================================
+
+
+@query(
+    "liquidity_measures",
+    f"""WITH {BARS},
+r AS (SELECT symbol, bar_ts, close, volume,
+        close / lag(close) OVER ({_W_BAR}) - 1.0 AS ret,
+        close - lag(close) OVER ({_W_BAR}) AS dp
+      FROM bars),
+r2 AS (SELECT symbol, ret, close, volume, dp,
+         lead(dp) OVER ({_W_BAR}) AS dpn
+       FROM r),
+s AS (SELECT symbol,
+        CAST(count(ret) AS BIGINT) AS n_rets,
+        CAST(sum(CAST(abs(ret) / (close * volume) AS DECIMAL(28,16)))
+          AS DOUBLE) AS amix,
+        CAST(count(CASE WHEN dp IS NOT NULL AND dpn IS NOT NULL THEN 1 END)
+          AS BIGINT) AS nc,
+        CAST(sum(CASE WHEN dp IS NOT NULL AND dpn IS NOT NULL
+                 THEN CAST(dp AS DECIMAL(28,14)) ELSE 0 END) AS DOUBLE) AS sx,
+        CAST(sum(CASE WHEN dp IS NOT NULL AND dpn IS NOT NULL
+                 THEN CAST(dpn AS DECIMAL(28,14)) ELSE 0 END) AS DOUBLE) AS sy,
+        CAST(sum(CASE WHEN dp IS NOT NULL AND dpn IS NOT NULL
+                 THEN CAST(dp * dpn AS DECIMAL(28,14)) ELSE 0 END) AS DOUBLE)
+          AS sxy
+      FROM r2 GROUP BY symbol),
+c AS (SELECT symbol, n_rets, amix, nc,
+        (sxy - sx * sy / nc) / (nc - 1) AS cv
+      FROM s)
+SELECT symbol, n_rets,
+  round(1e6 * amix / n_rets, 8) AS amihud_illiq,
+  round(CASE WHEN cv < 0 THEN 2.0 * sqrt(-cv) END, 6) AS roll_spread
+FROM c""",
+)
+def q_liquidity_measures(spark, sf_dir):
+    """Liquidity microstructure per symbol: Amihud (2002) illiquidity
+    (mean |return| per dollar volume, ×1e6) and the Roll (1984)
+    implied spread (2·√−cov of consecutive price changes; null when
+    the autocovariance is non-negative, as published). Both assembled
+    from DECIMAL-cast sums so the keyed aggregate is order-independent
+    and hash-exact."""
+    b = _bars(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    r = b.select(
+        "symbol", "bar_ts", "close", "volume",
+        (F.col("close") / F.lag("close").over(w) - 1.0).alias("ret"),
+        (F.col("close") - F.lag("close").over(w)).alias("dp"),
+    ).withColumn("dpn", F.lead("dp").over(w))
+    both = F.col("dp").isNotNull() & F.col("dpn").isNotNull()
+    s = r.groupBy("symbol").agg(
+        F.count("ret").cast("long").alias("n_rets"),
+        F.sum(
+            (F.abs(F.col("ret")) / (F.col("close") * F.col("volume"))).cast("decimal(28,16)")
+        ).cast("double").alias("amix"),
+        F.count(F.when(both, 1)).cast("long").alias("nc"),
+        F.sum(F.when(both, F.col("dp").cast("decimal(28,14)")).otherwise(F.lit(0).cast("decimal(28,14)"))).cast("double").alias("sx"),
+        F.sum(F.when(both, F.col("dpn").cast("decimal(28,14)")).otherwise(F.lit(0).cast("decimal(28,14)"))).cast("double").alias("sy"),
+        F.sum(F.when(both, (F.col("dp") * F.col("dpn")).cast("decimal(28,14)")).otherwise(F.lit(0).cast("decimal(28,14)"))).cast("double").alias("sxy"),
+    )
+    cv = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("nc")) / (F.col("nc") - 1)
+    return s.select(
+        "symbol", "n_rets",
+        F.round(F.lit(1e6) * F.col("amix") / F.col("n_rets"), 8).alias("amihud_illiq"),
+        F.round(F.when(cv < 0, 2.0 * F.sqrt(-cv)), 6).alias("roll_spread"),
+    )
+
+
+@query(
+    "fama_macbeth",
+    f"""WITH {BARS},
+r AS (SELECT symbol, bar_ts,
+        close / lag(close) OVER ({_W_BAR}) - 1.0 AS ret,
+        CAST(volume AS DOUBLE) / 1000 AS x
+      FROM bars),
+cs AS (SELECT bar_ts,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS DECIMAL(28,14))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(ret AS DECIMAL(28,14))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * ret AS DECIMAL(28,14))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(x * x AS DECIMAL(28,14))) AS DOUBLE) AS sxx
+       FROM r WHERE ret IS NOT NULL GROUP BY bar_ts HAVING count(*) >= 3),
+g AS (SELECT bar_ts,
+        (sxy - sx * sy / n) / nullif(sxx - sx * sx / n, 0.0) AS gamma
+      FROM cs),
+t AS (SELECT CAST(count(gamma) AS BIGINT) AS t_periods,
+        CAST(sum(CAST(gamma AS DECIMAL(28,14))) AS DOUBLE) AS sg,
+        CAST(sum(CAST(gamma * gamma AS DECIMAL(28,14))) AS DOUBLE) AS sgg
+      FROM g WHERE gamma IS NOT NULL)
+SELECT t_periods,
+  round(sg / t_periods, 8) AS mean_gamma,
+  round((sg / t_periods)
+        / sqrt(((sgg - sg * sg / t_periods) / (t_periods - 1)) / t_periods),
+        4) AS t_stat
+FROM t""",
+)
+def q_fama_macbeth(spark, sf_dir):
+    """Fama-MacBeth (1973) two-pass regression: per-bar cross-sections
+    of return on the bar trade count give a slope series γ_t; the premium is
+    the time-series mean with its t-statistic. Both passes are keyed
+    aggregates over DECIMAL-cast power sums (no driver-side math, no
+    UDF) — the panel-regression shape at any width. The factor is the
+    INTEGER-valued trade count, so a zero-variance cross-section's
+    sxx − sx²/n is exactly 0 in both engines and nullif drops it —
+    a float factor there leaves a ±1-ulp decimal-rounding residual
+    whose reciprocal amplifies into engine-divergent garbage slopes."""
+    b = _bars(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    r = b.select(
+        "bar_ts",
+        (F.col("close") / F.lag("close").over(w) - 1.0).alias("ret"),
+        (F.col("volume").cast("double") / 1000).alias("x"),
+    ).filter(F.col("ret").isNotNull())
+    cs = (
+        r.groupBy("bar_ts")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("x").cast("decimal(28,14)")).cast("double").alias("sx"),
+            F.sum(F.col("ret").cast("decimal(28,14)")).cast("double").alias("sy"),
+            F.sum((F.col("x") * F.col("ret")).cast("decimal(28,14)")).cast("double").alias("sxy"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(28,14)")).cast("double").alias("sxx"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    gamma = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / F.nullif(
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"), F.lit(0.0)
+    )
+    g = cs.select(gamma.alias("gamma")).filter(F.col("gamma").isNotNull())
+    t = g.agg(
+        F.count("gamma").cast("long").alias("t_periods"),
+        F.sum(F.col("gamma").cast("decimal(28,14)")).cast("double").alias("sg"),
+        F.sum((F.col("gamma") * F.col("gamma")).cast("decimal(28,14)")).cast("double").alias("sgg"),
+    )
+    mean_g = F.col("sg") / F.col("t_periods")
+    se = F.sqrt(
+        ((F.col("sgg") - F.col("sg") * F.col("sg") / F.col("t_periods")) / (F.col("t_periods") - 1))
+        / F.col("t_periods")
+    )
+    return t.select(
+        "t_periods",
+        F.round(mean_g, 8).alias("mean_gamma"),
+        F.round(mean_g / se, 4).alias("t_stat"),
+    )
+
+
+@query(
+    "calendar_interpolate",
+    f"""WITH {STOCKS},
+span AS (SELECT symbol, min(date) AS d0, max(date) AS d1 FROM stocks GROUP BY symbol),
+days AS (SELECT symbol, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS date
+         FROM span),
+j AS (SELECT d.symbol, d.date, s.close
+      FROM days d LEFT JOIN stocks s ON s.symbol = d.symbol AND s.date = d.date),
+w AS (SELECT symbol, date, close,
+        last_value(close IGNORE NULLS) OVER wp AS pc,
+        last_value(CASE WHEN close IS NOT NULL THEN date END IGNORE NULLS)
+          OVER wp AS pd,
+        first_value(close IGNORE NULLS) OVER wn AS nc,
+        first_value(CASE WHEN close IS NOT NULL THEN date END IGNORE NULLS)
+          OVER wn AS nd
+      FROM j
+      WINDOW wp AS (PARTITION BY symbol ORDER BY date
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY symbol ORDER BY date
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT symbol, date, close IS NULL AS is_filled,
+  round(CASE WHEN close IS NOT NULL THEN close
+             WHEN pc IS NULL THEN nc
+             WHEN nc IS NULL THEN pc
+             ELSE pc + (nc - pc)
+                  * (CAST(date_diff('day', pd, date) AS DOUBLE)
+                     / date_diff('day', pd, nd)) END, 6) AS close_interp
+FROM w""",
+)
+def q_calendar_interpolate(spark, sf_dir):
+    """calendar_fill's linear-interpolation twin — densified daily
+    calendar with gap closes time-weighted between the bracketing
+    observations instead of carried forward. Same bounded sequence()
+    fan-out and single (symbol) shuffle; see
+    indicators.calendar_interpolate."""
+    out = indicators.calendar_interpolate(_stocks(spark, sf_dir), "date")
+    return out.select(
+        "symbol", "date", "is_filled",
+        F.round("close_interp", 6).alias("close_interp"),
+    )

@@ -188,3 +188,17 @@ def test_bar_gap_report_detects_single_hole(spark):
         (F.max("gap_s") / 3600 - 1).cast("long").alias("longest_gap_hours"),
     ).collect()[0]
     assert (r.n_bars, r.n_expected, r.longest_gap_hours) == (4, 5, 1)
+
+
+def test_calendar_interpolate_linear_gap_values(spark):
+    """A 3-day hole between closes 10 and 18 interpolates to 12/14/16."""
+    import datetime as dt
+
+    rows = [
+        ("A", dt.date(2024, 1, 1), 10.0),
+        ("A", dt.date(2024, 1, 5), 18.0),
+    ]
+    s = spark.createDataFrame(rows, "symbol string, date date, close double")
+    out = {r.date.day: r for r in ind.calendar_interpolate(s).collect()}
+    assert [out[d].close_interp for d in (1, 2, 3, 4, 5)] == [10.0, 12.0, 14.0, 16.0, 18.0]
+    assert [out[d].is_filled for d in (1, 2, 3, 4, 5)] == [False, True, True, True, False]
