@@ -146,6 +146,9 @@ _PRIORITY = [
     "robust_quality_by_lang", "bar_gap_report",
     "volume_weighted_median", "part_name_matching",
     "liquidity_measures", "fama_macbeth", "calendar_interpolate",
+    "adx_14", "aroon_25", "cmf_20", "range_volatility",
+    "risk_adjusted_perf", "acf_ljung_box", "cusum_break",
+    "theil_sen_trend", "engle_granger_coint",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -650,3 +650,137 @@ def calendar_interpolate(stocks: DataFrame, time_col: str = "date") -> DataFrame
         F.col("close").isNull().alias("is_filled"),
         interp.alias("close_interp"),
     )
+
+
+def with_adx(df: DataFrame, n: int = 14, time_col: str = "bar_ts") -> DataFrame:
+    """Average Directional Index, SMA-smoothed (Cutler-style) variant.
+
+    Directional movement classifies each bar's range expansion:
+    +DM = high − prev_high when that up-move exceeds the down-move
+    (prev_low − low) and is positive, else 0; −DM symmetrically. The
+    directional indicators normalize n-bar ΣDM by n-bar ΣTR, DX is the
+    scaled absolute DI spread, and ADX is the n-bar SMA of DX. Wilder's
+    original recursive smoothing is an EWM recurrence (the same reason
+    W3 routes through with_ema_macd); the SMA variant keeps every term
+    inside closed window algebra — like RSI (W8, Cutler) and ATR — so
+    the oracle is exact. One per-symbol sort feeds the lags, the n-bar
+    sums and the DX average: a single WindowExec chain, no extra
+    shuffle. Extends the reference's indicator menu
+    (fetch_and_store_multi.py:136-170's SMA/EMA/RSI family)."""
+    w = sym_window(time_col)
+    up = F.col("high") - F.lag("high").over(w)
+    dn = F.lag("low").over(w) - F.col("low")
+    base = df.withColumn(
+        "_pdm",
+        F.when(up.isNull() | dn.isNull(), F.lit(0.0))
+        .when((up > dn) & (up > 0), up)
+        .otherwise(F.lit(0.0)),
+    ).withColumn(
+        "_ndm",
+        F.when(up.isNull() | dn.isNull(), F.lit(0.0))
+        .when((dn > up) & (dn > 0), dn)
+        .otherwise(F.lit(0.0)),
+    ).withColumn("_tr", true_range(time_col))
+    wn = rolling(time_col, n)
+    tr_n = F.sum("_tr").over(wn)
+    pdi = 100.0 * F.sum("_pdm").over(wn) / F.nullif(tr_n, F.lit(0.0))
+    ndi = 100.0 * F.sum("_ndm").over(wn) / F.nullif(tr_n, F.lit(0.0))
+    di = base.withColumn("pdi", pdi).withColumn("ndi", ndi)
+    dx = 100.0 * F.abs(F.col("pdi") - F.col("ndi")) / F.nullif(
+        F.col("pdi") + F.col("ndi"), F.lit(0.0)
+    )
+    out = di.withColumn("_dx", dx).withColumn(
+        f"adx_{n}", F.avg("_dx").over(rolling(time_col, n))
+    )
+    return out.drop("_pdm", "_ndm", "_tr", "_dx")
+
+
+def aroon(n: int = 25, time_col: str = "bar_ts") -> dict[str, "Column"]:
+    """Aroon up/down: 100·(n − bars_since_extremum)/n over an n+1-bar
+    lookback. bars-since is recovered with the struct-max trick —
+    max(struct(value, row_number)) over the frame yields the row number
+    of the window maximum with last-wins tie-breaking, identical
+    lexicographic struct ordering in Spark and the DuckDB oracle
+    (max({'v': …, 'r': …}) OVER …) — no self-join, no collect, one
+    window pass. Warm-up rows (fewer than n+1 bars) are null."""
+    w = sym_window(time_col)
+    wn = w.rowsBetween(-n, 0)
+    rn = F.row_number().over(w)
+    hi_r = F.max(F.struct(F.col("high").alias("v"), rn.alias("r"))).over(wn)["r"]
+    lo_r = F.max(F.struct((-F.col("low")).alias("v"), rn.alias("r"))).over(wn)["r"]
+    full = rn >= n + 1
+    up = F.when(full, 100.0 * (n - (rn - hi_r)) / n)
+    down = F.when(full, 100.0 * (n - (rn - lo_r)) / n)
+    return {"aroon_up": up, "aroon_down": down, "aroon_osc": up - down}
+
+
+def with_cmf(df: DataFrame, n: int = 20, time_col: str = "bar_ts") -> DataFrame:
+    """Chaikin Money Flow: Σ(money-flow volume)/Σvolume over n bars,
+    where the money-flow multiplier locates the close inside the bar's
+    range ((close−low)−(high−close))/(high−low); flat bars contribute 0
+    (nullif-guarded in both engines). Volume sums are integer-exact;
+    the mfv sum is a windowed double (self-rounded at the query edge,
+    same policy as W1's sliding means)."""
+    mfm = ((F.col("close") - F.col("low")) - (F.col("high") - F.col("close"))) / F.nullif(
+        F.col("high") - F.col("low"), F.lit(0.0)
+    )
+    base = df.withColumn("_mfv", F.coalesce(mfm, F.lit(0.0)) * F.col("volume"))
+    wn = rolling(time_col, n)
+    out = base.withColumn(
+        f"cmf_{n}",
+        F.sum("_mfv").over(wn) / F.sum("volume").over(wn),
+    )
+    return out.drop("_mfv")
+
+
+def range_volatility(df: DataFrame, time_col: str = "bar_ts") -> DataFrame:
+    """Per-symbol range-based volatility estimators over the full
+    sample: close-to-close (the baseline), Parkinson (1980, high-low),
+    Garman-Klass (1980, OHLC) and Rogers-Satchell (1991, drift-free) —
+    each a closed-form function of per-bar log-range terms, so the
+    whole family is ONE map-side-combined aggregate per symbol after a
+    lag for the c2c return. Per-bar terms are identical IEEE math in
+    both engines; the cross-row sums go through DECIMAL(38,18) so the
+    result is summation-order exact (the registry's float-sum
+    discipline). At 100 TB this is a pure partial-aggregate scan —
+    no window state beyond the one lag, no data movement besides the
+    per-symbol combine."""
+    ln2 = 0.6931471805599453
+    w = sym_window(time_col)
+    r = F.log(F.col("close") / F.lag("close").over(w))
+    hl = F.log(F.col("high") / F.col("low"))
+    co = F.log(F.col("close") / F.col("open"))
+    rs_term = (
+        F.log(F.col("high") / F.col("close")) * F.log(F.col("high") / F.col("open"))
+        + F.log(F.col("low") / F.col("close")) * F.log(F.col("low") / F.col("open"))
+    )
+    base = df.select(
+        "symbol",
+        r.alias("_r"),
+        (hl * hl).alias("_hl2"),
+        (0.5 * hl * hl - (2.0 * ln2 - 1.0) * co * co).alias("_gk"),
+        rs_term.alias("_rs"),
+    )
+    dec = lambda c: F.sum(F.col(c).cast("decimal(38,18)")).cast("double")
+    stats = base.groupBy("symbol").agg(
+        F.count("_r").cast("long").alias("n_rets"),
+        F.count("_hl2").cast("long").alias("n_bars"),
+        dec("_r").alias("_sr"),
+        F.sum((F.col("_r") * F.col("_r")).cast("decimal(38,18)")).cast("double").alias("_srr"),
+        dec("_hl2").alias("_shl"),
+        dec("_gk").alias("_sgk"),
+        dec("_rs").alias("_srs"),
+    )
+    n_rets = F.nullif(F.col("n_rets"), F.lit(0)).cast("double")
+    n_bars = F.nullif(F.col("n_bars"), F.lit(0)).cast("double")
+    var_cc = (F.col("_srr") - F.col("_sr") * F.col("_sr") / n_rets) / F.nullif(
+        F.col("n_rets") - 1, F.lit(0)
+    )
+    return stats.select(
+        "symbol",
+        "n_bars",
+        F.sqrt(var_cc).alias("vol_cc"),
+        F.sqrt(F.col("_shl") / (4.0 * ln2 * n_bars)).alias("vol_parkinson"),
+        F.sqrt(F.col("_sgk") / n_bars).alias("vol_gk"),
+        F.sqrt(F.col("_srs") / n_bars).alias("vol_rs"),
+    )

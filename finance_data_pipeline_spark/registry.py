@@ -11168,3 +11168,556 @@ def q_calendar_interpolate(spark, sf_dir):
         "symbol", "date", "is_filled",
         F.round("close_interp", 6).alias("close_interp"),
     )
+
+
+_TR_ADX = """greatest(high - low,
+              abs(high - coalesce(lag(close) OVER ({w}), close)),
+              abs(low  - coalesce(lag(close) OVER ({w}), close)))"""
+
+
+@query(
+    "adx_14",
+    f"""WITH {BARS},
+dm AS (SELECT symbol, bar_ts, close,
+         CASE WHEN high - lag(high) OVER ({_W_BAR}) > lag(low) OVER ({_W_BAR}) - low
+               AND high - lag(high) OVER ({_W_BAR}) > 0
+              THEN high - lag(high) OVER ({_W_BAR}) ELSE 0.0 END AS pdm,
+         CASE WHEN lag(low) OVER ({_W_BAR}) - low > high - lag(high) OVER ({_W_BAR})
+               AND lag(low) OVER ({_W_BAR}) - low > 0
+              THEN lag(low) OVER ({_W_BAR}) - low ELSE 0.0 END AS ndm,
+         {_TR_ADX.format(w=_W_BAR)} AS tr
+       FROM bars),
+di AS (SELECT symbol, bar_ts, close,
+         100.0 * sum(pdm) OVER w14 / nullif(sum(tr) OVER w14, 0.0) AS pdi,
+         100.0 * sum(ndm) OVER w14 / nullif(sum(tr) OVER w14, 0.0) AS ndi
+       FROM dm
+       WINDOW w14 AS ({_W_BAR} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+dx AS (SELECT symbol, bar_ts, close, pdi, ndi,
+         100.0 * abs(pdi - ndi) / nullif(pdi + ndi, 0.0) AS dxv
+       FROM di)
+SELECT symbol, bar_ts, close,
+  round(pdi, 4) AS pdi, round(ndi, 4) AS ndi,
+  round(avg(dxv) OVER ({_W_BAR} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), 4)
+    AS adx_14
+FROM dx""",
+)
+def q_adx_14(spark, sf_dir):
+    """ADX (Cutler SMA variant) on the hourly bars: ±DM from the lag
+    envelope, DI normalized by the 14-bar TR sum, ADX = SMA_14(DX).
+    One per-symbol sort carries every lag, sum and average — see
+    indicators.with_adx for the recursion-vs-window-algebra note."""
+    out = indicators.with_adx(_bars(spark, sf_dir), 14, "bar_ts")
+    return out.select(
+        "symbol", "bar_ts", "close",
+        F.round("pdi", 4).alias("pdi"),
+        F.round("ndi", 4).alias("ndi"),
+        F.round("adx_14", 4).alias("adx_14"),
+    )
+
+
+@query(
+    "aroon_25",
+    f"""WITH {BARS},
+rn AS (SELECT symbol, bar_ts, close, high, low,
+         row_number() OVER ({_W_BAR}) AS r
+       FROM bars),
+m AS (SELECT symbol, bar_ts, close, r,
+        max({{'v': high, 'r': r}}) OVER w25 AS hi,
+        max({{'v': -low, 'r': r}}) OVER w25 AS lo
+      FROM rn
+      WINDOW w25 AS ({_W_BAR} ROWS BETWEEN 25 PRECEDING AND CURRENT ROW))
+SELECT symbol, bar_ts, close,
+  round(CASE WHEN r >= 26 THEN 100.0 * (25 - (r - hi.r)) / 25 END, 4) AS aroon_up,
+  round(CASE WHEN r >= 26 THEN 100.0 * (25 - (r - lo.r)) / 25 END, 4) AS aroon_down,
+  round(CASE WHEN r >= 26 THEN (100.0 * (25 - (r - hi.r)) / 25)
+                              - (100.0 * (25 - (r - lo.r)) / 25) END, 4) AS aroon_osc
+FROM m""",
+)
+def q_aroon_25(spark, sf_dir):
+    """Aroon(25) via the struct-max trick — the row number of the
+    window extremum comes out of ONE ordinary max() over the frame
+    (lexicographic struct ordering, last-wins ties, identical in both
+    engines), so bars-since-high needs no self-join and no collect.
+    See indicators.aroon."""
+    b = _bars(spark, sf_dir)
+    cols = indicators.aroon(25, "bar_ts")
+    return b.select(
+        "symbol", "bar_ts", "close",
+        F.round(cols["aroon_up"], 4).alias("aroon_up"),
+        F.round(cols["aroon_down"], 4).alias("aroon_down"),
+        F.round(cols["aroon_osc"], 4).alias("aroon_osc"),
+    )
+
+
+@query(
+    "cmf_20",
+    f"""WITH {BARS},
+m AS (SELECT symbol, bar_ts, close, volume,
+        coalesce(((close - low) - (high - close))
+                 / nullif(high - low, 0.0), 0.0) * volume AS mfv
+      FROM bars)
+SELECT symbol, bar_ts, close,
+  round(sum(mfv) OVER w20 / sum(volume) OVER w20, 6) AS cmf_20
+FROM m
+WINDOW w20 AS ({_W_BAR} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
+)
+def q_cmf_20(spark, sf_dir):
+    """Chaikin Money Flow(20): range-position-weighted volume share.
+    Integer volume sums are exact; the mfv sum is self-rounded at 6 dp
+    (windowed-double policy). See indicators.with_cmf."""
+    out = indicators.with_cmf(_bars(spark, sf_dir), 20, "bar_ts")
+    return out.select(
+        "symbol", "bar_ts", "close",
+        F.round("cmf_20", 6).alias("cmf_20"),
+    )
+
+
+@query(
+    "range_volatility",
+    f"""WITH {BARS},
+t AS (SELECT symbol,
+        ln(close / lag(close) OVER ({_W_BAR})) AS r,
+        ln(high / low) * ln(high / low) AS hl2,
+        0.5 * ln(high / low) * ln(high / low)
+          - (2.0 * ln(2) - 1.0) * ln(close / open) * ln(close / open) AS gk,
+        ln(high / close) * ln(high / open)
+          + ln(low / close) * ln(low / open) AS rs
+      FROM bars),
+s AS (SELECT symbol,
+        CAST(count(r) AS BIGINT) AS n_rets,
+        CAST(count(hl2) AS BIGINT) AS n_bars,
+        CAST(sum(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS sr,
+        CAST(sum(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS srr,
+        CAST(sum(CAST(hl2 AS DECIMAL(38,18))) AS DOUBLE) AS shl,
+        CAST(sum(CAST(gk AS DECIMAL(38,18))) AS DOUBLE) AS sgk,
+        CAST(sum(CAST(rs AS DECIMAL(38,18))) AS DOUBLE) AS srs
+      FROM t GROUP BY symbol)
+SELECT symbol, n_bars,
+  round(sqrt((srr - sr * sr / nullif(n_rets, 0)) / nullif(n_rets - 1, 0)), 8)
+    AS vol_cc,
+  round(sqrt(shl / (4.0 * ln(2) * nullif(n_bars, 0))), 8) AS vol_parkinson,
+  round(sqrt(sgk / nullif(n_bars, 0)), 8) AS vol_gk,
+  round(sqrt(srs / nullif(n_bars, 0)), 8) AS vol_rs
+FROM s
+ORDER BY symbol""",
+)
+def q_range_volatility(spark, sf_dir):
+    """Range-based volatility estimator panel (close-to-close,
+    Parkinson, Garman-Klass, Rogers-Satchell) per symbol — closed-form
+    sufficient statistics under the DECIMAL sum discipline, one
+    map-side-combined aggregate after the return lag. See
+    indicators.range_volatility."""
+    out = indicators.range_volatility(_bars(spark, sf_dir), "bar_ts")
+    return out.select(
+        "symbol", "n_bars",
+        F.round("vol_cc", 8).alias("vol_cc"),
+        F.round("vol_parkinson", 8).alias("vol_parkinson"),
+        F.round("vol_gk", 8).alias("vol_gk"),
+        F.round("vol_rs", 8).alias("vol_rs"),
+    ).orderBy("symbol")
+
+
+@query(
+    "risk_adjusted_perf",
+    f"""WITH {STOCKS},
+r AS (SELECT symbol, date, close,
+        close / lag(close) OVER ({_W_DATE}) - 1 AS ret,
+        max(close) OVER ({_W_DATE} ROWS UNBOUNDED PRECEDING) AS peak
+      FROM stocks),
+s AS (SELECT symbol,
+        CAST(count(ret) AS BIGINT) AS n_rets,
+        CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE) AS sr,
+        CAST(sum(CAST(ret * ret AS DECIMAL(38,18))) AS DOUBLE) AS srr,
+        CAST(sum(CAST(CASE WHEN ret < 0 THEN ret * ret ELSE 0.0 END
+                      AS DECIMAL(38,18))) AS DOUBLE) AS sdd,
+        min((close - peak) / peak) AS mdd,
+        CAST(sum(CAST(((close - peak) / peak) * ((close - peak) / peak)
+                      AS DECIMAL(38,18))) AS DOUBLE) AS sdd2,
+        CAST(count(*) AS BIGINT) AS n_days
+      FROM r GROUP BY symbol),
+m AS (SELECT symbol, n_rets, n_days, mdd,
+        sr / nullif(n_rets, 0) AS mu,
+        sqrt((srr - sr * sr / nullif(n_rets, 0)) / nullif(n_rets - 1, 0)) AS sigma,
+        sqrt(sdd / nullif(n_rets, 0)) AS dsigma,
+        sqrt(sdd2 / nullif(n_days, 0)) AS ulcer
+      FROM s)
+SELECT symbol, n_rets,
+  round(sqrt(252.0) * mu / nullif(sigma, 0.0), 6) AS sharpe,
+  round(sqrt(252.0) * mu / nullif(dsigma, 0.0), 6) AS sortino,
+  round(252.0 * mu / nullif(-mdd, 0.0), 6) AS calmar,
+  round(mdd, 6) AS max_drawdown,
+  round(ulcer, 6) AS ulcer_index
+FROM m
+ORDER BY symbol""",
+)
+def q_risk_adjusted_perf(spark, sf_dir):
+    """Risk-adjusted performance panel per symbol — annualized Sharpe
+    (mean/std of daily returns, rf=0), Sortino (downside semi-deviation
+    denominator), Calmar (annualized mean over |max drawdown|) and the
+    Ulcer index (RMS drawdown). Everything reduces to DECIMAL-exact
+    sufficient statistics plus the running-peak window, so one ordered
+    window pass feeds ONE map-side-combined aggregate per symbol; the
+    closed-form ratios are identical IEEE math in both engines.
+    Extends the reference's perf summary (analyze_visualize.py:98-141)
+    with the risk denominators it plots but never computes."""
+    s = _stocks(spark, sf_dir)
+    wl = Window.partitionBy("symbol").orderBy("date")
+    wp = wl.rowsBetween(Window.unboundedPreceding, 0)
+    peak = F.max("close").over(wp)
+    r = s.select(
+        "symbol",
+        (F.col("close") / F.lag("close").over(wl) - 1).alias("ret"),
+        ((F.col("close") - peak) / peak).alias("dd"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")
+    st = r.groupBy("symbol").agg(
+        F.count("ret").cast("long").alias("n_rets"),
+        dec(F.col("ret")).alias("sr"),
+        dec(F.col("ret") * F.col("ret")).alias("srr"),
+        dec(
+            F.when(F.col("ret") < 0, F.col("ret") * F.col("ret")).otherwise(0.0)
+        ).alias("sdd"),
+        F.min("dd").alias("mdd"),
+        dec(F.col("dd") * F.col("dd")).alias("sdd2"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    n_rets = F.nullif(F.col("n_rets"), F.lit(0))
+    mu = F.col("sr") / n_rets
+    sigma = F.sqrt(
+        (F.col("srr") - F.col("sr") * F.col("sr") / n_rets)
+        / F.nullif(F.col("n_rets") - 1, F.lit(0))
+    )
+    dsigma = F.sqrt(F.col("sdd") / n_rets)
+    ulcer = F.sqrt(F.col("sdd2") / F.nullif(F.col("n_days"), F.lit(0)))
+    ann = F.sqrt(F.lit(252.0))
+    return st.select(
+        "symbol",
+        "n_rets",
+        F.round(ann * mu / F.nullif(sigma, F.lit(0.0)), 6).alias("sharpe"),
+        F.round(ann * mu / F.nullif(dsigma, F.lit(0.0)), 6).alias("sortino"),
+        F.round(252.0 * mu / F.nullif(-F.col("mdd"), F.lit(0.0)), 6).alias("calmar"),
+        F.round("mdd", 6).alias("max_drawdown"),
+        F.round(ulcer, 6).alias("ulcer_index"),
+    ).orderBy("symbol")
+
+
+@query(
+    "acf_ljung_box",
+    f"""WITH {STOCKS},
+r AS (SELECT symbol, date,
+        close / lag(close) OVER ({_W_DATE}) - 1 AS ret
+      FROM stocks),
+mu AS (SELECT symbol,
+         CAST(count(ret) AS BIGINT) AS n,
+         CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE)
+           / nullif(count(ret), 0) AS m
+       FROM r GROUP BY symbol),
+d AS (SELECT r.symbol, date, ret - m AS x, n
+      FROM r JOIN mu ON r.symbol = mu.symbol WHERE ret IS NOT NULL),
+l AS (SELECT symbol, n, x,
+        lag(x, 1) OVER w AS x1, lag(x, 2) OVER w AS x2,
+        lag(x, 3) OVER w AS x3
+      FROM d WINDOW w AS (PARTITION BY symbol ORDER BY date)),
+s AS (SELECT symbol, any_value(n) AS n,
+        CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS c0,
+        CAST(sum(CAST(x * x1 AS DECIMAL(38,18))) AS DOUBLE) AS c1,
+        CAST(sum(CAST(x * x2 AS DECIMAL(38,18))) AS DOUBLE) AS c2,
+        CAST(sum(CAST(x * x3 AS DECIMAL(38,18))) AS DOUBLE) AS c3
+      FROM l GROUP BY symbol)
+SELECT symbol, n,
+  round(c1 / nullif(c0, 0.0), 6) AS rho_1,
+  round(c2 / nullif(c0, 0.0), 6) AS rho_2,
+  round(c3 / nullif(c0, 0.0), 6) AS rho_3,
+  round(n * (n + 2.0) * (
+      (c1 / nullif(c0, 0.0)) * (c1 / nullif(c0, 0.0)) / (n - 1)
+    + (c2 / nullif(c0, 0.0)) * (c2 / nullif(c0, 0.0)) / (n - 2)
+    + (c3 / nullif(c0, 0.0)) * (c3 / nullif(c0, 0.0)) / (n - 3)), 6)
+    AS ljung_box_q3
+FROM s
+ORDER BY symbol""",
+)
+def q_acf_ljung_box(spark, sf_dir):
+    """Return autocorrelation at lags 1-3 plus the Ljung-Box Q(3)
+    portmanteau statistic per symbol — the standard serial-correlation
+    diagnostic. Demeaned cross-products are DECIMAL-exact sufficient
+    statistics over lagged pairs (one window for the three lags, one
+    mean join, one final aggregate); ρ_k = c_k/c_0 and Q = n(n+2)Σρ_k²
+    /(n−k) are closed-form identical IEEE math in both engines. The
+    mean join broadcasts (≤ one row per symbol)."""
+    s = _stocks(spark, sf_dir)
+    wl = Window.partitionBy("symbol").orderBy("date")
+    r = s.select(
+        "symbol", "date",
+        (F.col("close") / F.lag("close").over(wl) - 1).alias("ret"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")
+    mu = r.groupBy("symbol").agg(
+        F.count("ret").cast("long").alias("n"),
+        (dec(F.col("ret")) / F.nullif(F.count("ret"), F.lit(0))).alias("m"),
+    )
+    d = (
+        r.join(F.broadcast(mu), "symbol")
+        .filter(F.col("ret").isNotNull())
+        .select("symbol", "date", "n", (F.col("ret") - F.col("m")).alias("x"))
+    )
+    l = d.select(
+        "symbol", "n", "x",
+        F.lag("x", 1).over(wl).alias("x1"),
+        F.lag("x", 2).over(wl).alias("x2"),
+        F.lag("x", 3).over(wl).alias("x3"),
+    )
+    st = l.groupBy("symbol").agg(
+        F.any_value(F.col("n")).alias("n"),
+        dec(F.col("x") * F.col("x")).alias("c0"),
+        dec(F.col("x") * F.col("x1")).alias("c1"),
+        dec(F.col("x") * F.col("x2")).alias("c2"),
+        dec(F.col("x") * F.col("x3")).alias("c3"),
+    )
+    c0 = F.nullif(F.col("c0"), F.lit(0.0))
+    rho = lambda k: F.col(f"c{k}") / c0
+    n = F.col("n")
+    q = n * (n + 2.0) * sum(
+        rho(k) * rho(k) / (n - k) for k in (1, 2, 3)
+    )
+    return st.select(
+        "symbol", "n",
+        F.round(rho(1), 6).alias("rho_1"),
+        F.round(rho(2), 6).alias("rho_2"),
+        F.round(rho(3), 6).alias("rho_3"),
+        F.round(q, 6).alias("ljung_box_q3"),
+    ).orderBy("symbol")
+
+
+@query(
+    "cusum_break",
+    f"""WITH {STOCKS},
+r AS (SELECT symbol, date,
+        close / lag(close) OVER ({_W_DATE}) - 1 AS ret
+      FROM stocks),
+mu AS (SELECT symbol,
+         CAST(count(ret) AS BIGINT) AS n,
+         CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE)
+           / nullif(count(ret), 0) AS m,
+         sqrt((CAST(sum(CAST(ret * ret AS DECIMAL(38,18))) AS DOUBLE)
+               - CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE)
+                 * CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE)
+                 / nullif(count(ret), 0))
+              / nullif(count(ret) - 1, 0)) AS sd
+       FROM r GROUP BY symbol),
+c AS (SELECT r.symbol, date, n,
+        sum((ret - m) / nullif(sd, 0.0))
+          OVER (PARTITION BY r.symbol ORDER BY date
+                ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM r JOIN mu ON r.symbol = mu.symbol WHERE ret IS NOT NULL),
+x AS (SELECT symbol, any_value(n) AS n,
+        max(abs(cusum) / sqrt(n)) AS stat,
+        max({{'a': abs(cusum), 'd': date}}) AS mx
+      FROM c GROUP BY symbol)
+SELECT symbol, n,
+  round(stat, 6) AS cusum_stat,
+  mx.d AS break_date,
+  stat > 1.358 AS is_break
+FROM x
+ORDER BY symbol""",
+)
+def q_cusum_break(spark, sf_dir):
+    """CUSUM structural-break scan per symbol (Brown-Durbin-Evans
+    shape): the running sum of standardized demeaned returns, scaled by
+    √n; its max |value| against the 5% Kolmogorov band (1.358) flags a
+    mean shift, and the argmax date locates the break candidate. The
+    running sum is one ordered window; everything before it is the same
+    DECIMAL sufficient-statistic discipline as W23. The break-date
+    argmax ties deterministically to the LATER date via the struct-max
+    trick (identical lexicographic ordering in DuckDB's arg_max-over-
+    struct formulation)."""
+    s = _stocks(spark, sf_dir)
+    wl = Window.partitionBy("symbol").orderBy("date")
+    r = s.select(
+        "symbol", "date",
+        (F.col("close") / F.lag("close").over(wl) - 1).alias("ret"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")
+    nn = F.nullif(F.count("ret"), F.lit(0))
+    mu = r.groupBy("symbol").agg(
+        F.count("ret").cast("long").alias("n"),
+        (dec(F.col("ret")) / nn).alias("m"),
+        F.sqrt(
+            (dec(F.col("ret") * F.col("ret")) - dec(F.col("ret")) * dec(F.col("ret")) / nn)
+            / F.nullif(F.count("ret") - 1, F.lit(0))
+        ).alias("sd"),
+    )
+    wc = wl.rowsBetween(Window.unboundedPreceding, 0)
+    c = (
+        r.join(F.broadcast(mu), "symbol")
+        .filter(F.col("ret").isNotNull())
+        .select(
+            "symbol", "date", "n",
+            F.sum(
+                (F.col("ret") - F.col("m")) / F.nullif(F.col("sd"), F.lit(0.0))
+            ).over(wc).alias("cusum"),
+        )
+    )
+    x = c.groupBy("symbol").agg(
+        F.any_value(F.col("n")).alias("n"),
+        F.max(F.abs(F.col("cusum")) / F.sqrt(F.col("n"))).alias("stat"),
+        F.max(
+            F.struct(F.abs(F.col("cusum")).alias("a"), F.col("date").alias("d"))
+        )["d"].alias("break_date"),
+    )
+    return x.select(
+        "symbol", "n",
+        F.round("stat", 6).alias("cusum_stat"),
+        "break_date",
+        (F.col("stat") > 1.358).alias("is_break"),
+    ).orderBy("symbol")
+
+
+@query(
+    "theil_sen_trend",
+    f"""WITH {STOCKS},
+p AS (SELECT a.symbol,
+        (b.close - a.close) / date_diff('day', a.date, b.date) AS slope
+      FROM stocks a JOIN stocks b
+        ON a.symbol = b.symbol AND a.date < b.date),
+m AS (SELECT symbol,
+        CAST(count(*) AS BIGINT) AS n_pairs,
+        median(slope) AS ts_slope
+      FROM p GROUP BY symbol)
+SELECT symbol, n_pairs, round(ts_slope, 6) AS ts_slope
+FROM m ORDER BY symbol""",
+)
+def q_theil_sen_trend(spark, sf_dir):
+    """Theil-Sen robust trend per symbol: the MEDIAN of all pairwise
+    close-vs-time slopes — insensitive to outlier bars that wreck OLS.
+    The pair fan-out is a per-symbol self-join bounded by the bar count
+    squared (~30 daily bars → ≤435 pairs per symbol, a documented
+    constant per key — the same bounded-key discipline as
+    event_type_affinity); at 100 TB the join co-partitions on symbol
+    and never crosses keys. Both engines compute the exact interpolated
+    median (Spark median == DuckDB median = quantile_cont 0.5)."""
+    s = _stocks(spark, sf_dir).select("symbol", "date", "close")
+    a = s.alias("a")
+    b = s.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.symbol") == F.col("b.symbol")) & (F.col("a.date") < F.col("b.date")),
+    ).select(
+        F.col("a.symbol").alias("symbol"),
+        (
+            (F.col("b.close") - F.col("a.close"))
+            / F.datediff(F.col("b.date"), F.col("a.date"))
+        ).alias("slope"),
+    )
+    return (
+        p.groupBy("symbol")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.median("slope"), 6).alias("ts_slope"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "engle_granger_coint",
+    f"""WITH {STOCKS},
+px AS (SELECT y.date, y.close AS y, x.close AS x
+       FROM (SELECT date, close FROM stocks WHERE symbol = 'S1') y
+       JOIN (SELECT date, close FROM stocks WHERE symbol = 'S2') x
+         ON y.date = x.date),
+ols AS (SELECT
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+          CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+        FROM px),
+fit AS (SELECT n,
+          (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0) AS beta,
+          (sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0) * sx) / n
+            AS alpha
+        FROM ols),
+e AS (SELECT date, y - alpha - beta * x AS resid
+      FROM px CROSS JOIN fit),
+d AS (SELECT resid - lag(resid) OVER (ORDER BY date) AS dy,
+             lag(resid) OVER (ORDER BY date) AS ylag
+      FROM e),
+adf AS (SELECT
+          CAST(count(dy) AS BIGINT) AS m,
+          CAST(sum(CAST(ylag * dy AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+          CAST(sum(CAST(ylag * ylag AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+          CAST(sum(CAST(dy * dy AS DECIMAL(38,18))) AS DOUBLE) AS syy
+        FROM d WHERE dy IS NOT NULL)
+SELECT f.n AS n_obs,
+  round(f.beta, 6) AS hedge_beta,
+  round(f.alpha, 6) AS hedge_alpha,
+  round(a.sxy / nullif(a.sxx, 0.0), 6) AS adf_gamma,
+  round((a.sxy / nullif(a.sxx, 0.0))
+        / nullif(sqrt(((a.syy - a.sxy * a.sxy / nullif(a.sxx, 0.0))
+                       / nullif(a.m - 1, 0)) / nullif(a.sxx, 0.0)), 0.0), 4)
+    AS adf_t,
+  (a.sxy / nullif(a.sxx, 0.0))
+    / nullif(sqrt(((a.syy - a.sxy * a.sxy / nullif(a.sxx, 0.0))
+                   / nullif(a.m - 1, 0)) / nullif(a.sxx, 0.0)), 0.0) < -3.34
+    AS is_cointegrated
+FROM fit f CROSS JOIN adf a""",
+)
+def q_engle_granger_coint(spark, sf_dir):
+    """Engle-Granger two-step cointegration test on the S1/S2 close
+    pair: (1) OLS hedge ratio in closed form from DECIMAL-exact
+    sufficient statistics (the W23 discipline), (2) a no-lag
+    Dickey-Fuller regression Δe_t = γ·e_{t-1} on the residual series
+    with its t-statistic against the −3.34 Engle-Granger 5% critical
+    value. Two scalar aggregates and one ordered window over a
+    single-symbol frame — the 1×1 fit rows broadcast into the residual
+    projection, so nothing large ever moves."""
+    s = _stocks(spark, sf_dir)
+    y = s.filter(F.col("symbol") == "S1").select("date", F.col("close").alias("y"))
+    x = s.filter(F.col("symbol") == "S2").select("date", F.col("close").alias("x"))
+    px = y.join(x, "date")
+    dec = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")
+    ols = px.agg(
+        F.count("*").cast("long").alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+    )
+    fit = ols.select(
+        "n", beta.alias("beta"),
+        ((F.col("sy") - beta * F.col("sx")) / F.col("n")).alias("alpha"),
+    )
+    e = px.crossJoin(F.broadcast(fit)).select(
+        "date", "n", "beta", "alpha",
+        (F.col("y") - F.col("alpha") - F.col("beta") * F.col("x")).alias("resid"),
+    )
+    wo = Window.orderBy("date")
+    d = e.select(
+        "n", "beta", "alpha",
+        (F.col("resid") - F.lag("resid").over(wo)).alias("dy"),
+        F.lag("resid").over(wo).alias("ylag"),
+    ).filter(F.col("dy").isNotNull())
+    adf = d.groupBy("n", "beta", "alpha").agg(
+        F.count("dy").cast("long").alias("m"),
+        dec(F.col("ylag") * F.col("dy")).alias("axy"),
+        dec(F.col("ylag") * F.col("ylag")).alias("axx"),
+        dec(F.col("dy") * F.col("dy")).alias("ayy"),
+    )
+    gamma = F.col("axy") / F.nullif(F.col("axx"), F.lit(0.0))
+    se = F.sqrt(
+        ((F.col("ayy") - F.col("axy") * F.col("axy") / F.nullif(F.col("axx"), F.lit(0.0)))
+         / F.nullif(F.col("m") - 1, F.lit(0)))
+        / F.nullif(F.col("axx"), F.lit(0.0))
+    )
+    t = gamma / F.nullif(se, F.lit(0.0))
+    return adf.select(
+        F.col("n").alias("n_obs"),
+        F.round("beta", 6).alias("hedge_beta"),
+        F.round("alpha", 6).alias("hedge_alpha"),
+        F.round(gamma, 6).alias("adf_gamma"),
+        F.round(t, 4).alias("adf_t"),
+        (t < -3.34).alias("is_cointegrated"),
+    )
