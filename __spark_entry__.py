@@ -149,6 +149,8 @@ _PRIORITY = [
     "adx_14", "aroon_25", "cmf_20", "range_volatility",
     "risk_adjusted_perf", "acf_ljung_box", "cusum_break",
     "theil_sen_trend", "engle_granger_coint",
+    "time_decay_attribution", "hour_seasonal_anomalies",
+    "trigram_backoff_logprob",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

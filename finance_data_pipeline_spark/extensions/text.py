@@ -1345,3 +1345,106 @@ def doc_novelty(
             1.0 - F.col("n_shared").cast("double") / F.col("n_shingles"), 6
         ).alias("novelty"),
     )
+
+
+def trigram_backoff_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Trigram LM quality score with STUPID BACKOFF (Brants et al.
+    2007, "Large Language Models in Machine Translation") — the
+    web-scale scoring rule that skips normalized smoothing entirely:
+
+        S(w3|w1w2) = c(w1w2w3)/c(w1w2·)          if the trigram is seen
+                   = 0.4 · S(w3|w2)              else
+        S(w3|w2)   = c(w2w3)/c(w2·)              if the bigram is seen
+                   = 0.4 · c(w3)/T               else
+
+    Token 1 scores by unigram, token 2 by the bigram rule. Brants'
+    point was exactly the 100 TB regime: backoff needs no discounting
+    pass over the count tables, so counts stream straight out of
+    map-side-combined groupBys.
+
+    Cross-engine exactness: every branch is a pure function of exact
+    integer counts, the 0.4 backoff factor is exactly representable,
+    the branch taken is decided by count existence (deterministic),
+    and the resulting double quantizes to micro-unit longs before the
+    per-doc fold (the bigram_logprob discipline). Tokens travel as
+    60-bit md5 hashes; n-gram keys are hash tuples, never raw text.
+
+    Scale: three count groupBys (tri/bi/uni), one broadcast total,
+    LEFT joins of the doc's trigram stream against the three count
+    tables, one per-doc fold. Linear in corpus tokens; no windows
+    beyond the per-doc position lags.
+    """
+    from finance_data_pipeline_spark.extensions.dedup import (
+        _spread,
+        md5_token_hash,
+        tokens,
+    )
+
+    toks = tokens(text_col)
+    base = _spread(docs.select(F.col(id_col).alias("_id"), F.col(text_col)))
+    stream = base.select(
+        "_id", F.posexplode(toks).alias("_p", "_w")
+    ).select("_id", "_p", md5_token_hash("_w").alias("_h"))
+    w = Window.partitionBy("_id").orderBy("_p")
+    trips = stream.select(
+        "_id",
+        "_p",
+        F.lag("_h", 2).over(w).alias("_h1"),
+        F.lag("_h", 1).over(w).alias("_h2"),
+        F.col("_h").alias("_h3"),
+    )
+    uni = stream.groupBy(F.col("_h").alias("_h3")).agg(F.count("*").alias("_cu"))
+    total = uni.agg(F.sum("_cu").alias("_t"))
+    bi = (
+        trips.filter(F.col("_h2").isNotNull())
+        .groupBy(F.col("_h2"), F.col("_h3"))
+        .agg(F.count("*").alias("_cb"))
+    )
+    bctx = bi.groupBy("_h2").agg(F.sum("_cb").alias("_cbc"))
+    tri = (
+        trips.filter(F.col("_h1").isNotNull())
+        .groupBy("_h1", "_h2", "_h3")
+        .agg(F.count("*").alias("_ct"))
+    )
+    tctx = tri.groupBy("_h1", "_h2").agg(F.sum("_ct").alias("_ctc"))
+    p_uni = F.col("_cu").cast("double") / F.col("_t").cast("double")
+    p_bi = F.col("_cb").cast("double") / F.col("_cbc").cast("double")
+    p_tri = F.col("_ct").cast("double") / F.col("_ctc").cast("double")
+    bi_backoff = F.when(F.col("_cb").isNotNull(), p_bi).otherwise(
+        F.lit(0.4) * p_uni
+    )
+    score = (
+        F.when(F.col("_h2").isNull(), p_uni)  # token 1
+        .when(F.col("_h1").isNull(), bi_backoff)  # token 2
+        .when(F.col("_ct").isNotNull(), p_tri)
+        .otherwise(F.lit(0.4) * bi_backoff)
+    )
+    scored = (
+        trips.join(uni, "_h3")
+        .crossJoin(F.broadcast(total))
+        .join(bi, ["_h2", "_h3"], "left")
+        .join(bctx, "_h2", "left")
+        .join(tri, ["_h1", "_h2", "_h3"], "left")
+        .join(tctx, ["_h1", "_h2"], "left")
+        .select(
+            "_id",
+            F.round(F.log(score) * 1_000_000, 0).cast("long").alias("_lp"),
+        )
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("_lp").alias("_s"))
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            F.round(
+                F.col("_s").cast("double")
+                / (F.lit(1_000_000.0) * F.col("n_tokens")),
+                6,
+            ).alias("avg_backoff_logprob"),
+        )
+    )

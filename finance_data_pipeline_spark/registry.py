@@ -11721,3 +11721,187 @@ def q_engle_granger_coint(spark, sf_dir):
         F.round(t, 4).alias("adf_t"),
         (t < -3.34).alias("is_cointegrated"),
     )
+
+
+@query(
+    "time_decay_attribution",
+    """WITH touch AS (SELECT user_id, ts AS t_ts, event_type FROM events
+            WHERE event_type IN ('click', 'view')),
+purch AS (SELECT event_id AS p_id, user_id, ts AS p_ts, value FROM events
+          WHERE event_type = 'purchase'),
+j AS (SELECT p.p_id, p.value, t.event_type,
+        power(2.0, -date_diff('day', CAST(t.t_ts AS DATE),
+                              CAST(p.p_ts AS DATE))) AS w
+      FROM purch p JOIN touch t
+        ON t.user_id = p.user_id
+       AND t.t_ts <= p.p_ts
+       AND t.t_ts >= p.p_ts - INTERVAL 7 DAY),
+n AS (SELECT p_id, value, event_type, w,
+        sum(w) OVER (PARTITION BY p_id) AS sw
+      FROM j)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_touches,
+  round(CAST(sum(CAST(value * w / sw AS DECIMAL(38,12))) AS DOUBLE), 6)
+    AS credited_value
+FROM n GROUP BY event_type ORDER BY event_type""",
+)
+def q_time_decay_attribution(spark, sf_dir):
+    """EV11b — time-decay multi-touch attribution: every click/view in
+    the 7 days before a purchase shares that purchase's value, weighted
+    by 2^(−age_days) and normalized per purchase. The decay factor is
+    an exact power of two (the decayed_engagement discipline) so the
+    per-purchase weight sum is an exact dyadic total in any order; the
+    credit division is identical IEEE math and the final per-type sum
+    is DECIMAL-exact. The join fans out per (user, 7-day window) — at
+    100 TB it co-partitions on user_id and the window bound caps the
+    per-purchase candidate set, the same bounded-key discipline as
+    event_type_affinity; the normalizing sum is one window over p_id
+    (already co-located by the join shuffle)."""
+    e = table(spark, sf_dir, "events")
+    touch = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.col("ts").alias("t_ts"), "event_type"
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id",
+        F.col("ts").alias("p_ts"), "value",
+    )
+    j = purch.join(
+        touch,
+        (touch["user_id"] == purch["user_id"])
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    ).select(
+        "p_id", "value", "event_type",
+        F.pow(
+            F.lit(2.0),
+            -F.datediff(F.col("p_ts").cast("date"), F.col("t_ts").cast("date")),
+        ).alias("w"),
+    )
+    n = j.withColumn("sw", F.sum("w").over(Window.partitionBy("p_id")))
+    return (
+        n.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.round(
+                F.sum(
+                    (F.col("value") * F.col("w") / F.col("sw")).cast("decimal(38,12)")
+                ).cast("double"),
+                6,
+            ).alias("credited_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "hour_seasonal_anomalies",
+    """WITH base AS (SELECT event_id, event_type,
+         CAST(extract(hour FROM ts) AS BIGINT) AS hr, value
+       FROM events),
+st AS (SELECT event_type, hr,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE) AS sv,
+         CAST(sum(CAST(value * value AS DECIMAL(38,18))) AS DOUBLE) AS svv
+       FROM base GROUP BY event_type, hr),
+z AS (SELECT b.event_id, b.event_type, b.hr, b.value,
+        (b.value - s.sv / s.n)
+          / nullif(sqrt((s.svv - s.sv * s.sv / s.n) / nullif(s.n - 1, 0)), 0.0)
+          AS zscore
+      FROM base b JOIN st s ON b.event_type = s.event_type AND b.hr = s.hr)
+SELECT event_id, event_type, hr, round(value, 6) AS value,
+  round(zscore, 4) AS zscore
+FROM z WHERE abs(zscore) > 3.0
+ORDER BY event_id""",
+)
+def q_hour_seasonal_anomalies(spark, sf_dir):
+    """EV12 — seasonality-adjusted anomaly scan: each event's value is
+    standardized against its own (event_type, hour-of-day) cell — the
+    deseasonalized twin of price_anomalies — and |z| > 3 rows surface.
+    The baseline is a 5×24-cell DECIMAL-exact aggregate that BROADCASTS
+    back onto the stream (no second shuffle of the fact table at any
+    scale); the z division is identical IEEE math in both engines."""
+    e = table(spark, sf_dir, "events")
+    base = e.select(
+        "event_id", "event_type", F.hour("ts").cast("long").alias("hr"), "value"
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")
+    st = base.groupBy("event_type", "hr").agg(
+        F.count("*").cast("long").alias("n"),
+        dec(F.col("value")).alias("sv"),
+        dec(F.col("value") * F.col("value")).alias("svv"),
+    )
+    mu = F.col("sv") / F.col("n")
+    sd = F.sqrt(
+        (F.col("svv") - F.col("sv") * F.col("sv") / F.col("n"))
+        / F.nullif(F.col("n") - 1, F.lit(0))
+    )
+    z = base.join(F.broadcast(st), ["event_type", "hr"]).select(
+        "event_id", "event_type", "hr", "value",
+        ((F.col("value") - mu) / F.nullif(sd, F.lit(0.0))).alias("zscore"),
+    )
+    return (
+        z.filter(F.abs("zscore") > 3.0)
+        .select(
+            "event_id", "event_type", "hr",
+            F.round("value", 6).alias("value"),
+            F.round("zscore", 4).alias("zscore"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "trigram_backoff_logprob",
+    f"""WITH {_NORM_CTE},
+tokp AS (SELECT doc_id, p - 1 AS p, w FROM (
+  SELECT doc_id, unnest(words) AS w, generate_subscripts(words, 1) AS p
+  FROM norm)),
+trips AS (SELECT doc_id, p,
+            lag(w, 2) OVER win AS w1,
+            lag(w, 1) OVER win AS w2,
+            w AS w3
+          FROM tokp WINDOW win AS (PARTITION BY doc_id ORDER BY p)),
+uni AS (SELECT w3, CAST(count(*) AS BIGINT) AS cu
+        FROM trips GROUP BY w3),
+tot AS (SELECT CAST(sum(cu) AS BIGINT) AS t FROM uni),
+bi AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS cb
+       FROM trips WHERE w2 IS NOT NULL GROUP BY w2, w3),
+bctx AS (SELECT w2, CAST(sum(cb) AS BIGINT) AS cbc FROM bi GROUP BY w2),
+tri AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS ct
+        FROM trips WHERE w1 IS NOT NULL GROUP BY w1, w2, w3),
+tctx AS (SELECT w1, w2, CAST(sum(ct) AS BIGINT) AS ctc
+         FROM tri GROUP BY w1, w2),
+sc AS (SELECT tr.doc_id,
+  CAST(round(ln(CASE
+    WHEN tr.w2 IS NULL THEN CAST(u.cu AS DOUBLE) / CAST(tt.t AS DOUBLE)
+    WHEN tr.w1 IS NULL THEN
+      CASE WHEN b.cb IS NOT NULL
+           THEN CAST(b.cb AS DOUBLE) / CAST(bc.cbc AS DOUBLE)
+           ELSE 0.4 * (CAST(u.cu AS DOUBLE) / CAST(tt.t AS DOUBLE)) END
+    WHEN g.ct IS NOT NULL THEN CAST(g.ct AS DOUBLE) / CAST(gc.ctc AS DOUBLE)
+    ELSE 0.4 * (CASE WHEN b.cb IS NOT NULL
+                     THEN CAST(b.cb AS DOUBLE) / CAST(bc.cbc AS DOUBLE)
+                     ELSE 0.4 * (CAST(u.cu AS DOUBLE) / CAST(tt.t AS DOUBLE))
+                END)
+    END) * 1000000) AS BIGINT) AS lp
+  FROM trips tr
+  JOIN uni u ON u.w3 = tr.w3
+  CROSS JOIN tot tt
+  LEFT JOIN bi b ON b.w2 = tr.w2 AND b.w3 = tr.w3
+  LEFT JOIN bctx bc ON bc.w2 = tr.w2
+  LEFT JOIN tri g ON g.w1 = tr.w1 AND g.w2 = tr.w2 AND g.w3 = tr.w3
+  LEFT JOIN tctx gc ON gc.w1 = tr.w1 AND gc.w2 = tr.w2)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(CAST(sum(lp) AS DOUBLE) / (1000000.0 * count(*)), 6)
+         AS avg_backoff_logprob
+FROM sc GROUP BY doc_id""",
+)
+def q_trigram_backoff_logprob(spark, sf_dir):
+    """X4+ — trigram stupid-backoff LM score (Brants et al. 2007), the
+    third rung of the perplexity-filter ladder (unigram_logprob →
+    bigram_logprob → here): unnormalized backoff scoring that needs no
+    discount pass over the count tables, which is exactly why it was
+    invented for web-scale corpora. Pure integer-count branches, 0.4
+    backoff factor exactly representable, micro-unit quantization
+    before the per-doc fold. See text.trigram_backoff_logprob."""
+    return text.trigram_backoff_logprob(table(spark, sf_dir, "documents"))
