@@ -151,6 +151,7 @@ _PRIORITY = [
     "theil_sen_trend", "engle_granger_coint",
     "time_decay_attribution", "hour_seasonal_anomalies",
     "trigram_backoff_logprob",
+    "kama_10", "l_moments_by_type", "session_duration_stats",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

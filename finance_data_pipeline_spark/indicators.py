@@ -784,3 +784,71 @@ def range_volatility(df: DataFrame, time_col: str = "bar_ts") -> DataFrame:
         F.sqrt(F.col("_sgk") / n_bars).alias("vol_gk"),
         F.sqrt(F.col("_srs") / n_bars).alias("vol_rs"),
     )
+
+
+def with_kama(
+    df: DataFrame, n: int = 10, fast: int = 2, slow: int = 30,
+    time_col: str = "bar_ts",
+) -> DataFrame:
+    """Kaufman Adaptive Moving Average — the canonical *time-varying-α*
+    recursion (vs the constant-α EMA family):
+
+        ER_t = |P_t − P_{t−n}| / Σ_{i<n} |ΔP_{t−i}|
+        sc_t = (ER_t·(2/(fast+1) − 2/(slow+1)) + 2/(slow+1))²
+        KAMA_t = KAMA_{t−1} + sc_t·(P_t − KAMA_{t−1}),  seeded at bar n+1
+
+    Exactness contract: the two ER ingredients are quantized to
+    micro-unit longs (CAST(round(|·|·10⁶) AS BIGINT)) BEFORE the n-bar
+    sum, so the rolling denominator is an integer — exact under any
+    window-sum algorithm (Spark re-scan vs DuckDB segment tree would
+    otherwise drift in the last bit and the recursion would amplify
+    it). ER, sc and the recursion step are then identical IEEE double
+    math in both engines, making the WITH RECURSIVE oracle bit-exact
+    (the ema_macd discipline, extended to adaptive α). A flat window
+    (zero quantized volatility) takes ER = 0 → the slow constant α.
+
+    Physical plan: lags + integer window sums stay JVM-side; only the
+    1-multiply recursion runs in applyInPandas per symbol partition
+    (Arrow-shipped, one shuffle — with_ema_macd's layout). Warm-up
+    rows (< n+1 bars) emit NULL."""
+    w = sym_window(time_col)
+    q = lambda c: F.round(c * 1_000_000, 0).cast("long")
+    base = df.withColumn("_qd", q(F.abs(F.col("close") - F.lag("close").over(w)))) \
+             .withColumn("_qc", q(F.abs(F.col("close") - F.lag("close", n).over(w)))) \
+             .withColumn("_rn", F.row_number().over(w))
+    vol = F.sum("_qd").over(w.rowsBetween(-(n - 1), 0))
+    er = F.when(
+        F.col("_rn") > n,
+        F.when(vol > 0, F.col("_qc").cast("double") / vol.cast("double")).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    f_a, s_a = 2.0 / (fast + 1), 2.0 / (slow + 1)
+    _sc_base = er * (f_a - s_a) + s_a
+    # explicit multiply, not pow(x, 2): both engines then share one IEEE
+    # operation instead of trusting two libms to agree on power()
+    sc = _sc_base * _sc_base
+    staged = base.withColumn("_sc", sc).drop("_qd", "_qc")
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields
+    ) + ", kama double"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col)
+        closes = pdf["close"].to_numpy()
+        scs = pdf["_sc"].to_numpy()
+        rns = pdf["_rn"].to_numpy()
+        kama = [None] * len(pdf)
+        k = None
+        for i in range(len(pdf)):
+            if rns[i] == n + 1:
+                k = closes[i]
+            elif rns[i] > n + 1 and k is not None:
+                k = k + scs[i] * (closes[i] - k)
+            if rns[i] >= n + 1:
+                kama[i] = k
+        return pdf.assign(kama=kama).drop(columns=["_sc", "_rn"])
+
+    return staged.groupBy("symbol").applyInPandas(fold, schema=out_schema)

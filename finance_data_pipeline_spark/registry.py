@@ -11905,3 +11905,201 @@ def q_trigram_backoff_logprob(spark, sf_dir):
     backoff factor exactly representable, micro-unit quantization
     before the per-doc fold. See text.trigram_backoff_logprob."""
     return text.trigram_backoff_logprob(table(spark, sf_dir, "documents"))
+
+
+_KAMA_ORACLE = f"""WITH RECURSIVE {BARS},
+b AS (SELECT symbol, bar_ts, close,
+        row_number() OVER ({_W_BAR}) AS rn,
+        CAST(round(abs(close - lag(close) OVER ({_W_BAR})) * 1000000)
+             AS BIGINT) AS qd,
+        CAST(round(abs(close - lag(close, 10) OVER ({_W_BAR})) * 1000000)
+             AS BIGINT) AS qc
+      FROM bars),
+s AS (SELECT symbol, bar_ts, close, rn,
+        CASE WHEN rn > 10 THEN
+          CASE WHEN sum(qd) OVER ({_W_BAR} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) > 0
+               THEN CAST(qc AS DOUBLE)
+                    / CAST(sum(qd) OVER ({_W_BAR} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               ELSE 0.0 END
+        END AS er
+      FROM b),
+sc AS MATERIALIZED (SELECT symbol, bar_ts, close, rn,
+        (er * (2.0/3.0 - 2.0/31.0) + 2.0/31.0)
+          * (er * (2.0/3.0 - 2.0/31.0) + 2.0/31.0) AS scv
+      FROM s),
+k AS (
+  SELECT symbol, bar_ts, close, rn, close AS kama
+  FROM sc WHERE rn = 11
+  UNION ALL
+  SELECT c.symbol, c.bar_ts, c.close, c.rn,
+         k.kama + c.scv * (c.close - k.kama)
+  FROM k JOIN sc c ON c.symbol = k.symbol AND c.rn = k.rn + 1
+)
+SELECT symbol, bar_ts, close, round(kama, 6) AS kama
+FROM k"""
+
+
+@query("kama_10", _KAMA_ORACLE)
+def q_kama_10(spark, sf_dir):
+    """KAMA(10, 2, 30) on the hourly bars — the adaptive-α recursion
+    with a bit-exact WITH RECURSIVE oracle: the efficiency ratio's
+    numerator and denominator are micro-unit-quantized integers before
+    the rolling sum (so no engine's window-sum algorithm can drift),
+    and the smoothing step is the same IEEE double expression on both
+    sides. Emits from bar 11 (the seed) onward. See
+    indicators.with_kama for the full exactness contract."""
+    out = indicators.with_kama(_bars(spark, sf_dir), 10, 2, 30, "bar_ts")
+    return (
+        out.filter(F.col("kama").isNotNull())
+        .select("symbol", "bar_ts", "close", F.round("kama", 6).alias("kama"))
+    )
+
+
+@query(
+    "l_moments_by_type",
+    """WITH o AS (SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS i,
+         count(*) OVER (PARTITION BY event_type) AS n
+       FROM events),
+s AS (SELECT event_type, any_value(n) AS n,
+        CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE) AS b0s,
+        CAST(sum(CAST(value * (CAST(i - 1 AS DOUBLE) / (n - 1))
+                      AS DECIMAL(38,18))) AS DOUBLE) AS b1s,
+        CAST(sum(CAST(value * ((CAST(i - 1 AS DOUBLE) / (n - 1))
+                               * (CAST(i - 2 AS DOUBLE) / (n - 2)))
+                      AS DECIMAL(38,18))) AS DOUBLE) AS b2s,
+        CAST(sum(CAST(value * ((CAST(i - 1 AS DOUBLE) / (n - 1))
+                               * (CAST(i - 2 AS DOUBLE) / (n - 2))
+                               * (CAST(i - 3 AS DOUBLE) / (n - 3)))
+                      AS DECIMAL(38,18))) AS DOUBLE) AS b3s
+      FROM o GROUP BY event_type),
+m AS (SELECT event_type, CAST(n AS BIGINT) AS n,
+        b0s / n AS b0, b1s / n AS b1, b2s / n AS b2, b3s / n AS b3
+      FROM s)
+SELECT event_type, n,
+  round(b0, 6) AS l1,
+  round(2 * b1 - b0, 6) AS l2,
+  round((6 * b2 - 6 * b1 + b0) / nullif(2 * b1 - b0, 0.0), 6) AS l_skew,
+  round((20 * b3 - 30 * b2 + 12 * b1 - b0) / nullif(2 * b1 - b0, 0.0), 6)
+    AS l_kurt
+FROM m ORDER BY event_type""",
+)
+def q_l_moments_by_type(spark, sf_dir):
+    """L-moment distribution profile per event type (Hosking 1990):
+    L-location, L-scale, L-skewness and L-kurtosis from probability-
+    weighted moments b₀..b₃ — the robust alternative to classical
+    skew/kurtosis (linear in the data, so a single outlier moves them
+    boundedly; the classical 3rd/4th powers explode). Each bᵣ is one
+    DECIMAL-exact weighted sum over rank-weighted values; ranks come
+    from ONE ordered window per type (ties broken by event_id so both
+    engines rank identically), then one map-side-combined aggregate —
+    the same two-pass shape as global_token_rank, linear at any
+    scale."""
+    e = table(spark, sf_dir, "events")
+    wt = Window.partitionBy("event_type")
+    o = e.select(
+        "event_type", "value",
+        F.row_number().over(wt.orderBy("value", "event_id")).alias("i"),
+        F.count("*").over(wt).alias("n"),
+    )
+    i, n = F.col("i"), F.col("n")
+    # products of ≤1 ratios, never integer products: overflow-proof at
+    # any per-type count (a raw (i-1)(i-2)(i-3) cube overflows BIGINT
+    # near n ≈ 2.1M rows) and the same IEEE op order as the oracle
+    r1 = (i - 1).cast("double") / (n - 1)
+    r2 = (i - 2).cast("double") / (n - 2)
+    r3 = (i - 3).cast("double") / (n - 3)
+    w1 = r1
+    w2 = r1 * r2
+    w3 = r1 * r2 * r3
+    dec = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")
+    s = o.groupBy("event_type").agg(
+        F.any_value(F.col("n")).alias("n"),
+        dec(F.col("value")).alias("b0s"),
+        dec(F.col("value") * w1).alias("b1s"),
+        dec(F.col("value") * w2).alias("b2s"),
+        dec(F.col("value") * w3).alias("b3s"),
+    )
+    b0 = F.col("b0s") / F.col("n")
+    b1 = F.col("b1s") / F.col("n")
+    b2 = F.col("b2s") / F.col("n")
+    b3 = F.col("b3s") / F.col("n")
+    l2 = 2 * b1 - b0
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(b0, 6).alias("l1"),
+        F.round(l2, 6).alias("l2"),
+        F.round((6 * b2 - 6 * b1 + b0) / F.nullif(l2, F.lit(0.0)), 6).alias("l_skew"),
+        F.round(
+            (20 * b3 - 30 * b2 + 12 * b1 - b0) / F.nullif(l2, F.lit(0.0)), 6
+        ).alias("l_kurt"),
+    ).orderBy("event_type")
+
+
+@query(
+    "session_duration_stats",
+    """WITH g AS (SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+               OR date_diff('second',
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    ts) > 1800
+              THEN 1 ELSE 0 END AS is_start
+       FROM events),
+s AS (SELECT user_id, ts,
+        sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g),
+d AS (SELECT user_id, sess,
+        CAST(count(*) AS BIGINT) AS n_events,
+        CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS dur_s
+      FROM s GROUP BY user_id, sess)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+  round(avg(CAST(n_events AS DOUBLE)), 6) AS avg_events,
+  CAST(median(dur_s) AS DOUBLE) AS p50_duration_s,
+  CAST(quantile_cont(dur_s, 0.9) AS DOUBLE) AS p90_duration_s,
+  CAST(max(dur_s) AS BIGINT) AS max_duration_s
+FROM d""",
+)
+def q_session_duration_stats(spark, sf_dir):
+    """Batch sessionization metrics: 30-minute-gap sessions per user
+    (the session_windows rule, batch-side), then the session-duration
+    distribution — count, mean events/session, exact interpolated
+    p50/p90 and max. Durations are integer seconds (epoch diffs), so
+    the quantile interpolation is the only float op and both engines
+    compute the same quantile_cont. Session assembly is the standard
+    gap-flag + running-sum pair over ONE (user, ts) sort; the final
+    stats are a single global aggregate over session rows (orders of
+    magnitude smaller than events)."""
+    e = table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(wu)
+    g = e.select(
+        "user_id", "ts",
+        F.when(
+            prev.isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 1800),
+            1,
+        ).otherwise(0).alias("is_start"),
+    )
+    s = g.select(
+        "user_id", "ts",
+        F.sum("is_start").over(
+            Window.partitionBy("user_id").orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("sess"),
+    )
+    d = s.groupBy("user_id", "sess").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("long").alias("dur_s"),
+    )
+    return d.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.round(F.avg(F.col("n_events").cast("double")), 6).alias("avg_events"),
+        F.median("dur_s").cast("double").alias("p50_duration_s"),
+        F.percentile("dur_s", 0.9).cast("double").alias("p90_duration_s"),
+        F.max("dur_s").cast("long").alias("max_duration_s"),
+    )
