@@ -152,6 +152,7 @@ _PRIORITY = [
     "time_decay_attribution", "hour_seasonal_anomalies",
     "trigram_backoff_logprob",
     "kama_10", "l_moments_by_type", "session_duration_stats",
+    "mmr_diverse_topk", "spearman_corr_pairs",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -1553,3 +1553,93 @@ def prefix_energy_report(
             F.round(F.min("frac"), 6).alias("min_energy_frac"),
         )
     )
+
+
+def mmr_select(
+    vectors: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    pool: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diverse top-k (Carbonell & Goldstein
+    1998) — greedy selection that trades relevance against redundancy:
+
+        pick argmax over remaining x of
+            λ·cos(q, x) − (1−λ)·max_{s∈selected} cos(x, s)
+
+    The query is the corpus vector with the smallest id (deterministic;
+    swap in any query vector). Scale shape: ONE distributed pass scores
+    relevance and keeps the top-``pool`` candidates (window top-k — the
+    only stage that touches the full corpus), that pool is
+    localCheckpointed (bounded: pool × dim), and the k greedy rounds
+    each run one tiny distributed argmax over ≤pool rows with the
+    selected set inlined as literal arrays (k·pool cosines total). The
+    1-row-per-round collect is the BPE-trainer precedent. Every cosine
+    is the zip_with/aggregate sequential fold, so the unrolled SQL
+    oracle (same pool window, same greedy arithmetic) is bit-exact;
+    ties break to the lower id via the struct-max trick in both
+    engines."""
+    v = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("e")
+    )
+    q_row = v.orderBy("vid").limit(1).collect()[0]
+    q_id, q_vec = q_row.vid, list(q_row.e)
+    q_arr = F.array(*[F.lit(float(x)) for x in q_vec])
+    rel = cosine(F.col("e"), q_arr)
+    wp = Window.orderBy(F.desc("rel"), "vid")
+    cand = (
+        v.filter(F.col("vid") != q_id)
+        .select("vid", "e", rel.alias("rel"))
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= pool)
+        .drop("_rn")
+        .localCheckpoint()
+    )
+    # Greedy rounds maintain max-sim-to-selected INCREMENTALLY: after
+    # each pick the pool (≤pool rows) gains greatest(maxsim, cos(e,
+    # new_pick)) and is re-checkpointed, so every round evaluates ONE
+    # fresh cosine per candidate and the plan stays constant-size —
+    # max over selected is associative, so the running greatest is
+    # bit-identical to the oracle's per-round greatest(all selected).
+    pool_df = cand
+    picks = []  # (order, vid, rel, score)
+    for t in range(1, k + 1):
+        if t == 1:
+            score = F.lit(lam) * F.col("rel")
+        else:
+            score = (
+                F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("maxsim")
+            )
+        best = pool_df.select(
+            F.max(
+                F.struct(
+                    score.alias("s"), (-F.col("vid")).alias("ni"),
+                    F.col("rel").alias("r"), F.col("e").alias("e"),
+                )
+            ).alias("m")
+        ).collect()[0].m
+        picks.append((t, -best.ni, best.r, best.s))
+        if t < k:
+            new_arr = F.array(*[F.lit(float(x)) for x in best.e])
+            new_sim = cosine(F.col("e"), new_arr)
+            ms = (
+                new_sim if t == 1
+                else F.greatest(F.col("maxsim"), new_sim)
+            )
+            pool_df = (
+                pool_df.filter(F.col("vid") != -best.ni)
+                .withColumn("maxsim", ms)
+                .localCheckpoint()
+            )
+    spark = vectors.sparkSession
+    out = spark.createDataFrame(
+        [(o, int(vid), float(r), float(s)) for o, vid, r, s in picks],
+        "pick_order long, vec_id long, relevance double, mmr_score double",
+    )
+    return out.select(
+        "pick_order", "vec_id",
+        F.round("relevance", 6).alias("relevance"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+    )

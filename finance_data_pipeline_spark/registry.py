@@ -12103,3 +12103,117 @@ def q_session_duration_stats(spark, sf_dir):
         F.percentile("dur_s", 0.9).cast("double").alias("p90_duration_s"),
         F.max("dur_s").cast("long").alias("max_duration_s"),
     )
+
+
+def _mmr_oracle(k: int = 10, lam: float = 0.7, pool: int = 200) -> str:
+    """Unrolled greedy-MMR oracle: k stacked single-row CTEs, each the
+    argmax of λ·rel − (1−λ)·max-sim-to-selected over the same top-pool
+    candidate window as the Spark path. λ and (1−λ) are emitted with
+    repr() so the SQL literal is the IDENTICAL double Spark computes
+    (1−0.7 is 0.30000000000000004, not 0.3)."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    ctes = [
+        "v AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        "q AS (SELECT vid AS qid, e AS qe FROM v ORDER BY vid LIMIT 1)",
+        f"c0 AS (SELECT vid, e, {cos('e', 'qe')} AS rel FROM v CROSS JOIN q WHERE vid <> qid)",
+        "c AS MATERIALIZED (SELECT vid, e, rel FROM (SELECT *, row_number() OVER (ORDER BY rel DESC, vid) AS rn FROM c0) WHERE rn <= %d)" % pool,
+    ]
+    for t in range(1, k + 1):
+        prev = [f"s{j}" for j in range(1, t)]
+        joins = "".join(f" CROSS JOIN {p}" for p in prev)
+        excl = (
+            " WHERE " + " AND ".join(f"c.vid <> {p}.vid" for p in prev)
+            if prev
+            else ""
+        )
+        if prev:
+            sims = ", ".join(cos("c.e", f"{p}.e") for p in prev)
+            maxsim = sims if len(prev) == 1 else f"greatest({sims})"
+            score = f"{lam!r} * c.rel - {1.0 - lam!r} * ({maxsim})"
+        else:
+            score = f"{lam!r} * c.rel"
+        ctes.append(
+            f"s{t} AS MATERIALIZED (SELECT c.vid, c.e, c.rel, {score} AS score"
+            f" FROM c{joins}{excl} ORDER BY score DESC, c.vid LIMIT 1)"
+        )
+    unions = "\nUNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS pick_order, CAST(vid AS BIGINT) AS vec_id,"
+        f" round(rel, 6) AS relevance, round(score, 6) AS mmr_score FROM s{t}"
+        for t in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions + "\nORDER BY pick_order"
+
+
+@query("mmr_diverse_topk", _mmr_oracle(10, 0.7, 200))
+def q_mmr_diverse_topk(spark, sf_dir):
+    """X3+ — MMR diverse top-10 around the lowest-id query vector:
+    greedy relevance-vs-redundancy selection over a top-200 relevance
+    pool. One full-corpus pass builds the pool; the 10 greedy rounds
+    are tiny distributed argmaxes (struct-max, lower-id ties). The
+    oracle unrolls the same greedy recursion into 10 stacked CTEs with
+    bit-identical float literals. See similarity.mmr_select."""
+    return similarity.mmr_select(
+        table(spark, sf_dir, "embeddings"), k=10, lam=0.7, pool=200
+    )
+
+
+@query(
+    "spearman_corr_pairs",
+    f"""WITH {BARS},
+ret AS (SELECT symbol, bar_ts,
+          close / lag(close) OVER ({_W_BAR}) - 1 AS ret
+        FROM bars),
+rk AS (SELECT symbol, bar_ts,
+         rank() OVER (PARTITION BY symbol ORDER BY ret)
+           + (count(*) OVER (PARTITION BY symbol, ret) - 1) / 2.0 AS r
+       FROM ret WHERE ret IS NOT NULL)
+SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
+       round(corr(a.r, b.r), 4) AS spearman_ab,
+       count(*) AS n_obs
+FROM rk a JOIN rk b ON a.bar_ts = b.bar_ts AND a.symbol < b.symbol
+GROUP BY symbol_a, symbol_b
+ORDER BY symbol_a, symbol_b""",
+)
+def q_spearman_corr_pairs(spark, sf_dir):
+    """Spearman rank correlation matrix (upper triangle) — Pearson on
+    AVERAGE ranks (rank() + (tie_count−1)/2, the fractional-rank
+    convention), robust to heavy-tailed returns where Pearson chases
+    outliers. The rank window and the tie count share the per-symbol
+    sort; the pair fan-out is pairwise_correlation's time-aligned
+    self-join. corr() is the windowed-double policy: self-rounded at
+    4 dp on both sides."""
+    b = _bars(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    ret = b.select(
+        "symbol", "bar_ts",
+        (F.col("close") / F.lag("close").over(w) - 1).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    rk = ret.select(
+        "symbol", "bar_ts",
+        (
+            F.rank().over(Window.partitionBy("symbol").orderBy("ret"))
+            + (F.count("*").over(Window.partitionBy("symbol", "ret")) - 1) / 2.0
+        ).alias("r"),
+    )
+    a, c = rk.alias("a"), rk.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.bar_ts") == F.col("b.bar_ts"))
+            & (F.col("a.symbol") < F.col("b.symbol")),
+        )
+        .groupBy(
+            F.col("a.symbol").alias("symbol_a"), F.col("b.symbol").alias("symbol_b")
+        )
+        .agg(
+            F.round(F.corr("a.r", "b.r"), 4).alias("spearman_ab"),
+            F.count("*").alias("n_obs"),
+        )
+        .orderBy("symbol_a", "symbol_b")
+    )
