@@ -153,6 +153,8 @@ _PRIORITY = [
     "trigram_backoff_logprob",
     "kama_10", "l_moments_by_type", "session_duration_stats",
     "mmr_diverse_topk", "spearman_corr_pairs",
+    "var_cvar_95", "return_moments", "up_down_capture",
+    "omega_tail_ratio", "win_loss_streaks",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

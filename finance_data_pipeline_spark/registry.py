@@ -12217,3 +12217,336 @@ def q_spearman_corr_pairs(spark, sf_dir):
         )
         .orderBy("symbol_a", "symbol_b")
     )
+
+
+# =========================================================================
+# §2.12 X11 — tail-risk / return-distribution statistics (extends the
+# reference's perf summary, analyze_visualize.py:98-141, with the tail
+# and streak diagnostics a risk report actually ships)
+# =========================================================================
+
+
+@query(
+    "var_cvar_95",
+    f"""WITH {STOCKS},
+r AS (SELECT symbol, date,
+        close / lag(close) OVER ({_W_DATE}) - 1 AS ret
+      FROM stocks),
+v AS (SELECT symbol,
+        CAST(count(ret) AS BIGINT) AS n_rets,
+        quantile_cont(ret, 0.05) AS var95
+      FROM r WHERE ret IS NOT NULL GROUP BY symbol),
+c AS (SELECT r.symbol,
+        CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE) AS s_tail,
+        CAST(count(*) AS BIGINT) AS n_tail
+      FROM r JOIN v ON r.symbol = v.symbol
+      WHERE ret IS NOT NULL AND ret <= var95
+      GROUP BY r.symbol)
+SELECT v.symbol, n_rets, n_tail,
+  round(var95, 6) AS var_95,
+  round(s_tail / n_tail, 6) AS cvar_95
+FROM v JOIN c ON v.symbol = c.symbol
+ORDER BY v.symbol""",
+)
+def q_var_cvar_95(spark, sf_dir):
+    """Historical VaR(95) and CVaR / expected shortfall per symbol —
+    the 5th percentile of daily returns (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, both R-7 linear interpolation) and the
+    DECIMAL-exact mean of the returns at or below it. One window pass,
+    one percentile aggregate, one broadcast-sized join back: the tail
+    mean never re-sorts the raw rows."""
+    s = _stocks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date")
+    r = s.select(
+        "symbol", (F.col("close") / F.lag("close").over(w) - 1).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    v = r.groupBy("symbol").agg(
+        F.count("ret").cast("long").alias("n_rets"),
+        F.percentile("ret", F.lit(0.05)).alias("var95"),
+    )
+    tail = (
+        r.join(F.broadcast(v), "symbol")
+        .filter(F.col("ret") <= F.col("var95"))
+        .groupBy("symbol")
+        .agg(
+            F.sum(F.col("ret").cast("decimal(38,18)")).cast("double").alias("s_tail"),
+            F.count("*").cast("long").alias("n_tail"),
+        )
+    )
+    return (
+        v.join(tail, "symbol")
+        .select(
+            "symbol", "n_rets", "n_tail",
+            F.round("var95", 6).alias("var_95"),
+            F.round(F.col("s_tail") / F.col("n_tail"), 6).alias("cvar_95"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "return_moments",
+    f"""WITH {STOCKS},
+r AS (SELECT symbol,
+        close / lag(close) OVER ({_W_DATE}) - 1 AS ret
+      FROM stocks),
+s AS (SELECT symbol,
+        CAST(count(ret) AS BIGINT) AS n,
+        CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+        CAST(sum(CAST(ret * ret AS DECIMAL(38,18))) AS DOUBLE) AS s2,
+        CAST(sum(CAST(ret * ret * ret AS DECIMAL(38,18))) AS DOUBLE) AS s3,
+        CAST(sum(CAST(ret * ret * ret * ret AS DECIMAL(38,18))) AS DOUBLE) AS s4
+      FROM r WHERE ret IS NOT NULL GROUP BY symbol),
+m AS (SELECT symbol, n, s1 / n AS mu,
+        s2 - s1 * s1 / n AS c2,
+        s3 - 3 * (s1 / n) * s2 + 2 * (s1 / n) * (s1 / n) * s1 AS c3,
+        s4 - 4 * (s1 / n) * s3 + 6 * (s1 / n) * (s1 / n) * s2
+           - 3 * (s1 / n) * (s1 / n) * (s1 / n) * s1 AS c4
+      FROM s),
+k AS (SELECT symbol, n, mu,
+        sqrt(CAST(n AS DOUBLE)) * c3 / power(c2, 1.5) AS skew,
+        n * c4 / (c2 * c2) - 3 AS exkurt
+      FROM m)
+SELECT symbol, n AS n_rets,
+  round(mu, 8) AS mean_ret,
+  round(skew, 6) AS skewness,
+  round(exkurt, 6) AS excess_kurtosis,
+  round(n / 6.0 * (skew * skew + exkurt * exkurt / 4), 4) AS jarque_bera
+FROM k
+ORDER BY symbol""",
+)
+def q_return_moments(spark, sf_dir):
+    """Higher-moment return profile per symbol — skewness, excess
+    kurtosis and the Jarque-Bera normality statistic, all closed-form
+    from DECIMAL-exact raw power sums (Σr, Σr², Σr³, Σr⁴) so neither
+    engine's own skewness()/kurtosis() bias convention is in play: the
+    central-moment algebra is spelled out once and evaluated as the
+    identical IEEE-double expression tree in both. One window pass,
+    ONE map-side-combined aggregate per symbol."""
+    s = _stocks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date")
+    r = s.select(
+        "symbol", (F.col("close") / F.lag("close").over(w) - 1).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    ret = F.col("ret")
+    dec = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")
+    st = r.groupBy("symbol").agg(
+        F.count("ret").cast("long").alias("n"),
+        dec(ret).alias("s1"),
+        dec(ret * ret).alias("s2"),
+        dec(ret * ret * ret).alias("s3"),
+        dec(ret * ret * ret * ret).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    c2 = s2 - s1 * s1 / n
+    c3 = s3 - 3 * mu * s2 + 2 * mu * mu * s1
+    c4 = s4 - 4 * mu * s3 + 6 * mu * mu * s2 - 3 * mu * mu * mu * s1
+    skew = F.sqrt(n.cast("double")) * c3 / F.power(c2, F.lit(1.5))
+    exkurt = n * c4 / (c2 * c2) - 3
+    return st.select(
+        "symbol",
+        n.alias("n_rets"),
+        F.round(mu, 8).alias("mean_ret"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(exkurt, 6).alias("excess_kurtosis"),
+        F.round(n / F.lit(6.0) * (skew * skew + exkurt * exkurt / 4), 4).alias(
+            "jarque_bera"
+        ),
+    ).orderBy("symbol")
+
+
+@query(
+    "up_down_capture",
+    f"""WITH {STOCKS},
+r AS (SELECT symbol, date,
+        close / lag(close) OVER ({_W_DATE}) - 1 AS ret
+      FROM stocks),
+mkt AS (SELECT date,
+          CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE)
+            / count(ret) AS mret
+        FROM r WHERE ret IS NOT NULL GROUP BY date),
+j AS (SELECT symbol, r.date, ret, mret
+      FROM r JOIN mkt ON r.date = mkt.date WHERE ret IS NOT NULL),
+s AS (SELECT symbol,
+        CAST(sum(CAST(CASE WHEN mret > 0 THEN ret ELSE 0.0 END
+                      AS DECIMAL(38,18))) AS DOUBLE) AS sr_up,
+        CAST(sum(CAST(CASE WHEN mret > 0 THEN mret ELSE 0.0 END
+                      AS DECIMAL(38,18))) AS DOUBLE) AS sm_up,
+        CAST(sum(CAST(CASE WHEN mret < 0 THEN ret ELSE 0.0 END
+                      AS DECIMAL(38,18))) AS DOUBLE) AS sr_dn,
+        CAST(sum(CAST(CASE WHEN mret < 0 THEN mret ELSE 0.0 END
+                      AS DECIMAL(38,18))) AS DOUBLE) AS sm_dn,
+        CAST(sum(CASE WHEN mret > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+        CAST(sum(CASE WHEN mret < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dn
+      FROM j GROUP BY symbol)
+SELECT symbol, n_up, n_dn,
+  round(sr_up / nullif(sm_up, 0.0), 6) AS up_capture,
+  round(sr_dn / nullif(sm_dn, 0.0), 6) AS down_capture
+FROM s
+ORDER BY symbol""",
+)
+def q_up_down_capture(spark, sf_dir):
+    """Up/down capture ratios per symbol against the equal-weight
+    market return (mean of all symbols' same-day returns): how much of
+    the market's up (resp. down) moves the symbol participates in.
+    The market frame is a per-date aggregate of ~n_symbols rows —
+    broadcast back to the return stream, then ONE conditional
+    DECIMAL-sum aggregate per symbol."""
+    s = _stocks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date")
+    r = s.select(
+        "symbol", "date",
+        (F.col("close") / F.lag("close").over(w) - 1).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    mkt = r.groupBy("date").agg(
+        (
+            F.sum(F.col("ret").cast("decimal(38,18)")).cast("double")
+            / F.count("ret")
+        ).alias("mret")
+    )
+    j = r.join(F.broadcast(mkt), "date")
+    dec = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")
+    up, dn = F.col("mret") > 0, F.col("mret") < 0
+    st = j.groupBy("symbol").agg(
+        dec(F.when(up, F.col("ret")).otherwise(0.0)).alias("sr_up"),
+        dec(F.when(up, F.col("mret")).otherwise(0.0)).alias("sm_up"),
+        dec(F.when(dn, F.col("ret")).otherwise(0.0)).alias("sr_dn"),
+        dec(F.when(dn, F.col("mret")).otherwise(0.0)).alias("sm_dn"),
+        F.sum(F.when(up, 1).otherwise(0)).cast("long").alias("n_up"),
+        F.sum(F.when(dn, 1).otherwise(0)).cast("long").alias("n_dn"),
+    )
+    return st.select(
+        "symbol", "n_up", "n_dn",
+        F.round(F.col("sr_up") / F.nullif(F.col("sm_up"), F.lit(0.0)), 6).alias(
+            "up_capture"
+        ),
+        F.round(F.col("sr_dn") / F.nullif(F.col("sm_dn"), F.lit(0.0)), 6).alias(
+            "down_capture"
+        ),
+    ).orderBy("symbol")
+
+
+@query(
+    "omega_tail_ratio",
+    f"""WITH {STOCKS},
+r AS (SELECT symbol,
+        close / lag(close) OVER ({_W_DATE}) - 1 AS ret
+      FROM stocks),
+s AS (SELECT symbol,
+        CAST(count(ret) AS BIGINT) AS n_rets,
+        CAST(sum(CAST(CASE WHEN ret > 0 THEN ret ELSE 0.0 END
+                      AS DECIMAL(38,18))) AS DOUBLE) AS gains,
+        CAST(sum(CAST(CASE WHEN ret < 0 THEN -ret ELSE 0.0 END
+                      AS DECIMAL(38,18))) AS DOUBLE) AS losses,
+        quantile_cont(ret, 0.95) AS p95,
+        quantile_cont(ret, 0.05) AS p05
+      FROM r WHERE ret IS NOT NULL GROUP BY symbol)
+SELECT symbol, n_rets,
+  round(gains / nullif(losses, 0.0), 6) AS omega_0,
+  round(p95 / nullif(abs(p05), 0.0), 6) AS tail_ratio,
+  round(p95, 6) AS p95_ret,
+  round(p05, 6) AS p05_ret
+FROM s
+ORDER BY symbol""",
+)
+def q_omega_tail_ratio(spark, sf_dir):
+    """Omega ratio at threshold 0 (DECIMAL-exact gain mass over loss
+    mass) and the 95/5 tail ratio per symbol — the asymmetric-risk
+    pair that Sharpe hides. One aggregate: the percentile pair shares
+    the same per-symbol pass as the conditional sums."""
+    s = _stocks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date")
+    r = s.select(
+        "symbol", (F.col("close") / F.lag("close").over(w) - 1).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    dec = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")
+    st = r.groupBy("symbol").agg(
+        F.count("ret").cast("long").alias("n_rets"),
+        dec(F.when(F.col("ret") > 0, F.col("ret")).otherwise(0.0)).alias("gains"),
+        dec(F.when(F.col("ret") < 0, -F.col("ret")).otherwise(0.0)).alias("losses"),
+        F.percentile("ret", F.lit(0.95)).alias("p95"),
+        F.percentile("ret", F.lit(0.05)).alias("p05"),
+    )
+    return st.select(
+        "symbol", "n_rets",
+        F.round(F.col("gains") / F.nullif(F.col("losses"), F.lit(0.0)), 6).alias(
+            "omega_0"
+        ),
+        F.round(
+            F.col("p95") / F.nullif(F.abs(F.col("p05")), F.lit(0.0)), 6
+        ).alias("tail_ratio"),
+        F.round("p95", 6).alias("p95_ret"),
+        F.round("p05", 6).alias("p05_ret"),
+    ).orderBy("symbol")
+
+
+@query(
+    "win_loss_streaks",
+    f"""WITH {STOCKS},
+r AS (SELECT symbol, date,
+        close / lag(close) OVER ({_W_DATE}) - 1 AS ret
+      FROM stocks),
+s AS (SELECT symbol, date,
+        CASE WHEN ret > 0 THEN 1 WHEN ret < 0 THEN -1 ELSE 0 END AS sgn,
+        row_number() OVER ({_W_DATE}) AS rn
+      FROM r WHERE ret IS NOT NULL),
+g AS (SELECT symbol, sgn,
+        rn - row_number() OVER (PARTITION BY symbol, sgn ORDER BY date) AS grp
+      FROM s),
+runs AS (SELECT symbol, sgn, CAST(count(*) AS BIGINT) AS len
+         FROM g GROUP BY symbol, sgn, grp)
+SELECT symbol,
+  CAST(max(CASE WHEN sgn = 1 THEN len END) AS BIGINT) AS max_win_streak,
+  CAST(max(CASE WHEN sgn = -1 THEN len END) AS BIGINT) AS max_loss_streak,
+  CAST(sum(CASE WHEN sgn = 1 THEN len ELSE 0 END) AS BIGINT) AS n_up_days,
+  CAST(sum(CASE WHEN sgn = -1 THEN len ELSE 0 END) AS BIGINT) AS n_down_days
+FROM runs GROUP BY symbol
+ORDER BY symbol""",
+)
+def q_win_loss_streaks(spark, sf_dir):
+    """Longest win/loss streaks per symbol — the gaps-and-islands
+    rn − rn_per_sign trick (the same island id as media_silence_runs),
+    entirely integer arithmetic so the oracle replays bit-identically.
+    Two ordered windows over the same per-symbol sort, then one
+    bounded-key aggregate (≤ 3 signs × runs)."""
+    s = _stocks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date")
+    r = s.select(
+        "symbol", "date",
+        (F.col("close") / F.lag("close").over(w) - 1).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    sgn = (
+        F.when(F.col("ret") > 0, 1).when(F.col("ret") < 0, -1).otherwise(0)
+    ).alias("sgn")
+    st = r.select("symbol", "date", sgn, F.row_number().over(w).alias("rn"))
+    g = st.select(
+        "symbol", "sgn",
+        (
+            F.col("rn")
+            - F.row_number().over(
+                Window.partitionBy("symbol", "sgn").orderBy("date")
+            )
+        ).alias("grp"),
+    )
+    runs = g.groupBy("symbol", "sgn", "grp").agg(
+        F.count("*").cast("long").alias("len")
+    )
+    return (
+        runs.groupBy("symbol")
+        .agg(
+            F.max(F.when(F.col("sgn") == 1, F.col("len")))
+            .cast("long")
+            .alias("max_win_streak"),
+            F.max(F.when(F.col("sgn") == -1, F.col("len")))
+            .cast("long")
+            .alias("max_loss_streak"),
+            F.sum(F.when(F.col("sgn") == 1, F.col("len")).otherwise(0))
+            .cast("long")
+            .alias("n_up_days"),
+            F.sum(F.when(F.col("sgn") == -1, F.col("len")).otherwise(0))
+            .cast("long")
+            .alias("n_down_days"),
+        )
+        .orderBy("symbol")
+    )
