@@ -155,6 +155,8 @@ _PRIORITY = [
     "mmr_diverse_topk", "spearman_corr_pairs",
     "var_cvar_95", "return_moments", "up_down_capture",
     "omega_tail_ratio", "win_loss_streaks",
+    "pivot_points", "force_index_eom", "momentum_xsec_rank",
+    "dema_tema_20",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -852,3 +852,36 @@ def with_kama(
         return pdf.assign(kama=kama).drop(columns=["_sc", "_rn"])
 
     return staged.groupBy("symbol").applyInPandas(fold, schema=out_schema)
+
+
+def with_dema_tema(
+    df: DataFrame,
+    span: int = 20,
+    col: str = "close",
+    time_col: str = "date",
+) -> DataFrame:
+    """DEMA/TEMA — double/triple exponential moving averages
+    (DEMA = 2·E1 − E2, TEMA = 3·E1 − 3·E2 + E3 where E2 = EMA(E1),
+    E3 = EMA(E2)), the reduced-lag trend extensions of the reference's
+    EMA menu (analyze_visualize.py:111-117). Same exact-parity plan as
+    with_ema_macd: real pandas ewm(adjust=True) per symbol partition,
+    one Arrow-batched shuffle; the oracle replays the stacked
+    recurrences in three recursive CTEs bit-identically."""
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + (f", ema_{span} double, dema_{span} double, tema_{span} double")
+
+    def add(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([time_col])
+        e1 = pdf[col].ewm(span=span, adjust=True).mean()
+        e2 = e1.ewm(span=span, adjust=True).mean()
+        e3 = e2.ewm(span=span, adjust=True).mean()
+        return pdf.assign(
+            **{
+                f"ema_{span}": e1,
+                f"dema_{span}": 2 * e1 - e2,
+                f"tema_{span}": 3 * e1 - 3 * e2 + e3,
+            }
+        )
+
+    return df.groupBy("symbol").applyInPandas(add, schema=out_schema)

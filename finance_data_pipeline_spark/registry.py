@@ -12550,3 +12550,258 @@ def q_win_loss_streaks(spark, sf_dir):
         )
         .orderBy("symbol")
     )
+
+
+# =========================================================================
+# §2.12 W22 — indicator round-out: pivots, volume-force, reduced-lag
+# EMAs, cross-sectional momentum (extends analyze_visualize.py:98-141)
+# =========================================================================
+
+
+@query(
+    "pivot_points",
+    f"""WITH {BARS},
+p AS (SELECT symbol, bar_ts,
+        lag(high)  OVER ({_W_BAR}) AS ph,
+        lag(low)   OVER ({_W_BAR}) AS pl,
+        lag(close) OVER ({_W_BAR}) AS pc
+      FROM bars)
+SELECT symbol, bar_ts,
+  round((ph + pl + pc) / 3, 6) AS pivot,
+  round(2 * ((ph + pl + pc) / 3) - pl, 6) AS r1,
+  round(2 * ((ph + pl + pc) / 3) - ph, 6) AS s1,
+  round((ph + pl + pc) / 3 + (ph - pl), 6) AS r2,
+  round((ph + pl + pc) / 3 - (ph - pl), 6) AS s2
+FROM p WHERE ph IS NOT NULL
+ORDER BY symbol, bar_ts""",
+)
+def q_pivot_points(spark, sf_dir):
+    """Classic floor-trader pivot levels (P, R1/S1, R2/S2) from the
+    PREVIOUS bar's high/low/close — three lags over the shared
+    per-symbol sort, zero additional shuffles, every level the same
+    IEEE expression tree in both engines."""
+    b = _bars(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    p = b.select(
+        "symbol", "bar_ts",
+        F.lag("high").over(w).alias("ph"),
+        F.lag("low").over(w).alias("pl"),
+        F.lag("close").over(w).alias("pc"),
+    ).filter(F.col("ph").isNotNull())
+    piv = (F.col("ph") + F.col("pl") + F.col("pc")) / 3
+    rng = F.col("ph") - F.col("pl")
+    return p.select(
+        "symbol", "bar_ts",
+        F.round(piv, 6).alias("pivot"),
+        F.round(2 * piv - F.col("pl"), 6).alias("r1"),
+        F.round(2 * piv - F.col("ph"), 6).alias("s1"),
+        F.round(piv + rng, 6).alias("r2"),
+        F.round(piv - rng, 6).alias("s2"),
+    ).orderBy("symbol", "bar_ts")
+
+
+@query(
+    "force_index_eom",
+    f"""WITH {BARS},
+p AS (SELECT symbol, bar_ts,
+        round((close - lag(close) OVER ({_W_BAR})) * volume, 6) AS fi,
+        round(((high + low) / 2
+           - (lag(high) OVER ({_W_BAR}) + lag(low) OVER ({_W_BAR})) / 2)
+          * (high - low) / volume, 10) AS eom
+      FROM bars),
+q AS (SELECT symbol, bar_ts, fi, eom,
+        CAST(round(fi * 1000000, 0) AS BIGINT) AS fiq,
+        CAST(round(eom * 10000000000, 0) AS BIGINT) AS eomq
+      FROM p),
+w AS (SELECT symbol, bar_ts, fi, eom,
+        CASE WHEN count(fiq) OVER w13 >= 13
+             THEN round(CAST(sum(fiq) OVER w13 AS DOUBLE)
+                        / count(fiq) OVER w13, 0) / 1000000
+             END AS fi_sma_13,
+        CASE WHEN count(eomq) OVER w14 >= 14
+             THEN round(CAST(sum(eomq) OVER w14 AS DOUBLE)
+                        / count(eomq) OVER w14, 0) / 10000000000
+             END AS eom_sma_14
+      FROM q
+      WINDOW w13 AS ({_W_BAR} ROWS BETWEEN 12 PRECEDING AND CURRENT ROW),
+             w14 AS ({_W_BAR} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT symbol, bar_ts,
+  fi AS force_index,
+  eom,
+  fi_sma_13 AS force_sma_13,
+  eom_sma_14
+FROM w WHERE fi IS NOT NULL
+ORDER BY symbol, bar_ts""",
+)
+def q_force_index_eom(spark, sf_dir):
+    """Elder's force index (price change × volume) and the
+    ease-of-movement oscillator (midpoint move × range ÷ volume), each
+    with its conventional SMA smoothing under the W2 warm-up-null
+    rule. The smoothing sums go through integer micro-units (the
+    kmeans_cluster_quality discipline: the per-row values are rounded
+    first, so round(x·10^k) is an exact long and long window sums are
+    order-independent — a DECIMAL cast is NOT enough here because the
+    two engines round double→decimal differently at the 18th digit).
+    The lags and both sliding windows share ONE per-symbol sort."""
+    b = _bars(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    fi = F.round(
+        (F.col("close") - F.lag("close").over(w)) * F.col("volume"), 6
+    )
+    eom = F.round(
+        (
+            (F.col("high") + F.col("low")) / 2
+            - (F.lag("high").over(w) + F.lag("low").over(w)) / 2
+        )
+        * (F.col("high") - F.col("low"))
+        / F.col("volume"),
+        10,
+    )
+    p = b.select("symbol", "bar_ts", fi.alias("fi"), eom.alias("eom"))
+    q = p.select(
+        "symbol", "bar_ts", "fi", "eom",
+        F.round(F.col("fi") * 1_000_000, 0).cast("long").alias("fiq"),
+        F.round(F.col("eom") * 10_000_000_000, 0).cast("long").alias("eomq"),
+    )
+    w13 = w.rowsBetween(-12, 0)
+    w14 = w.rowsBetween(-13, 0)
+    # round(…, 0) happens at the INTEGER level, where exact halves are
+    # representable doubles and both engines round them away from zero
+    # identically — rounding after the 10^-k descale would put the .5
+    # boundary below the double's precision and the engines diverge.
+    out = q.select(
+        "symbol", "bar_ts", "fi", "eom",
+        F.when(
+            F.count("fiq").over(w13) >= 13,
+            F.round(
+                F.sum("fiq").over(w13).cast("double")
+                / F.count("fiq").over(w13),
+                0,
+            )
+            / 1_000_000,
+        ).alias("fi_sma_13"),
+        F.when(
+            F.count("eomq").over(w14) >= 14,
+            F.round(
+                F.sum("eomq").over(w14).cast("double")
+                / F.count("eomq").over(w14),
+                0,
+            )
+            / 10_000_000_000,
+        ).alias("eom_sma_14"),
+    ).filter(F.col("fi").isNotNull())
+    return out.select(
+        "symbol", "bar_ts",
+        F.col("fi").alias("force_index"),
+        "eom",
+        F.col("fi_sma_13").alias("force_sma_13"),
+        "eom_sma_14",
+    ).orderBy("symbol", "bar_ts")
+
+
+@query(
+    "momentum_xsec_rank",
+    f"""WITH {STOCKS},
+m AS (SELECT symbol, date,
+        close / lag(close, 60) OVER ({_W_DATE}) - 1 AS mom_60
+      FROM stocks),
+r AS (SELECT symbol, date, mom_60,
+        rank() OVER (PARTITION BY date ORDER BY mom_60 DESC, symbol) AS xsec_rank,
+        ntile(5) OVER (PARTITION BY date ORDER BY mom_60 DESC, symbol) AS quintile
+      FROM m WHERE mom_60 IS NOT NULL)
+SELECT symbol, date, round(mom_60, 6) AS mom_60,
+       CAST(xsec_rank AS BIGINT) AS xsec_rank,
+       CAST(quintile AS BIGINT) AS quintile
+FROM r
+ORDER BY date, xsec_rank""",
+)
+def q_momentum_xsec_rank(spark, sf_dir):
+    """Cross-sectional momentum panel — 60-day price momentum per
+    symbol, ranked and quintiled WITHIN each date (the long-short
+    portfolio formation step). Two window passes with different keys:
+    the per-symbol lag reuses the indicator shuffle, the per-date rank
+    re-partitions by date — both bounded-width partitions (n_symbols
+    per date), deterministic symbol tiebreak."""
+    s = _stocks(spark, sf_dir)
+    ws = Window.partitionBy("symbol").orderBy("date")
+    m = s.select(
+        "symbol", "date",
+        (F.col("close") / F.lag("close", 60).over(ws) - 1).alias("mom_60"),
+    ).filter(F.col("mom_60").isNotNull())
+    wd = Window.partitionBy("date").orderBy(F.desc("mom_60"), F.asc("symbol"))
+    return m.select(
+        "symbol", "date",
+        F.round("mom_60", 6).alias("mom_60"),
+        F.rank().over(wd).cast("long").alias("xsec_rank"),
+        F.ntile(5).over(wd).cast("long").alias("quintile"),
+    ).orderBy("date", "xsec_rank")
+
+
+# DEMA/TEMA oracle — the ema_macd recursive-CTE discipline stacked
+# three deep: E1 = ewm(close), E2 = ewm(E1), E3 = ewm(E2), each the
+# pandas adjust=True recurrence avg ← (o·w·avg + x)/(o·w + 1), o ←
+# o·w + 1 (with the avg==x short-circuit), w = 1 − 2/(span+1) = 19/21
+# for span 20. Each stage MATERIALIZED so DuckDB doesn't re-inline the
+# previous recursion into every iteration of the next.
+_DEMA_TEMA_ORACLE = f"""WITH RECURSIVE {STOCKS},
+base AS (SELECT symbol, date, CAST(close AS DOUBLE) AS x,
+         row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn FROM stocks),
+e1 AS (
+  SELECT symbol, date, rn, x, x AS a, CAST(1 AS DOUBLE) AS o
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.symbol, b.date, b.rn, b.x,
+    CASE WHEN e1.a = b.x THEN e1.a
+         ELSE (e1.o * (CAST(19 AS DOUBLE)/21) * e1.a + b.x)
+              / (e1.o * (CAST(19 AS DOUBLE)/21) + 1) END,
+    e1.o * (CAST(19 AS DOUBLE)/21) + 1
+  FROM e1 JOIN base b ON b.symbol = e1.symbol AND b.rn = e1.rn + 1
+),
+m1 AS MATERIALIZED (SELECT symbol, date, rn, a AS x1 FROM e1),
+e2 AS (
+  SELECT symbol, date, rn, x1, x1 AS a, CAST(1 AS DOUBLE) AS o
+  FROM m1 WHERE rn = 1
+  UNION ALL
+  SELECT b.symbol, b.date, b.rn, b.x1,
+    CASE WHEN e2.a = b.x1 THEN e2.a
+         ELSE (e2.o * (CAST(19 AS DOUBLE)/21) * e2.a + b.x1)
+              / (e2.o * (CAST(19 AS DOUBLE)/21) + 1) END,
+    e2.o * (CAST(19 AS DOUBLE)/21) + 1
+  FROM e2 JOIN m1 b ON b.symbol = e2.symbol AND b.rn = e2.rn + 1
+),
+m2 AS MATERIALIZED (SELECT symbol, date, rn, x1, a AS x2 FROM e2),
+e3 AS (
+  SELECT symbol, date, rn, x2, x2 AS a, CAST(1 AS DOUBLE) AS o
+  FROM m2 WHERE rn = 1
+  UNION ALL
+  SELECT b.symbol, b.date, b.rn, b.x2,
+    CASE WHEN e3.a = b.x2 THEN e3.a
+         ELSE (e3.o * (CAST(19 AS DOUBLE)/21) * e3.a + b.x2)
+              / (e3.o * (CAST(19 AS DOUBLE)/21) + 1) END,
+    e3.o * (CAST(19 AS DOUBLE)/21) + 1
+  FROM e3 JOIN m2 b ON b.symbol = e3.symbol AND b.rn = e3.rn + 1
+),
+m3 AS MATERIALIZED (SELECT symbol, date, rn, a AS x3 FROM e3)
+SELECT m2.symbol, m2.date,
+  round(m2.x1, 6) AS ema_20,
+  round(2 * m2.x1 - m2.x2, 6) AS dema_20,
+  round(3 * m2.x1 - 3 * m2.x2 + m3.x3, 6) AS tema_20
+FROM m2 JOIN m3 ON m2.symbol = m3.symbol AND m2.rn = m3.rn
+ORDER BY m2.symbol, m2.date"""
+
+
+@query("dema_tema_20", _DEMA_TEMA_ORACLE)
+def q_dema_tema_20(spark, sf_dir):
+    """W3+ — DEMA/TEMA reduced-lag trend lines (2E1−E2, 3E1−3E2+E3):
+    pandas ewm(adjust=True) stacked three deep per symbol partition
+    (one Arrow shuffle, the with_ema_macd plan), oracle = three chained
+    recursive CTEs replaying the identical IEEE recurrences. See
+    indicators.with_dema_tema."""
+    s = _stocks(spark, sf_dir)
+    out = indicators.with_dema_tema(s, span=20)
+    return out.select(
+        "symbol", "date",
+        F.round("ema_20", 6).alias("ema_20"),
+        F.round("dema_20", 6).alias("dema_20"),
+        F.round("tema_20", 6).alias("tema_20"),
+    ).orderBy("symbol", "date")
