@@ -157,6 +157,7 @@ _PRIORITY = [
     "omega_tail_ratio", "win_loss_streaks",
     "pivot_points", "force_index_eom", "momentum_xsec_rank",
     "dema_tema_20",
+    "flesch_readability", "ttr_yule_k", "js_divergence_sources",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -1448,3 +1448,90 @@ def trigram_backoff_logprob(
             ).alias("avg_backoff_logprob"),
         )
     )
+
+
+def js_divergence_sources(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source
+    hashed-unigram distributions (+1 smoothing) — the SYMMETRIC,
+    bounded [0, ln 2] companion of source_unigram_kl: KL answers "how
+    far is this source from the corpus", JS ranks which source PAIRS
+    carry redundant vs complementary content when composing a training
+    mix. Same machinery: one (source, bucket) count aggregate, then a
+    C(n_sources, 2) × n_buckets grid (sources are a bounded key), each
+    JS term quantized to a nano-unit long before the per-pair sum so
+    the float statistic replays exactly in SQL."""
+    from finance_data_pipeline_spark.extensions.dedup import (
+        _spread,
+        md5_token_hash,
+        tokens,
+    )
+
+    stream = (
+        _spread(docs.select(F.col(source_col).alias("_src"), F.col(text_col)))
+        .select("_src", F.explode(tokens(text_col)).alias("_w"))
+        .select("_src", (md5_token_hash("_w") % n_buckets).alias("_b"))
+    )
+    sc = stream.groupBy("_src", "_b").agg(F.count("*").alias("_c"))
+    stot = sc.groupBy("_src").agg(F.sum("_c").alias("_ts"))
+    pairs = (
+        stot.select(F.col("_src").alias("_sa"), F.col("_ts").alias("_tsa"))
+        .crossJoin(
+            F.broadcast(
+                stot.select(
+                    F.col("_src").alias("_sb"), F.col("_ts").alias("_tsb")
+                )
+            )
+        )
+        .filter(F.col("_sa") < F.col("_sb"))
+    )
+    buckets = docs.sparkSession.range(n_buckets).select(F.col("id").alias("_b"))
+    grid = pairs.crossJoin(F.broadcast(buckets))
+    ca = sc.select(
+        F.col("_src").alias("_sa"), "_b", F.col("_c").alias("_ca")
+    )
+    cb = sc.select(
+        F.col("_src").alias("_sb"), "_b", F.col("_c").alias("_cb")
+    )
+    full = (
+        grid.join(F.broadcast(ca), ["_sa", "_b"], "left")
+        .join(F.broadcast(cb), ["_sb", "_b"], "left")
+        .select(
+            "_sa", "_sb",
+            F.coalesce("_ca", F.lit(0)).alias("_ca"),
+            F.coalesce("_cb", F.lit(0)).alias("_cb"),
+            "_tsa", "_tsb",
+        )
+    )
+    pa = (F.col("_ca") + 1).cast("double") / (F.col("_tsa") + n_buckets).cast(
+        "double"
+    )
+    pb = (F.col("_cb") + 1).cast("double") / (F.col("_tsb") + n_buckets).cast(
+        "double"
+    )
+    m = (pa + pb) / 2
+    term = 0.5 * pa * (F.log(pa) - F.log(m)) + 0.5 * pb * (
+        F.log(pb) - F.log(m)
+    )
+    q = full.select(
+        "_sa", "_sb",
+        F.round(term * 1_000_000_000, 0).cast("long").alias("_k"),
+    )
+    return (
+        q.groupBy("_sa", "_sb")
+        .agg(
+            F.round(
+                F.sum("_k").cast("double") / 1_000_000_000.0, 6
+            ).alias("js_nats")
+        )
+        .select(
+            F.col("_sa").alias("source_a"),
+            F.col("_sb").alias("source_b"),
+            "js_nats",
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -12805,3 +12805,160 @@ def q_dema_tema_20(spark, sf_dir):
         F.round("dema_20", 6).alias("dema_20"),
         F.round("tema_20", 6).alias("tema_20"),
     ).orderBy("symbol", "date")
+
+
+# =========================================================================
+# §2.12 X4+++ — text-quality round-out 2: readability, lexical
+# richness, pairwise source divergence
+# =========================================================================
+
+
+@query(
+    "flesch_readability",
+    """WITH f AS (
+  SELECT doc_id,
+    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT)
+      AS n_words,
+    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+      AS n_sentences,
+    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+      AS n_syllables
+  FROM documents)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+    AS flesch_reading_ease,
+  round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+        + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 4)
+    AS fk_grade
+FROM f
+ORDER BY doc_id""",
+)
+def q_flesch_readability(spark, sf_dir):
+    """Flesch reading ease + Flesch-Kincaid grade per document, with
+    the standard vowel-group syllable heuristic ([aeiouy]+ runs) and a
+    sentences-floor of 1 for unpunctuated docs. Pure per-row regexp
+    counts — one zero-shuffle codegen Project over the scan; the three
+    integers make the two formulas identical IEEE math in both
+    engines."""
+    d = table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"([.!?]+)"), 0)),
+        F.lit(1),
+    )
+    n_syl = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"([aeiouy]+)"), 0)
+    )
+    f = d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sents.cast("long").alias("n_sentences"),
+        n_syl.cast("long").alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return f.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias(
+            "flesch_reading_ease"
+        ),
+        F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("fk_grade"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "ttr_yule_k",
+    f"""WITH {_NORM_CTE},
+tok AS (SELECT doc_id, unnest(words) AS t FROM norm),
+freq AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS f
+         FROM tok GROUP BY doc_id, t),
+s AS (SELECT doc_id,
+        CAST(sum(f) AS BIGINT) AS n_tokens,
+        CAST(count(*) AS BIGINT) AS n_types,
+        CAST(sum(f * f) AS BIGINT) AS sum_f2
+      FROM freq GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_types,
+  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+  round(10000.0 * (sum_f2 - n_tokens)
+        / (CAST(n_tokens AS DOUBLE) * n_tokens), 4) AS yule_k
+FROM s
+ORDER BY doc_id""",
+)
+def q_ttr_yule_k(spark, sf_dir):
+    """Lexical-richness profile per document — type-token ratio and
+    Yule's K (10⁴·(Σf² − N)/N², the repetition statistic that is
+    length-invariant where raw TTR is not; template spam scores high K
+    at any length). All integer sufficient statistics (Σf, Σf², type
+    count) from one per-doc frequency aggregate — the word fan-out is
+    row-local and the group keys are (doc, term), never corpus-global."""
+    from finance_data_pipeline_spark.extensions.dedup import _spread, tokens
+
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        _spread(d.select("doc_id", "text"))
+        .select("doc_id", F.explode(tokens("text")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("f"))
+    )
+    s = freq.groupBy("doc_id").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("f") * F.col("f")).cast("long").alias("sum_f2"),
+    )
+    return s.select(
+        "doc_id", "n_tokens", "n_types",
+        F.round(
+            F.col("n_types").cast("double") / F.col("n_tokens"), 6
+        ).alias("ttr"),
+        F.round(
+            10000.0
+            * (F.col("sum_f2") - F.col("n_tokens"))
+            / (F.col("n_tokens").cast("double") * F.col("n_tokens")),
+            4,
+        ).alias("yule_k"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "js_divergence_sources",
+    f"""WITH {_NORM_CTE},
+tok AS (SELECT d.source AS src, unnest(n.words) AS t
+        FROM documents d JOIN norm n ON d.doc_id = n.doc_id),
+tb AS (SELECT src, ({_MD5_H_SQL}) % 64 AS b FROM tok),
+sc AS (SELECT src, b, CAST(count(*) AS BIGINT) AS c FROM tb GROUP BY src, b),
+stot AS (SELECT src, CAST(sum(c) AS BIGINT) AS ts FROM sc GROUP BY src),
+pairs AS (SELECT a.src AS sa, a.ts AS tsa, b.src AS sb, b.ts AS tsb
+          FROM stot a JOIN stot b ON a.src < b.src),
+bk AS (SELECT unnest(range(0, 64)) AS b),
+grid AS (SELECT p.*, bk.b FROM pairs p CROSS JOIN bk),
+f AS (SELECT g.sa, g.sb, g.tsa, g.tsb, g.b,
+        coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+      FROM grid g
+      LEFT JOIN sc ca ON ca.src = g.sa AND ca.b = g.b
+      LEFT JOIN sc cb ON cb.src = g.sb AND cb.b = g.b),
+terms AS (SELECT sa, sb,
+  CAST(round(
+    (0.5 * (CAST(ca + 1 AS DOUBLE) / CAST(tsa + 64 AS DOUBLE))
+         * (ln(CAST(ca + 1 AS DOUBLE) / CAST(tsa + 64 AS DOUBLE))
+            - ln(((CAST(ca + 1 AS DOUBLE) / CAST(tsa + 64 AS DOUBLE))
+                  + (CAST(cb + 1 AS DOUBLE) / CAST(tsb + 64 AS DOUBLE))) / 2))
+     + 0.5 * (CAST(cb + 1 AS DOUBLE) / CAST(tsb + 64 AS DOUBLE))
+         * (ln(CAST(cb + 1 AS DOUBLE) / CAST(tsb + 64 AS DOUBLE))
+            - ln(((CAST(ca + 1 AS DOUBLE) / CAST(tsa + 64 AS DOUBLE))
+                  + (CAST(cb + 1 AS DOUBLE) / CAST(tsb + 64 AS DOUBLE))) / 2)))
+    * 1000000000) AS BIGINT) AS k
+  FROM f)
+SELECT sa AS source_a, sb AS source_b,
+  round(CAST(sum(k) AS DOUBLE) / 1000000000.0, 6) AS js_nats
+FROM terms GROUP BY sa, sb
+ORDER BY source_a, source_b""",
+)
+def q_js_divergence_sources(spark, sf_dir):
+    """X4++ — pairwise Jensen-Shannon divergence between per-source
+    +1-smoothed 64-bucket hashed-unigram distributions: the symmetric
+    companion of source_unigram_kl that ranks source PAIRS by content
+    redundancy when composing a training mix. Bounded keys throughout
+    (C(n_sources,2) × 64 grid); nano-unit quantized terms make the
+    float statistic replay exactly. See text.js_divergence_sources."""
+    return text.js_divergence_sources(table(spark, sf_dir, "documents"))
