@@ -158,6 +158,7 @@ _PRIORITY = [
     "pivot_points", "force_index_eom", "momentum_xsec_rank",
     "dema_tema_20",
     "flesch_readability", "ttr_yule_k", "js_divergence_sources",
+    "hurst_rs", "kendall_tau_pairs", "heikin_ashi",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

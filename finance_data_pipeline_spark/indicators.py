@@ -885,3 +885,35 @@ def with_dema_tema(
         )
 
     return df.groupBy("symbol").applyInPandas(add, schema=out_schema)
+
+
+def with_heikin_ashi(df: DataFrame, time_col: str = "bar_ts") -> DataFrame:
+    """Heikin-Ashi smoothed candles — ha_close = (O+H+L+C)/4 row-local;
+    ha_open is the recursion (prev_ha_open + prev_ha_close)/2 seeded
+    with (O+C)/2; ha_high/ha_low fold the raw extremes in. The
+    recursion runs as an explicit loop inside one pandas group per
+    symbol (same exact-parity plan as with_ema_macd: the oracle replays
+    the identical IEEE sequence in a recursive CTE)."""
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", ha_open double, ha_high double, ha_low double, ha_close double"
+
+    def add(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([time_col]).reset_index(drop=True)
+        o = pdf["open"].to_numpy()
+        h = pdf["high"].to_numpy()
+        low = pdf["low"].to_numpy()
+        c = pdf["close"].to_numpy()
+        ha_c = (o + h + low + c) / 4
+        ha_o = ha_c.copy()
+        if len(pdf):
+            ha_o[0] = (o[0] + c[0]) / 2
+            for i in range(1, len(pdf)):
+                ha_o[i] = (ha_o[i - 1] + ha_c[i - 1]) / 2
+        import numpy as np
+
+        ha_h = np.maximum(h, np.maximum(ha_o, ha_c))
+        ha_l = np.minimum(low, np.minimum(ha_o, ha_c))
+        return pdf.assign(ha_open=ha_o, ha_high=ha_h, ha_low=ha_l, ha_close=ha_c)
+
+    return df.groupBy("symbol").applyInPandas(add, schema=out_schema)

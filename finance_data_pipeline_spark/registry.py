@@ -12962,3 +12962,299 @@ def q_js_divergence_sources(spark, sf_dir):
     (C(n_sources,2) × 64 grid); nano-unit quantized terms make the
     float statistic replay exactly. See text.js_divergence_sources."""
     return text.js_divergence_sources(table(spark, sf_dir, "documents"))
+
+
+# =========================================================================
+# §2.12 X14 — long-memory / robust-dependence statistics
+# =========================================================================
+
+
+@query(
+    "hurst_rs",
+    f"""WITH {STOCKS},
+r0 AS (SELECT symbol, date,
+         close / lag(close) OVER ({_W_DATE}) - 1 AS ret
+       FROM stocks),
+r AS (SELECT symbol,
+        CAST(round(ret * 1000000000, 0) AS BIGINT) AS rq,
+        row_number() OVER ({_W_DATE}) AS rn,
+        count(*) OVER (PARTITION BY symbol) AS n
+      FROM r0 WHERE ret IS NOT NULL),
+sized AS (SELECT symbol, rq, rn, n, m.m AS m,
+            CAST(floor((rn - 1) / m.m) AS BIGINT) AS blk,
+            rn - CAST(floor((rn - 1) / m.m) AS BIGINT) * m.m AS k
+          FROM r CROSS JOIN (SELECT unnest([4, 8, 16]) AS m) m
+          WHERE CAST(floor((rn - 1) / m.m) AS BIGINT)
+                < CAST(floor(n / m.m) AS BIGINT)),
+c AS (SELECT symbol, m, blk, k,
+        sum(rq) OVER (PARTITION BY symbol, m, blk ORDER BY k) AS cum,
+        sum(rq) OVER (PARTITION BY symbol, m, blk) AS s1,
+        sum(CAST(rq AS DECIMAL(19,0)) * CAST(rq AS DECIMAL(19,0)))
+          OVER (PARTITION BY symbol, m, blk) AS s2
+      FROM sized),
+dev AS (SELECT symbol, m, blk, s1, s2,
+          CAST(cum AS DOUBLE) / 1000000000
+            - k * (CAST(s1 AS DOUBLE) / m / 1000000000) AS d
+        FROM c),
+blkstat AS (SELECT symbol, m, blk,
+              max(d) - min(d) AS rr,
+              sqrt(CAST(max(s2) AS DOUBLE) / 1e18 / m
+                   - (CAST(max(s1) AS DOUBLE) / m / 1000000000)
+                     * (CAST(max(s1) AS DOUBLE) / m / 1000000000)) AS s
+            FROM dev GROUP BY symbol, m, blk),
+rs AS (SELECT symbol, m,
+         CAST(round(rr / s * 1000000000, 0) AS BIGINT) AS rsq
+       FROM blkstat WHERE s > 0),
+a AS (SELECT symbol, m,
+        round(CAST(sum(rsq) AS DOUBLE) / count(*), 0) / 1000000000
+          AS avg_rs
+      FROM rs GROUP BY symbol, m),
+p AS (SELECT symbol,
+        max(CASE WHEN m = 4 THEN avg_rs END) AS rs4,
+        max(CASE WHEN m = 8 THEN avg_rs END) AS rs8,
+        max(CASE WHEN m = 16 THEN avg_rs END) AS rs16
+      FROM a GROUP BY symbol)
+SELECT symbol,
+  round(rs4, 6) AS avg_rs_4,
+  round(rs8, 6) AS avg_rs_8,
+  round(rs16, 6) AS avg_rs_16,
+  round((ln(rs16) - ln(rs4)) / (ln(16) - ln(4)), 4) AS hurst
+FROM p WHERE rs4 IS NOT NULL AND rs16 IS NOT NULL
+ORDER BY symbol""",
+)
+def q_hurst_rs(spark, sf_dir):
+    """Hurst exponent via rescaled-range (R/S) analysis — returns
+    quantized to nano-unit longs, split into full blocks of 16/32/64,
+    per-block R (range of cumulative deviations) over S (population
+    std), block means averaged in quantized units, and H = the
+    endpoint log-log slope (the equally-spaced 3-point OLS slope).
+    Every sum is integer-exact (Σq as long, Σq² as DECIMAL(38,0)) so
+    the float pipeline is a fixed IEEE expression tree in both
+    engines — a long-memory statistic with a full hash oracle.
+    Bounded state: blocks×3 rows per symbol, one window pass."""
+    s = _stocks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date")
+    r0 = s.select(
+        "symbol", "date",
+        (F.col("close") / F.lag("close").over(w) - 1).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    r = r0.select(
+        "symbol",
+        F.round(F.col("ret") * 1_000_000_000, 0).cast("long").alias("rq"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("symbol")).alias("n"),
+    )
+    sizes = spark.createDataFrame([(4,), (8,), (16,)], "m int")
+    sized = (
+        r.crossJoin(F.broadcast(sizes))
+        .withColumn("blk", ((F.col("rn") - 1) / F.col("m")).cast("long"))
+        .withColumn("k", F.col("rn") - F.col("blk") * F.col("m"))
+        .filter(F.col("blk") < (F.col("n") / F.col("m")).cast("long"))
+    )
+    # all block statistics ride ONE window exchange on (symbol, m,
+    # blk): the ordered cumsum and the whole-partition Σq/Σq² share the
+    # partition spec, and the follow-up groupBy reuses the same
+    # partitioning — no self-join back onto the derived stream (the
+    # dup_triangles lesson).
+    wpart = Window.partitionBy("symbol", "m", "blk")
+    wblk = wpart.orderBy("k")
+    c = sized.select(
+        "symbol", "m", "blk", "k",
+        F.sum("rq").over(wblk).alias("cum"),
+        F.sum("rq").over(wpart).alias("s1"),
+        F.sum(
+            F.col("rq").cast("decimal(19,0)") * F.col("rq").cast("decimal(19,0)")
+        )
+        .over(wpart)
+        .alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("m") / 1_000_000_000
+    dev = c.select(
+        "symbol", "m", "blk", "s1", "s2",
+        (F.col("cum").cast("double") / 1_000_000_000 - F.col("k") * mu).alias("d"),
+    )
+    mumax = F.max("s1").cast("double") / F.col("m") / 1_000_000_000
+    blkstat = dev.groupBy("symbol", "m", "blk").agg(
+        (F.max("d") - F.min("d")).alias("rr"),
+        F.sqrt(
+            F.max("s2").cast("double") / F.lit(1e18) / F.col("m")
+            - mumax * mumax
+        ).alias("s"),
+    )
+    rs = blkstat.filter(F.col("s") > 0).select(
+        "symbol", "m",
+        F.round(F.col("rr") / F.col("s") * 1_000_000_000, 0)
+        .cast("long")
+        .alias("rsq"),
+    )
+    a = rs.groupBy("symbol", "m").agg(
+        (
+            F.round(F.sum("rsq").cast("double") / F.count("*"), 0)
+            / 1_000_000_000
+        ).alias("avg_rs")
+    )
+    p = a.groupBy("symbol").agg(
+        F.max(F.when(F.col("m") == 4, F.col("avg_rs"))).alias("rs4"),
+        F.max(F.when(F.col("m") == 8, F.col("avg_rs"))).alias("rs8"),
+        F.max(F.when(F.col("m") == 16, F.col("avg_rs"))).alias("rs16"),
+    )
+    return (
+        p.filter(F.col("rs4").isNotNull() & F.col("rs16").isNotNull())
+        .select(
+            "symbol",
+            F.round("rs4", 6).alias("avg_rs_4"),
+            F.round("rs8", 6).alias("avg_rs_8"),
+            F.round("rs16", 6).alias("avg_rs_16"),
+            F.round(
+                (F.log("rs16") - F.log("rs4"))
+                / (F.log(F.lit(16.0)) - F.log(F.lit(4.0))),
+                4,
+            ).alias("hurst"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "kendall_tau_pairs",
+    f"""WITH {STOCKS},
+r AS (SELECT symbol, date,
+        close / lag(close) OVER ({_W_DATE}) - 1 AS ret,
+        row_number() OVER ({_W_DATE}) AS rn,
+        count(*) OVER (PARTITION BY symbol) AS n
+      FROM stocks),
+tail_w AS (SELECT symbol, date, ret FROM r
+           WHERE ret IS NOT NULL AND rn > n - 20),
+p AS (SELECT a.symbol AS sa, b.symbol AS sb, a.date AS date,
+        a.ret AS x, b.ret AS y
+      FROM tail_w a JOIN tail_w b
+        ON a.date = b.date AND a.symbol < b.symbol),
+pp AS (SELECT p1.sa, p1.sb,
+         CASE WHEN (p2.x - p1.x) * (p2.y - p1.y) > 0 THEN 1 ELSE 0 END AS c,
+         CASE WHEN (p2.x - p1.x) * (p2.y - p1.y) < 0 THEN 1 ELSE 0 END AS d,
+         CASE WHEN p2.x = p1.x AND p2.y <> p1.y THEN 1 ELSE 0 END AS tx,
+         CASE WHEN p2.y = p1.y AND p2.x <> p1.x THEN 1 ELSE 0 END AS ty
+       FROM p p1 JOIN p p2
+         ON p1.sa = p2.sa AND p1.sb = p2.sb AND p1.date < p2.date),
+s AS (SELECT sa, sb,
+        CAST(sum(c) AS BIGINT) AS nc, CAST(sum(d) AS BIGINT) AS nd,
+        CAST(sum(tx) AS BIGINT) AS ntx, CAST(sum(ty) AS BIGINT) AS nty,
+        CAST(count(*) AS BIGINT) AS n0
+      FROM pp GROUP BY sa, sb)
+SELECT sa AS symbol_a, sb AS symbol_b, nc AS concordant, nd AS discordant,
+  round((nc - nd) / sqrt(CAST((n0 - ntx) AS DOUBLE) * (n0 - nty)), 6)
+    AS kendall_tau_b
+FROM s
+ORDER BY symbol_a, symbol_b""",
+)
+def q_kendall_tau_pairs(spark, sf_dir):
+    """Kendall tau-b rank correlation over each symbol pair's LAST 20
+    aligned daily returns — the bounded-window robust-dependence
+    companion of spearman_corr_pairs (tau's O(w²) comparisons force a
+    window; 20 obs ⇒ 190 comparisons per pair, the per-pair fan-out a
+    100 TB run would also cap). Concordant/discordant/tie counts are
+    pure integers, so only the final ratio is float — identical IEEE
+    in both engines."""
+    s = _stocks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date")
+    r = s.select(
+        "symbol", "date",
+        (F.col("close") / F.lag("close").over(w) - 1).alias("ret"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("symbol")).alias("n"),
+    )
+    tail_w = r.filter(
+        F.col("ret").isNotNull() & (F.col("rn") > F.col("n") - 20)
+    ).select("symbol", "date", "ret")
+    a, b = tail_w.alias("a"), tail_w.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.date") == F.col("b.date"))
+        & (F.col("a.symbol") < F.col("b.symbol")),
+    ).select(
+        F.col("a.symbol").alias("sa"), F.col("b.symbol").alias("sb"),
+        F.col("a.date").alias("date"),
+        F.col("a.ret").alias("x"), F.col("b.ret").alias("y"),
+    )
+    p1, p2 = p.alias("p1"), p.alias("p2")
+    prod = (F.col("p2.x") - F.col("p1.x")) * (F.col("p2.y") - F.col("p1.y"))
+    pp = p1.join(
+        p2,
+        (F.col("p1.sa") == F.col("p2.sa"))
+        & (F.col("p1.sb") == F.col("p2.sb"))
+        & (F.col("p1.date") < F.col("p2.date")),
+    ).select(
+        F.col("p1.sa").alias("sa"), F.col("p1.sb").alias("sb"),
+        F.when(prod > 0, 1).otherwise(0).alias("c"),
+        F.when(prod < 0, 1).otherwise(0).alias("d"),
+        F.when(
+            (F.col("p2.x") == F.col("p1.x")) & (F.col("p2.y") != F.col("p1.y")),
+            1,
+        ).otherwise(0).alias("tx"),
+        F.when(
+            (F.col("p2.y") == F.col("p1.y")) & (F.col("p2.x") != F.col("p1.x")),
+            1,
+        ).otherwise(0).alias("ty"),
+    )
+    st = pp.groupBy("sa", "sb").agg(
+        F.sum("c").cast("long").alias("nc"),
+        F.sum("d").cast("long").alias("nd"),
+        F.sum("tx").cast("long").alias("ntx"),
+        F.sum("ty").cast("long").alias("nty"),
+        F.count("*").cast("long").alias("n0"),
+    )
+    return st.select(
+        F.col("sa").alias("symbol_a"), F.col("sb").alias("symbol_b"),
+        F.col("nc").alias("concordant"), F.col("nd").alias("discordant"),
+        F.round(
+            (F.col("nc") - F.col("nd"))
+            / F.sqrt(
+                (F.col("n0") - F.col("ntx")).cast("double")
+                * (F.col("n0") - F.col("nty"))
+            ),
+            6,
+        ).alias("kendall_tau_b"),
+    ).orderBy("symbol_a", "symbol_b")
+
+
+@query(
+    "heikin_ashi",
+    f"""WITH RECURSIVE {BARS},
+base AS (SELECT symbol, bar_ts, open, high, low, close,
+           row_number() OVER ({_W_BAR}) AS rn
+         FROM bars),
+ha AS (
+  SELECT symbol, bar_ts, rn, high, low,
+         (open + close) / 2 AS ho,
+         (open + high + low + close) / 4 AS hc
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.symbol, b.bar_ts, b.rn, b.high, b.low,
+         (ha.ho + ha.hc) / 2,
+         (b.open + b.high + b.low + b.close) / 4
+  FROM ha JOIN base b ON b.symbol = ha.symbol AND b.rn = ha.rn + 1
+)
+SELECT symbol, bar_ts,
+  round(ho, 6) AS ha_open,
+  round(greatest(high, ho, hc), 6) AS ha_high,
+  round(least(low, ho, hc), 6) AS ha_low,
+  round(hc, 6) AS ha_close
+FROM ha
+ORDER BY symbol, bar_ts""",
+)
+def q_heikin_ashi(spark, sf_dir):
+    """Heikin-Ashi smoothed candles — ha_close row-local, ha_open the
+    (prev_open + prev_close)/2 recursion seeded at (O+C)/2, extremes
+    folded via greatest/least. The recursion runs as an explicit numpy
+    loop per symbol partition (one Arrow shuffle, the with_ema_macd
+    plan); the oracle replays the identical IEEE sequence in a
+    recursive CTE. See indicators.with_heikin_ashi."""
+    b = _bars(spark, sf_dir)
+    out = indicators.with_heikin_ashi(b, "bar_ts")
+    return out.select(
+        "symbol", "bar_ts",
+        F.round("ha_open", 6).alias("ha_open"),
+        F.round("ha_high", 6).alias("ha_high"),
+        F.round("ha_low", 6).alias("ha_low"),
+        F.round("ha_close", 6).alias("ha_close"),
+    ).orderBy("symbol", "bar_ts")
