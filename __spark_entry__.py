@@ -159,6 +159,7 @@ _PRIORITY = [
     "dema_tema_20",
     "flesch_readability", "ttr_yule_k", "js_divergence_sources",
     "hurst_rs", "kendall_tau_pairs", "heikin_ashi",
+    "black_scholes_grid", "min_var_pairs",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

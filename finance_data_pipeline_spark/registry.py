@@ -13258,3 +13258,242 @@ def q_heikin_ashi(spark, sf_dir):
         F.round("ha_low", 6).alias("ha_low"),
         F.round("ha_close", 6).alias("ha_close"),
     ).orderBy("symbol", "bar_ts")
+
+
+# =========================================================================
+# §2.12 X15 — derivative pricing / portfolio construction
+# =========================================================================
+
+# Standard normal CDF via the Abramowitz-Stegun 26.2.17 polynomial
+# (|ε| < 7.5e-8) — neither engine ships erf(), so Φ is spelled out as
+# the IDENTICAL expression tree in both: t = 1/(1 + a·|x|), Φ(|x|) =
+# 1 − φ(x)·poly(t), mirrored for x < 0. Literals promote decimal →
+# double before any arithmetic in DuckDB (correctly-rounded, same as
+# parsing the literal as a double), so both engines run the same IEEE
+# sequence.
+_PHI_A = "0.2316419"
+_PHI_B = ("0.319381530", "-0.356563782", "1.781477937",
+          "-1.821255978", "1.330274429")
+_INV_SQRT_2PI = "0.3989422804014327"
+
+
+def _phi_sql(x: str) -> str:
+    t = f"(1 / (1 + {_PHI_A} * abs({x})))"
+    b1, b2, b3, b4, b5 = _PHI_B
+    poly = (f"({t} * ({b1} + {t} * ({b2} + {t} * ({b3} + {t} * "
+            f"({b4} + {t} * {b5})))))")
+    pdf = f"(exp(-(({x}) * ({x})) / 2) * {_INV_SQRT_2PI})"
+    p = f"({pdf} * {poly})"
+    return f"(CASE WHEN ({x}) >= 0 THEN 1 - {p} ELSE {p} END)"
+
+
+def _phi_col(x):
+    t = 1 / (1 + float(_PHI_A) * F.abs(x))
+    b1, b2, b3, b4, b5 = (float(b) for b in _PHI_B)
+    poly = t * (b1 + t * (b2 + t * (b3 + t * (b4 + t * b5))))
+    pdf = F.exp(-(x * x) / 2) * float(_INV_SQRT_2PI)
+    p = pdf * poly
+    return F.when(x >= 0, 1 - p).otherwise(p)
+
+
+_BS_GRID_SQL = """grid AS (
+  SELECT m.m AS moneyness, t.t AS t_years
+  FROM (SELECT unnest([0.9, 1.0, 1.1]) AS m) m
+  CROSS JOIN (SELECT unnest([0.25, 1.0]) AS t) t)"""
+
+
+@query(
+    "black_scholes_grid",
+    f"""WITH {STOCKS},
+r AS (SELECT symbol, date, close,
+        close / lag(close) OVER ({_W_DATE}) - 1 AS ret
+      FROM stocks),
+s AS (SELECT symbol,
+        max_by(close, date) AS s0,
+        CAST(count(ret) AS BIGINT) AS n,
+        CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE) AS sr,
+        CAST(sum(CAST(ret * ret AS DECIMAL(38,18))) AS DOUBLE) AS srr
+      FROM r GROUP BY symbol),
+v AS (SELECT symbol, s0,
+        sqrt(252.0) * sqrt((srr - sr * sr / n) / (n - 1)) AS sigma
+      FROM s WHERE n > 1),
+{_BS_GRID_SQL},
+d AS (SELECT symbol, s0, sigma, moneyness, t_years,
+        s0 * moneyness AS k,
+        (ln(s0 / (s0 * moneyness)) + (0.02 + sigma * sigma / 2) * t_years)
+          / (sigma * sqrt(t_years)) AS d1,
+        (ln(s0 / (s0 * moneyness)) + (0.02 + sigma * sigma / 2) * t_years)
+          / (sigma * sqrt(t_years)) - sigma * sqrt(t_years) AS d2
+      FROM v CROSS JOIN grid),
+p AS (SELECT symbol, moneyness, t_years, s0, k, sigma, d1,
+        s0 * {_phi_sql('d1')} - k * exp(-0.02 * t_years) * {_phi_sql('d2')}
+          AS call
+      FROM d)
+SELECT symbol, moneyness, t_years,
+  round(sigma, 6) AS sigma_annual,
+  round(call, 6) AS call_price,
+  round(call - s0 + k * exp(-0.02 * t_years), 6) AS put_price,
+  round({_phi_sql('d1')}, 6) AS call_delta
+FROM p
+ORDER BY symbol, moneyness, t_years""",
+)
+def q_black_scholes_grid(spark, sf_dir):
+    """Black-Scholes call/put prices and call delta on a
+    moneyness × maturity grid per symbol, using each symbol's last
+    close as spot and its annualized realized vol as σ (r = 2%). The
+    normal CDF is the Abramowitz-Stegun polynomial spelled out as the
+    identical IEEE tree in both engines (no erf() in either), puts via
+    put-call parity. One DECIMAL-exact stats aggregate per symbol,
+    then a broadcast 6-cell grid — zero extra shuffles."""
+    s = _stocks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date")
+    r = s.select(
+        "symbol", "date", "close",
+        (F.col("close") / F.lag("close").over(w) - 1).alias("ret"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")
+    st = r.groupBy("symbol").agg(
+        F.max_by("close", "date").alias("s0"),
+        F.count("ret").cast("long").alias("n"),
+        dec(F.col("ret")).alias("sr"),
+        dec(F.col("ret") * F.col("ret")).alias("srr"),
+    )
+    v = st.filter(F.col("n") > 1).select(
+        "symbol", "s0",
+        (
+            F.sqrt(F.lit(252.0))
+            * F.sqrt(
+                (F.col("srr") - F.col("sr") * F.col("sr") / F.col("n"))
+                / (F.col("n") - 1)
+            )
+        ).alias("sigma"),
+    )
+    grid = spark.createDataFrame(
+        [(m, t) for m in (0.9, 1.0, 1.1) for t in (0.25, 1.0)],
+        "moneyness double, t_years double",
+    )
+    d = v.crossJoin(F.broadcast(grid)).select(
+        "symbol", "s0", "sigma", "moneyness", "t_years",
+        (F.col("s0") * F.col("moneyness")).alias("k"),
+        (
+            (
+                F.log(F.col("s0") / (F.col("s0") * F.col("moneyness")))
+                + (0.02 + F.col("sigma") * F.col("sigma") / 2) * F.col("t_years")
+            )
+            / (F.col("sigma") * F.sqrt(F.col("t_years")))
+        ).alias("d1"),
+    )
+    d = d.withColumn(
+        "d2", F.col("d1") - F.col("sigma") * F.sqrt(F.col("t_years"))
+    )
+    call = F.col("s0") * _phi_col(F.col("d1")) - F.col("k") * F.exp(
+        -0.02 * F.col("t_years")
+    ) * _phi_col(F.col("d2"))
+    p = d.select(
+        "symbol", "moneyness", "t_years", "s0", "k", "sigma", "d1",
+        call.alias("call"),
+    )
+    return p.select(
+        "symbol", "moneyness", "t_years",
+        F.round("sigma", 6).alias("sigma_annual"),
+        F.round("call", 6).alias("call_price"),
+        F.round(
+            F.col("call") - F.col("s0")
+            + F.col("k") * F.exp(-0.02 * F.col("t_years")),
+            6,
+        ).alias("put_price"),
+        F.round(_phi_col(F.col("d1")), 6).alias("call_delta"),
+    ).orderBy("symbol", "moneyness", "t_years")
+
+
+@query(
+    "min_var_pairs",
+    f"""WITH {STOCKS},
+r AS (SELECT symbol, date,
+        close / lag(close) OVER ({_W_DATE}) - 1 AS ret
+      FROM stocks),
+al AS (SELECT a.symbol AS sa, b.symbol AS sb, a.ret AS x, b.ret AS y
+       FROM r a JOIN r b ON a.date = b.date AND a.symbol < b.symbol
+       WHERE a.ret IS NOT NULL AND b.ret IS NOT NULL),
+s AS (SELECT sa, sb,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+        CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+        CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+        CAST(sum(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy,
+        CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+      FROM al GROUP BY sa, sb),
+m AS (SELECT sa, sb, n,
+        (sxx - sx * sx / n) / (n - 1) AS va,
+        (syy - sy * sy / n) / (n - 1) AS vb,
+        (sxy - sx * sy / n) / (n - 1) AS cab
+      FROM s WHERE n > 1),
+wgt AS (SELECT sa, sb, n, va, vb, cab,
+          (vb - cab) / nullif(va + vb - 2 * cab, 0.0) AS wa
+        FROM m)
+SELECT sa AS symbol_a, sb AS symbol_b, n AS n_obs,
+  round(wa, 6) AS w_a,
+  round(1 - wa, 6) AS w_b,
+  round(sqrt(252.0) * sqrt(greatest(
+      wa * wa * va + (1 - wa) * (1 - wa) * vb + 2 * wa * (1 - wa) * cab,
+      0.0)), 6) AS port_vol_annual
+FROM wgt
+ORDER BY symbol_a, symbol_b""",
+)
+def q_min_var_pairs(spark, sf_dir):
+    """Two-asset minimum-variance portfolio weights per symbol pair —
+    the closed-form w_a = (σ²_b − σ_ab)/(σ²_a + σ²_b − 2σ_ab) from
+    DECIMAL-exact sufficient statistics over time-aligned returns,
+    plus the resulting annualized portfolio vol. One aligned self-join
+    (the pairwise_correlation fan-out), ONE aggregate per pair; the
+    closed forms are identical IEEE math in both engines."""
+    s = _stocks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date")
+    r = s.select(
+        "symbol", "date",
+        (F.col("close") / F.lag("close").over(w) - 1).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    a, b = r.alias("a"), r.alias("b")
+    al = a.join(
+        b,
+        (F.col("a.date") == F.col("b.date"))
+        & (F.col("a.symbol") < F.col("b.symbol")),
+    ).select(
+        F.col("a.symbol").alias("sa"), F.col("b.symbol").alias("sb"),
+        F.col("a.ret").alias("x"), F.col("b.ret").alias("y"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")
+    st = al.groupBy("sa", "sb").agg(
+        F.count("*").cast("long").alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    m = st.filter(n > 1).select(
+        "sa", "sb", "n",
+        ((F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)).alias("va"),
+        ((F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)).alias("vb"),
+        ((F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)).alias("cab"),
+    )
+    wa = (F.col("vb") - F.col("cab")) / F.nullif(
+        F.col("va") + F.col("vb") - 2 * F.col("cab"), F.lit(0.0)
+    )
+    wgt = m.select("sa", "sb", "n", "va", "vb", "cab", wa.alias("wa"))
+    pv = F.sqrt(F.lit(252.0)) * F.sqrt(
+        F.greatest(
+            F.col("wa") * F.col("wa") * F.col("va")
+            + (1 - F.col("wa")) * (1 - F.col("wa")) * F.col("vb")
+            + 2 * F.col("wa") * (1 - F.col("wa")) * F.col("cab"),
+            F.lit(0.0),
+        )
+    )
+    return wgt.select(
+        F.col("sa").alias("symbol_a"), F.col("sb").alias("symbol_b"),
+        F.col("n").alias("n_obs"),
+        F.round("wa", 6).alias("w_a"),
+        F.round(1 - F.col("wa"), 6).alias("w_b"),
+        F.round(pv, 6).alias("port_vol_annual"),
+    ).orderBy("symbol_a", "symbol_b")
