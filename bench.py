@@ -77,6 +77,8 @@ HEADLINE = [
     "split_leakage_check",
     "label_prop_communities",
     "rolling_beta_30",
+    "hurst_rs",
+    "black_scholes_grid",
 ]
 
 
