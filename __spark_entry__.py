@@ -160,6 +160,7 @@ _PRIORITY = [
     "flesch_readability", "ttr_yule_k", "js_divergence_sources",
     "hurst_rs", "kendall_tau_pairs", "heikin_ashi",
     "black_scholes_grid", "min_var_pairs",
+    "transition_stationary_dist", "type_burstiness", "user_value_deciles",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

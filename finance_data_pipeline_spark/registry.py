@@ -13497,3 +13497,254 @@ def q_min_var_pairs(spark, sf_dir):
         F.round(1 - F.col("wa"), 6).alias("w_b"),
         F.round(pv, 6).alias("port_vol_annual"),
     ).orderBy("symbol_a", "symbol_b")
+
+
+# =========================================================================
+# §2.12 X16 — behavioral analytics round-out
+# =========================================================================
+
+
+def _stationary_round_sql(k: int) -> str:
+    """One power-iteration round over the closed transition set: each
+    term π_i·c_ij/r_i quantized to a long before the per-state sum
+    (the pagerank/PC discipline), so the iteration replays exactly."""
+    prev = f"p{k - 1}"
+    return (
+        f"p{k} AS (SELECT e.j AS typ, "
+        f"CAST(sum(CAST(round(CAST({prev}.pi AS DOUBLE) * e.c / r.tot, 0) "
+        f"AS BIGINT)) AS BIGINT) AS pi "
+        f"FROM {prev} JOIN e ON e.i = {prev}.typ "
+        f"JOIN r ON r.i = e.i GROUP BY e.j)"
+    )
+
+
+@query(
+    "transition_stationary_dist",
+    f"""WITH seq AS (
+  SELECT user_id, event_type, 
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events),
+e0 AS (SELECT prev AS i, event_type AS j, CAST(count(*) AS BIGINT) AS c
+       FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+src AS (SELECT DISTINCT i FROM e0),
+e AS (SELECT e0.i, e0.j, e0.c FROM e0 JOIN src s ON e0.j = s.i),
+r AS (SELECT i, CAST(sum(c) AS BIGINT) AS tot FROM e GROUP BY i),
+p0 AS (SELECT i AS typ,
+         CAST(round(1000000.0 / (SELECT count(*) FROM r), 0) AS BIGINT) AS pi
+       FROM r),
+{_stationary_round_sql(1)},
+{_stationary_round_sql(2)},
+{_stationary_round_sql(3)},
+{_stationary_round_sql(4)},
+tot4 AS (SELECT CAST(sum(pi) AS BIGINT) AS t FROM p4)
+SELECT typ AS event_type, pi AS pi_units,
+  round(CAST(pi AS DOUBLE) / (SELECT t FROM tot4), 6) AS stationary_share
+FROM p4
+ORDER BY event_type""",
+)
+def q_transition_stationary_dist(spark, sf_dir):
+    """Stationary distribution of the event-type Markov chain — four
+    unrolled power-iteration rounds from uniform over the row-normal-
+    ized transition counts, restricted to the closed set of source
+    types so no round leaks mass to a dangling state. Each term
+    π_i·c_ij/r_i quantizes to a long before the per-state sum (the
+    pagerank/power-iteration discipline), making a genuinely iterative
+    algorithm fully hash-checked. State per round: n_types rows; the
+    heavy work is the ONE (prev, type) count aggregate."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    e0 = seq.groupBy(F.col("prev").alias("i"), F.col("event_type").alias("j")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    src = e0.select("i").distinct()
+    e = e0.join(
+        F.broadcast(src.withColumnRenamed("i", "j")), "j"
+    ).select("i", "j", "c")
+    r = e.groupBy("i").agg(F.sum("c").cast("long").alias("tot"))
+    n_types = r.count()  # bounded: the event-type vocabulary
+    p = r.select(
+        F.col("i").alias("typ"),
+        F.round(F.lit(1_000_000.0) / n_types, 0).cast("long").alias("pi"),
+    )
+    # n_types² rows at most — checkpoint once so the 4 rounds don't
+    # each re-derive the (prev, type) aggregate from the events scan
+    # (4 full scans at 100 TB otherwise; the kmeans_centroids seam).
+    er = e.join(r, "i").localCheckpoint()
+    for _ in range(4):
+        p = (
+            er.join(F.broadcast(p), er["i"] == p["typ"])
+            .select(
+                "j",
+                F.round(
+                    F.col("pi").cast("double") * F.col("c") / F.col("tot"), 0
+                )
+                .cast("long")
+                .alias("term"),
+            )
+            .groupBy("j")
+            .agg(F.sum("term").cast("long").alias("pi"))
+            .withColumnRenamed("j", "typ")
+        )
+    p = p.localCheckpoint()  # cap the 4-round lineage (pagerank lesson)
+    tot = p.agg(F.sum("pi").cast("long").alias("t"))
+    return (
+        p.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("typ").alias("event_type"),
+            F.col("pi").alias("pi_units"),
+            F.round(F.col("pi").cast("double") / F.col("t"), 6).alias(
+                "stationary_share"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "type_burstiness",
+    """WITH seq AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) - epoch_us(lag(ts) OVER
+           (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+           AS BIGINT) AS gap_us
+  FROM events),
+s AS (SELECT event_type,
+        CAST(count(gap_us) AS BIGINT) AS n_gaps,
+        CAST(sum(gap_us) AS BIGINT) AS s1,
+        CAST(CAST(sum(CAST(gap_us AS DECIMAL(19,0))
+                      * CAST(gap_us AS DECIMAL(19,0))) AS DECIMAL(38,0))
+             AS DOUBLE) AS s2
+      FROM seq WHERE gap_us IS NOT NULL GROUP BY event_type),
+m AS (SELECT event_type, n_gaps,
+        CAST(s1 AS DOUBLE) / n_gaps AS mu,
+        sqrt(greatest(s2 / n_gaps
+             - (CAST(s1 AS DOUBLE) / n_gaps) * (CAST(s1 AS DOUBLE) / n_gaps),
+             0.0)) AS sigma
+      FROM s WHERE n_gaps > 1)
+SELECT event_type, n_gaps,
+  round(mu / 1000000.0, 6) AS mean_gap_s,
+  round(sigma / 1000000.0, 6) AS sd_gap_s,
+  round((sigma - mu) / nullif(sigma + mu, 0.0), 6) AS burstiness
+FROM m
+ORDER BY event_type""",
+)
+def q_type_burstiness(spark, sf_dir):
+    """Goh-Barabási burstiness coefficient B = (σ−μ)/(σ+μ) of
+    per-user inter-event gaps, by event type — B→−1 for periodic
+    traffic, ≈0 for Poisson, →1 for bursty; the standard traffic-shape
+    diagnostic next to user_event_bursts' threshold counter. Gaps are
+    exact integer microseconds, Σgap a long and Σgap² a DECIMAL(38,0),
+    so only the final closed forms are float — identical IEEE in both
+    engines. One window pass + one bounded-key aggregate."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # parquet reads ts as TIMESTAMP_NTZ; the session is pinned UTC so
+    # the cast is wall-clock identity and matches DuckDB's epoch_us.
+    tz = F.col("ts").cast("timestamp")
+    gap = (
+        F.unix_micros(tz) - F.unix_micros(F.lag(tz).over(w))
+    ).cast("long")
+    seq = ev.select("event_type", gap.alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    s = seq.groupBy("event_type").agg(
+        F.count("gap_us").cast("long").alias("n_gaps"),
+        F.sum("gap_us").cast("long").alias("s1"),
+        F.sum(
+            F.col("gap_us").cast("decimal(19,0)")
+            * F.col("gap_us").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n_gaps")
+    sigma = F.sqrt(F.greatest(F.col("s2") / F.col("n_gaps") - mu * mu, F.lit(0.0)))
+    return (
+        s.filter(F.col("n_gaps") > 1)
+        .select(
+            "event_type", "n_gaps",
+            F.round(mu / 1_000_000.0, 6).alias("mean_gap_s"),
+            F.round(sigma / 1_000_000.0, 6).alias("sd_gap_s"),
+            F.round(
+                (sigma - mu) / F.nullif(sigma + mu, F.lit(0.0)), 6
+            ).alias("burstiness"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "user_value_deciles",
+    """WITH u AS (
+  SELECT user_id,
+    CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE) AS total_value
+  FROM events GROUP BY user_id),
+d AS (SELECT user_id, total_value,
+        ntile(10) OVER (ORDER BY total_value DESC, user_id) AS decile
+      FROM u),
+g AS (SELECT decile,
+        CAST(count(*) AS BIGINT) AS n_users,
+        CAST(sum(CAST(total_value AS DECIMAL(38,18))) AS DOUBLE) AS dv
+      FROM d GROUP BY decile),
+t AS (SELECT CAST(sum(CAST(total_value AS DECIMAL(38,18))) AS DOUBLE) AS tv
+      FROM u)
+SELECT decile, n_users,
+  round(dv, 4) AS decile_value,
+  round(dv / tv, 6) AS value_share,
+  round(CAST(sum(CAST(round(dv / tv * 1000000000, 0) AS BIGINT))
+        OVER (ORDER BY decile) AS DOUBLE) / 1000000000, 6) AS cum_share
+FROM g CROSS JOIN t
+ORDER BY decile""",
+)
+def q_user_value_deciles(spark, sf_dir):
+    """User lifetime-value concentration table — decile the users by
+    DECIMAL-exact total event value (deterministic user_id tiebreak)
+    and report each decile's value share plus the Lorenz-style
+    cumulative share (the \"top 10% hold X%\" readout next to
+    value_gini_by_type's scalar). The cumulative sum runs over 10
+    pre-quantized shares, never raw rows."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(38,18)"))
+        .cast("double")
+        .alias("total_value")
+    )
+    d = u.select(
+        "user_id", "total_value",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("total_value"), F.asc("user_id")))
+        .alias("decile"),
+    )
+    g = d.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.col("total_value").cast("decimal(38,18)"))
+        .cast("double")
+        .alias("dv"),
+    )
+    t = u.agg(
+        F.sum(F.col("total_value").cast("decimal(38,18)"))
+        .cast("double")
+        .alias("tv")
+    )
+    share_q = F.round(F.col("dv") / F.col("tv") * 1_000_000_000, 0).cast("long")
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "decile", "n_users",
+            F.round("dv", 4).alias("decile_value"),
+            F.round(F.col("dv") / F.col("tv"), 6).alias("value_share"),
+            F.round(
+                F.sum(share_q)
+                .over(Window.orderBy("decile"))
+                .cast("double")
+                / 1_000_000_000,
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
