@@ -161,6 +161,7 @@ _PRIORITY = [
     "hurst_rs", "kendall_tau_pairs", "heikin_ashi",
     "black_scholes_grid", "min_var_pairs",
     "transition_stationary_dist", "type_burstiness", "user_value_deciles",
+    "garch_11_vol", "nb_lang_classifier", "bm25_context_pack",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

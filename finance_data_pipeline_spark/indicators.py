@@ -917,3 +917,45 @@ def with_heikin_ashi(df: DataFrame, time_col: str = "bar_ts") -> DataFrame:
         return pdf.assign(ha_open=ha_o, ha_high=ha_h, ha_low=ha_l, ha_close=ha_c)
 
     return df.groupBy("symbol").applyInPandas(add, schema=out_schema)
+
+
+def with_garch_vol(
+    df: DataFrame,
+    alpha: float = 0.1,
+    beta: float = 0.85,
+    col: str = "close",
+    time_col: str = "date",
+    seed_col: str = "seed_var",
+) -> DataFrame:
+    """GARCH(1,1) conditional variance with FIXED (α, β) and
+    variance-targeted ω = (1−α−β)·σ²_uncond: v_t = ω + α·r²_{t−1}
+    + β·v_{t−1}, seeded at the unconditional variance. No MLE — the
+    model is the standard RiskMetrics-style filter, which makes it a
+    deterministic recursion the oracle replays in a recursive CTE.
+    The per-symbol seed (exact-decimal sample variance) is computed
+    Spark-side and joined in as ``seed_col`` so the pandas loop and
+    the SQL recursion start from the SAME double."""
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", ret double, garch_var double"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values([time_col]).reset_index(drop=True)
+        c = pdf[col].to_numpy()
+        ret = np.empty(len(c))
+        ret[:] = np.nan
+        if len(c) > 1:
+            ret[1:] = c[1:] / c[:-1] - 1
+        seed = float(pdf[seed_col].iloc[0]) if len(pdf) else 0.0
+        omega = (1 - alpha - beta) * seed
+        v = np.empty(len(c))
+        v[:] = np.nan
+        if len(c) > 1:
+            v[1] = seed
+            for i in range(2, len(c)):
+                v[i] = omega + alpha * (ret[i - 1] * ret[i - 1]) + beta * v[i - 1]
+        return pdf.assign(ret=ret, garch_var=v)
+
+    return df.groupBy("symbol").applyInPandas(fold, schema=out_schema)

@@ -13748,3 +13748,293 @@ def q_user_value_deciles(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+# GARCH(1,1) oracle — variance-targeted fixed-parameter filter:
+# v_t = ω + α·r²_{t−1} + β·v_{t−1}, ω = (1−α−β)·σ²_uncond, seeded at
+# the DECIMAL-exact per-symbol sample variance. α, β emitted via
+# CAST(… AS DOUBLE) fractions so DuckDB never runs the recurrence in
+# decimal arithmetic (the _EMA_ORACLE discipline).
+_GARCH_ORACLE = f"""WITH RECURSIVE {STOCKS},
+base AS (SELECT symbol, date, CAST(close AS DOUBLE) AS close,
+           close / lag(close) OVER ({_W_DATE}) - 1 AS ret,
+           row_number() OVER ({_W_DATE}) AS rn
+         FROM stocks),
+sv AS (SELECT symbol,
+         (CAST(sum(CAST(ret * ret AS DECIMAL(38,18))) AS DOUBLE)
+          - CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE)
+            * CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE)
+            / count(ret))
+         / (count(ret) - 1) AS seed
+       FROM base WHERE ret IS NOT NULL GROUP BY symbol
+       HAVING count(ret) > 1),
+g AS (
+  SELECT b.symbol, b.date, b.rn, b.ret, sv.seed,
+         sv.seed AS v
+  FROM base b JOIN sv ON b.symbol = sv.symbol WHERE b.rn = 2
+  UNION ALL
+  SELECT b.symbol, b.date, b.rn, b.ret, g.seed,
+         (1 - CAST(1 AS DOUBLE)/10 - CAST(17 AS DOUBLE)/20) * g.seed
+           + (CAST(1 AS DOUBLE)/10) * (g.ret * g.ret)
+           + (CAST(17 AS DOUBLE)/20) * g.v
+  FROM g JOIN base b ON b.symbol = g.symbol AND b.rn = g.rn + 1
+)
+SELECT symbol, date, round(ret, 6) AS ret,
+  round(sqrt(v) * sqrt(252.0), 6) AS garch_vol_annual
+FROM g
+ORDER BY symbol, date"""
+
+
+@query("garch_11_vol", _GARCH_ORACLE)
+def q_garch_11_vol(spark, sf_dir):
+    """GARCH(1,1) conditional volatility with fixed (α=0.1, β=0.85)
+    and variance-targeted ω — the RiskMetrics-style vol filter as a
+    deterministic recursion: the per-symbol seed variance is computed
+    Spark-side with DECIMAL-exact sums and joined into the pandas fold
+    so the loop and the recursive-CTE oracle start from the SAME
+    double. One Arrow shuffle (the with_ema_macd plan). See
+    indicators.with_garch_vol."""
+    s = _stocks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date")
+    r = s.select(
+        "symbol", "date", "close",
+        (F.col("close") / F.lag("close").over(w) - 1).alias("ret0"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")
+    sv = (
+        r.filter(F.col("ret0").isNotNull())
+        .groupBy("symbol")
+        .agg(
+            F.count("ret0").alias("nr"),
+            dec(F.col("ret0")).alias("sr"),
+            dec(F.col("ret0") * F.col("ret0")).alias("srr"),
+        )
+        .filter(F.col("nr") > 1)
+        .select(
+            "symbol",
+            (
+                (F.col("srr") - F.col("sr") * F.col("sr") / F.col("nr"))
+                / (F.col("nr") - 1)
+            ).alias("seed_var"),
+        )
+    )
+    base = s.join(F.broadcast(sv), "symbol")
+    out = indicators.with_garch_vol(base, alpha=0.1, beta=0.85)
+    return (
+        out.filter(F.col("garch_var").isNotNull())
+        .select(
+            "symbol", "date",
+            F.round("ret", 6).alias("ret"),
+            F.round(
+                F.sqrt(F.col("garch_var")) * F.sqrt(F.lit(252.0)), 6
+            ).alias("garch_vol_annual"),
+        )
+        .orderBy("symbol", "date")
+    )
+
+
+@query(
+    "nb_lang_classifier",
+    f"""WITH {_NORM_CTE},
+labeled AS (SELECT d.doc_id, d.lang, n.words,
+              CASE WHEN d.doc_id % 5 < 4 THEN 1 ELSE 0 END AS is_train
+            FROM documents d JOIN norm n ON d.doc_id = n.doc_id),
+tok AS (SELECT doc_id, lang, is_train, unnest(words) AS t FROM labeled),
+tb AS (SELECT doc_id, lang, is_train, ({_MD5_H_SQL}) % 64 AS b FROM tok),
+cnt AS (SELECT lang, b, CAST(count(*) AS BIGINT) AS c
+        FROM tb WHERE is_train = 1 GROUP BY lang, b),
+tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY lang),
+docs_l AS (SELECT lang, CAST(count(*) AS BIGINT) AS d
+           FROM labeled WHERE is_train = 1 GROUP BY lang),
+dtot AS (SELECT CAST(sum(d) AS BIGINT) AS dt FROM docs_l),
+bk AS (SELECT unnest(range(0, 64)) AS b),
+ll AS (SELECT t.lang, bk.b,
+         CAST(round(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+                       / CAST(t.t + 64 AS DOUBLE)) * 1000000000, 0)
+              AS BIGINT) AS llq
+       FROM tot t CROSS JOIN bk
+       LEFT JOIN cnt c ON c.lang = t.lang AND c.b = bk.b),
+pri AS (SELECT lang,
+          CAST(round(ln(CAST(d AS DOUBLE) / (SELECT dt FROM dtot))
+                     * 1000000000, 0) AS BIGINT) AS lpq
+        FROM docs_l),
+feat AS (SELECT doc_id, lang AS true_lang, b, CAST(count(*) AS BIGINT) AS n
+         FROM tb WHERE is_train = 0 GROUP BY doc_id, lang, b),
+sc AS (SELECT f.doc_id, f.true_lang, ll.lang AS cand,
+         CAST(sum(f.n * ll.llq) AS BIGINT) AS dot
+       FROM feat f JOIN ll ON ll.b = f.b
+       GROUP BY f.doc_id, f.true_lang, ll.lang),
+tsc AS (SELECT sc.doc_id, sc.true_lang, sc.cand,
+          sc.dot + pri.lpq AS score
+        FROM sc JOIN pri ON pri.lang = sc.cand),
+pred AS (SELECT doc_id, true_lang,
+           min(cand) FILTER (WHERE score = ms) AS pred_lang
+         FROM (SELECT *, max(score) OVER (PARTITION BY doc_id) AS ms
+               FROM tsc)
+         GROUP BY doc_id, true_lang)
+SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY true_lang, pred_lang
+ORDER BY true_lang, pred_lang""",
+)
+def q_nb_lang_classifier(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier — TRAINED on the
+    deterministic doc_id%5 80/20 split and evaluated on the held-out
+    docs, entirely in relational ops: +1-smoothed per-(lang, bucket)
+    token counts over 64 hashed-unigram buckets, log-likelihoods and
+    priors quantized to nano-unit longs, per-doc scores the exact
+    integer dot product Σ n_b·llq, argmax with a min-lang tie rule.
+    A trained/evaluated ML model whose confusion matrix hash-checks.
+    Scale: counts are (lang × 64) broadcast; the test-doc fan-out is
+    ≤ 64 rows per doc."""
+    from finance_data_pipeline_spark.extensions.dedup import (
+        _spread,
+        md5_token_hash,
+        tokens,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    labeled = d.select(
+        "doc_id", "lang", "text",
+        (F.col("doc_id") % 5 < 4).cast("int").alias("is_train"),
+    )
+    tb = (
+        _spread(labeled)
+        .select(
+            "doc_id", "lang", "is_train",
+            F.explode(tokens("text")).alias("t"),
+        )
+        .select(
+            "doc_id", "lang", "is_train",
+            (md5_token_hash("t") % 64).alias("b"),
+        )
+    )
+    cnt = (
+        tb.filter(F.col("is_train") == 1)
+        .groupBy("lang", "b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("t"))
+    docs_l = (
+        labeled.filter(F.col("is_train") == 1)
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    dtot = docs_l.agg(F.sum("d").cast("long").alias("dt"))
+    bk = spark.range(64).select(F.col("id").alias("b"))
+    ll = (
+        tot.crossJoin(F.broadcast(bk))
+        .join(cnt, ["lang", "b"], "left")
+        .select(
+            "lang", "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("t") + 64).cast("double")
+                )
+                * 1_000_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("llq"),
+        )
+    )
+    pri = docs_l.crossJoin(F.broadcast(dtot)).select(
+        "lang",
+        F.round(
+            F.log(F.col("d").cast("double") / F.col("dt")) * 1_000_000_000, 0
+        )
+        .cast("long")
+        .alias("lpq"),
+    )
+    feat = (
+        tb.filter(F.col("is_train") == 0)
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "b")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    sc = (
+        feat.join(
+            F.broadcast(ll.withColumnRenamed("lang", "cand")), "b"
+        )
+        .groupBy("doc_id", "true_lang", "cand")
+        .agg(F.sum(F.col("n") * F.col("llq")).cast("long").alias("dot"))
+    )
+    tsc = sc.join(
+        F.broadcast(pri.withColumnRenamed("lang", "cand")), "cand"
+    ).select(
+        "doc_id", "true_lang", "cand",
+        (F.col("dot") + F.col("lpq")).alias("score"),
+    )
+    ms = tsc.withColumn(
+        "ms", F.max("score").over(Window.partitionBy("doc_id"))
+    )
+    pred = ms.groupBy("doc_id", "true_lang").agg(
+        F.min(F.when(F.col("score") == F.col("ms"), F.col("cand"))).alias(
+            "pred_lang"
+        )
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+@query(
+    "bm25_context_pack",
+    f"""WITH {_BM25_TOK_CTE},
+ranked AS (SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+           FROM agg),
+sized AS (SELECT r.query_id, r.rank, r.neighbor_id, r.score,
+            CAST(len(n.words) AS BIGINT) AS n_tokens
+          FROM ranked r JOIN norm n ON n.doc_id = r.neighbor_id
+          WHERE r.rank <= 50),
+packed AS (SELECT *,
+             CAST(sum(n_tokens) OVER (PARTITION BY query_id ORDER BY rank)
+                  AS BIGINT) AS cum_tokens
+           FROM sized)
+SELECT query_id, rank, neighbor_id, n_tokens, cum_tokens,
+  round(score, 6) AS score
+FROM packed WHERE cum_tokens <= 800
+ORDER BY query_id, rank""",
+)
+def q_bm25_context_pack(spark, sf_dir):
+    """RAG context packing: the BM25 top-50 per query cut to the
+    800-token context budget by the prefix rule (documents enter in
+    relevance order until the cumulative token count would overflow —
+    the deterministic, window-expressible packing; greedy-skip is
+    order-sequential and buys little). Rides the bm25_topk machinery
+    plus one integer cumsum window per query — token counts are exact
+    integers, so the cut replays identically."""
+    from finance_data_pipeline_spark.extensions.dedup import _spread, tokens
+
+    d = table(spark, sf_dir, "documents")
+    scored = text.bm25_topk(_spread(d), k=50)
+    sizes = d.select(
+        F.col("doc_id").alias("neighbor_id"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("score"), F.asc("neighbor_id")
+            )
+        ),
+    )
+    sized = ranked.join(sizes, "neighbor_id")
+    packed = sized.withColumn(
+        "cum_tokens",
+        F.sum("n_tokens")
+        .over(Window.partitionBy("query_id").orderBy("rank"))
+        .cast("long"),
+    )
+    return (
+        packed.filter(F.col("cum_tokens") <= 800)
+        .select(
+            "query_id", "rank", "neighbor_id", "n_tokens", "cum_tokens",
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("query_id", "rank")
+    )
