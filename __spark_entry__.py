@@ -162,6 +162,7 @@ _PRIORITY = [
     "black_scholes_grid", "min_var_pairs",
     "transition_stationary_dist", "type_burstiness", "user_value_deciles",
     "garch_11_vol", "nb_lang_classifier", "bm25_context_pack",
+    "order_to_ship_lag", "cohort_revenue_matrix",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -14038,3 +14038,118 @@ def q_bm25_context_pack(spark, sf_dir):
         )
         .orderBy("query_id", "rank")
     )
+
+
+# =========================================================================
+# §2.12 A13 — relational round-out: logistics lag + cohort revenue
+# =========================================================================
+
+
+@query(
+    "order_to_ship_lag",
+    """WITH j AS (
+  SELECT l.l_returnflag, l.l_linestatus,
+    CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS lag_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT l_returnflag, l_linestatus,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  round(CAST(sum(lag_days) AS DOUBLE) / count(*), 6) AS mean_lag_days,
+  round(quantile_cont(lag_days, 0.5), 4) AS p50_lag_days,
+  round(quantile_cont(lag_days, 0.9), 4) AS p90_lag_days,
+  CAST(max(lag_days) AS BIGINT) AS max_lag_days
+FROM j GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+)
+def q_order_to_ship_lag(spark, sf_dir):
+    """Order→ship fulfilment lag profile per (returnflag, linestatus) —
+    integer day diffs (exact long sums; only the mean/percentiles are
+    float, identical math both engines). The orders side joins on the
+    key the fact already shuffles on; at 100 TB this is the classic
+    co-partitioned fact-fact join bucketing makes exchange-free
+    (demonstrated in tests/test_scale_patterns.py)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    j = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        "l_returnflag", "l_linestatus",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("lag_days"),
+    )
+    return (
+        j.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.round(
+                F.sum("lag_days").cast("double") / F.count("*"), 6
+            ).alias("mean_lag_days"),
+            F.round(F.percentile("lag_days", F.lit(0.5)), 4).alias(
+                "p50_lag_days"
+            ),
+            F.round(F.percentile("lag_days", F.lit(0.9)), 4).alias(
+                "p90_lag_days"
+            ),
+            F.max("lag_days").cast("long").alias("max_lag_days"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "cohort_revenue_matrix",
+    """WITH first_order AS (
+  SELECT o_custkey,
+    CAST(min(EXTRACT(year FROM o_orderdate)) AS BIGINT) AS cohort_year
+  FROM orders GROUP BY o_custkey),
+j AS (SELECT f.cohort_year,
+        CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+        o.o_custkey, o.o_totalprice
+      FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey)
+SELECT cohort_year, order_year,
+  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,18))) AS DOUBLE), 4)
+    AS revenue,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,18))) AS DOUBLE)
+        / count(DISTINCT o_custkey), 6) AS revenue_per_customer
+FROM j GROUP BY cohort_year, order_year
+ORDER BY cohort_year, order_year""",
+)
+def q_cohort_revenue_matrix(spark, sf_dir):
+    """Customer-cohort revenue matrix — cohort = year of the
+    customer's first order; each (cohort_year, order_year) cell
+    carries active-customer count and DECIMAL-exact revenue, the
+    orders-side twin of the events-side growth_accounting. Note the
+    min-year cohort is NOT a min over years of a min date — it's one
+    map-side-combined aggregate; the cohort frame joins back broadcast
+    (bounded by customer count ≪ order count at any SF... the join is
+    keyed on o_custkey, the same shuffle the matrix aggregate needs)."""
+    o = table(spark, sf_dir, "orders")
+    fo = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).cast("long").alias("cohort_year")
+    )
+    j = o.join(fo, "o_custkey").select(
+        "cohort_year",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        "o_custkey", "o_totalprice",
+    )
+    return (
+        j.groupBy("cohort_year", "order_year")
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,18)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("revenue"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,18)")).cast(
+                    "double"
+                )
+                / F.countDistinct("o_custkey"),
+                6,
+            ).alias("revenue_per_customer"),
+        )
+        .orderBy("cohort_year", "order_year")
+    )
