@@ -163,6 +163,7 @@ _PRIORITY = [
     "transition_stationary_dist", "type_burstiness", "user_value_deciles",
     "garch_11_vol", "nb_lang_classifier", "bm25_context_pack",
     "order_to_ship_lag", "cohort_revenue_matrix",
+    "drawdown_episodes", "link_pred_common_neighbors",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -14153,3 +14153,155 @@ def q_cohort_revenue_matrix(spark, sf_dir):
         )
         .orderBy("cohort_year", "order_year")
     )
+
+
+# =========================================================================
+# §2.12 W23/X18 — episode tables and graph link prediction
+# =========================================================================
+
+
+@query(
+    "drawdown_episodes",
+    f"""WITH {STOCKS},
+p AS (SELECT symbol, date, close,
+        max(close) OVER ({_W_DATE} ROWS UNBOUNDED PRECEDING) AS peak,
+        CASE WHEN close = max(close) OVER ({_W_DATE} ROWS UNBOUNDED PRECEDING)
+             THEN 1 ELSE 0 END AS is_peak
+      FROM stocks),
+e AS (SELECT symbol, date, close, peak,
+        CAST(sum(is_peak) OVER ({_W_DATE} ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS epi
+      FROM p),
+runs AS (SELECT symbol, epi,
+           CAST(count(*) AS BIGINT) AS duration_days,
+           min(date) AS start_date,
+           min((close - peak) / peak) AS depth
+         FROM e WHERE close < peak
+         GROUP BY symbol, epi),
+rk AS (SELECT *, row_number() OVER (PARTITION BY symbol
+                                    ORDER BY depth, start_date) AS rnk
+       FROM runs)
+SELECT symbol, CAST(rnk AS BIGINT) AS rnk, start_date, duration_days,
+  round(depth, 6) AS depth
+FROM rk WHERE rnk <= 5
+ORDER BY symbol, rnk""",
+)
+def q_drawdown_episodes(spark, sf_dir):
+    """Top-5 drawdown EPISODES per symbol (the table behind
+    max_drawdown's scalar): below-peak runs segmented by the running
+    count of new-peak rows — gaps-and-islands off the same running-max
+    window the scalar already uses — each episode reporting its start,
+    duration and depth. Two ordered windows on the shared per-symbol
+    sort, one bounded-key aggregate (episodes ≤ trading days),
+    deterministic (depth, start_date) ranking."""
+    s = _stocks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date")
+    wp = w.rowsBetween(Window.unboundedPreceding, 0)
+    peak = F.max("close").over(wp)
+    p = s.select(
+        "symbol", "date", "close",
+        peak.alias("peak"),
+        F.when(F.col("close") == peak, 1).otherwise(0).alias("is_peak"),
+    )
+    e = p.select(
+        "symbol", "date", "close", "peak",
+        F.sum("is_peak").over(wp).cast("long").alias("epi"),
+    )
+    runs = (
+        e.filter(F.col("close") < F.col("peak"))
+        .groupBy("symbol", "epi")
+        .agg(
+            F.count("*").cast("long").alias("duration_days"),
+            F.min("date").alias("start_date"),
+            F.min((F.col("close") - F.col("peak")) / F.col("peak")).alias(
+                "depth"
+            ),
+        )
+    )
+    rk = runs.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("symbol").orderBy("depth", "start_date")
+        ),
+    )
+    return (
+        rk.filter(F.col("rnk") <= 5)
+        .select(
+            "symbol",
+            F.col("rnk").cast("long").alias("rnk"),
+            "start_date", "duration_days",
+            F.round("depth", 6).alias("depth"),
+        )
+        .orderBy("symbol", "rnk")
+    )
+
+
+@query(
+    "link_pred_common_neighbors",
+    f"""WITH {_NEAR_PAIRS_CTE},
+und AS (SELECT DISTINCT id_a AS u, id_b AS v FROM np),
+sym AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+cand AS (SELECT s1.v AS u, s2.v AS v, CAST(count(*) AS BIGINT) AS cn
+         FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+         GROUP BY s1.v, s2.v),
+nonedge AS (SELECT c.u, c.v, c.cn
+            FROM cand c LEFT JOIN und e ON e.u = c.u AND e.v = c.v
+            WHERE e.u IS NULL),
+j AS (SELECT n.u, n.v, n.cn, du.d AS du, dv.d AS dv
+      FROM nonedge n JOIN deg du ON n.u = du.u JOIN deg dv ON n.v = dv.u),
+rk AS (SELECT *, row_number() OVER (ORDER BY cn DESC, u, v) AS rnk FROM j)
+SELECT u AS doc_a, v AS doc_b, cn AS common_neighbors,
+  round(CAST(cn AS DOUBLE) / (du + dv - cn), 6) AS jaccard_coef
+FROM rk WHERE rnk <= 50
+ORDER BY common_neighbors DESC, doc_a, doc_b""",
+)
+def q_link_pred_common_neighbors(spark, sf_dir):
+    """Link prediction over the verified near-dup graph — top-50
+    non-adjacent pairs ranked by common-neighbor count with the
+    neighborhood-Jaccard coefficient: the \"these two docs will merge
+    next\" review queue for threshold tuning. Wedge fan-out is the
+    triangle bound (Σ deg² over dup clusters, whose sizes the LSH
+    verification already caps); the verified pair set is
+    localCheckpointed once so the wedge join never re-derives the
+    MinHash pipeline per branch (the dup_triangles lesson)."""
+    pairs = (
+        dedup.near_dup_pairs(table(spark, sf_dir, "documents"), threshold=0.7)
+        .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    cand = (
+        s1.join(
+            s2,
+            (F.col("s1.u") == F.col("s2.u")) & (F.col("s1.v") < F.col("s2.v")),
+        )
+        .groupBy(F.col("s1.v").alias("u"), F.col("s2.v").alias("v"))
+        .agg(F.count("*").cast("long").alias("cn"))
+    )
+    nonedge = cand.join(pairs, ["u", "v"], "left_anti")
+    j = (
+        nonedge.join(deg.withColumnRenamed("d", "du"), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v"
+        )
+    )
+    rk = j.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("cn"), "u", "v"))
+    )
+    return (
+        rk.filter(F.col("rnk") <= 50)
+        .select(
+            F.col("u").alias("doc_a"), F.col("v").alias("doc_b"),
+            F.col("cn").alias("common_neighbors"),
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("cn")),
+                6,
+            ).alias("jaccard_coef"),
+        )
+        .orderBy(F.desc("common_neighbors"), "doc_a", "doc_b")
+    )
