@@ -164,6 +164,7 @@ _PRIORITY = [
     "garch_11_vol", "nb_lang_classifier", "bm25_context_pack",
     "order_to_ship_lag", "cohort_revenue_matrix",
     "drawdown_episodes", "link_pred_common_neighbors",
+    "var_backtest_kupiec", "incremental_dedup_delta",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -14305,3 +14305,150 @@ def q_link_pred_common_neighbors(spark, sf_dir):
         )
         .orderBy(F.desc("common_neighbors"), "doc_a", "doc_b")
     )
+
+
+@query(
+    "var_backtest_kupiec",
+    f"""WITH {STOCKS},
+r AS (SELECT symbol, date,
+        close / lag(close) OVER ({_W_DATE}) - 1 AS ret
+      FROM stocks),
+v AS (SELECT symbol, quantile_cont(ret, 0.05) AS var95
+      FROM r WHERE ret IS NOT NULL GROUP BY symbol),
+x AS (SELECT r.symbol,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN ret < var95 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_viol
+      FROM r JOIN v ON r.symbol = v.symbol
+      WHERE ret IS NOT NULL GROUP BY r.symbol),
+k AS (SELECT symbol, n, n_viol,
+        CAST(n_viol AS DOUBLE) / n AS phat
+      FROM x WHERE n_viol > 0 AND n_viol < n)
+SELECT symbol, n AS n_obs, n_viol,
+  round(phat, 6) AS violation_rate,
+  round(-2 * ((n - n_viol) * (ln(0.95) - ln(1 - phat))
+              + n_viol * (ln(0.05) - ln(phat))), 4) AS kupiec_lr,
+  CAST(CASE WHEN -2 * ((n - n_viol) * (ln(0.95) - ln(1 - phat))
+                       + n_viol * (ln(0.05) - ln(phat))) > 3.841459
+       THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+FROM k
+ORDER BY symbol""",
+)
+def q_var_backtest_kupiec(spark, sf_dir):
+    """Kupiec proportion-of-failures backtest of the in-sample
+    VaR(95): the observed violation rate p̂ = x/n is tested against
+    the model's p₀ = 0.05 with LR = −2[(n−x)(ln(1−p₀) − ln(1−p̂)) +
+    x(ln p₀ − ln p̂)] ~ χ²₁, rejected above 3.841. Violations are
+    integer counts over the same percentile join var_cvar_95 uses;
+    only the final log form is float, the identical expression tree
+    in both engines — the model VALIDATION step a risk pipeline runs
+    after the VaR estimate."""
+    s = _stocks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date")
+    r = s.select(
+        "symbol", (F.col("close") / F.lag("close").over(w) - 1).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    v = r.groupBy("symbol").agg(F.percentile("ret", F.lit(0.05)).alias("var95"))
+    x = (
+        r.join(F.broadcast(v), "symbol")
+        .groupBy("symbol")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("ret") < F.col("var95"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_viol"),
+        )
+    )
+    k = x.filter((F.col("n_viol") > 0) & (F.col("n_viol") < F.col("n"))).select(
+        "symbol", "n", "n_viol",
+        (F.col("n_viol").cast("double") / F.col("n")).alias("phat"),
+    )
+    lr = -2 * (
+        (F.col("n") - F.col("n_viol"))
+        * (F.log(F.lit(0.95)) - F.log(1 - F.col("phat")))
+        + F.col("n_viol") * (F.log(F.lit(0.05)) - F.log(F.col("phat")))
+    )
+    return k.select(
+        "symbol",
+        F.col("n").alias("n_obs"),
+        "n_viol",
+        F.round("phat", 6).alias("violation_rate"),
+        F.round(lr, 4).alias("kupiec_lr"),
+        F.when(lr > 3.841459, 1).otherwise(0).cast("long").alias("reject_95"),
+    ).orderBy("symbol")
+
+
+@query(
+    "incremental_dedup_delta",
+    f"""WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+p AS (SELECT a.doc_id AS id_new, b.doc_id AS id_base, count(*) AS common
+      FROM sh a JOIN sh b ON a.sh = b.sh
+      WHERE a.doc_id % 10 = 9 AND b.doc_id % 10 <> 9
+      GROUP BY 1, 2),
+j AS (SELECT id_new, id_base,
+        CAST(common AS DOUBLE) / (s1.n + s2.n - common) AS jaccard
+      FROM p JOIN sizes s1 ON id_new = s1.doc_id
+             JOIN sizes s2 ON id_base = s2.doc_id)
+SELECT id_new, id_base, round(jaccard, 6) AS jaccard
+FROM j WHERE jaccard >= 0.7
+ORDER BY id_new, id_base""",
+)
+def q_incremental_dedup_delta(spark, sf_dir):
+    """Incremental corpus-delta dedup — the batch twin of
+    streaming_neardup_gate: the new batch (doc_id%10 = 9, the
+    \"tonight's crawl\" stand-in) MinHash-bands against the EXISTING
+    corpus index only (lsh_candidates_between: no probe-probe or
+    index-index pairs, no full-corpus recompute), then exact-Jaccard
+    verifies just the colliding candidates. At 100 TB this is the
+    maintenance mode that keeps nightly dedup proportional to the
+    delta, not the corpus. LSH at 126/42×3 has ~2e-8 band-miss at the
+    0.7 threshold, so the oracle's exhaustive cross-side Jaccard is
+    the exact answer."""
+    d = dedup._spread(table(spark, sf_dir, "documents"))
+    delta = d.filter(F.col("doc_id") % 10 == 9)
+    base = d.filter(F.col("doc_id") % 10 != 9)
+    sig_d = dedup.minhash_signatures(delta)
+    sig_b = dedup.minhash_signatures(base)
+    cands = dedup.lsh_candidates_between(sig_d, sig_b).select(
+        F.col("id_a").alias("id_new"), F.col("id_b").alias("id_base")
+    )
+    sh = d.select(
+        F.col("doc_id").alias("_id"),
+        F.explode(dedup.word_shingles("text", 3)).alias("s"),
+    ).select("_id", F.xxhash64("s").alias("h"))
+    tokset = sh.groupBy("_id").agg(
+        F.array_sort(F.collect_list("h")).alias("hs"),
+        F.count("*").alias("n_sh"),
+    )
+    verified = (
+        cands.join(
+            tokset.select(
+                F.col("_id").alias("id_new"),
+                F.col("hs").alias("_ha"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "id_new",
+        )
+        .join(
+            tokset.select(
+                F.col("_id").alias("id_base"),
+                F.col("hs").alias("_hb"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "id_base",
+        )
+        .withColumn("common", F.size(F.array_intersect("_ha", "_hb")))
+        .select(
+            "id_new", "id_base",
+            (
+                F.col("common")
+                / (F.col("n_a") + F.col("n_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        verified.filter(F.col("jaccard") >= 0.7)
+        .select("id_new", "id_base", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_new", "id_base")
+    )
