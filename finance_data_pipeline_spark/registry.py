@@ -14452,3 +14452,90 @@ def q_incremental_dedup_delta(spark, sf_dir):
         .select("id_new", "id_base", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("id_new", "id_base")
     )
+
+
+@query(
+    "conditional_betas",
+    f"""WITH {STOCKS},
+r AS (SELECT symbol, date,
+        close / lag(close) OVER ({_W_DATE}) - 1 AS ret
+      FROM stocks),
+mkt AS (SELECT date,
+          CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE)
+            / count(ret) AS mret
+        FROM r WHERE ret IS NOT NULL GROUP BY date),
+j AS (SELECT symbol, ret, mret,
+        CASE WHEN mret > 0 THEN 1 ELSE 0 END AS up
+      FROM r JOIN mkt ON r.date = mkt.date WHERE ret IS NOT NULL),
+s AS (SELECT symbol, up,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE) AS sr,
+        CAST(sum(CAST(mret AS DECIMAL(38,18))) AS DOUBLE) AS sm,
+        CAST(sum(CAST(ret * mret AS DECIMAL(38,18))) AS DOUBLE) AS srm,
+        CAST(sum(CAST(mret * mret AS DECIMAL(38,18))) AS DOUBLE) AS smm
+      FROM j GROUP BY symbol, up),
+b AS (SELECT symbol, up, n,
+        (srm - sr * sm / n) / nullif(smm - sm * sm / n, 0.0) AS beta
+      FROM s WHERE n > 1)
+SELECT symbol,
+  CAST(max(CASE WHEN up = 1 THEN n END) AS BIGINT) AS n_up,
+  CAST(max(CASE WHEN up = 0 THEN n END) AS BIGINT) AS n_down,
+  round(max(CASE WHEN up = 1 THEN beta END), 6) AS beta_up,
+  round(max(CASE WHEN up = 0 THEN beta END), 6) AS beta_down,
+  round(max(CASE WHEN up = 1 THEN beta END)
+        - max(CASE WHEN up = 0 THEN beta END), 6) AS beta_asymmetry
+FROM b GROUP BY symbol
+ORDER BY symbol""",
+)
+def q_conditional_betas(spark, sf_dir):
+    """Conditional (up/down) market betas per symbol — separate OLS
+    slopes against the equal-weight market on up-market vs down-market
+    days, plus the asymmetry spread (downside-risk decomposition; the
+    regression companion of up_down_capture's mean ratios). One
+    conditional DECIMAL-sum aggregate per (symbol, regime); closed
+    forms identical IEEE both engines."""
+    s = _stocks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date")
+    r = s.select(
+        "symbol", "date",
+        (F.col("close") / F.lag("close").over(w) - 1).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    mkt = r.groupBy("date").agg(
+        (
+            F.sum(F.col("ret").cast("decimal(38,18)")).cast("double")
+            / F.count("ret")
+        ).alias("mret")
+    )
+    j = r.join(F.broadcast(mkt), "date").select(
+        "symbol", "ret", "mret",
+        F.when(F.col("mret") > 0, 1).otherwise(0).alias("up"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")
+    st = j.groupBy("symbol", "up").agg(
+        F.count("*").cast("long").alias("n"),
+        dec(F.col("ret")).alias("sr"),
+        dec(F.col("mret")).alias("sm"),
+        dec(F.col("ret") * F.col("mret")).alias("srm"),
+        dec(F.col("mret") * F.col("mret")).alias("smm"),
+    )
+    n = F.col("n")
+    b = st.filter(n > 1).select(
+        "symbol", "up", "n",
+        (
+            (F.col("srm") - F.col("sr") * F.col("sm") / n)
+            / F.nullif(F.col("smm") - F.col("sm") * F.col("sm") / n, F.lit(0.0))
+        ).alias("beta"),
+    )
+    up_beta = F.max(F.when(F.col("up") == 1, F.col("beta")))
+    dn_beta = F.max(F.when(F.col("up") == 0, F.col("beta")))
+    return (
+        b.groupBy("symbol")
+        .agg(
+            F.max(F.when(F.col("up") == 1, F.col("n"))).cast("long").alias("n_up"),
+            F.max(F.when(F.col("up") == 0, F.col("n"))).cast("long").alias("n_down"),
+            F.round(up_beta, 6).alias("beta_up"),
+            F.round(dn_beta, 6).alias("beta_down"),
+            F.round(up_beta - dn_beta, 6).alias("beta_asymmetry"),
+        )
+        .orderBy("symbol")
+    )
