@@ -165,7 +165,7 @@ _PRIORITY = [
     "order_to_ship_lag", "cohort_revenue_matrix",
     "drawdown_episodes", "link_pred_common_neighbors",
     "var_backtest_kupiec", "incremental_dedup_delta",
-    "conditional_betas",
+    "conditional_betas", "bs_greeks",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -14399,10 +14399,12 @@ def q_incremental_dedup_delta(spark, sf_dir):
     streaming_neardup_gate: the new batch (doc_id%10 = 9, the
     \"tonight's crawl\" stand-in) MinHash-bands against the EXISTING
     corpus index only (lsh_candidates_between: no probe-probe or
-    index-index pairs, no full-corpus recompute), then exact-Jaccard
-    verifies just the colliding candidates. At 100 TB this is the
-    maintenance mode that keeps nightly dedup proportional to the
-    delta, not the corpus. LSH at 126/42×3 has ~2e-8 band-miss at the
+    index-index pairs — the candidate and verify work is proportional
+    to the delta, not the corpus). This self-contained form re-signs
+    the base for the oracle's sake; in deployment the index signatures
+    persist and only the delta signs, exactly as
+    streaming_neardup_gate's persisted-index path does. Exact Jaccard
+    verifies just the colliding candidates. LSH at 126/42×3 has ~2e-8 band-miss at the
     0.7 threshold, so the oracle's exhaustive cross-side Jaccard is
     the exact answer."""
     d = dedup._spread(table(spark, sf_dir, "documents"))
@@ -14539,3 +14541,110 @@ def q_conditional_betas(spark, sf_dir):
         )
         .orderBy("symbol")
     )
+
+
+def _npdf_sql(x: str) -> str:
+    return f"(exp(-(({x}) * ({x})) / 2) * {_INV_SQRT_2PI})"
+
+
+def _npdf_col(x):
+    return F.exp(-(x * x) / 2) * float(_INV_SQRT_2PI)
+
+
+@query(
+    "bs_greeks",
+    f"""WITH {STOCKS},
+r AS (SELECT symbol, date, close,
+        close / lag(close) OVER ({_W_DATE}) - 1 AS ret
+      FROM stocks),
+s AS (SELECT symbol,
+        max_by(close, date) AS s0,
+        CAST(count(ret) AS BIGINT) AS n,
+        CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE) AS sr,
+        CAST(sum(CAST(ret * ret AS DECIMAL(38,18))) AS DOUBLE) AS srr
+      FROM r GROUP BY symbol),
+v AS (SELECT symbol, s0,
+        sqrt(252.0) * sqrt((srr - sr * sr / n) / (n - 1)) AS sigma
+      FROM s WHERE n > 1),
+{_BS_GRID_SQL},
+d AS (SELECT symbol, s0, sigma, moneyness, t_years,
+        s0 * moneyness AS k,
+        (ln(s0 / (s0 * moneyness)) + (0.02 + sigma * sigma / 2) * t_years)
+          / (sigma * sqrt(t_years)) AS d1,
+        (ln(s0 / (s0 * moneyness)) + (0.02 + sigma * sigma / 2) * t_years)
+          / (sigma * sqrt(t_years)) - sigma * sqrt(t_years) AS d2
+      FROM v CROSS JOIN grid)
+SELECT symbol, moneyness, t_years,
+  round({_npdf_sql('d1')} / (s0 * sigma * sqrt(t_years)), 10) AS gamma,
+  round(s0 * {_npdf_sql('d1')} * sqrt(t_years) / 100, 6) AS vega_pct,
+  round((-s0 * {_npdf_sql('d1')} * sigma / (2 * sqrt(t_years))
+         - 0.02 * (s0 * moneyness) * exp(-0.02 * t_years)
+           * {_phi_sql('d2')}) / 365, 6) AS theta_call_daily
+FROM d
+ORDER BY symbol, moneyness, t_years""",
+)
+def q_bs_greeks(spark, sf_dir):
+    """Black-Scholes greeks on the same moneyness × maturity grid as
+    black_scholes_grid — gamma, vega (per 1% vol move) and daily call
+    theta, all from the shared d1/d2 frame and the polynomial Φ /
+    closed-form φ; the identical IEEE trees in both engines. Zero
+    extra shuffles past the per-symbol stats aggregate."""
+    s = _stocks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date")
+    r = s.select(
+        "symbol", "date", "close",
+        (F.col("close") / F.lag("close").over(w) - 1).alias("ret"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")
+    st = r.groupBy("symbol").agg(
+        F.max_by("close", "date").alias("s0"),
+        F.count("ret").cast("long").alias("n"),
+        dec(F.col("ret")).alias("sr"),
+        dec(F.col("ret") * F.col("ret")).alias("srr"),
+    )
+    v = st.filter(F.col("n") > 1).select(
+        "symbol", "s0",
+        (
+            F.sqrt(F.lit(252.0))
+            * F.sqrt(
+                (F.col("srr") - F.col("sr") * F.col("sr") / F.col("n"))
+                / (F.col("n") - 1)
+            )
+        ).alias("sigma"),
+    )
+    grid = spark.createDataFrame(
+        [(m, t) for m in (0.9, 1.0, 1.1) for t in (0.25, 1.0)],
+        "moneyness double, t_years double",
+    )
+    d = v.crossJoin(F.broadcast(grid)).select(
+        "symbol", "s0", "sigma", "moneyness", "t_years",
+        (F.col("s0") * F.col("moneyness")).alias("k"),
+        (
+            (
+                F.log(F.col("s0") / (F.col("s0") * F.col("moneyness")))
+                + (0.02 + F.col("sigma") * F.col("sigma") / 2) * F.col("t_years")
+            )
+            / (F.col("sigma") * F.sqrt(F.col("t_years")))
+        ).alias("d1"),
+    )
+    d = d.withColumn(
+        "d2", F.col("d1") - F.col("sigma") * F.sqrt(F.col("t_years"))
+    )
+    pdf1 = _npdf_col(F.col("d1"))
+    sqt = F.sqrt(F.col("t_years"))
+    return d.select(
+        "symbol", "moneyness", "t_years",
+        F.round(pdf1 / (F.col("s0") * F.col("sigma") * sqt), 10).alias("gamma"),
+        F.round(F.col("s0") * pdf1 * sqt / 100, 6).alias("vega_pct"),
+        F.round(
+            (
+                -F.col("s0") * pdf1 * F.col("sigma") / (2 * sqt)
+                - 0.02
+                * (F.col("s0") * F.col("moneyness"))
+                * F.exp(-0.02 * F.col("t_years"))
+                * _phi_col(F.col("d2"))
+            )
+            / 365,
+            6,
+        ).alias("theta_call_daily"),
+    ).orderBy("symbol", "moneyness", "t_years")
