@@ -166,6 +166,7 @@ _PRIORITY = [
     "drawdown_episodes", "link_pred_common_neighbors",
     "var_backtest_kupiec", "incremental_dedup_delta",
     "conditional_betas", "bs_greeks",
+    "ks_normality", "spectral_power_grid",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

@@ -14648,3 +14648,183 @@ def q_bs_greeks(spark, sf_dir):
             6,
         ).alias("theta_call_daily"),
     ).orderBy("symbol", "moneyness", "t_years")
+
+
+@query(
+    "ks_normality",
+    f"""WITH {STOCKS},
+r AS (SELECT symbol, date,
+        close / lag(close) OVER ({_W_DATE}) - 1 AS ret
+      FROM stocks),
+s AS (SELECT symbol,
+        CAST(count(ret) AS BIGINT) AS n,
+        CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE) AS sr,
+        CAST(sum(CAST(ret * ret AS DECIMAL(38,18))) AS DOUBLE) AS srr
+      FROM r WHERE ret IS NOT NULL GROUP BY symbol),
+m AS (SELECT symbol, n, sr / n AS mu,
+        sqrt((srr - sr * sr / n) / (n - 1)) AS sd
+      FROM s WHERE n > 1),
+z AS (SELECT r.symbol, m.n,
+        (ret - mu) / sd AS zv,
+        row_number() OVER (PARTITION BY r.symbol ORDER BY (ret - mu) / sd,
+                           date) AS i
+      FROM r JOIN m ON r.symbol = m.symbol WHERE ret IS NOT NULL),
+d AS (SELECT symbol, n,
+        greatest(abs(CAST(i AS DOUBLE) / n - {_phi_sql('zv')}),
+                 abs(CAST(i - 1 AS DOUBLE) / n - {_phi_sql('zv')})) AS di
+      FROM z)
+SELECT symbol, CAST(max(n) AS BIGINT) AS n_rets,
+  round(max(di), 6) AS ks_stat,
+  round(1.358 / sqrt(CAST(max(n) AS DOUBLE)), 6) AS crit_95,
+  CAST(CASE WHEN max(di) > 1.358 / sqrt(CAST(max(n) AS DOUBLE))
+       THEN 1 ELSE 0 END AS BIGINT) AS reject_normal_95
+FROM d GROUP BY symbol
+ORDER BY symbol""",
+)
+def q_ks_normality(spark, sf_dir):
+    """Kolmogorov-Smirnov normality test of standardized daily
+    returns — D = max over order statistics of the two-sided empirical
+    gap against the SAME Abramowitz-Stegun Φ the pricing grid uses, so
+    both engines evaluate the identical CDF polynomial; moments are
+    DECIMAL-exact and the empirical CDF is integer ranks (deterministic
+    date tiebreak). The fat-tail rejection readout that motivates the
+    tail-risk family. One ranked window + one aggregate per symbol."""
+    s = _stocks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date")
+    r = s.select(
+        "symbol", "date",
+        (F.col("close") / F.lag("close").over(w) - 1).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    dec = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")
+    st = r.groupBy("symbol").agg(
+        F.count("ret").cast("long").alias("n"),
+        dec(F.col("ret")).alias("sr"),
+        dec(F.col("ret") * F.col("ret")).alias("srr"),
+    )
+    m = st.filter(F.col("n") > 1).select(
+        "symbol", "n",
+        (F.col("sr") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("srr") - F.col("sr") * F.col("sr") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    zv = (F.col("ret") - F.col("mu")) / F.col("sd")
+    z = r.join(F.broadcast(m), "symbol").select(
+        "symbol", "n",
+        zv.alias("zv"),
+        F.row_number()
+        .over(Window.partitionBy("symbol").orderBy(zv, "date"))
+        .alias("i"),
+    )
+    phi = _phi_col(F.col("zv"))
+    d = z.select(
+        "symbol", "n",
+        F.greatest(
+            F.abs(F.col("i").cast("double") / F.col("n") - phi),
+            F.abs((F.col("i") - 1).cast("double") / F.col("n") - phi),
+        ).alias("di"),
+    )
+    return (
+        d.groupBy("symbol")
+        .agg(
+            F.max("n").cast("long").alias("n_rets"),
+            F.round(F.max("di"), 6).alias("ks_stat"),
+            F.round(1.358 / F.sqrt(F.max("n").cast("double")), 6).alias(
+                "crit_95"
+            ),
+            F.when(
+                F.max("di") > 1.358 / F.sqrt(F.max("n").cast("double")), 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("reject_normal_95"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "spectral_power_grid",
+    f"""WITH {STOCKS},
+r AS (SELECT symbol, date,
+        close / lag(close) OVER ({_W_DATE}) - 1 AS ret
+      FROM stocks),
+t AS (SELECT symbol, ret,
+        row_number() OVER ({_W_DATE}) AS tt
+      FROM r WHERE ret IS NOT NULL),
+g AS (SELECT t.symbol, t.ret, t.tt, p.period
+      FROM t CROSS JOIN (SELECT unnest([5, 10, 21]) AS period) p),
+q AS (SELECT symbol, period,
+        CAST(round(ret * cos(6.283185307179586 * tt / period)
+                   * 1000000000, 0) AS BIGINT) AS cq,
+        CAST(round(ret * sin(6.283185307179586 * tt / period)
+                   * 1000000000, 0) AS BIGINT) AS sq
+      FROM g),
+s AS (SELECT symbol, period,
+        CAST(sum(cq) AS BIGINT) AS c,
+        CAST(sum(sq) AS BIGINT) AS s,
+        CAST(count(*) AS BIGINT) AS n
+      FROM q GROUP BY symbol, period),
+pw AS (SELECT symbol, period, n,
+         (CAST(c AS DOUBLE) / 1000000000) * (CAST(c AS DOUBLE) / 1000000000)
+           + (CAST(s AS DOUBLE) / 1000000000)
+             * (CAST(s AS DOUBLE) / 1000000000) AS power
+       FROM s)
+SELECT symbol, CAST(period AS BIGINT) AS period, n AS n_rets,
+  round(power, 6) AS power,
+  CAST(rank() OVER (PARTITION BY symbol ORDER BY power DESC, period)
+       AS BIGINT) AS power_rank
+FROM pw
+ORDER BY symbol, period""",
+)
+def q_spectral_power_grid(spark, sf_dir):
+    """Discrete-Fourier power of daily returns at a FIXED period grid
+    (5/10/21 trading days — week, fortnight, month): the bounded
+    spectral-seasonality probe (a full FFT is pointless at 3 business
+    frequencies). Each cos/sin term is quantized to a nano-unit long
+    BEFORE the sum — libm cos() may differ by an ulp between engines,
+    and 1e-9 quantization gives ~9 orders of margin over that — so the
+    power statistic replays exactly. One window pass, one 3×-broadcast
+    fan-out, one integer aggregate per (symbol, period)."""
+    s = _stocks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date")
+    r = s.select(
+        "symbol", "date",
+        (F.col("close") / F.lag("close").over(w) - 1).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    t = r.select("symbol", "ret", F.row_number().over(w).alias("tt"))
+    periods = spark.createDataFrame([(5,), (10,), (21,)], "period int")
+    g = t.crossJoin(F.broadcast(periods))
+    two_pi = 6.283185307179586
+    arg = F.lit(two_pi) * F.col("tt") / F.col("period")
+    q = g.select(
+        "symbol", "period",
+        F.round(F.col("ret") * F.cos(arg) * 1_000_000_000, 0)
+        .cast("long")
+        .alias("cq"),
+        F.round(F.col("ret") * F.sin(arg) * 1_000_000_000, 0)
+        .cast("long")
+        .alias("sq"),
+    )
+    st = q.groupBy("symbol", "period").agg(
+        F.sum("cq").cast("long").alias("c"),
+        F.sum("sq").cast("long").alias("s"),
+        F.count("*").cast("long").alias("n"),
+    )
+    cd = F.col("c").cast("double") / 1_000_000_000
+    sd = F.col("s").cast("double") / 1_000_000_000
+    pw = st.select(
+        "symbol", "period", F.col("n").alias("n_rets"),
+        (cd * cd + sd * sd).alias("power"),
+    )
+    return pw.select(
+        "symbol",
+        F.col("period").cast("long").alias("period"),
+        "n_rets",
+        F.round("power", 6).alias("power"),
+        F.rank()
+        .over(Window.partitionBy("symbol").orderBy(F.desc("power"), "period"))
+        .cast("long")
+        .alias("power_rank"),
+    ).orderBy("symbol", "period")
