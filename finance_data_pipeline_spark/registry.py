@@ -14828,3 +14828,151 @@ def q_spectral_power_grid(spark, sf_dir):
         .cast("long")
         .alias("power_rank"),
     ).orderBy("symbol", "period")
+
+
+@query(
+    "dow_effect",
+    f"""WITH {STOCKS},
+r AS (SELECT symbol, date,
+        close / lag(close) OVER ({_W_DATE}) - 1 AS ret
+      FROM stocks),
+d AS (SELECT symbol, CAST(dayofweek(date) + 1 AS BIGINT) AS dow, ret
+      FROM r WHERE ret IS NOT NULL),
+s AS (SELECT symbol, dow,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE) AS sr,
+        CAST(sum(CAST(ret * ret AS DECIMAL(38,18))) AS DOUBLE) AS srr
+      FROM d GROUP BY symbol, dow)
+SELECT symbol, dow, n,
+  round(sr / n, 8) AS mean_ret,
+  round((sr / n) / nullif(sqrt((srr - sr * sr / n) / (n - 1) / n), 0.0), 4)
+    AS t_stat
+FROM s WHERE n > 1
+ORDER BY symbol, dow""",
+)
+def q_dow_effect(spark, sf_dir):
+    """Day-of-week return effect per symbol — mean daily return and
+    its one-sample t-statistic for each weekday (the calendar-anomaly
+    screen; |t| > 2 flags a exploitable-looking seasonal). DECIMAL-
+    exact sufficient sums per (symbol, weekday). Weekday conventions
+    differ: Spark dayofweek is 1=Sunday..7, DuckDB's is 0=Sunday..6,
+    so the oracle adds 1 — the hash check pins the alignment. One
+    window pass + one bounded-key aggregate."""
+    s = _stocks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date")
+    r = s.select(
+        "symbol", "date",
+        (F.col("close") / F.lag("close").over(w) - 1).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    d = r.select(
+        "symbol", F.dayofweek("date").cast("long").alias("dow"), "ret"
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")
+    st = d.groupBy("symbol", "dow").agg(
+        F.count("*").cast("long").alias("n"),
+        dec(F.col("ret")).alias("sr"),
+        dec(F.col("ret") * F.col("ret")).alias("srr"),
+    )
+    n = F.col("n")
+    mean = F.col("sr") / n
+    se = F.sqrt(
+        (F.col("srr") - F.col("sr") * F.col("sr") / n) / (n - 1) / n
+    )
+    return (
+        st.filter(n > 1)
+        .select(
+            "symbol", "dow", "n",
+            F.round(mean, 8).alias("mean_ret"),
+            F.round(mean / F.nullif(se, F.lit(0.0)), 4).alias("t_stat"),
+        )
+        .orderBy("symbol", "dow")
+    )
+
+
+@query(
+    "runs_test",
+    f"""WITH {STOCKS},
+r AS (SELECT symbol, date,
+        close / lag(close) OVER ({_W_DATE}) - 1 AS ret
+      FROM stocks),
+sgn AS (SELECT symbol, date,
+          CASE WHEN ret >= 0 THEN 1 ELSE 0 END AS up,
+          lag(CASE WHEN ret >= 0 THEN 1 ELSE 0 END)
+            OVER ({_W_DATE}) AS prev_up
+        FROM r WHERE ret IS NOT NULL),
+s AS (SELECT symbol,
+        CAST(sum(up) AS BIGINT) AS n_pos,
+        CAST(sum(1 - up) AS BIGINT) AS n_neg,
+        CAST(1 + sum(CASE WHEN prev_up IS NOT NULL AND up <> prev_up
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+      FROM sgn GROUP BY symbol),
+m AS (SELECT symbol, n_pos, n_neg, n_runs,
+        1 + 2.0 * n_pos * n_neg / (n_pos + n_neg) AS mu,
+        sqrt((2.0 * n_pos * n_neg * (2.0 * n_pos * n_neg - n_pos - n_neg))
+             / ((CAST(n_pos + n_neg AS DOUBLE))
+                * (CAST(n_pos + n_neg AS DOUBLE))
+                * (n_pos + n_neg - 1))) AS sd
+      FROM s WHERE n_pos > 0 AND n_neg > 0)
+SELECT symbol, n_pos, n_neg, n_runs,
+  round((n_runs - mu) / nullif(sd, 0.0), 4) AS z_stat,
+  CAST(CASE WHEN abs((n_runs - mu) / nullif(sd, 0.0)) > 1.959964
+       THEN 1 ELSE 0 END AS BIGINT) AS reject_random_95
+FROM m
+ORDER BY symbol""",
+)
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test on the sign sequence of daily
+    returns — are up/down days serially random? Run count, n₊, n₋ are
+    pure integers off one lag window; the normal-approximation z and
+    its 95% rejection are closed forms of those integers, identical
+    IEEE in both engines. The sign-level complement of acf_ljung_box's
+    magnitude-level serial-dependence test."""
+    s = _stocks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date")
+    r = s.select(
+        "symbol", "date",
+        (F.col("close") / F.lag("close").over(w) - 1).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    up = F.when(F.col("ret") >= 0, 1).otherwise(0)
+    sgn = r.select(
+        "symbol", up.alias("up"), F.lag(up).over(w).alias("prev_up")
+    )
+    st = sgn.groupBy("symbol").agg(
+        F.sum("up").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("up")).cast("long").alias("n_neg"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev_up").isNotNull()
+                    & (F.col("up") != F.col("prev_up")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("n_runs"),
+    )
+    np_, nn, nr = F.col("n_pos"), F.col("n_neg"), F.col("n_runs")
+    mu = 1 + 2.0 * np_ * nn / (np_ + nn)
+    sd = F.sqrt(
+        (2.0 * np_ * nn * (2.0 * np_ * nn - np_ - nn))
+        / (
+            (np_ + nn).cast("double")
+            * (np_ + nn).cast("double")
+            * (np_ + nn - 1)
+        )
+    )
+    z = (nr - mu) / F.nullif(sd, F.lit(0.0))
+    return (
+        st.filter((np_ > 0) & (nn > 0))
+        .select(
+            "symbol", "n_pos", "n_neg", "n_runs",
+            F.round(z, 4).alias("z_stat"),
+            F.when(F.abs(z) > 1.959964, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("reject_random_95"),
+        )
+        .orderBy("symbol")
+    )
