@@ -167,7 +167,7 @@ _PRIORITY = [
     "var_backtest_kupiec", "incremental_dedup_delta",
     "conditional_betas", "bs_greeks",
     "ks_normality", "spectral_power_grid",
-    "dow_effect", "runs_test",
+    "dow_effect", "runs_test", "quality_score_auc",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

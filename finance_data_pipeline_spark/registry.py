@@ -14976,3 +14976,74 @@ def q_runs_test(spark, sf_dir):
         )
         .orderBy("symbol")
     )
+
+
+@query(
+    "quality_score_auc",
+    f"""WITH {_GOPHER_METRICS_SQL},
+qs AS (SELECT doc_id, {_QSCORE_SQL} AS score FROM norm),
+keepf AS (
+  SELECT m.doc_id,
+    CASE WHEN n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+          AND symbol_word_ratio <= 0.1 AND alpha_word_frac >= 0.8
+          AND stop_word_hits >= 2 AND dup_line_frac <= 0.3
+          AND round(coalesce(top_chars, 0) * 1.0 / _n_chars, 6) <= 0.2
+         THEN 1 ELSE 0 END AS pos
+  FROM m LEFT JOIN topbg ON m.doc_id = topbg.doc_id),
+lab AS (SELECT q.doc_id, q.score, k.pos
+        FROM qs q JOIN keepf k ON q.doc_id = k.doc_id),
+rk AS (SELECT pos,
+         CAST(2 * rank() OVER (ORDER BY score)
+              + (count(*) OVER (PARTITION BY score) - 1) AS BIGINT) AS mr2
+       FROM lab),
+s AS (SELECT
+        CAST(sum(CASE WHEN pos = 1 THEN mr2 ELSE 0 END) AS BIGINT) AS r2pos,
+        CAST(sum(pos) AS BIGINT) AS n1,
+        CAST(count(*) AS BIGINT) AS n
+      FROM rk)
+SELECT n1 AS n_pos, n - n1 AS n_neg,
+  round((CAST(r2pos AS DOUBLE) / 2 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2)
+        / (CAST(n1 AS DOUBLE) * (n - n1)), 6) AS auc
+FROM s WHERE n1 > 0 AND n1 < n""",
+)
+def q_quality_score_auc(spark, sf_dir):
+    """AUC of the heuristic quality_score against the Gopher keep flag
+    — the eval-metric step that tells a curation run whether its cheap
+    score actually ranks like its expensive rule set before swapping
+    one for the other. Midranks via the doubled-rank trick (2·rank +
+    ties−1 stays integer), so the rank-sum AUC is exact integer
+    arithmetic until the single final division — the Mann-Whitney
+    machinery applied to the pipeline's own classifiers."""
+    d = dedup._spread(table(spark, sf_dir, "documents"))
+    qs = text.quality_score(d).select("doc_id", F.col("quality_score").alias("score"))
+    gq = text.gopher_quality(d).select(
+        "doc_id", F.col("keep").cast("int").alias("pos")
+    )
+    lab = qs.join(gq, "doc_id")
+    rk = lab.select(
+        "pos",
+        (
+            2 * F.rank().over(Window.orderBy("score"))
+            + F.count("*").over(Window.partitionBy("score"))
+            - 1
+        )
+        .cast("long")
+        .alias("mr2"),
+    )
+    s = rk.agg(
+        F.sum(F.when(F.col("pos") == 1, F.col("mr2")).otherwise(0))
+        .cast("long")
+        .alias("r2pos"),
+        F.sum("pos").cast("long").alias("n1"),
+        F.count("*").cast("long").alias("n"),
+    )
+    n1, n = F.col("n1"), F.col("n")
+    return s.filter((n1 > 0) & (n1 < n)).select(
+        n1.alias("n_pos"),
+        (n - n1).alias("n_neg"),
+        F.round(
+            (F.col("r2pos").cast("double") / 2 - n1.cast("double") * (n1 + 1) / 2)
+            / (n1.cast("double") * (n - n1)),
+            6,
+        ).alias("auc"),
+    )
