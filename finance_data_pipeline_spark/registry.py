@@ -15047,3 +15047,156 @@ def q_quality_score_auc(spark, sf_dir):
             6,
         ).alias("auc"),
     )
+
+
+@query(
+    "es_backtest_z",
+    f"""WITH {STOCKS},
+r AS (SELECT symbol, date,
+        close / lag(close) OVER ({_W_DATE}) - 1 AS ret
+      FROM stocks),
+v AS (SELECT symbol,
+        quantile_cont(ret, 0.05) AS var95,
+        CAST(count(ret) AS BIGINT) AS n
+      FROM r WHERE ret IS NOT NULL GROUP BY symbol),
+es AS (SELECT r.symbol,
+         CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE)
+           / count(*) AS es95,
+         CAST(count(*) AS BIGINT) AS n_tail
+       FROM r JOIN v ON r.symbol = v.symbol
+       WHERE ret IS NOT NULL AND ret <= var95
+       GROUP BY r.symbol),
+z AS (SELECT v.symbol, v.n, es.es95, es.n_tail,
+        CAST(sum(CAST(CASE WHEN ret <= var95 THEN ret ELSE 0.0 END
+                      AS DECIMAL(38,18))) AS DOUBLE) AS viol_sum
+      FROM r JOIN v ON r.symbol = v.symbol
+      JOIN es ON r.symbol = es.symbol
+      WHERE ret IS NOT NULL
+      GROUP BY v.symbol, v.n, es.es95, es.n_tail)
+SELECT symbol, n AS n_obs, n_tail,
+  round(es95, 6) AS es_95,
+  round(viol_sum / (n * 0.05 * es95) - 1, 6) AS as_z_stat
+FROM z WHERE es95 < 0
+ORDER BY symbol""",
+)
+def q_es_backtest_z(spark, sf_dir):
+    """Acerbi-Székely expected-shortfall backtest (the Z₂ statistic):
+    Z = Σ(r_t·1{r_t ≤ VaR}) / (n·p·ES) − 1 — near 0 when realized tail
+    losses match the ES estimate, positive when the model understates
+    them. In-sample this recovers ≈0 by construction, which is exactly
+    the property the hash check pins. Shares var_cvar_95's percentile
+    join; sums DECIMAL-exact, one extra conditional aggregate."""
+    s = _stocks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date")
+    r = s.select(
+        "symbol", (F.col("close") / F.lag("close").over(w) - 1).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    v = r.groupBy("symbol").agg(
+        F.percentile("ret", F.lit(0.05)).alias("var95"),
+        F.count("ret").cast("long").alias("n"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")
+    rj = r.join(F.broadcast(v), "symbol")
+    es = (
+        rj.filter(F.col("ret") <= F.col("var95"))
+        .groupBy("symbol")
+        .agg(
+            (dec(F.col("ret")) / F.count("*")).alias("es95"),
+            F.count("*").cast("long").alias("n_tail"),
+        )
+    )
+    z = (
+        rj.join(F.broadcast(es), "symbol")
+        .groupBy("symbol", "n", "es95", "n_tail")
+        .agg(
+            dec(
+                F.when(F.col("ret") <= F.col("var95"), F.col("ret")).otherwise(
+                    0.0
+                )
+            ).alias("viol_sum")
+        )
+    )
+    return (
+        z.filter(F.col("es95") < 0)
+        .select(
+            "symbol",
+            F.col("n").alias("n_obs"),
+            "n_tail",
+            F.round("es95", 6).alias("es_95"),
+            F.round(
+                F.col("viol_sum") / (F.col("n") * 0.05 * F.col("es95")) - 1, 6
+            ).alias("as_z_stat"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "information_ratio",
+    f"""WITH {STOCKS},
+r AS (SELECT symbol, date,
+        close / lag(close) OVER ({_W_DATE}) - 1 AS ret
+      FROM stocks),
+mkt AS (SELECT date,
+          CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE)
+            / count(ret) AS mret
+        FROM r WHERE ret IS NOT NULL GROUP BY date),
+x AS (SELECT symbol, ret - mret AS ex
+      FROM r JOIN mkt ON r.date = mkt.date WHERE ret IS NOT NULL),
+s AS (SELECT symbol,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(ex AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+        CAST(sum(CAST(ex * ex AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+      FROM x GROUP BY symbol)
+SELECT symbol, n AS n_obs,
+  round(sx / n, 8) AS mean_excess,
+  round(sqrt(252.0) * (sx / n)
+        / nullif(sqrt((sxx - sx * sx / n) / (n - 1)), 0.0), 6)
+    AS information_ratio
+FROM s WHERE n > 1
+ORDER BY symbol""",
+)
+def q_information_ratio(spark, sf_dir):
+    """Annualized information ratio per symbol against the equal-
+    weight market benchmark — mean active return over tracking error,
+    the relative-performance companion of risk_adjusted_perf's
+    absolute Sharpe. DECIMAL-exact excess-return sufficient sums; one
+    broadcast market join, one aggregate per symbol."""
+    s = _stocks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date")
+    r = s.select(
+        "symbol", "date",
+        (F.col("close") / F.lag("close").over(w) - 1).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    mkt = r.groupBy("date").agg(
+        (
+            F.sum(F.col("ret").cast("decimal(38,18)")).cast("double")
+            / F.count("ret")
+        ).alias("mret")
+    )
+    x = r.join(F.broadcast(mkt), "date").select(
+        "symbol", (F.col("ret") - F.col("mret")).alias("ex")
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")
+    st = x.groupBy("symbol").agg(
+        F.count("*").cast("long").alias("n"),
+        dec(F.col("ex")).alias("sx"),
+        dec(F.col("ex") * F.col("ex")).alias("sxx"),
+    )
+    n = F.col("n")
+    te = F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1))
+    return (
+        st.filter(n > 1)
+        .select(
+            "symbol",
+            n.alias("n_obs"),
+            F.round(F.col("sx") / n, 8).alias("mean_excess"),
+            F.round(
+                F.sqrt(F.lit(252.0))
+                * (F.col("sx") / n)
+                / F.nullif(te, F.lit(0.0)),
+                6,
+            ).alias("information_ratio"),
+        )
+        .orderBy("symbol")
+    )
