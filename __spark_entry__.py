@@ -168,7 +168,7 @@ _PRIORITY = [
     "conditional_betas", "bs_greeks",
     "ks_normality", "spectral_power_grid",
     "dow_effect", "runs_test", "quality_score_auc",
-    "es_backtest_z", "information_ratio",
+    "es_backtest_z", "information_ratio", "lang_id_margin",
 ]
 
 # Rows-only by design (no SQL oracle; the driver records err:"no_oracle"

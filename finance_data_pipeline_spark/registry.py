@@ -15200,3 +15200,58 @@ def q_information_ratio(spark, sf_dir):
         )
         .orderBy("symbol")
     )
+
+
+@query(
+    "lang_id_margin",
+    f"""WITH {_NORM_CTE},
+h AS (SELECT doc_id, {_H_COLS} FROM norm),
+m AS (SELECT doc_id,
+        CASE WHEN {_H_BEST} = 0 THEN 'und' {_H_CASE} END AS detected_lang,
+        CAST({_H_BEST} AS BIGINT) AS best_hits,
+        CAST(list_sort([h_en, h_es, h_fr, h_de])[3] AS BIGINT)
+          AS second_hits
+      FROM h)
+SELECT doc_id, detected_lang, best_hits, second_hits,
+  best_hits - second_hits AS margin,
+  CAST(CASE WHEN best_hits - second_hits <= 1 THEN 1 ELSE 0 END AS BIGINT)
+    AS low_confidence
+FROM m
+ORDER BY doc_id""",
+)
+def q_lang_id_margin(spark, sf_dir):
+    """Language-ID confidence margin — best marker-hit count minus the
+    runner-up's, per document: margin ≤ 1 flags docs whose detected
+    language is one marker word away from flipping (the review queue
+    detect_language/lang_confusion read before trusting per-language
+    routing). Integer counts end to end; the runner-up comes from
+    sorting the 4-element hit array row-locally."""
+    from finance_data_pipeline_spark.extensions.text import (
+        _LANG_MARKERS,
+        _marker_hits,
+    )
+    from finance_data_pipeline_spark.extensions.dedup import tokens
+
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    hits = {lang: _marker_hits(toks, ws) for lang, ws in _LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    detected = F.when(best == 0, F.lit("und"))
+    for lang in sorted(hits, reverse=True):
+        detected = detected.when(hits[lang] == best, F.lit(lang))
+    arr = F.array_sort(F.array(*[hits[l] for l in _LANG_MARKERS]))
+    second = F.element_at(arr, 3)
+    m = d.select(
+        "doc_id",
+        detected.alias("detected_lang"),
+        best.cast("long").alias("best_hits"),
+        second.cast("long").alias("second_hits"),
+    )
+    return m.select(
+        "doc_id", "detected_lang", "best_hits", "second_hits",
+        (F.col("best_hits") - F.col("second_hits")).alias("margin"),
+        F.when(F.col("best_hits") - F.col("second_hits") <= 1, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("low_confidence"),
+    ).orderBy("doc_id")
