@@ -4802,9 +4802,16 @@ FROM frames""",
 def q_media_frames(spark, sf_dir):
     """Video frame sampling (1→N mapInPandas fan-out) with per-frame
     digests — the UDTF-shaped kernel is fully oracle-checked because the
-    digest is a pure function of (payload, frame_idx)."""
+    digest is a pure function of (payload, frame_idx).
+
+    No _spread here: the digest kernel costs ~14 ms total at sf0.1, so a
+    forced 32-way shuffle + Arrow worker fan-out costs more than it
+    saves (measured r5: 0.72 s with spread vs 0.39 s without), and at
+    100 TB the scan already arrives as many splits so _spread would be
+    a no-op anyway. A genuinely CPU-bound codec kernel (real ffmpeg
+    decode) is the case where the _spread shim earns its shuffle."""
     media = multimodal.synthetic_media(table(spark, sf_dir, "documents"))
-    return multimodal.sample_frames(dedup._spread(media), every_ms=500)
+    return multimodal.sample_frames(media, every_ms=500)
 
 
 @query(
