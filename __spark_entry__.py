@@ -105,6 +105,9 @@ _PRIORITY = [
     "neardup_score_hist", "custom_source_ohlcv_stream",
     "hll_users_by_event_type", "media_audio_energy",
     "kmeans_cluster_quality",
+    # --- round-5 addition at WINDOW PRIORITY (VERDICT r4 item 6+8): the
+    # one net-new query this round, driver-checked in the same round
+    "lsh_recall_report_fast",
     # --- beyond this round's 50-slot window; first checked next round
     "knn_label_vote", "user_paths", "value_winsorized_stats",
     "streaming_decontaminated_intake", "dsir_selected_corpus",

@@ -900,3 +900,79 @@ def global_rank(
             (F.col("_before") + F.rank().over(wbin)).cast("long").alias("rank"),
         )
     )
+
+
+def binned_cum_weights(
+    g: DataFrame,
+    value_col: str,
+    weight_cols: Sequence[str],
+    bins: int = 32,
+) -> DataFrame:
+    """EXACT exclusive cumulative weight sums over a value-ordered
+    distinct-value frame WITHOUT a single-partition global window —
+    the companion of :func:`global_rank` for CDF/rank-sum statistics
+    (KS drift, Mann-Whitney midranks).
+
+    ``g`` must have ONE row per distinct ``value_col`` (the caller's
+    groupBy guarantees it), with integer weight columns (tie counts,
+    per-group tallies). For each weight ``w`` the output adds
+    ``{w}_lt`` = the total of ``w`` over all STRICTLY SMALLER values.
+    Inclusive cumulatives are then ``{w}_lt + w`` row-locally, and
+    midranks are ``cnt_lt + (cnt + 1) / 2`` — all exact.
+
+    Mechanics mirror global_rank: approx_percentile proposes ≤ bins-1
+    split values (bounded driver state); rows bin by VALUE COMPARISON,
+    so ties share a bin and earlier bins hold strictly smaller values;
+    the cross-bin offsets come from a broadcast ≤ bins-row frame and
+    the within-bin running sums from a window PARTITIONED by bin
+    (state ~n_distinct/bins). Split-estimation error only skews bin
+    sizes, never sums, so the sketch's nondeterminism cannot reach
+    the result.
+    """
+    from pyspark.sql import Window
+
+    splits = [
+        s
+        for s in (
+            g.agg(
+                F.percentile_approx(
+                    value_col, [i / bins for i in range(1, bins)], 10_000
+                ).alias("s")
+            ).first()["s"]
+            or []
+        )
+        if s is not None
+    ]
+    splits = sorted(set(splits))
+    c = F.col(value_col)
+    bin_expr = F.lit(0)
+    for s in splits:
+        bin_expr = bin_expr + (c > F.lit(s)).cast("int")
+    binned = g.select(*g.columns, bin_expr.alias("_bin"))
+    counts = binned.groupBy("_bin").agg(
+        *[F.sum(w).alias(f"_bn_{w}") for w in weight_cols]
+    )
+    wcum = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_bin",
+        *[
+            F.coalesce(F.sum(f"_bn_{w}").over(wcum), F.lit(0)).alias(f"_before_{w}")
+            for w in weight_cols
+        ],
+    )
+    wbin = (
+        Window.partitionBy("_bin")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return binned.join(F.broadcast(offsets), "_bin").select(
+        *g.columns,
+        *[
+            (
+                F.col(f"_before_{w}") + F.coalesce(F.sum(w).over(wbin), F.lit(0))
+            )
+            .cast("long")
+            .alias(f"{w}_lt")
+            for w in weight_cols
+        ],
+    )

@@ -181,7 +181,11 @@ def profile_columns(
 
 
 def hll_distinct(
-    df: DataFrame, key_col: str, p: int = 9, by: list[str] | None = None
+    df: DataFrame,
+    key_col: str,
+    p: int = 9,
+    by: list[str] | None = None,
+    hash_col: str | None = None,
 ) -> DataFrame:
     """Deterministic HyperLogLog distinct-count estimate (Flajolet et
     al. 2007) with an EXACT replay: unlike approx_count_distinct's
@@ -220,9 +224,17 @@ def hll_distinct(
         raise ValueError("p must be in [4, 10] (bucket count 16..1024)")
     m = 1 << p
     field = 60 - p  # bits left after the bucket index
-    h = F.conv(
-        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    # hash_col: pre-computed 60-bit hash injection seam. The deep-rank
+    # edge (rest == 0 ⇒ rank = field+1) has probability ~2^(p-60) per
+    # row — unreachable by any feasible key search — so the regression
+    # test for the negative-shift bug injects the hash directly. The
+    # production path always derives it from md5(key).
+    if hash_col is not None:
+        h = F.col(hash_col).cast("long")
+    else:
+        h = F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+        ).cast("long")
     by = list(by or [])
     # integer div, NOT float division — h has 60 bits and doubles hold 53
     b = df.select(*by, h.alias("_h")).select(

@@ -1042,9 +1042,11 @@ FROM orders""",
 )
 def q_orders_ntile(spark, sf_dir):
     """W16 ranking family beyond rank(): ntile + dense_rank. A global
-    ORDER BY window is a single-partition sort — fine for ranked
-    reports, deliberately NOT the pattern for per-key analytics (those
-    partition by symbol/custkey as in orders_rank)."""
+    ORDER BY window is a single-partition sort — this query is the API
+    DEMO of that surface; at deployment scale the same result comes
+    from the binned exact-rank machinery (global_token_rank /
+    rel.global_rank: broadcast cross-bin offsets + per-bin windows),
+    which ks_value_drift and mann_whitney_u already ride."""
     o = table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -6219,6 +6221,44 @@ def q_lsh_recall_report(spark, sf_dir):
 
 
 @query(
+    "lsh_recall_report_fast",
+    f"""WITH {_NEAR_PAIRS_CTE}
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(*) AS BIGINT) AS n_lsh,
+       CAST(1.0 AS DOUBLE) AS recall
+FROM np""",
+)
+def q_lsh_recall_report_fast(spark, sf_dir):
+    """Measured recall of the PRODUCTION-TUNED fast MinHash config
+    (63 permutations / 21 bands × 3 rows — half the signature-aggregate
+    cost of the textbook 126/42×3) against the same exact all-pairs
+    shingle-Jaccard ground truth at threshold 0.7. bench.py times this
+    config; lsh_recall_report driver-checks only the textbook one, so
+    until this query the fast path's recall rested on the analytic
+    band-miss bound alone. The oracle asserts count equality: the
+    corpus' qualifying pairs all sit at J ≥ 0.9 at sf0.01 (measured),
+    where the 63/21×3 band-miss is ≤ (1−0.9³)²¹ ≈ 5e-11 per pair —
+    expected missed pairs 1.2e-12 at sf0.01, 2.9e-7 at sf0.1 — so a
+    driver mismatch means the speed/recall trade actually broke, not a
+    flake."""
+    docs = table(spark, sf_dir, "documents")
+    lsh = dedup.near_dup_pairs(
+        docs, threshold=0.7, num_hashes=63, bands=21
+    ).select("id_a", "id_b")
+    exact = (
+        dedup.shingle_pairs_jaccard(docs)
+        .filter(F.col("jaccard") >= 0.7)
+        .select("id_a", "id_b")
+    )
+    n_lsh = lsh.count()
+    n_exact = exact.count()
+    return spark.createDataFrame(
+        [(n_exact, n_lsh, round(n_lsh / n_exact, 6) if n_exact else 1.0)],
+        "n_exact long, n_lsh long, recall double",
+    )
+
+
+@query(
     "lang_salting_plan",
     """WITH counts AS (
   SELECT lang AS key, count(*) AS cnt FROM documents GROUP BY lang),
@@ -10358,9 +10398,17 @@ def q_ks_value_drift(spark, sf_dir):
     and view value distributions — the standard drift monitor. The
     default RANGE window frame makes each cumulative count include all
     ties of the current value in BOTH engines, so the empirical CDFs
-    (integer counts over totals) are exact. The global sort is the
-    single-key case; a per-segment drift scan adds the segment to the
-    partition key in the same shape."""
+    (integer counts over totals) are exact.
+
+    100 TB formulation: the oracle's RANGE window over all events would
+    collapse Spark to ONE partition, so the engine instead aggregates
+    per distinct value (shuffle on value) and takes exclusive running
+    counts from rel.binned_cum_weights — approx-split range bins whose
+    cross-bin offsets broadcast and whose within-bin windows partition
+    by bin (the global_rank machinery). Ties share a bin by value
+    comparison, so inclusive counts (lt + own tally) equal the oracle's
+    RANGE-frame semantics exactly; split-estimate error cannot reach
+    the result. D = max|CDF_a − CDF_b| is then a plain aggregate."""
     e = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "view")
     )
@@ -10369,12 +10417,14 @@ def q_ks_value_drift(spark, sf_dir):
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("a"),
         F.when(F.col("event_type") == "view", 1).otherwise(0).alias("b"),
     )
-    n = u.agg(
+    g = u.groupBy("value").agg(F.sum("a").alias("a"), F.sum("b").alias("b"))
+    n = g.agg(
         F.sum("a").cast("long").alias("n_a"), F.sum("b").cast("long").alias("n_b")
     )
-    w = Window.orderBy("value")
-    c = u.select(
-        F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+    cum = rel.binned_cum_weights(g, "value", ["a", "b"])
+    c = cum.select(
+        (F.col("a_lt") + F.col("a")).alias("ca"),
+        (F.col("b_lt") + F.col("b")).alias("cb"),
     )
     return (
         c.crossJoin(F.broadcast(n))
@@ -10478,21 +10528,30 @@ def q_mann_whitney_u(spark, sf_dir):
     nonparametric twin of ab_value_ttest. Tied values take midranks
     (min-rank + half the tie count), which are exact halves, so the
     rank sum is exact in IEEE doubles; z uses the untied-variance
-    normal approximation (documented, standard for these sizes)."""
+    normal approximation (documented, standard for these sizes).
+
+    100 TB formulation: the oracle's rank() OVER (ORDER BY value) would
+    run in ONE partition, so the engine aggregates per distinct value
+    (cnt = tie count, na = click tally) and derives each value's
+    midrank row-locally from rel.binned_cum_weights' exclusive
+    cumulative: midrank = cnt_lt + (cnt + 1)/2 — statistically exact
+    because ties bin together by value comparison. The rank SUM
+    r1 = Σ na·midrank needs no per-row ranks at all."""
     e = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "signup")
     )
     u = e.select(
         "value", F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a")
     )
-    midrank = F.rank().over(Window.orderBy("value")) + (
-        F.count("*").over(Window.partitionBy("value")) - 1
-    ) / 2.0
-    r = u.select("value", "a", midrank.alias("midrank"))
-    s = r.agg(
-        F.sum("a").cast("long").alias("n1"),
-        F.sum(1 - F.col("a")).cast("long").alias("n2"),
-        F.sum(F.when(F.col("a") == 1, F.col("midrank")).otherwise(0.0)).alias("r1"),
+    g = u.groupBy("value").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("a").alias("na")
+    )
+    cum = rel.binned_cum_weights(g, "value", ["cnt"])
+    midrank = F.col("cnt_lt") + (F.col("cnt") + 1) / 2.0
+    s = cum.agg(
+        F.sum("na").cast("long").alias("n1"),
+        F.sum(F.col("cnt") - F.col("na")).cast("long").alias("n2"),
+        F.sum(F.col("na") * midrank).alias("r1"),
     )
     u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
     mean_u = F.col("n1").cast("double") * F.col("n2") / 2.0
@@ -13031,7 +13090,7 @@ ORDER BY symbol""",
 )
 def q_hurst_rs(spark, sf_dir):
     """Hurst exponent via rescaled-range (R/S) analysis — returns
-    quantized to nano-unit longs, split into full blocks of 16/32/64,
+    quantized to nano-unit longs, split into full blocks of 4/8/16,
     per-block R (range of cumulative deviations) over S (population
     std), block means averaged in quantized units, and H = the
     endpoint log-log slope (the equally-spaced 3-point OLS slope).
@@ -15216,7 +15275,8 @@ h AS (SELECT doc_id, {_H_COLS} FROM norm),
 m AS (SELECT doc_id,
         CASE WHEN {_H_BEST} = 0 THEN 'und' {_H_CASE} END AS detected_lang,
         CAST({_H_BEST} AS BIGINT) AS best_hits,
-        CAST(list_sort([h_en, h_es, h_fr, h_de])[3] AS BIGINT)
+        CAST(list_sort([{", ".join(f"h_{lang}" for lang in _LANG_MARKERS)}])
+               [{len(_LANG_MARKERS) - 1}] AS BIGINT)
           AS second_hits
       FROM h)
 SELECT doc_id, detected_lang, best_hits, second_hits,
