@@ -83,6 +83,12 @@ HEADLINE = [
 
 
 def main() -> None:
+    # Host load BEFORE the warm-up phase: the warm-up itself saturates
+    # the 32 cores, so loadavg at the timed loop's start is mostly
+    # self-induced — this first sample is the external-interference
+    # signal.
+    load_prewarm = os.getloadavg()
+
     from finance_data_pipeline_spark.registry import QUERIES
     from finance_data_pipeline_spark.session import get_spark
 
@@ -233,6 +239,7 @@ def main() -> None:
                 "sf": float(sf),
                 "spread": spread,
                 "loadavg": {
+                    "prewarm": [round(x, 2) for x in load_prewarm],
                     "start": [round(x, 2) for x in load_start],
                     "end": [round(x, 2) for x in load_end],
                 },

@@ -12769,20 +12769,20 @@ def q_force_index_eom(spark, sf_dir):
     "momentum_xsec_rank",
     f"""WITH {STOCKS},
 m AS (SELECT symbol, date,
-        close / lag(close, 60) OVER ({_W_DATE}) - 1 AS mom_60
+        close / lag(close, 20) OVER ({_W_DATE}) - 1 AS mom_20
       FROM stocks),
-r AS (SELECT symbol, date, mom_60,
-        rank() OVER (PARTITION BY date ORDER BY mom_60 DESC, symbol) AS xsec_rank,
-        ntile(5) OVER (PARTITION BY date ORDER BY mom_60 DESC, symbol) AS quintile
-      FROM m WHERE mom_60 IS NOT NULL)
-SELECT symbol, date, round(mom_60, 6) AS mom_60,
+r AS (SELECT symbol, date, mom_20,
+        rank() OVER (PARTITION BY date ORDER BY mom_20 DESC, symbol) AS xsec_rank,
+        ntile(5) OVER (PARTITION BY date ORDER BY mom_20 DESC, symbol) AS quintile
+      FROM m WHERE mom_20 IS NOT NULL)
+SELECT symbol, date, round(mom_20, 6) AS mom_20,
        CAST(xsec_rank AS BIGINT) AS xsec_rank,
        CAST(quintile AS BIGINT) AS quintile
 FROM r
 ORDER BY date, xsec_rank""",
 )
 def q_momentum_xsec_rank(spark, sf_dir):
-    """Cross-sectional momentum panel — 60-day price momentum per
+    """Cross-sectional momentum panel — 20-day price momentum per
     symbol, ranked and quintiled WITHIN each date (the long-short
     portfolio formation step). Two window passes with different keys:
     the per-symbol lag reuses the indicator shuffle, the per-date rank
@@ -12792,12 +12792,12 @@ def q_momentum_xsec_rank(spark, sf_dir):
     ws = Window.partitionBy("symbol").orderBy("date")
     m = s.select(
         "symbol", "date",
-        (F.col("close") / F.lag("close", 60).over(ws) - 1).alias("mom_60"),
-    ).filter(F.col("mom_60").isNotNull())
-    wd = Window.partitionBy("date").orderBy(F.desc("mom_60"), F.asc("symbol"))
+        (F.col("close") / F.lag("close", 20).over(ws) - 1).alias("mom_20"),
+    ).filter(F.col("mom_20").isNotNull())
+    wd = Window.partitionBy("date").orderBy(F.desc("mom_20"), F.asc("symbol"))
     return m.select(
         "symbol", "date",
-        F.round("mom_60", 6).alias("mom_60"),
+        F.round("mom_20", 6).alias("mom_20"),
         F.rank().over(wd).cast("long").alias("xsec_rank"),
         F.ntile(5).over(wd).cast("long").alias("quintile"),
     ).orderBy("date", "xsec_rank")
@@ -14304,72 +14304,75 @@ def q_drawdown_episodes(spark, sf_dir):
 
 @query(
     "link_pred_common_neighbors",
-    f"""WITH {_NEAR_PAIRS_CTE},
-und AS (SELECT DISTINCT id_a AS u, id_b AS v FROM np),
-sym AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
-deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
-cand AS (SELECT s1.v AS u, s2.v AS v, CAST(count(*) AS BIGINT) AS cn
-         FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
-         GROUP BY s1.v, s2.v),
-nonedge AS (SELECT c.u, c.v, c.cn
-            FROM cand c LEFT JOIN und e ON e.u = c.u AND e.v = c.v
-            WHERE e.u IS NULL),
-j AS (SELECT n.u, n.v, n.cn, du.d AS du, dv.d AS dv
-      FROM nonedge n JOIN deg du ON n.u = du.u JOIN deg dv ON n.v = dv.u),
-rk AS (SELECT *, row_number() OVER (ORDER BY cn DESC, u, v) AS rnk FROM j)
-SELECT u AS doc_a, v AS doc_b, cn AS common_neighbors,
+    """WITH e0 AS (SELECT l_suppkey AS s, o_custkey AS c
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2 HAVING count(DISTINCT o_orderkey) >= 2),
+sd AS (SELECT s, CAST(count(*) AS BIGINT) AS sdeg FROM e0 GROUP BY s),
+kept AS (SELECT e0.s, e0.c FROM e0 JOIN sd ON e0.s = sd.s WHERE sd.sdeg <= 128),
+deg AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM kept GROUP BY c),
+cand AS (SELECT a.c AS u, b.c AS v, CAST(count(*) AS BIGINT) AS cn
+         FROM kept a JOIN kept b ON a.s = b.s AND a.c < b.c
+         GROUP BY 1, 2),
+j AS (SELECT u, v, cn, du.d AS du, dv.d AS dv
+      FROM cand JOIN deg du ON cand.u = du.c JOIN deg dv ON cand.v = dv.c)
+SELECT u AS cust_a, v AS cust_b, cn AS common_suppliers,
   round(CAST(cn AS DOUBLE) / (du + dv - cn), 6) AS jaccard_coef
-FROM rk WHERE rnk <= 50
-ORDER BY common_neighbors DESC, doc_a, doc_b""",
+FROM j
+ORDER BY cn DESC, cust_a, cust_b LIMIT 50""",
 )
 def q_link_pred_common_neighbors(spark, sf_dir):
-    """Link prediction over the verified near-dup graph — top-50
-    non-adjacent pairs ranked by common-neighbor count with the
-    neighborhood-Jaccard coefficient: the \"these two docs will merge
-    next\" review queue for threshold tuning. Wedge fan-out is the
-    triangle bound (Σ deg² over dup clusters, whose sizes the LSH
-    verification already caps); the verified pair set is
-    localCheckpointed once so the wedge join never re-derives the
-    MinHash pipeline per branch (the dup_triangles lesson)."""
-    pairs = (
-        dedup.near_dup_pairs(table(spark, sf_dir, "documents"), threshold=0.7)
-        .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .distinct()
-        .localCheckpoint()
+    """Link prediction by common neighbors over the REPEAT-trade
+    bipartite graph (supplier—customer edges with >= 2 distinct
+    orders): top-50 customer pairs ranked by shared-supplier count
+    with the neighborhood-Jaccard coefficient — "these two customers
+    will trade with the same supplier next" — the co-occurrence
+    recommendation shape. Customer pairs are never adjacent in a
+    bipartite graph, so every candidate is a genuine prediction (the
+    earlier near-dup-graph form was vacuous: J>=0.7 clusters are
+    perfect cliques with zero open wedges at every SF).
+
+    Scale shape: wedge fan-out pivots only on suppliers with degree
+    <= 128 (the hub cap the oracle replays — Sum(sdeg^2) stays bounded
+    per supplier at any corpus size, the same df-bound as the posting
+    lists); the repeat-trade HAVING prunes the edge set before any
+    join; top-50 is orderBy().limit() = TakeOrderedAndProject, pruned
+    per-partition — no global window."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .agg(F.countDistinct("o_orderkey").alias("_n_ord"))
+        .filter(F.col("_n_ord") >= 2)
+        .select("s", "c")
     )
-    sym = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("d"))
-    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    sd = e0.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("sdeg"))
+    kept = e0.join(
+        F.broadcast(sd.filter(F.col("sdeg") <= 128).select("s")), "s"
+    ).localCheckpoint()
+    deg = kept.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a, b = kept.alias("a"), kept.alias("b")
     cand = (
-        s1.join(
-            s2,
-            (F.col("s1.u") == F.col("s2.u")) & (F.col("s1.v") < F.col("s2.v")),
-        )
-        .groupBy(F.col("s1.v").alias("u"), F.col("s2.v").alias("v"))
-        .agg(F.count("*").cast("long").alias("cn"))
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.c") < F.col("b.c")))
+        .groupBy(F.col("a.c").alias("u"), F.col("b.c").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
     )
-    nonedge = cand.join(pairs, ["u", "v"], "left_anti")
-    j = (
-        nonedge.join(deg.withColumnRenamed("d", "du"), "u")
-        .join(
-            deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v"
-        )
-    )
-    rk = j.withColumn(
-        "rnk", F.row_number().over(Window.orderBy(F.desc("cn"), "u", "v"))
-    )
+    j = cand.join(
+        deg.select(F.col("c").alias("u"), F.col("d").alias("du")), "u"
+    ).join(deg.select(F.col("c").alias("v"), F.col("d").alias("dv")), "v")
     return (
-        rk.filter(F.col("rnk") <= 50)
-        .select(
-            F.col("u").alias("doc_a"), F.col("v").alias("doc_b"),
-            F.col("cn").alias("common_neighbors"),
+        j.select(
+            F.col("u").alias("cust_a"),
+            F.col("v").alias("cust_b"),
+            F.col("cn").alias("common_suppliers"),
             F.round(
                 F.col("cn").cast("double")
                 / (F.col("du") + F.col("dv") - F.col("cn")),
                 6,
             ).alias("jaccard_coef"),
         )
-        .orderBy(F.desc("common_neighbors"), "doc_a", "doc_b")
+        .orderBy(F.desc("common_suppliers"), "cust_a", "cust_b")
+        .limit(50)
     )
 
 
@@ -15052,7 +15055,7 @@ keepf AS (
   SELECT m.doc_id,
     CASE WHEN n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
           AND symbol_word_ratio <= 0.1 AND alpha_word_frac >= 0.8
-          AND stop_word_hits >= 2 AND dup_line_frac <= 0.3
+          AND dup_line_frac <= 0.3
           AND round(coalesce(top_chars, 0) * 1.0 / _n_chars, 6) <= 0.2
          THEN 1 ELSE 0 END AS pos
   FROM m LEFT JOIN topbg ON m.doc_id = topbg.doc_id),
@@ -15079,29 +15082,42 @@ def q_quality_score_auc(spark, sf_dir):
     one for the other. Midranks via the doubled-rank trick (2·rank +
     ties−1 stays integer), so the rank-sum AUC is exact integer
     arithmetic until the single final division — the Mann-Whitney
-    machinery applied to the pipeline's own classifiers."""
+    machinery applied to the pipeline's own classifiers.
+
+    100 TB formulation (same port as mann_whitney_u): scores aggregate
+    per distinct value (cnt, npos) and the doubled midrank derives
+    row-locally from rel.binned_cum_weights' exclusive cumulative —
+    2·rank + ties − 1 = 2·(cnt_lt + 1) + cnt − 1 = 2·cnt_lt + cnt + 1
+    — so no doc-grain single-partition window survives in the plan.
+
+    Positive label = the Gopher rule set MINUS the stop-word rule: the
+    synthetic corpus' vocabulary contains no English stopwords, so
+    stop_word_hits >= 2 is all-false there and the full keep flag left
+    the AUC vacuously empty (one class). Dropping that one rule splits
+    the corpus (~55/45 at sf0.01) and makes the metric — and its
+    driver hash row — actually exercise the rank-sum math."""
     d = dedup._spread(table(spark, sf_dir, "documents"))
     qs = text.quality_score(d).select("doc_id", F.col("quality_score").alias("score"))
-    gq = text.gopher_quality(d).select(
-        "doc_id", F.col("keep").cast("int").alias("pos")
+    m = text.gopher_quality(d)
+    pos = (
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("dup_line_frac") <= 0.3)
+        & (F.col("top_bigram_char_frac") <= 0.2)
     )
+    gq = m.select("doc_id", pos.cast("int").alias("pos"))
     lab = qs.join(gq, "doc_id")
-    rk = lab.select(
-        "pos",
-        (
-            2 * F.rank().over(Window.orderBy("score"))
-            + F.count("*").over(Window.partitionBy("score"))
-            - 1
-        )
-        .cast("long")
-        .alias("mr2"),
+    g = lab.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("npos")
     )
-    s = rk.agg(
-        F.sum(F.when(F.col("pos") == 1, F.col("mr2")).otherwise(0))
-        .cast("long")
-        .alias("r2pos"),
-        F.sum("pos").cast("long").alias("n1"),
-        F.count("*").cast("long").alias("n"),
+    cum = rel.binned_cum_weights(g, "score", ["cnt"])
+    mr2 = 2 * F.col("cnt_lt") + F.col("cnt") + 1
+    s = cum.agg(
+        F.sum(F.col("npos") * mr2).cast("long").alias("r2pos"),
+        F.sum("npos").cast("long").alias("n1"),
+        F.sum("cnt").cast("long").alias("n"),
     )
     n1, n = F.col("n1"), F.col("n")
     return s.filter((n1 > 0) & (n1 < n)).select(

@@ -159,19 +159,19 @@ def test_no_query_uses_rowwise_python_or_cartesian_product(spark):
 
 
 def test_ks_and_mw_have_no_rowgrain_global_window(spark):
-    """Regression guard for VERDICT r4 item 5: ks_value_drift and
-    mann_whitney_u must keep the binned formulation — every window
-    over the value column partitions by _bin; the only unpartitioned
-    pieces are the <= bins-row offsets window and the final 1-row
-    aggregate."""
+    """Regression guard for VERDICT r4 item 5: ks_value_drift,
+    mann_whitney_u and quality_score_auc must keep the binned
+    formulation — every window over the ranked value/score column
+    partitions by _bin; the only unpartitioned pieces are the
+    <= bins-row offsets window and the final 1-row aggregate."""
     from finance_data_pipeline_spark.registry import QUERIES
 
-    for name in ("ks_value_drift", "mann_whitney_u"):
+    for name in ("ks_value_drift", "mann_whitney_u", "quality_score_auc"):
         plan = plans.physical_plan(QUERIES[name](spark, SF_DIR))
         specs = [
             seg
             for seg in plan.split("windowspecdefinition(")[1:]
-            if "value#" in seg.split(")")[0]
+            if "value#" in seg.split(")")[0] or "score#" in seg.split(")")[0]
         ]
         assert specs, f"{name}: expected a binned window\n{plan}"
         assert all("_bin" in seg.split(")")[0] for seg in specs), (

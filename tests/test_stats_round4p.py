@@ -29,11 +29,17 @@ def test_drawdown_episodes_depths_negative_and_ranked(spark):
         assert d == sorted(d)  # rank 1 = deepest (most negative first)
 
 
-def test_link_pred_excludes_existing_edges_and_bounds_jaccard(spark):
+def test_link_pred_nonvacuous_and_bounds_jaccard(spark):
+    """The repeat-trade bipartite form must produce predictions at
+    every SF (the near-dup-graph form was structurally vacuous:
+    clusters are cliques, zero open wedges)."""
     out = QUERIES["link_pred_common_neighbors"](spark, SF).toPandas()
-    if len(out):
-        assert (out["common_neighbors"] >= 1).all()
-        assert out["jaccard_coef"].between(0, 1).all()
+    assert len(out) == 50
+    assert (out["common_suppliers"] >= 1).all()
+    assert out["jaccard_coef"].between(0, 1).all()
+    # deterministic ranking: cn descending, then customer pair
+    cns = out["common_suppliers"].tolist()
+    assert cns == sorted(cns, reverse=True)
 
 
 def test_kupiec_violation_rate_near_five_percent(spark):
