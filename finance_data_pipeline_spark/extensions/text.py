@@ -1173,20 +1173,25 @@ def quality_ensemble_rank(
     )
 
 
-def sentence_split_udtf():
+def sentence_split_udtf(max_words: int = 25):
     """Spark 4 Python UDTF (user-defined TABLE function) — the
     row→rows extension API, registered for SQL LATERAL use: split a
-    document into trimmed sentences on [.!?]+ runs with a per-doc
-    index. Arrow-optimized (``useArrow=True`` → ArrowEvalPythonUDTF:
-    batched Arrow transfer, not the row-pickling BatchEvalPython the
-    plan sweep bans).
+    document into sentences on [.!?]+ runs, then split any span longer
+    than ``max_words`` words into fixed ``max_words``-word segments
+    (the standard segmentation fallback for unpunctuated text — ASR
+    transcripts, OCR dumps, and this corpus' delimiter-free word
+    stream, where pure punctuation splitting degenerates to one
+    segment per document and the fan-out path would never execute).
+    Output sentences are single-space re-joins of the word chunk, so
+    the SQL oracle's array_to_string matches Python's " ".join exactly.
+    Arrow-optimized (``useArrow=True`` → ArrowEvalPythonUDTF: batched
+    Arrow transfer, not the row-pickling BatchEvalPython the plan
+    sweep bans).
 
     Policy note: this exists to cover the UDTF extension surface —
     for hot-path fan-outs the JVM-native explode/transform forms
     (doc_chunks, line segmentation) remain the 100 TB path; a Python
-    generator per row costs Python CPU however the data arrives. The
-    strip set is pinned to " \\t\\n\\r" so the SQL oracle's trim()
-    chars match Python exactly.
+    generator per row costs Python CPU however the data arrives.
     """
     from pyspark.sql.functions import udtf
 
@@ -1197,9 +1202,9 @@ def sentence_split_udtf():
 
             i = 0
             for seg in re.split(r"[.!?]+", text or ""):
-                seg2 = seg.strip(" \t\n\r")
-                if seg2:
-                    yield (doc_id, i, seg2)
+                ws = seg.split()
+                for k in range(0, len(ws), max_words):
+                    yield (doc_id, i, " ".join(ws[k : k + max_words]))
                     i += 1
 
     return SentenceSplit

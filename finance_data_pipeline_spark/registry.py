@@ -9405,7 +9405,7 @@ def q_value_hour_independence(spark, sf_dir):
     f"""WITH {_NORM_CTE},
 feat AS (SELECT
     CAST(len(words) AS DOUBLE) AS y,
-    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text) AS x1,
+    length(text) * 1.0 / greatest(len(words), 1) AS x1,
     len(list_distinct(words)) * 1.0 / greatest(len(words), 1) AS x2
   FROM norm),
 s AS (SELECT
@@ -9433,15 +9433,17 @@ d AS (SELECT *,
 b AS (SELECT *, det0 / nullif(det, 0) AS b0, det1 / nullif(det, 0) AS b1,
         det2 / nullif(det, 0) AS b2 FROM d)
 SELECT CAST(n AS BIGINT) AS n,
-  round(b0, 6) AS intercept, round(b1, 6) AS coef_punct, round(b2, 6) AS coef_ttr,
+  round(b0, 6) AS intercept, round(b1, 6) AS coef_wlen, round(b2, 6) AS coef_ttr,
   round(1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y)
             / nullif(syy - sy * sy / n, 0), 6) AS r2
 FROM b""",
 )
 def q_token_drivers_ols(spark, sf_dir):
     """X4+++++ — multivariate OLS via distributed normal equations:
-    token count regressed on punctuation ratio and distinct-token
-    ratio, solved in closed form (Cramer on the 3×3 Gram matrix) from
+    token count regressed on mean word length and distinct-token
+    ratio (the earlier punctuation-ratio regressor is constant 0 on
+    the delimiter-free corpus, which made the Gram matrix singular and
+    every coefficient NULL — a vacuous driver row), solved in closed form (Cramer on the 3×3 Gram matrix) from
     TEN DECIMAL-exact sufficient statistics gathered in ONE map-side-
     combined pass — the 'which raw signals drive length' analysis, and
     the template for any small-p regression at 100 TB: sufficient
@@ -9456,9 +9458,7 @@ def q_token_drivers_ols(spark, sf_dir):
     feat = d.select(
         n_tok.cast("double").alias("y"),
         (
-            F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
-            * F.lit(1.0)
-            / F.length(F.col("text"))
+            F.length(F.col("text")) * F.lit(1.0) / F.greatest(n_tok, F.lit(1))
         ).alias("x1"),
         (
             F.size(F.array_distinct(toks)) * F.lit(1.0) / F.greatest(n_tok, F.lit(1))
@@ -9513,7 +9513,7 @@ def q_token_drivers_ols(spark, sf_dir):
     return withd.select(
         c("n").cast("long").alias("n"),
         F.round("b0", 6).alias("intercept"),
-        F.round("b1", 6).alias("coef_punct"),
+        F.round("b1", 6).alias("coef_wlen"),
         F.round("b2", 6).alias("coef_ttr"),
         F.round(
             F.lit(1.0)
@@ -9526,27 +9526,41 @@ def q_token_drivers_ols(spark, sf_dir):
 
 @query(
     "udtf_sentences",
-    """WITH segs AS (
+    r"""WITH segs AS (
   SELECT doc_id,
     unnest(regexp_split_to_array(text, '[.!?]+')) AS seg,
     generate_subscripts(regexp_split_to_array(text, '[.!?]+'), 1) AS ord
   FROM documents),
-t AS (SELECT doc_id, trim(seg, ' ' || chr(9) || chr(10) || chr(13)) AS sentence,
-        ord
+w AS (SELECT doc_id, ord,
+        list_filter(regexp_split_to_array(
+            trim(seg, ' ' || chr(9) || chr(10) || chr(13)), '\s+'),
+          x -> x <> '') AS ws
       FROM segs),
+ch AS (SELECT doc_id, ord, ws,
+         unnest(generate_series(0, CAST(ceil(len(ws) / 25.0) AS BIGINT) - 1))
+           AS k
+       FROM w WHERE len(ws) > 0),
+t AS (SELECT doc_id, ord, k,
+        array_to_string(ws[k*25 + 1 : least((k+1)*25, len(ws))], ' ')
+          AS sentence
+      FROM ch),
 n AS (SELECT doc_id, sentence,
-        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS INTEGER)
-          AS sent_idx
-      FROM t WHERE sentence <> '')
+        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord, k) - 1
+          AS INTEGER) AS sent_idx
+      FROM t)
 SELECT doc_id, sent_idx, sentence FROM n""",
 )
 def q_udtf_sentences(spark, sf_dir):
     """F12 — Spark 4 Python UDTF surface: sentence segmentation as a
     SQL LATERAL table function (Arrow-optimized; ArrowEvalPythonUDTF
-    in the plan, so the BatchEvalPython ban still holds). Covers the
-    row→rows Python extension API alongside the Python DataSource
-    (batch + streaming); JVM-native explode forms remain the
-    hot-path answer for fan-outs. See text.sentence_split_udtf."""
+    in the plan, so the BatchEvalPython ban still holds). Splits on
+    [.!?]+ with a 25-word fixed-segment fallback for unpunctuated
+    spans — the corpus has no sentence delimiters, so the pure
+    punctuation form degenerated to one row per doc and never
+    exercised the row→rows fan-out this query exists to cover (now
+    ~2.6 segments/doc). Covers the Python UDTF extension API alongside
+    the Python DataSource (batch + streaming); JVM-native explode
+    forms remain the hot-path answer. See text.sentence_split_udtf."""
     spark.udtf.register("fdps_sentence_split", text.sentence_split_udtf())
     table(spark, sf_dir, "documents").createOrReplaceTempView("fdps_docs_udtf")
     return spark.sql(
@@ -9656,14 +9670,14 @@ def q_holt_linear(spark, sf_dir):
     f"""WITH {STOCKS},
 b AS (SELECT symbol, date, close,
         close / lag(close) OVER ({_W_DATE}) - 1 AS ret,
-        avg(close) OVER ({_W_DATE} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
-          AS sma20,
-        avg(close) OVER ({_W_DATE} ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
-          AS sma50,
+        avg(close) OVER ({_W_DATE} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+          AS sma_f,
+        avg(close) OVER ({_W_DATE} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+          AS sma_s,
         row_number() OVER ({_W_DATE}) AS rn
       FROM stocks),
 sig AS (SELECT symbol, date, ret,
-          CASE WHEN rn > 50 AND sma20 > sma50 THEN 1 ELSE 0 END AS pos
+          CASE WHEN rn > 10 AND sma_f > sma_s THEN 1 ELSE 0 END AS pos
         FROM b),
 pl AS (SELECT symbol, date, ret,
          lag(pos) OVER ({_W_DATE}) AS held,
@@ -9682,10 +9696,10 @@ SELECT symbol,
 FROM t GROUP BY symbol""",
 )
 def q_sma_crossover_backtest(spark, sf_dir):
-    """W25 — strategy backtest: the classic SMA-20/SMA-50 crossover,
+    """W25 — strategy backtest: an SMA-5/SMA-10 crossover,
     long when the fast average is above the slow one, with the signal
     LAGGED one day (no lookahead — the position held today was decided
-    yesterday) and no entries until both windows are full (rn > 50).
+    yesterday) and no entries until both windows are full (rn > 10).
     Reports per symbol: exposure days, trade count (signal flips),
     DECIMAL-exact arithmetic strategy return, and hit rate — the
     application layer on top of the indicator set, kept to
@@ -9696,21 +9710,21 @@ def q_sma_crossover_backtest(spark, sf_dir):
     map-side combined."""
     s = _stocks(spark, sf_dir)
     wl = Window.partitionBy("symbol").orderBy("date")
-    w20 = wl.rowsBetween(-19, 0)
-    w50 = wl.rowsBetween(-49, 0)
+    wf = wl.rowsBetween(-4, 0)
+    ws_ = wl.rowsBetween(-9, 0)
     b = s.select(
         "symbol",
         "date",
         (F.col("close") / F.lag("close").over(wl) - 1).alias("ret"),
-        F.avg("close").over(w20).alias("sma20"),
-        F.avg("close").over(w50).alias("sma50"),
+        F.avg("close").over(wf).alias("sma_f"),
+        F.avg("close").over(ws_).alias("sma_s"),
         F.row_number().over(wl).alias("rn"),
     )
     sig = b.select(
         "symbol",
         "date",
         "ret",
-        F.when((F.col("rn") > 50) & (F.col("sma20") > F.col("sma50")), 1)
+        F.when((F.col("rn") > 10) & (F.col("sma_f") > F.col("sma_s")), 1)
         .otherwise(0)
         .alias("pos"),
     )
@@ -12432,19 +12446,22 @@ mkt AS (SELECT date,
           CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE)
             / count(ret) AS mret
         FROM r WHERE ret IS NOT NULL GROUP BY date),
-j AS (SELECT symbol, r.date, ret, mret
-      FROM r JOIN mkt ON r.date = mkt.date WHERE ret IS NOT NULL),
+gm AS (SELECT CAST(sum(CAST(mret AS DECIMAL(38,18))) AS DOUBLE) / count(*)
+          AS avgm FROM mkt),
+j AS (SELECT symbol, r.date, ret, mret, avgm
+      FROM r JOIN mkt ON r.date = mkt.date CROSS JOIN gm
+      WHERE ret IS NOT NULL),
 s AS (SELECT symbol,
-        CAST(sum(CAST(CASE WHEN mret > 0 THEN ret ELSE 0.0 END
+        CAST(sum(CAST(CASE WHEN mret > avgm THEN ret ELSE 0.0 END
                       AS DECIMAL(38,18))) AS DOUBLE) AS sr_up,
-        CAST(sum(CAST(CASE WHEN mret > 0 THEN mret ELSE 0.0 END
+        CAST(sum(CAST(CASE WHEN mret > avgm THEN mret ELSE 0.0 END
                       AS DECIMAL(38,18))) AS DOUBLE) AS sm_up,
-        CAST(sum(CAST(CASE WHEN mret < 0 THEN ret ELSE 0.0 END
+        CAST(sum(CAST(CASE WHEN mret < avgm THEN ret ELSE 0.0 END
                       AS DECIMAL(38,18))) AS DOUBLE) AS sr_dn,
-        CAST(sum(CAST(CASE WHEN mret < 0 THEN mret ELSE 0.0 END
+        CAST(sum(CAST(CASE WHEN mret < avgm THEN mret ELSE 0.0 END
                       AS DECIMAL(38,18))) AS DOUBLE) AS sm_dn,
-        CAST(sum(CASE WHEN mret > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
-        CAST(sum(CASE WHEN mret < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dn
+        CAST(sum(CASE WHEN mret > avgm THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+        CAST(sum(CASE WHEN mret < avgm THEN 1 ELSE 0 END) AS BIGINT) AS n_dn
       FROM j GROUP BY symbol)
 SELECT symbol, n_up, n_dn,
   round(sr_up / nullif(sm_up, 0.0), 6) AS up_capture,
@@ -12455,7 +12472,13 @@ ORDER BY symbol""",
 def q_up_down_capture(spark, sf_dir):
     """Up/down capture ratios per symbol against the equal-weight
     market return (mean of all symbols' same-day returns): how much of
-    the market's up (resp. down) moves the symbol participates in.
+    the market's above-average (resp. below-average) moves the symbol
+    participates in. The regime boundary is the market's own mean, not
+    zero — the fixture's drift keeps every date's market return
+    positive, so the sign split left the down-side vacuously NULL;
+    demeaning splits the dates under any drift. Captures are sums of
+    (ret − avgm)-style raw returns per regime, unchanged math
+    otherwise.
     The market frame is a per-date aggregate of ~n_symbols rows —
     broadcast back to the return stream, then ONE conditional
     DECIMAL-sum aggregate per symbol."""
@@ -12471,9 +12494,15 @@ def q_up_down_capture(spark, sf_dir):
             / F.count("ret")
         ).alias("mret")
     )
-    j = r.join(F.broadcast(mkt), "date")
+    gm = mkt.agg(
+        (
+            F.sum(F.col("mret").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgm")
+    )
+    j = r.join(F.broadcast(mkt), "date").crossJoin(F.broadcast(gm))
     dec = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")
-    up, dn = F.col("mret") > 0, F.col("mret") < 0
+    up, dn = F.col("mret") > F.col("avgm"), F.col("mret") < F.col("avgm")
     st = j.groupBy("symbol").agg(
         dec(F.when(up, F.col("ret")).otherwise(0.0)).alias("sr_up"),
         dec(F.when(up, F.col("mret")).otherwise(0.0)).alias("sm_up"),
@@ -14535,9 +14564,12 @@ mkt AS (SELECT date,
           CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE)
             / count(ret) AS mret
         FROM r WHERE ret IS NOT NULL GROUP BY date),
+gm AS (SELECT CAST(sum(CAST(mret AS DECIMAL(38,18))) AS DOUBLE) / count(*)
+          AS avgm FROM mkt),
 j AS (SELECT symbol, ret, mret,
-        CASE WHEN mret > 0 THEN 1 ELSE 0 END AS up
-      FROM r JOIN mkt ON r.date = mkt.date WHERE ret IS NOT NULL),
+        CASE WHEN mret > avgm THEN 1 ELSE 0 END AS up
+      FROM r JOIN mkt ON r.date = mkt.date CROSS JOIN gm
+      WHERE ret IS NOT NULL),
 s AS (SELECT symbol, up,
         CAST(count(*) AS BIGINT) AS n,
         CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE) AS sr,
@@ -14560,11 +14592,15 @@ ORDER BY symbol""",
 )
 def q_conditional_betas(spark, sf_dir):
     """Conditional (up/down) market betas per symbol — separate OLS
-    slopes against the equal-weight market on up-market vs down-market
+    slopes against the equal-weight market on strong vs weak market
     days, plus the asymmetry spread (downside-risk decomposition; the
-    regression companion of up_down_capture's mean ratios). One
-    conditional DECIMAL-sum aggregate per (symbol, regime); closed
-    forms identical IEEE both engines."""
+    regression companion of up_down_capture's mean ratios). Regimes
+    split on the market's own mean return, not zero: the fixture's
+    drift makes every date's market return positive, so a sign split
+    put all days in one regime and left the down-side columns
+    vacuously NULL; above/below-average days split ~50/50 under any
+    drift. One conditional DECIMAL-sum aggregate per (symbol, regime);
+    closed forms identical IEEE both engines."""
     s = _stocks(spark, sf_dir)
     w = Window.partitionBy("symbol").orderBy("date")
     r = s.select(
@@ -14577,9 +14613,19 @@ def q_conditional_betas(spark, sf_dir):
             / F.count("ret")
         ).alias("mret")
     )
-    j = r.join(F.broadcast(mkt), "date").select(
-        "symbol", "ret", "mret",
-        F.when(F.col("mret") > 0, 1).otherwise(0).alias("up"),
+    gm = mkt.agg(
+        (
+            F.sum(F.col("mret").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgm")
+    )
+    j = (
+        r.join(F.broadcast(mkt), "date")
+        .crossJoin(F.broadcast(gm))
+        .select(
+            "symbol", "ret", "mret",
+            F.when(F.col("mret") > F.col("avgm"), 1).otherwise(0).alias("up"),
+        )
     )
     dec = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")
     st = j.groupBy("symbol", "up").agg(
@@ -14623,71 +14669,52 @@ def _npdf_col(x):
 @query(
     "bs_greeks",
     f"""WITH {STOCKS},
-r AS (SELECT symbol, date, close,
-        close / lag(close) OVER ({_W_DATE}) - 1 AS ret
-      FROM stocks),
-s AS (SELECT symbol,
-        max_by(close, date) AS s0,
-        CAST(count(ret) AS BIGINT) AS n,
-        CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE) AS sr,
-        CAST(sum(CAST(ret * ret AS DECIMAL(38,18))) AS DOUBLE) AS srr
-      FROM r GROUP BY symbol),
-v AS (SELECT symbol, s0,
-        sqrt(252.0) * sqrt((srr - sr * sr / n) / (n - 1)) AS sigma
-      FROM s WHERE n > 1),
-{_BS_GRID_SQL},
+s AS (SELECT symbol, max_by(close, date) AS s0 FROM stocks GROUP BY symbol),
+ggrid AS (
+  SELECT m.m AS moneyness, t.t AS t_years, v.v AS sigma
+  FROM (SELECT unnest([0.9, 1.0, 1.1]) AS m) m
+  CROSS JOIN (SELECT unnest([0.25, 1.0]) AS t) t
+  CROSS JOIN (SELECT unnest([0.2, 0.4]) AS v) v),
 d AS (SELECT symbol, s0, sigma, moneyness, t_years,
-        s0 * moneyness AS k,
         (ln(s0 / (s0 * moneyness)) + (0.02 + sigma * sigma / 2) * t_years)
           / (sigma * sqrt(t_years)) AS d1,
         (ln(s0 / (s0 * moneyness)) + (0.02 + sigma * sigma / 2) * t_years)
           / (sigma * sqrt(t_years)) - sigma * sqrt(t_years) AS d2
-      FROM v CROSS JOIN grid)
-SELECT symbol, moneyness, t_years,
+      FROM s CROSS JOIN ggrid)
+SELECT symbol, moneyness, t_years, sigma,
   round({_npdf_sql('d1')} / (s0 * sigma * sqrt(t_years)), 10) AS gamma,
   round(s0 * {_npdf_sql('d1')} * sqrt(t_years) / 100, 6) AS vega_pct,
   round((-s0 * {_npdf_sql('d1')} * sigma / (2 * sqrt(t_years))
          - 0.02 * (s0 * moneyness) * exp(-0.02 * t_years)
            * {_phi_sql('d2')}) / 365, 6) AS theta_call_daily
 FROM d
-ORDER BY symbol, moneyness, t_years""",
+ORDER BY symbol, moneyness, t_years, sigma""",
 )
 def q_bs_greeks(spark, sf_dir):
-    """Black-Scholes greeks on the same moneyness × maturity grid as
-    black_scholes_grid — gamma, vega (per 1% vol move) and daily call
-    theta, all from the shared d1/d2 frame and the polynomial Φ /
-    closed-form φ; the identical IEEE trees in both engines. Zero
-    extra shuffles past the per-symbol stats aggregate."""
+    """Black-Scholes greeks surface — gamma, vega (per 1% vol move)
+    and daily call theta on a moneyness × maturity × VOL grid (σ ∈
+    {{0.2, 0.4}}), spot from the data, the polynomial Φ / closed-form
+    φ; identical IEEE trees in both engines. The vol axis is a FIXED
+    grid, not the estimated realized vol black_scholes_grid prices
+    with: the events-derived fixture's annualized vol is 24-14,000
+    (pure noise), which drives φ(d1) below 1e-11 and rounded every
+    greek to literal zero — a vacuous surface. Fixed-σ greek surfaces
+    are the standard trading report anyway (greeks BY vol scenario);
+    pricing at estimated vol stays covered by black_scholes_grid.
+    Zero extra shuffles past the per-symbol spot aggregate."""
     s = _stocks(spark, sf_dir)
-    w = Window.partitionBy("symbol").orderBy("date")
-    r = s.select(
-        "symbol", "date", "close",
-        (F.col("close") / F.lag("close").over(w) - 1).alias("ret"),
-    )
-    dec = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")
-    st = r.groupBy("symbol").agg(
-        F.max_by("close", "date").alias("s0"),
-        F.count("ret").cast("long").alias("n"),
-        dec(F.col("ret")).alias("sr"),
-        dec(F.col("ret") * F.col("ret")).alias("srr"),
-    )
-    v = st.filter(F.col("n") > 1).select(
-        "symbol", "s0",
-        (
-            F.sqrt(F.lit(252.0))
-            * F.sqrt(
-                (F.col("srr") - F.col("sr") * F.col("sr") / F.col("n"))
-                / (F.col("n") - 1)
-            )
-        ).alias("sigma"),
-    )
+    st = s.groupBy("symbol").agg(F.max_by("close", "date").alias("s0"))
     grid = spark.createDataFrame(
-        [(m, t) for m in (0.9, 1.0, 1.1) for t in (0.25, 1.0)],
-        "moneyness double, t_years double",
+        [
+            (m, t, v)
+            for m in (0.9, 1.0, 1.1)
+            for t in (0.25, 1.0)
+            for v in (0.2, 0.4)
+        ],
+        "moneyness double, t_years double, sigma double",
     )
-    d = v.crossJoin(F.broadcast(grid)).select(
+    d = st.crossJoin(F.broadcast(grid)).select(
         "symbol", "s0", "sigma", "moneyness", "t_years",
-        (F.col("s0") * F.col("moneyness")).alias("k"),
         (
             (
                 F.log(F.col("s0") / (F.col("s0") * F.col("moneyness")))
@@ -14702,7 +14729,7 @@ def q_bs_greeks(spark, sf_dir):
     pdf1 = _npdf_col(F.col("d1"))
     sqt = F.sqrt(F.col("t_years"))
     return d.select(
-        "symbol", "moneyness", "t_years",
+        "symbol", "moneyness", "t_years", "sigma",
         F.round(pdf1 / (F.col("s0") * F.col("sigma") * sqt), 10).alias("gamma"),
         F.round(F.col("s0") * pdf1 * sqt / 100, 6).alias("vega_pct"),
         F.round(
@@ -14716,7 +14743,7 @@ def q_bs_greeks(spark, sf_dir):
             / 365,
             6,
         ).alias("theta_call_daily"),
-    ).orderBy("symbol", "moneyness", "t_years")
+    ).orderBy("symbol", "moneyness", "t_years", "sigma")
 
 
 @query(

@@ -926,6 +926,10 @@ def test_backtest_no_lookahead_and_trade_count(spark):
             assert r.hit_rate is None and r.arith_return == 0.0
         else:
             assert 0.0 <= r.hit_rate <= 1.0
+    # non-vacuous: the 5/10 windows actually fire on the ~30-bar fixture
+    # (the old 20/50 pair left zero tradable bars — all-zero output)
+    assert any(r.n_trades > 0 for r in out)
+    assert any(r.days_long > 0 for r in out)
 
 
 # --- round-4 text additions: entropy / diversity / novelty ----------------
