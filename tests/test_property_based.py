@@ -740,3 +740,41 @@ def test_epoch_shuffle_partition_properties(spark, ids, epoch):
         by_shard.setdefault(r.shard, []).append(r.pos)
     for ps in by_shard.values():
         assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+# --- round 5: binned cumulative weights (the KS/MW/AUC machinery) ---------
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+            st.integers(min_value=0, max_value=5),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    bins=st.integers(min_value=2, max_value=8),
+)
+@settings(**SETTINGS)
+def test_binned_cum_weights_matches_bruteforce(spark, vals, bins):
+    """For ANY value distribution and ANY bin count, the exclusive
+    cumulative equals the brute-force strictly-smaller sum — split
+    quality must never reach the result (rel.binned_cum_weights'
+    correctness contract)."""
+    from finance_data_pipeline_spark.operators import relational as rel
+
+    agg = {}
+    for v, a in vals:
+        cnt, na = agg.get(v, (0, 0))
+        agg[v] = (cnt + 1, na + a)
+    rows = [(v, cnt, na) for v, (cnt, na) in agg.items()]
+    g = spark.createDataFrame(rows, "value double, cnt long, na long")
+    out = rel.binned_cum_weights(g, "value", ["cnt", "na"], bins=bins).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        want_cnt = sum(c for v, c, _ in rows if v < r.value)
+        want_na = sum(n for v, _, n in rows if v < r.value)
+        assert (r.cnt_lt, r.na_lt) == (want_cnt, want_na), r
