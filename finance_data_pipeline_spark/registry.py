@@ -14504,7 +14504,14 @@ def q_incremental_dedup_delta(spark, sf_dir):
     streaming_neardup_gate's persisted-index path does. Exact Jaccard
     verifies just the colliding candidates. LSH at 126/42×3 has ~2e-8 band-miss at the
     0.7 threshold, so the oracle's exhaustive cross-side Jaccard is
-    the exact answer."""
+    the exact answer. (An exact band-replay oracle — the
+    media_phash_pairs pattern — is not available here: the MinHash
+    permutations are xxhash64-based, which DuckDB cannot reproduce;
+    switching the signature hash to md5 for replayability would cost
+    ~an order of magnitude on the dominant signature aggregate. The
+    probabilistic parity is the documented, accepted trade, and
+    lsh_recall_report / lsh_recall_report_fast driver-measure the
+    actual recall.)"""
     d = dedup._spread(table(spark, sf_dir, "documents"))
     delta = d.filter(F.col("doc_id") % 10 == 9)
     base = d.filter(F.col("doc_id") % 10 != 9)
