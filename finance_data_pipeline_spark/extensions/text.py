@@ -447,8 +447,10 @@ def bpe_train(
     corpus; the corpus is touched once for the frequency count), the
     pair count is one map-side-combined groupBy, and only the single
     argmax row collects to the driver (bounded state, the same move as
-    the IVF training sample); the rewrite is a row-local regex. Lineage
-    is cut per merge with localCheckpoint.
+    the IVF training sample); the rewrite is a row-local regex. The
+    corpus-count lineage is cut ONCE by the initial localCheckpoint
+    (single-partition — the vocab is dictionary-sized at any corpus
+    size); per-round lineage is just the regexp chain over that frame.
     """
     _, merges = _bpe_learn(docs, n_merges, text_col)
     return docs.sparkSession.createDataFrame(
@@ -477,7 +479,19 @@ def _bpe_learn(docs: DataFrame, n_merges: int, text_col: str = "text"):
             lambda i: F.concat(F.lit("("), F.substring(F.col("w"), i, F.lit(1)), F.lit(")")),
         ),
     )
-    vocab = vocab.select("w", "freq", sym0.alias("s")).localCheckpoint()
+    # The corpus-wide frequency count above is fully distributed; the
+    # ITERATIVE refinement state is the distinct-word vocabulary —
+    # bounded by the language (≤ millions of short strings, tens of MB)
+    # — so one partition is the right physical home for it at any
+    # corpus size: each merge round launches 1 task instead of
+    # defaultParallelism tasks over a frame the size of a dictionary.
+    # (Idle-host wall time is stage-scheduling-bound either way —
+    # measured flat at sf0.1 — but 32× fewer task launches per round is
+    # strictly less exposure to executor contention on a loaded host,
+    # the documented swing source for this query.) Merge selection is a
+    # global argmax with a total-order tie-break, so partitioning
+    # cannot change the learned merges.
+    vocab = vocab.select("w", "freq", sym0.alias("s")).coalesce(1).localCheckpoint()
 
     merges = []
     for rank in range(1, n_merges + 1):
@@ -504,10 +518,18 @@ def _bpe_learn(docs: DataFrame, n_merges: int, text_col: str = "text"):
             break
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
         merges.append((rank, a, b, cnt))
+        # No per-merge checkpoint: the expensive upstream (the corpus
+        # frequency count) is already materialized by the initial
+        # localCheckpoint, so each round's lineage is just the chain of
+        # k row-local regexp_replaces over the dictionary-sized vocab —
+        # trivially recomputable. Dropping the per-round checkpoint
+        # halves the job count per merge (wall time is scheduling-
+        # bound and flat on an idle host; fewer jobs = less loaded-host
+        # swing).
         vocab = vocab.withColumn(
             "s",
             F.regexp_replace("s", f"\\({a}\\)\\({b}\\)", f"({a}{b})"),
-        ).localCheckpoint()
+        )
     return vocab, merges
 
 
