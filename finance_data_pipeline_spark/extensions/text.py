@@ -479,8 +479,7 @@ def _bpe_learn(docs: DataFrame, n_merges: int, text_col: str = "text"):
             lambda i: F.concat(F.lit("("), F.substring(F.col("w"), i, F.lit(1)), F.lit(")")),
         ),
     )
-    # The corpus-wide frequency count above is fully distributed; the
-    # ITERATIVE refinement state is the distinct-word vocabulary —
+    # The ITERATIVE refinement state is the distinct-word vocabulary —
     # bounded by the language (≤ millions of short strings, tens of MB)
     # — so one partition is the right physical home for it at any
     # corpus size: each merge round launches 1 task instead of
@@ -488,10 +487,17 @@ def _bpe_learn(docs: DataFrame, n_merges: int, text_col: str = "text"):
     # (Idle-host wall time is stage-scheduling-bound either way —
     # measured flat at sf0.1 — but 32× fewer task launches per round is
     # strictly less exposure to executor contention on a loaded host,
-    # the documented swing source for this query.) Merge selection is a
-    # global argmax with a total-order tie-break, so partitioning
-    # cannot change the learned merges.
-    vocab = vocab.select("w", "freq", sym0.alias("s")).coalesce(1).localCheckpoint()
+    # the documented swing source for this query.) repartition(1), not
+    # coalesce(1): coalesce would narrow the post-shuffle side of the
+    # corpus-wide frequency groupBy above to one task, single-threading
+    # the 100 TB reduce; repartition keeps that aggregation at full
+    # parallelism and adds only a tiny extra shuffle of the
+    # dictionary-sized result (ADVICE r5). Merge selection is a global
+    # argmax with a total-order tie-break, so partitioning cannot
+    # change the learned merges.
+    vocab = (
+        vocab.select("w", "freq", sym0.alias("s")).repartition(1).localCheckpoint()
+    )
 
     merges = []
     for rank in range(1, n_merges + 1):
@@ -525,11 +531,18 @@ def _bpe_learn(docs: DataFrame, n_merges: int, text_col: str = "text"):
         # trivially recomputable. Dropping the per-round checkpoint
         # halves the job count per merge (wall time is scheduling-
         # bound and flat on an idle host; fewer jobs = less loaded-host
-        # swing).
+        # swing). But the chain makes round k's pair count re-evaluate
+        # k regexp_replaces — O(n_merges²) total evals — so the lineage
+        # is cut every _CKPT_EVERY merges, keeping per-round eval depth
+        # bounded at large n_merges while the common small-n_merges
+        # path (the registry uses 5) still pays zero extra jobs.
+        _CKPT_EVERY = 20
         vocab = vocab.withColumn(
             "s",
             F.regexp_replace("s", f"\\({a}\\)\\({b}\\)", f"({a}{b})"),
         )
+        if rank % _CKPT_EVERY == 0:
+            vocab = vocab.localCheckpoint()
     return vocab, merges
 
 

@@ -865,9 +865,17 @@ def global_rank(
     ANY split choice — approx_percentile's estimation error only skews
     bin sizes, never ranks — so the sketch's nondeterminism cannot
     reach the result.
+
+    NULL contract: rows with a NULL ``col`` are EXCLUDED up front —
+    a NULL has no position in a total order, and leaving such rows in
+    would give them a NULL ``_bin`` that (a) sorts NULLS-FIRST into
+    the cumulative offsets window, inflating every real rank, and
+    (b) silently vanishes at the inner ``_bin`` equi-join. Callers
+    that must rank NULLs assign them a sentinel value first.
     """
     from pyspark.sql import Window
 
+    df = df.filter(F.col(col).isNotNull())
     splits = [
         s
         for s in (
@@ -928,9 +936,18 @@ def binned_cum_weights(
     (state ~n_distinct/bins). Split-estimation error only skews bin
     sizes, never sums, so the sketch's nondeterminism cannot reach
     the result.
+
+    NULL contract: rows with a NULL ``value_col`` are EXCLUDED up
+    front (before split estimation AND the bin counts) — a NULL value
+    has no place in a CDF/rank-sum, and leaving the row in would give
+    it a NULL ``_bin`` whose weights sort NULLS-FIRST into the offsets
+    window (inflating every real row's ``{w}_lt``) while the row
+    itself silently drops at the ``_bin`` equi-join. Callers that
+    need NULL-weight mass must bucket it separately.
     """
     from pyspark.sql import Window
 
+    g = g.filter(F.col(value_col).isNotNull())
     splits = [
         s
         for s in (

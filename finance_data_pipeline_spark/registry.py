@@ -6236,11 +6236,13 @@ def q_lsh_recall_report_fast(spark, sf_dir):
     config; lsh_recall_report driver-checks only the textbook one, so
     until this query the fast path's recall rested on the analytic
     band-miss bound alone. The oracle asserts count equality: the
-    corpus' qualifying pairs all sit at J ≥ 0.9 at sf0.01 (measured),
-    where the 63/21×3 band-miss is ≤ (1−0.9³)²¹ ≈ 5e-11 per pair —
-    expected missed pairs 1.2e-12 at sf0.01, 2.9e-7 at sf0.1 — so a
-    driver mismatch means the speed/recall trade actually broke, not a
-    flake."""
+    summed band-miss probability over the corpus' qualifying pairs,
+    Σ(1−J³)²¹, is pinned below 1e-6 by tests/test_lsh_margin.py at
+    BOTH driver SFs (measured ~1e-11 — min qualifying J is ≈0.889 at
+    sf0.001, higher at sf0.01), so a driver mismatch means the
+    speed/recall trade actually broke, not a flake; a testdata regen
+    that erodes the margin fails that test with instructions to
+    loosen this oracle."""
     docs = table(spark, sf_dir, "documents")
     lsh = dedup.near_dup_pairs(
         docs, threshold=0.7, num_hashes=63, bands=21
@@ -15357,7 +15359,11 @@ def q_lang_id_margin(spark, sf_dir):
     for lang in sorted(hits, reverse=True):
         detected = detected.when(hits[lang] == best, F.lit(lang))
     arr = F.array_sort(F.array(*[hits[l] for l in _LANG_MARKERS]))
-    second = F.element_at(arr, 3)
+    # Runner-up = second-largest = index len-1 of the ascending sort.
+    # Derived from the marker dict, matching the oracle's
+    # list_sort(...)[len(_LANG_MARKERS)-1], so adding a language keeps
+    # both engines in lockstep (ADVICE r5).
+    second = F.element_at(arr, len(_LANG_MARKERS) - 1)
     m = d.select(
         "doc_id",
         detected.alias("detected_lang"),

@@ -51,6 +51,31 @@ def test_binned_cum_empty(spark):
     assert rel.binned_cum_weights(g, "value", ["cnt"], bins=8).count() == 0
 
 
+def test_binned_cum_null_values_excluded(spark):
+    """NULL value rows are filtered up front (ADVICE r5): before the
+    fix, the NULL row's weights sorted NULLS-FIRST into the offsets
+    window — (NULL,5),(1.0,3),(2.0,4) yielded cnt_lt 5 and 8 instead
+    of 0 and 3 — and the NULL row itself vanished at the _bin join."""
+    g = spark.createDataFrame(
+        [(None, 5), (1.0, 3), (2.0, 4)], "value double, cnt long"
+    )
+    got = {
+        r.value: r.cnt_lt
+        for r in rel.binned_cum_weights(g, "value", ["cnt"], bins=4).collect()
+    }
+    assert got == {1.0: 0, 2.0: 3}
+
+
+def test_global_rank_null_values_excluded(spark):
+    """Same NULL contract for global_rank: NULLs are excluded, ranks
+    over the non-NULL domain are unaffected by their presence."""
+    df = spark.createDataFrame(
+        [(1, None), (2, 10.0), (3, 5.0), (4, 10.0)], "pid int, v double"
+    )
+    got = {r.pid: r.rank for r in rel.global_rank(df, "v", ["pid"], bins=4).collect()}
+    assert got == {3: 1, 2: 2, 4: 2}
+
+
 def test_binned_cum_plan_windows_partition_by_bin(spark):
     """The value-grain window must partition by _bin; the only
     unpartitioned window runs over the ≤ bins-row offsets frame."""
