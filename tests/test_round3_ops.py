@@ -675,6 +675,49 @@ def test_bpe_train_runs_of_equal_symbols_merge_nonoverlapping(spark):
     assert (out[0].left_sym, out[0].right_sym, out[0].pair_weight) == ("a", "a", 4)
 
 
+def test_bpe_train_deep_merges_cross_checkpoint_boundary(spark):
+    """n_merges=25 crosses the every-20-merges lineage checkpoint
+    (text._bpe_learn) — the registry's n_merges=5 never exercises that
+    path. Verified against a pure-python replay so the checkpoint is
+    proven output-transparent."""
+    from collections import Counter
+
+    rows = [(1, "abcdefghijklmnopqrstuvwxyz zyx zyx")]
+    docs2 = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_weight)
+        for r in text.bpe_train(docs2, n_merges=25).collect()
+    ]
+
+    vocab = Counter()
+    for _, t in rows:
+        for w in t.split():
+            vocab[w] += 1
+    syms = {w: list(w) for w in vocab}
+    want = []
+    for rank in range(1, 26):
+        counts = Counter()
+        for w, f in vocab.items():
+            s = syms[w]
+            for j in range(len(s) - 1):
+                counts[(s[j], s[j + 1])] += f
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, a, b, cnt))
+        for w in syms:
+            s, out, j = syms[w], [], 0
+            while j < len(s):
+                if j + 1 < len(s) and s[j] == a and s[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(s[j])
+                    j += 1
+            syms[w] = out
+    assert got == want
+
+
 def test_pagerank_empty_edges_and_profile_empty_cols(spark):
     from finance_data_pipeline_spark import quality
     from finance_data_pipeline_spark.extensions import graph
