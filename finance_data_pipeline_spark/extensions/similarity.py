@@ -952,6 +952,7 @@ def pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1_000_000,
+    train_n: int | None = None,
 ) -> DataFrame:
     """Train the PQ codebooks: each vector splits into ``n_blocks``
     contiguous ``sub_dim``-dim sub-vectors and every block learns its
@@ -965,6 +966,16 @@ def pq_codebooks(
     codebook on ``_b``; the mean groups on (block, code, pos)) — not
     n_blocks sequential trainers. Returns (_b, _cid, _ce),
     localCheckpointed for its many downstream references.
+
+    ``train_n`` bounds the TRAINING SET to the ``train_n`` lowest-id
+    vectors — the 100 TB deployment form (standard PQ practice, same
+    as ivf_topk's bounded trainer: codebooks need a representative
+    sample, not the corpus, so each Lloyd pass costs O(train_n)
+    instead of O(corpus); encode/score still sweep everything). The
+    bound is deterministic and SQL-replayable (``WHERE {id} <
+    train_n``). Default None trains on the full corpus — the
+    oracle-checked registry configuration at test SFs, where the
+    corpus IS sample-sized.
     """
     v = _spread(
         vectors.select(
@@ -972,6 +983,8 @@ def pq_codebooks(
             F.transform(vec_col, lambda x: x.cast("double")).alias("_e"),
         )
     )
+    if train_n is not None:
+        v = v.filter(F.col("_id") < train_n)
     vb = v.select(
         "_id",
         F.posexplode(_block_slices(F.col("_e"), n_blocks, sub_dim)).alias(
@@ -1055,6 +1068,7 @@ def ann_topk_pq(
     sub_dim: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_n: int | None = None,
 ) -> DataFrame:
     """PQ/ADC approximate top-k by inner product: queries never touch
     the corpus embeddings — each query builds an n_blocks×k lookup
@@ -1067,16 +1081,18 @@ def ann_topk_pq(
     is order-independent and the approximate scores (and the top-k cut)
     replay bit-exactly in the SQL oracle.
 
-    Scale shape: codebook train + one encode pass over the corpus
-    (both linear, map-side heavy), then scoring joins the CODES stream
-    (n_blocks rows of two ints per vector) against a broadcast LUT
-    (queries × n_blocks × k rows) — per-query cost is O(corpus codes),
-    with none of the corpus float math brute_force_topk pays, and the
-    candidate set it returns is what a production pipeline re-ranks
-    with exact scores.
+    Scale shape: codebook train (O(train_n) when bounded — the 100 TB
+    form; O(corpus) at the oracle-checked default) + one encode pass
+    over the corpus, then scoring joins the CODES stream (n_blocks
+    rows of two ints per vector) against a broadcast LUT (queries ×
+    n_blocks × k rows) — per-query cost is O(corpus codes), with none
+    of the corpus float math brute_force_topk pays, and the candidate
+    set it returns is what a production pipeline re-ranks with exact
+    scores.
     """
     books = pq_codebooks(
-        vectors, n_blocks, sub_dim, id_col=id_col, vec_col=vec_col
+        vectors, n_blocks, sub_dim, id_col=id_col, vec_col=vec_col,
+        train_n=train_n,
     )
     codes = pq_encode(vectors, books, n_blocks, sub_dim, id_col, vec_col)
     qb = _spread(
@@ -1123,6 +1139,7 @@ def ann_topk_pq_rerank(
     sub_dim: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_n: int | None = None,
 ) -> DataFrame:
     """The production two-stage ANN: PQ/ADC shortlists ``shortlist``
     candidates per query from compressed codes, then ONLY those rows'
@@ -1135,7 +1152,8 @@ def ann_topk_pq_rerank(
     rows at 100 TB), which is why the shortlist/re-rank split — not
     brute force, not raw ADC ranks — is what ANN services deploy."""
     cands = ann_topk_pq(
-        vectors, queries, shortlist, n_blocks, sub_dim, id_col, vec_col
+        vectors, queries, shortlist, n_blocks, sub_dim, id_col, vec_col,
+        train_n=train_n,
     ).select("query_id", "neighbor_id")
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_ve")

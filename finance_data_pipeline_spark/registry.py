@@ -4146,7 +4146,11 @@ def q_ann_topk_pq(spark, sf_dir):
     memory path at 100 TB), queries scored via an n_blocks×k LUT sum
     (ADC, decimal-summed so the approximate scores replay bit-exactly).
     Completes the ANN family: brute force / hyperplane LSH / IVF / PQ.
-    See similarity.ann_topk_pq."""
+    Deployment form: train_n bounds the Lloyd training set to a
+    deterministic sample (standard PQ practice, the ivf_topk trainer
+    discipline) so training is O(sample) at any corpus size; the
+    registry config trains on the full (sample-sized) test corpus so
+    the oracle replays it. See similarity.ann_topk_pq."""
     vecs = table(spark, sf_dir, "embeddings")
     return similarity.ann_topk_pq(vecs, vecs.filter(F.col("vec_id") < 5))
 

@@ -541,6 +541,38 @@ def test_pq_codes_cover_corpus_with_bounded_codewords(spark):
     assert all(len(r._ce) == 8 for r in b)
 
 
+def test_pq_bounded_training_sample(spark):
+    """train_n — the 100 TB deployment form (bounded-sample Lloyd,
+    mirroring ivf_topk's trainer): a bound >= the corpus must be
+    output-IDENTICAL to the full-corpus default, and a real bound must
+    still emit well-formed codebooks/top-k (trained on the train_n
+    lowest ids only)."""
+    from finance_data_pipeline_spark.io import table as _t
+
+    vecs = _t(spark, SF_DIR, "embeddings")
+    n = vecs.count()
+
+    full = {(r._b, r._cid): r._ce for r in similarity.pq_codebooks(vecs).collect()}
+    wide = {
+        (r._b, r._cid): r._ce
+        for r in similarity.pq_codebooks(vecs, train_n=n + 1).collect()
+    }
+    assert wide == full  # bound beyond the corpus is the identity
+
+    books = similarity.pq_codebooks(vecs, train_n=64)
+    b = books.collect()
+    assert {r._b for r in b} == set(range(8))
+    assert all(len(r._ce) == 8 for r in b)
+    out = similarity.ann_topk_pq(
+        vecs, vecs.filter(F.col("vec_id") < 3), k=5, train_n=64
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert set(per_q) == {0, 1, 2}
+    assert all(len(v) == 5 for v in per_q.values())
+
+
 def test_pq_adc_score_is_the_quantized_inner_product(spark):
     """adc_score(q, v) must equal the sum over blocks of the (6 dp
     rounded) dot of q's sub-vector with v's ASSIGNED codeword — i.e.
