@@ -556,6 +556,7 @@ def kmeans_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1_000_000,
+    train_n: int | None = None,
 ) -> DataFrame:
     """Spherical k-means (Lloyd's algorithm), run for a FIXED number of
     iterations from deterministic seeds (the ``k`` lowest-id vectors) —
@@ -580,6 +581,12 @@ def kmeans_clusters(
     Empty clusters drop out of the next round (both engines compute
     means over member-bearing clusters only).
 
+    ``train_n`` bounds the TRAINING set to the train_n lowest-id
+    vectors (the 100 TB form — centroids need a representative sample,
+    not the corpus; the final assignment still sweeps everything).
+    Default None trains on the full corpus — the oracle-checked
+    registry configuration at sample-sized test SFs.
+
     Returns the final assignment (vec_id, cluster_id).
     """
     v = _spread(
@@ -588,7 +595,7 @@ def kmeans_clusters(
             F.transform(vec_col, lambda x: x.cast("double")).alias("_e"),
         )
     )
-    cents = kmeans_centroids(vectors, k, iters, id_col, vec_col, scale)
+    cents = kmeans_centroids(vectors, k, iters, id_col, vec_col, scale, train_n)
     return _assign_to_centroids(v, cents).select(
         F.col("_id").alias(id_col), "cluster_id"
     )
@@ -601,19 +608,25 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1_000_000,
+    train_n: int | None = None,
 ) -> DataFrame:
     """The Lloyd trainer behind kmeans_clusters, exposed so downstream
     operators (semantic_dedup's ``centroids=``, the deterministic IVF
     quantizer) can reuse the trained (_cid, _ce) frame. Deterministic
     rules per kmeans_clusters' docstring: seeds = k lowest-id vectors,
     cosine assignment rounded to 6 dp with ties to the lowest cid,
-    exact fixed-point elementwise means."""
+    exact fixed-point elementwise means. ``train_n`` bounds the
+    training set to the train_n lowest ids (deterministic and
+    SQL-replayable — the pq_codebooks discipline); None = full corpus,
+    the oracle-checked default."""
     v = _spread(
         vectors.select(
             F.col(id_col).alias("_id"),
             F.transform(vec_col, lambda x: x.cast("double")).alias("_e"),
         )
     )
+    if train_n is not None:
+        v = v.filter(F.col("_id") < train_n)
     cents = v.filter(F.col("_id") < k).select(
         F.col("_id").alias("_cid"), F.col("_e").alias("_ce")
     )

@@ -573,6 +573,25 @@ def test_pq_bounded_training_sample(spark):
     assert all(len(v) == 5 for v in per_q.values())
 
 
+def test_kmeans_bounded_training_sample(spark):
+    """kmeans_centroids' train_n mirrors pq_codebooks': a bound >= the
+    corpus is the identity; a real bound still assigns the FULL corpus
+    (only training is sampled)."""
+    from finance_data_pipeline_spark.io import table as _t
+
+    vecs = _t(spark, SF_DIR, "embeddings")
+    n = vecs.count()
+    full = {r._cid: r._ce for r in similarity.kmeans_centroids(vecs).collect()}
+    wide = {
+        r._cid: r._ce
+        for r in similarity.kmeans_centroids(vecs, train_n=n + 1).collect()
+    }
+    assert wide == full
+    assigned = similarity.kmeans_clusters(vecs, train_n=32).collect()
+    assert len(assigned) == n  # assignment sweeps the whole corpus
+    assert all(0 <= r.cluster_id < 8 for r in assigned)
+
+
 def test_pq_adc_score_is_the_quantized_inner_product(spark):
     """adc_score(q, v) must equal the sum over blocks of the (6 dp
     rounded) dot of q's sub-vector with v's ASSIGNED codeword — i.e.
