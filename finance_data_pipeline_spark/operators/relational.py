@@ -97,6 +97,13 @@ def asof_join(
     with the smaller |Δt| per row (ties → backward, the earlier row —
     a FIXED documented rule, since engines must agree bit-for-bit);
     costs two window passes instead of one, still never a range join.
+
+    NULL contract (pinned by tests/test_null_contracts.py): NULL
+    timestamps sort NULLS-FIRST in the backward pass — a NULL-ts right
+    row fills only NULL-ts left rows (both precede every real
+    timestamp), and a NULL-ts left row sees only NULL-ts right state.
+    pandas merge_asof raises on NaT keys instead; callers wanting that
+    strictness filter NULL timestamps first.
     """
     from pyspark.sql import Window
 
@@ -788,6 +795,12 @@ def skyline_2d(
     |distinct x| rows. Ties: identical (x, y) points all survive
     (no strict dominance between them), matching the NOT EXISTS
     definition the oracle uses as an independent formulation.
+
+    NULL contract (pinned by tests/test_null_contracts.py): rows with
+    a NULL coordinate are EXCLUDED — a point with an unknown dimension
+    has no place in a dominance order (NULL x drops at the frontier
+    equi-join; NULL y can never equal the group max). Callers wanting
+    NULLs ranked assign a sentinel first.
     """
     from pyspark.sql import Window
 
@@ -818,6 +831,14 @@ def fk_orphan_audit(
     lakehouse needs because nothing enforces constraints at write
     time. Orphans are found with a LEFT ANTI join (never a fan-out);
     totals are map-side-combined counts. One row out.
+
+    NULL contract (pinned by tests/test_null_contracts.py): a NULL
+    child key counts as an orphan ROW — deliberate deviation from ANSI
+    MATCH SIMPLE (where NULL FKs pass): in a lakehouse audit a NULL
+    key is a data defect worth surfacing, not a satisfied constraint.
+    The KEY metrics (n_child_keys / n_orphan_keys) use countDistinct,
+    which ignores NULLs — so rows and keys can diverge on NULL-bearing
+    data by design.
     """
     orphans = child.join(
         parent.select(F.col(parent_key).alias(child_key)).distinct(),
