@@ -418,6 +418,12 @@ def snapshot_diff(
     costs exactly one co-partitioned shuffle per side regardless of
     column count. At 100 TB both sides partition by the same key and
     AQE handles skew; no collect, no per-column joins.
+
+    NULL contract (pinned by tests/test_null_contracts.py): VALUE
+    columns compare null-safely (NULL == NULL is "unchanged"), but a
+    NULL KEY is not an identity — SQL join semantics never match it
+    to itself, so a NULL-key row present in both snapshots reports as
+    a removed + added PAIR, not "changed".
     """
     keys = list(keys)
     rest = [c for c in old.columns if c not in keys]

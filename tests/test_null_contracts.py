@@ -36,6 +36,25 @@ def test_fk_orphan_audit_null_key_is_an_orphan_row_not_a_key(spark):
     assert (r.n_orphan_rows, r.n_orphan_keys) == (2, 1)  # NULL + 99; key 99 only
 
 
+def test_snapshot_diff_null_values_safe_null_keys_never_match(spark):
+    """VALUE columns compare null-safely (NULL==NULL is unchanged, a
+    NULL appearing/disappearing is changed); a NULL KEY is not an
+    identity — the row reports as a removed+added pair."""
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (None, 7.0)], "k int, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, 5.0), (None, 7.0)], "k int, v double"
+    )
+    got = sorted(
+        ((r.k, r.change_type) for r in rel.snapshot_diff(old, new, ["k"]).collect()),
+        key=lambda t: (t[0] is None, t[0] or 0, t[1]),
+    )
+    # k=1: NULL==NULL null-safe -> unchanged (absent); k=2: NULL->5.0
+    # changed; k=NULL: removed+added pair, never "changed".
+    assert got == [(2, "changed"), (None, "added"), (None, "removed")]
+
+
 def test_asof_join_null_timestamps_precede_everything(spark):
     """NULL timestamps sort NULLS-FIRST: a NULL-ts right row fills only
     NULL-ts left rows, and real-ts left rows never see NULL-ts state."""
