@@ -44,7 +44,13 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     including the empty-text → [''] edge where both give 0), which keeps
     avg_word_len inside whole-stage codegen; the F.aggregate lambda form
     forced the entire projection to interpreted mode (~1.7× slower
-    end-to-end at sf0.1)."""
+    end-to-end at sf0.1).
+
+    Degenerate docs (NULL or empty text): ratios are NULL — the
+    denominators go through nullif so a 0-token/0-char doc returns a
+    row with NULL avg_word_len/punct_ratio instead of failing the
+    whole job under ANSI division (DuckDB's float x/0 is NULL, so the
+    oracle already agrees). Pinned by tests/test_null_contracts.py."""
     toks = tokens(text_col)
     n_tok = F.size(toks)
     n_chars = F.length(F.col(text_col))
@@ -55,8 +61,8 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         n_chars.alias("n_chars_computed"),
         n_tok.alias("n_tokens"),
         bpe_ish_token_count(text_col).alias("n_pieces"),
-        F.round(sum_tok_len / n_tok, 6).alias("avg_word_len"),
-        F.round(punct / n_chars, 6).alias("punct_ratio"),
+        F.round(sum_tok_len / F.nullif(n_tok, F.lit(0)), 6).alias("avg_word_len"),
+        F.round(punct / F.nullif(n_chars, F.lit(0)), 6).alias("punct_ratio"),
     )
 
 
@@ -74,7 +80,9 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     sanity + stopword presence (the classic pretraining-filter trio)."""
     toks = tokens(text_col)
     n_tok = F.size(toks)
-    n_chars = F.length(F.col(text_col))
+    # nullif: an empty doc must score 0, not fail the job under ANSI
+    # division (NULL ratio -> the punctuation term contributes 0).
+    n_chars = F.nullif(F.length(F.col(text_col)), F.lit(0))
     punct_ratio = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", "")) / n_chars
     all_stop = [w for ws in _LANG_MARKERS.values() for w in ws]
     stop_hits = _marker_hits(toks, all_stop)
@@ -183,11 +191,19 @@ def gopher_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
     # Top-bigram character coverage (repetition rule): chars covered by
     # the best (count × length) ADJACENT word pair / total chars.
-    # Bigrams are NOT distinct-ed — frequency is the signal.
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n_words - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
+    # Bigrams are NOT distinct-ed — frequency is the signal. The
+    # n_words >= 2 guard matters under ANSI: sequence(1, 0) counts
+    # DOWN through an out-of-range index and element_at would fail the
+    # job on any single-token document.
+    bigrams = F.when(
+        n_words >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_words - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     top = (
         docs.select(F.col(id_col), F.explode(bigrams).alias("_g"))
         .groupBy(id_col, "_g")
@@ -203,9 +219,11 @@ def gopher_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         "alpha_word_frac",
         "stop_word_hits",
         "dup_line_frac",
-        F.round(F.coalesce(F.col("_top_chars"), F.lit(0)) / F.col("_n_chars"), 6).alias(
-            "top_bigram_char_frac"
-        ),
+        F.round(
+            F.coalesce(F.col("_top_chars"), F.lit(0))
+            / F.nullif(F.col("_n_chars"), F.lit(0)),
+            6,
+        ).alias("top_bigram_char_frac"),
     )
     keep = (
         F.col("n_words").between(50, 100_000)
@@ -1166,7 +1184,9 @@ def quality_ensemble_rank(
     """
     toks = tokens(text_col)
     n_tok = F.size(toks)
-    n_chars = F.length(F.col(text_col))
+    # nullif: an empty doc must score 0, not fail the job under ANSI
+    # division (NULL ratio -> the punctuation term contributes 0).
+    n_chars = F.nullif(F.length(F.col(text_col)), F.lit(0))
     punct_ratio = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", "")) / n_chars
     all_stop = [w for ws in _LANG_MARKERS.values() for w in ws]
     score = (

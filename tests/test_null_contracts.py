@@ -10,7 +10,28 @@ their own pins in test_binned_cum.py.)
 
 from __future__ import annotations
 
+import pytest
+
 from finance_data_pipeline_spark.operators import relational as rel
+
+
+@pytest.fixture()
+def degenerate_docs(spark):
+    """A corpus with the degenerate rows a 100 TB crawl always has:
+    NULL text, empty text, and a single-token doc, next to two normal
+    docs (one near-dup pair)."""
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again",
+             "en", 0.9, "web"),
+            (2, "the quick brown fox jumps over a sleepy dog again and again",
+             "en", 0.8, "web"),
+            (3, None, "en", 0.5, "web"),
+            (4, "", "de", 0.4, "book"),
+            (5, "word", "de", 0.6, "book"),
+        ],
+        "doc_id long, text string, lang string, quality_score double, source string",
+    )
 
 
 def test_skyline_excludes_null_coordinates(spark):
@@ -69,3 +90,57 @@ def test_asof_join_null_timestamps_precede_everything(spark):
         for r in rel.asof_join(left, right, "k", "ts", "ts", ["price"]).collect()
     }
     assert got == {"L1": 100.0, "L2": 999.0}
+
+
+def test_text_stats_degenerate_docs_yield_null_ratios(degenerate_docs):
+    """NULL/empty docs return rows with NULL ratios — never a
+    DIVIDE_BY_ZERO job failure under ANSI mode (DuckDB's float x/0 is
+    NULL, so the oracle semantics already are 'NULL ratio')."""
+    from finance_data_pipeline_spark.extensions import text as tx
+
+    got = {r.doc_id: r for r in tx.text_stats(degenerate_docs).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    # empty text tokenizes to [''] (1 token of length 0 — the
+    # documented split identity), so avg_word_len is 0.0 while the
+    # 0-char punct_ratio denominator nullifies.
+    assert got[4].punct_ratio is None and got[4].avg_word_len == 0.0
+    assert got[3].punct_ratio is None
+    assert got[1].avg_word_len is not None
+
+
+def test_quality_score_degenerate_docs_score_without_crashing(degenerate_docs):
+    """Empty/NULL docs score 0.0 (every rule term falls to its
+    otherwise-0 branch) instead of failing the scan."""
+    from finance_data_pipeline_spark.extensions import text as tx
+
+    got = {r.doc_id: r.quality_score for r in tx.quality_score(degenerate_docs).collect()}
+    assert got[4] == 0.0
+    assert got[1] > 0.0
+
+
+def test_gopher_quality_single_token_and_empty_docs(degenerate_docs):
+    """The bigram fan-out needs >= 2 tokens: under ANSI, sequence(1,0)
+    counts DOWN and element_at(toks, 2) on a 1-element array would
+    fail the whole job. Degenerate docs must emit rows (keep=false),
+    never an exception."""
+    from finance_data_pipeline_spark.extensions import text as tx
+
+    got = {r.doc_id: r for r in tx.gopher_quality(degenerate_docs).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[5].top_bigram_char_frac == 0.0  # one token, no bigrams
+    assert bool(got[4].keep) is False and bool(got[5].keep) is False
+
+
+def test_quality_pipeline_survives_degenerate_docs(degenerate_docs):
+    """The composed consumers (CDF, per-lang percentile, ensemble rank,
+    budget sampling, corpus cleaning, funnel) all ride quality_score /
+    text token counts — each must run over the degenerate corpus."""
+    from finance_data_pipeline_spark.extensions import dedup, sampling
+    from finance_data_pipeline_spark.extensions import text as tx
+
+    assert tx.quality_cdf(degenerate_docs).count() > 0
+    assert tx.quality_percentile_by_lang(degenerate_docs).count() == 5
+    assert tx.quality_ensemble_rank(degenerate_docs).count() == 5
+    assert sampling.token_budget_sample(degenerate_docs).count() >= 0
+    assert dedup.training_corpus(degenerate_docs).count() >= 1
+    assert dedup.dedup_stage_funnel(degenerate_docs).count() > 0
