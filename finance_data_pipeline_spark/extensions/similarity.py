@@ -535,11 +535,19 @@ def _assign_to_centroids(v: DataFrame, centroids: DataFrame) -> DataFrame:
     on the sf0.1 bench)."""
     vn = v.select("_id", "_e", l2_norm("_e").alias("_vn"))
     cn = centroids.select("_cid", "_ce", l2_norm("_ce").alias("_cn"))
+    # Zero-norm guard: same rule as _assign_blocks — scores 0, never a
+    # job-failing ANSI division (a zero vector lands on the lowest id).
     scored = vn.crossJoin(F.broadcast(cn)).select(
         "_id",
         "_e",
         "_cid",
-        F.round(dot("_e", "_ce") / (F.col("_vn") * F.col("_cn")), 6).alias("_sim"),
+        F.round(
+            F.when(
+                F.col("_vn") * F.col("_cn") != 0,
+                dot("_e", "_ce") / (F.col("_vn") * F.col("_cn")),
+            ).otherwise(0.0),
+            6,
+        ).alias("_sim"),
     )
     return scored.groupBy("_id").agg(
         F.max_by(
@@ -698,7 +706,13 @@ def kmeans_cluster_quality(
     scored = vn.crossJoin(F.broadcast(cn)).select(
         "_id",
         "_cid",
-        F.round(dot("_e", "_ce") / (F.col("_vn") * F.col("_cn")), 6).alias("_sim"),
+        F.round(
+            F.when(
+                F.col("_vn") * F.col("_cn") != 0,
+                dot("_e", "_ce") / (F.col("_vn") * F.col("_cn")),
+            ).otherwise(0.0),
+            6,
+        ).alias("_sim"),
     )
     assigned = scored.groupBy("_id").agg(
         F.max_by(

@@ -72,7 +72,15 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity with the engine-wide zero-norm convention: a
+    zero-norm vector scores 0.0 to everything (instead of failing the
+    job under ANSI division) — keeps argmax/top-k well-defined and
+    deterministic, matching _assign_blocks' documented rule. Oracles
+    whose data can contain zero vectors must replicate the guard as a
+    CASE (see registry _PQ_SCORE); the driver test corpora contain
+    none, so existing oracles are unaffected."""
+    norms = l2_norm(a) * l2_norm(b)
+    return F.when(norms != 0, dot(a, b) / norms).otherwise(F.lit(0.0))
 
 
 def fixed_point_sum(col: Column | str, scale: int) -> Column:

@@ -131,6 +131,30 @@ def test_gopher_quality_single_token_and_empty_docs(degenerate_docs):
     assert bool(got[4].keep) is False and bool(got[5].keep) is False
 
 
+def test_cosine_ops_survive_zero_norm_vectors(spark):
+    """Engine-wide zero-norm convention: a zero vector scores cosine
+    0.0 to everything (never a job-failing ANSI division), so argmax
+    assignment and top-k stay well-defined. Pins kmeans assignment,
+    brute-force top-k, and SemDeDup over a corpus with a zero vector."""
+    import random
+
+    from finance_data_pipeline_spark.extensions import similarity as sim
+
+    rng = random.Random(1)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)], "en") for i in range(20)]
+    rows.append((20, [0.0] * 64, "en"))
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    from pyspark.sql import functions as F
+
+    assigned = sim.kmeans_clusters(vecs).collect()
+    assert len(assigned) == 21  # the zero vector is assigned, not dropped
+    topk = sim.brute_force_topk(vecs, vecs.filter(F.col("vec_id") < 2)).collect()
+    assert topk
+    assert sim.semantic_dedup(vecs).count() == 21
+
+
 def test_quality_pipeline_survives_degenerate_docs(degenerate_docs):
     """The composed consumers (CDF, per-lang percentile, ensemble rank,
     budget sampling, corpus cleaning, funnel) all ride quality_score /
