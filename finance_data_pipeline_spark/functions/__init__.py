@@ -78,9 +78,17 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     deterministic, matching _assign_blocks' documented rule. Oracles
     whose data can contain zero vectors must replicate the guard as a
     CASE (see registry _PQ_SCORE); the driver test corpora contain
-    none, so existing oracles are unaffected."""
-    norms = l2_norm(a) * l2_norm(b)
-    return F.when(norms != 0, dot(a, b) / norms).otherwise(F.lit(0.0))
+    none, so existing oracles are unaffected.
+
+    try_divide + coalesce, NOT a when(norms != 0) guard: the norm
+    expressions are interpreted HOF folds that Catalyst never CSEs, so
+    a when-guard referencing them in both branches evaluates every
+    fold twice per row — measurable on the crossJoin top-k hot path.
+    try_divide evaluates each operand once and yields NULL on a zero
+    divisor; coalesce maps that to the 0.0 convention."""
+    return F.coalesce(
+        F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b)), F.lit(0.0)
+    )
 
 
 def fixed_point_sum(col: Column | str, scale: int) -> Column:
