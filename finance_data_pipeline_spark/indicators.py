@@ -935,6 +935,13 @@ def with_garch_vol(
     The per-symbol seed (exact-decimal sample variance) is computed
     Spark-side and joined in as ``seed_col`` so the pandas loop and
     the SQL recursion start from the SAME double."""
+    if seed_col not in df.columns:
+        raise ValueError(
+            f"with_garch_vol requires a pre-joined '{seed_col}' column "
+            "(per-symbol unconditional variance seed) — without the "
+            "driver-side check the miss surfaces as a KeyError inside "
+            "the Arrow worker of every task"
+        )
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", ret double, garch_var double"
