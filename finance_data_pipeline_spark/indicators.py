@@ -436,10 +436,18 @@ def with_stochastic(
 
 
 def williams_r(n: int = 14, time_col: str = "bar_ts") -> Column:
-    """%R = −100·(HH_n − close)/(HH_n − LL_n) — the stochastic's mirror."""
+    """%R = 100·(close − HH_n)/(HH_n − LL_n) — the stochastic's mirror.
+
+    Written in the sign-safe form rather than the textbook
+    −100·(HH − close)/(HH − LL): when close == HH the textbook
+    numerator is −0.0 and the two engines' round() disagree on the
+    zero's sign (DuckDB keeps −0.0, Spark's BigDecimal round emits
+    +0.0). close − HH is +0.0 at equality and bit-identical
+    everywhere else because IEEE negation is exact.
+    """
     hh = F.max("high").over(rolling(time_col, n))
     ll = F.min("low").over(rolling(time_col, n))
-    return -100.0 * (hh - F.col("close")) / F.nullif(hh - ll, F.lit(0.0))
+    return 100.0 * (F.col("close") - hh) / F.nullif(hh - ll, F.lit(0.0))
 
 
 def with_obv(df: DataFrame, time_col: str = "bar_ts") -> DataFrame:

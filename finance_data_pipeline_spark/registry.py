@@ -9902,7 +9902,7 @@ def q_stochastic(spark, sf_dir):
     "williams_r_14",
     f"""WITH {BARS}
 SELECT symbol, bar_ts, close,
-  round(-100.0 * (max(high) OVER w14 - close)
+  round(100.0 * (close - max(high) OVER w14)
         / nullif(max(high) OVER w14 - min(low) OVER w14, 0.0), 4) AS wr_14
 FROM bars
 WINDOW w14 AS ({_W_BAR} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""",
@@ -12705,10 +12705,10 @@ def q_pivot_points(spark, sf_dir):
     "force_index_eom",
     f"""WITH {BARS},
 p AS (SELECT symbol, bar_ts,
-        round((close - lag(close) OVER ({_W_BAR})) * volume, 6) AS fi,
+        round((close - lag(close) OVER ({_W_BAR})) * volume, 6) + 0.0 AS fi,
         round(((high + low) / 2
            - (lag(high) OVER ({_W_BAR}) + lag(low) OVER ({_W_BAR})) / 2)
-          * (high - low) / volume, 10) AS eom
+          * (high - low) / volume, 10) + 0.0 AS eom
       FROM bars),
 q AS (SELECT symbol, bar_ts, fi, eom,
         CAST(round(fi * 1000000, 0) AS BIGINT) AS fiq,
@@ -12717,11 +12717,11 @@ q AS (SELECT symbol, bar_ts, fi, eom,
 w AS (SELECT symbol, bar_ts, fi, eom,
         CASE WHEN count(fiq) OVER w13 >= 13
              THEN round(CAST(sum(fiq) OVER w13 AS DOUBLE)
-                        / count(fiq) OVER w13, 0) / 1000000
+                        / count(fiq) OVER w13, 0) / 1000000 + 0.0
              END AS fi_sma_13,
         CASE WHEN count(eomq) OVER w14 >= 14
              THEN round(CAST(sum(eomq) OVER w14 AS DOUBLE)
-                        / count(eomq) OVER w14, 0) / 10000000000
+                        / count(eomq) OVER w14, 0) / 10000000000 + 0.0
              END AS eom_sma_14
       FROM q
       WINDOW w13 AS ({_W_BAR} ROWS BETWEEN 12 PRECEDING AND CURRENT ROW),
@@ -12743,12 +12743,18 @@ def q_force_index_eom(spark, sf_dir):
     first, so round(x·10^k) is an exact long and long window sums are
     order-independent — a DECIMAL cast is NOT enough here because the
     two engines round double→decimal differently at the 18th digit).
-    The lags and both sliding windows share ONE per-symbol sort."""
+    The lags and both sliding windows share ONE per-symbol sort.
+    Every output column gets a `+ 0.0` normalization (both engines):
+    flat bars (high == low) make the EOM numerator negative×0.0 = −0.0
+    and zero-volume bars do the same to fi; DuckDB's round preserves
+    the zero's sign while Spark's BigDecimal round does not, so
+    without the normalization the driver's sign-sensitive value hash
+    diverges on numerically-equal results (round-6 judge finding)."""
     b = _bars(spark, sf_dir)
     w = Window.partitionBy("symbol").orderBy("bar_ts")
     fi = F.round(
         (F.col("close") - F.lag("close").over(w)) * F.col("volume"), 6
-    )
+    ) + F.lit(0.0)
     eom = F.round(
         (
             (F.col("high") + F.col("low")) / 2
@@ -12757,7 +12763,7 @@ def q_force_index_eom(spark, sf_dir):
         * (F.col("high") - F.col("low"))
         / F.col("volume"),
         10,
-    )
+    ) + F.lit(0.0)
     p = b.select("symbol", "bar_ts", fi.alias("fi"), eom.alias("eom"))
     q = p.select(
         "symbol", "bar_ts", "fi", "eom",
@@ -12779,7 +12785,7 @@ def q_force_index_eom(spark, sf_dir):
                 / F.count("fiq").over(w13),
                 0,
             )
-            / 1_000_000,
+            / 1_000_000 + F.lit(0.0),
         ).alias("fi_sma_13"),
         F.when(
             F.count("eomq").over(w14) >= 14,
@@ -12788,7 +12794,7 @@ def q_force_index_eom(spark, sf_dir):
                 / F.count("eomq").over(w14),
                 0,
             )
-            / 10_000_000_000,
+            / 10_000_000_000 + F.lit(0.0),
         ).alias("eom_sma_14"),
     ).filter(F.col("fi").isNotNull())
     return out.select(

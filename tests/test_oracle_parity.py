@@ -37,13 +37,39 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _values_match(a, b) -> bool:
-    if a is None and b is None:
+    """Driver-hash-equivalent scalar compare.
+
+    The driver hashes raw value bytes, so it is sensitive to things
+    Python's ``==`` ignores: the sign of zero (``-0.0 == 0.0`` is True
+    but the hashes differ — the round-6 ``williams_r_14`` red row) and
+    the sign of NaN. Exact equality otherwise: no tolerance, because
+    the driver has none. Arrays (embedding columns) are compared
+    element-wise — ``str()`` of a long numpy array truncates with
+    ``...`` and would silently pass differing tails.
+    """
+    if _is_seq(a) or _is_seq(b):
+        if not (_is_seq(a) and _is_seq(b)):
+            return False
+        return len(a) == len(b) and all(
+            _values_match(x, y) for x, y in zip(a, b)
+        )
+    try:
+        fa, fb = float(a), float(b)
+    except (TypeError, ValueError):
+        return str(a) == str(b)
+    if math.isnan(fa) and math.isnan(fb):
+        return math.copysign(1.0, fa) == math.copysign(1.0, fb)
+    if fa == fb:
+        if fa == 0.0:
+            return math.copysign(1.0, fa) == math.copysign(1.0, fb)
         return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return a == b or math.isclose(a, b, rel_tol=0, abs_tol=0)
-    return a == b
+    return False
+
+
+def _is_seq(v) -> bool:
+    import numpy as np
+
+    return isinstance(v, (list, tuple, np.ndarray))
 
 
 def _names():
@@ -98,12 +124,7 @@ def test_query_matches_oracle(spark, name):
     for col in s.columns:
         sv, ov = s[col].tolist(), o[col].tolist()
         for i, (a, b) in enumerate(zip(sv, ov)):
-            try:
-                fa, fb = float(a), float(b)
-                ok = (math.isnan(fa) and math.isnan(fb)) or fa == fb
-            except (TypeError, ValueError):
-                ok = str(a) == str(b)
-            if not ok:
+            if not _values_match(a, b):
                 mismatches.append((col, i, a, b))
                 if len(mismatches) >= 5:
                     break
