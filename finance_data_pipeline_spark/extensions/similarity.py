@@ -609,6 +609,31 @@ def kmeans_clusters(
     )
 
 
+def _bounded_train_set(v, train_n, k):
+    """Apply the ``train_n`` bound (``_id < train_n``) with a fail-fast
+    guard. The bound is an id-VALUE predicate — it equals "the train_n
+    lowest-id vectors" only for DENSE 0-BASED id spaces (which the
+    driver corpora and the SQL-replay oracles use). On an offset or
+    sparse id space it can select far fewer vectors than asked — even
+    zero — and an empty training set would silently yield empty
+    centroids/codebooks and therefore an EMPTY assignment/top-k result
+    instead of an error (ADVICE r6). One bounded count() per trainer
+    call is noise next to the iterative Lloyd jobs it protects."""
+    if train_n is None:
+        return v
+    t = v.filter(F.col("_id") < train_n)
+    n = t.count()
+    if n < k:
+        raise ValueError(
+            f"train_n={train_n} selected only {n} training vectors (< k={k}): "
+            "the bound is the id-value predicate `id < train_n`, which means "
+            "'the train_n lowest-id vectors' only for dense 0-based ids. "
+            "Re-key the corpus to dense ids, raise train_n in id-space, or "
+            "pass train_n=None for full-corpus training."
+        )
+    return t
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     k: int = 8,
@@ -624,17 +649,18 @@ def kmeans_centroids(
     rules per kmeans_clusters' docstring: seeds = k lowest-id vectors,
     cosine assignment rounded to 6 dp with ties to the lowest cid,
     exact fixed-point elementwise means. ``train_n`` bounds the
-    training set to the train_n lowest ids (deterministic and
-    SQL-replayable — the pq_codebooks discipline); None = full corpus,
-    the oracle-checked default."""
+    training set to ids below train_n (deterministic and
+    SQL-replayable — the pq_codebooks discipline; assumes DENSE
+    0-BASED ids and fails fast via _bounded_train_set when the bound
+    selects fewer than k vectors); None = full corpus, the
+    oracle-checked default."""
     v = _spread(
         vectors.select(
             F.col(id_col).alias("_id"),
             F.transform(vec_col, lambda x: x.cast("double")).alias("_e"),
         )
     )
-    if train_n is not None:
-        v = v.filter(F.col("_id") < train_n)
+    v = _bounded_train_set(v, train_n, k)
     cents = v.filter(F.col("_id") < k).select(
         F.col("_id").alias("_cid"), F.col("_e").alias("_ce")
     )
@@ -1000,7 +1026,8 @@ def pq_codebooks(
     sample, not the corpus, so each Lloyd pass costs O(train_n)
     instead of O(corpus); encode/score still sweep everything). The
     bound is deterministic and SQL-replayable (``WHERE {id} <
-    train_n``). Default None trains on the full corpus — the
+    train_n``) and assumes DENSE 0-BASED ids — _bounded_train_set
+    fails fast when it selects fewer than k vectors. Default None trains on the full corpus — the
     oracle-checked registry configuration at test SFs, where the
     corpus IS sample-sized.
     """
@@ -1010,8 +1037,7 @@ def pq_codebooks(
             F.transform(vec_col, lambda x: x.cast("double")).alias("_e"),
         )
     )
-    if train_n is not None:
-        v = v.filter(F.col("_id") < train_n)
+    v = _bounded_train_set(v, train_n, k)
     vb = v.select(
         "_id",
         F.posexplode(_block_slices(F.col("_e"), n_blocks, sub_dim)).alias(

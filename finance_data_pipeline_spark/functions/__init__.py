@@ -73,12 +73,17 @@ def l2_norm(a: Column | str) -> Column:
 
 def cosine(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity with the engine-wide zero-norm convention: a
-    zero-norm vector scores 0.0 to everything (instead of failing the
+    zero-NORM vector scores 0.0 to everything (instead of failing the
     job under ANSI division) — keeps argmax/top-k well-defined and
-    deterministic, matching _assign_blocks' documented rule. Oracles
-    whose data can contain zero vectors must replicate the guard as a
-    CASE (see registry _PQ_SCORE); the driver test corpora contain
-    none, so existing oracles are unaffected.
+    deterministic, matching _assign_blocks' documented rule. A NULL
+    vector is different (ADVICE r6): it is missing data, not a
+    degenerate direction, so the score is NULL and aggregate consumers
+    (pairwise_label_cosine's avg) skip the pair instead of silently
+    counting a 0 — the NULL gate reads the input arrays, never the
+    folds, so nothing is double-evaluated. Oracles whose data can
+    contain zero vectors must replicate the guard as a CASE (see
+    registry _PQ_SCORE); the driver test corpora contain none, so
+    existing oracles are unaffected.
 
     try_divide + coalesce, NOT a when(norms != 0) guard: the norm
     expressions are interpreted HOF folds that Catalyst never CSEs, so
@@ -86,8 +91,13 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     fold twice per row — measurable on the crossJoin top-k hot path.
     try_divide evaluates each operand once and yields NULL on a zero
     divisor; coalesce maps that to the 0.0 convention."""
-    return F.coalesce(
-        F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b)), F.lit(0.0)
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.when(
+        ca.isNotNull() & cb.isNotNull(),
+        F.coalesce(
+            F.try_divide(dot(ca, cb), l2_norm(ca) * l2_norm(cb)), F.lit(0.0)
+        ),
     )
 
 

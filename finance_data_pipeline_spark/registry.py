@@ -9031,7 +9031,7 @@ def q_fk_orphan_audit(spark, sf_dir):
 t AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens FROM norm)
 SELECT doc_id, n_tokens,
   CAST(rank() OVER (ORDER BY n_tokens) AS BIGINT) AS rank
-FROM t""",
+FROM t WHERE n_tokens IS NOT NULL""",
 )
 def q_global_token_rank(spark, sf_dir):
     """O6 — exact global rank of every document by token count,
@@ -10402,7 +10402,8 @@ def q_variance_ratio(spark, sf_dir):
     """WITH u AS (
   SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
          CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
-  FROM events WHERE event_type IN ('purchase', 'view')),
+  FROM events WHERE event_type IN ('purchase', 'view')
+    AND value IS NOT NULL),
 n AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb FROM u),
 c AS (SELECT value,
         sum(a) OVER (ORDER BY value) AS ca,
@@ -10431,6 +10432,11 @@ def q_ks_value_drift(spark, sf_dir):
     the result. D = max|CDF_a − CDF_b| is then a plain aggregate."""
     e = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "view")
+        # NULL contract (ADVICE r6): binned_cum_weights drops NULL
+        # values from the CDF, so the totals must drop them too or
+        # na/nb and the CDF denominator disagree on NULL-bearing data;
+        # the oracle pins the same exclusion.
+        & F.col("value").isNotNull()
     )
     u = e.select(
         "value",
@@ -10527,7 +10533,8 @@ def q_psi_value_drift(spark, sf_dir):
     "mann_whitney_u",
     """WITH u AS (
   SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
-  FROM events WHERE event_type IN ('click', 'signup')),
+  FROM events WHERE event_type IN ('click', 'signup')
+    AND value IS NOT NULL),
 r AS (SELECT value, a,
         rank() OVER (ORDER BY value)
           + (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS midrank
@@ -15106,7 +15113,8 @@ keepf AS (
          THEN 1 ELSE 0 END AS pos
   FROM m LEFT JOIN topbg ON m.doc_id = topbg.doc_id),
 lab AS (SELECT q.doc_id, q.score, k.pos
-        FROM qs q JOIN keepf k ON q.doc_id = k.doc_id),
+        FROM qs q JOIN keepf k ON q.doc_id = k.doc_id
+        WHERE q.score IS NOT NULL),
 rk AS (SELECT pos,
          CAST(2 * rank() OVER (ORDER BY score)
               + (count(*) OVER (PARTITION BY score) - 1) AS BIGINT) AS mr2

@@ -155,6 +155,34 @@ def test_cosine_ops_survive_zero_norm_vectors(spark):
     assert sim.semantic_dedup(vecs).count() == 21
 
 
+def test_cosine_null_vector_propagates_null_zero_norm_scores_zero(spark):
+    """Two distinct degeneracies, two conventions (ADVICE r6): a
+    zero-NORM vector is a real row with no direction — it scores 0.0
+    so argmax/top-k stay well-defined; a NULL vector is MISSING data —
+    the score is NULL so avg()-style consumers skip the pair instead
+    of silently counting a 0 (pairwise_label_cosine deflation)."""
+    from pyspark.sql import functions as F
+
+    from finance_data_pipeline_spark.functions import cosine
+
+    df = spark.createDataFrame(
+        [
+            ([1.0, 0.0], [1.0, 0.0], "same"),
+            ([1.0, 0.0], [0.0, 0.0], "zero_norm"),
+            ([1.0, 0.0], None, "null_vec"),
+            (None, None, "both_null"),
+        ],
+        "a array<double>, b array<double>, tag string",
+    )
+    got = {r.tag: r.c for r in df.select("tag", cosine("a", "b").alias("c")).collect()}
+    assert got["same"] == 1.0
+    assert got["zero_norm"] == 0.0
+    assert got["null_vec"] is None and got["both_null"] is None
+    # and the aggregate consumer behavior the convention exists for:
+    mean = df.agg(F.avg(cosine("a", "b"))).first()[0]
+    assert mean == 0.5  # (1.0 + 0.0) / 2 — NULL pairs skipped, not zeroed
+
+
 def test_quality_pipeline_survives_degenerate_docs(degenerate_docs):
     """The composed consumers (CDF, per-lang percentile, ensemble rank,
     budget sampling, corpus cleaning, funnel) all ride quality_score /

@@ -592,6 +592,25 @@ def test_kmeans_bounded_training_sample(spark):
     assert all(0 <= r.cluster_id < 8 for r in assigned)
 
 
+def test_train_n_fails_fast_on_sparse_or_offset_ids(spark):
+    """The train_n bound is the id-value predicate `id < train_n`,
+    which selects train_n vectors only for dense 0-based ids; on an
+    offset id space it can select zero, and an empty training set used
+    to silently yield empty codebooks and an empty top-k (ADVICE r6).
+    Now it raises with the assumption in the message."""
+    import pytest as _pt
+
+    rows = [
+        (1000 + i, [float((i * 7 + j) % 5) for j in range(16)])
+        for i in range(40)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with _pt.raises(ValueError, match="dense 0-based ids"):
+        similarity.kmeans_centroids(vecs, k=8, train_n=32)
+    with _pt.raises(ValueError, match="dense 0-based ids"):
+        similarity.pq_codebooks(vecs, n_blocks=2, sub_dim=8, train_n=32)
+
+
 def test_pq_adc_score_is_the_quantized_inner_product(spark):
     """adc_score(q, v) must equal the sum over blocks of the (6 dp
     rounded) dot of q's sub-vector with v's ASSIGNED codeword — i.e.

@@ -75,23 +75,38 @@ def main() -> int:
             return 1
     else:
         latest = records[-1]
-    history = [r for r in records if r[1] != latest[1]]
-    # Per-query baseline = best of the LAST 3 records containing the
-    # query: the headline set and warm-up protocol evolved across early
-    # rounds, so an all-time best can be unreachable by design; recent
-    # rounds share the current protocol. Totals compare only against
-    # records with the IDENTICAL query set (a 20-query round's total
-    # says nothing about a 52-query one).
+    # A round emits TWO records of the same run (BENCH_rN and
+    # BENCH_SPREAD_rN share mins), so history must be per-ROUND, not
+    # per-file: dropping only the latest PATH leaves its paired file in
+    # the baseline (the run gates against itself) and each prior round
+    # eats two of the three slots (ADVICE r6). Collapse to one
+    # {query: min} per round, excluding the latest's whole round.
+    by_round: dict[int, dict[str, float]] = {}
+    for rnd, path, queries in records:
+        if rnd == latest[0] or path == latest[1]:
+            continue
+        slot = by_round.setdefault(rnd, {})
+        for q, v in queries.items():
+            slot[q] = min(v, slot.get(q, v))
+    history = [(rnd, f"round {rnd}", qs) for rnd, qs in sorted(by_round.items())]
+    # Per-query baseline = best of the LAST 3 ROUNDS with the
+    # IDENTICAL query set: the headline set and warm-up protocol
+    # evolved together across early rounds (r1-r3 were smaller sets
+    # under a pre-warm-up protocol), so cross-set comparisons flag
+    # permanent residue, not regressions (BENCH_NOTES r5/r6
+    # adjudications). When the set just changed there is no same-set
+    # history yet — fall back to any round containing the query so a
+    # fresh set still gets a (soft) gate. Totals compare only against
+    # identical-set rounds (a 20-query round's total says nothing
+    # about a 52-query one).
+    same_set_history = [r for r in history if set(r[2]) == set(latest[2])]
+    baseline_pool = same_set_history or history
     best: dict[str, float] = {}
     for q in latest[2]:
-        recent = [queries[q] for _, _, queries in history if q in queries][-3:]
+        recent = [queries[q] for _, _, queries in baseline_pool if q in queries][-3:]
         if recent:
             best[q] = min(recent)
-    same_set_totals = [
-        sum(queries.values())
-        for _, _, queries in history
-        if set(queries) == set(latest[2])
-    ]
+    same_set_totals = [sum(queries.values()) for _, _, queries in same_set_history]
     best_total = min(same_set_totals) if same_set_totals else None
 
     breaches = []
