@@ -9909,7 +9909,12 @@ WINDOW w14 AS ({_W_BAR} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""",
 )
 def q_williams_r(spark, sf_dir):
     """Williams %R — the stochastic's mirror image on the same
-    envelope; a pure single-pass window expression."""
+    envelope; a pure single-pass window expression. Both engines use
+    the sign-safe form 100·(close − HH)/(HH − LL) rather than the
+    textbook −100·(HH − close)/…: at close == HH the textbook
+    numerator is −0.0, DuckDB's round keeps the sign, Spark's
+    normalizes it, and the driver's value hash is sign-sensitive
+    (the round-6 red row; see tests/test_signed_zero.py)."""
     b = _bars(spark, sf_dir)
     return b.select(
         "symbol", "bar_ts", "close",

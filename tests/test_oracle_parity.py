@@ -37,39 +37,13 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _values_match(a, b) -> bool:
-    """Driver-hash-equivalent scalar compare.
+    """Driver-hash-equivalent compare — canonical implementation
+    shared with tools/mini_driver.py (signbit-sensitive for zeros and
+    NaN, element-wise on arrays); see tools/parity_compare.py for the
+    round-6 rationale."""
+    from tools.parity_compare import values_match
 
-    The driver hashes raw value bytes, so it is sensitive to things
-    Python's ``==`` ignores: the sign of zero (``-0.0 == 0.0`` is True
-    but the hashes differ — the round-6 ``williams_r_14`` red row) and
-    the sign of NaN. Exact equality otherwise: no tolerance, because
-    the driver has none. Arrays (embedding columns) are compared
-    element-wise — ``str()`` of a long numpy array truncates with
-    ``...`` and would silently pass differing tails.
-    """
-    if _is_seq(a) or _is_seq(b):
-        if not (_is_seq(a) and _is_seq(b)):
-            return False
-        return len(a) == len(b) and all(
-            _values_match(x, y) for x, y in zip(a, b)
-        )
-    try:
-        fa, fb = float(a), float(b)
-    except (TypeError, ValueError):
-        return str(a) == str(b)
-    if math.isnan(fa) and math.isnan(fb):
-        return math.copysign(1.0, fa) == math.copysign(1.0, fb)
-    if fa == fb:
-        if fa == 0.0:
-            return math.copysign(1.0, fa) == math.copysign(1.0, fb)
-        return True
-    return False
-
-
-def _is_seq(v) -> bool:
-    import numpy as np
-
-    return isinstance(v, (list, tuple, np.ndarray))
+    return values_match(a, b)
 
 
 def _names():

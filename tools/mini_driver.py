@@ -73,16 +73,15 @@ def check_one(spark, con, name, sf_dir):
             }
             if kind_diff:
                 errs.append(f"dtype-kind {kind_diff}")
+        # signbit-sensitive (the round-6 lesson): -0.0 vs +0.0 is a
+        # driver hash mismatch even though Python's == says equal.
+        from tools.parity_compare import values_match
+
         for col in s.columns:
             if errs:
                 break
             for i, (a, b) in enumerate(zip(s[col].tolist(), o[col].tolist())):
-                try:
-                    fa, fb = float(a), float(b)
-                    ok = (math.isnan(fa) and math.isnan(fb)) or fa == fb
-                except (TypeError, ValueError):
-                    ok = str(a) == str(b)
-                if not ok:
+                if not values_match(a, b):
                     errs.append(f"value {col}[{i}]: {a!r} vs {b!r}")
                     break
     return errs, time.time() - t0
