@@ -18,9 +18,11 @@ Exact pandas semantics preserved (SURVEY.md §7.4):
 * ``ewm(span, adjust=True)`` (EMA/MACD) is not window-expressible →
   Arrow-batched ``applyInPandas`` per symbol (§2.9); exact parity with
   pandas, rows-only oracle check.
-* RSI uses the algebraic form ``100*gain/(gain+loss)`` so zero-loss
-  runs yield 100 instead of a div-by-zero null (Spark x/0 is null,
-  pandas gives inf → RSI 100; the rewritten form agrees with both).
+* RSI uses the algebraic form ``100 − 100·loss/(gain+loss)`` so
+  zero-loss runs yield 100 without dividing by zero; fully FLAT
+  windows (gain+loss == 0) are NULL in both engines via an explicit
+  guard — the bare division is an ANSI DIVIDE_BY_ZERO job failure on
+  Spark and NaN (not NULL) on DuckDB doubles.
 
 Only EMA touches Python; everything else is whole-stage-codegen'd JVM.
 """
@@ -101,7 +103,14 @@ def rsi(n: int = 14, col: str = "close", time_col: str = "date") -> Column:
     # Row i has i+1 observations of gain/loss (row 0's delta contributes
     # a 0); pandas rolling(n) needs n rows → mask by row count.
     warm = F.row_number().over(sym_window(time_col)) >= n
-    return F.when(warm, 100.0 - 100.0 * avg_loss / (avg_gain + avg_loss))
+    # Flat-window guard (adversarial probe finding): n bars of equal
+    # closes make avg_gain + avg_loss == 0 — a bare division is an
+    # ANSI DIVIDE_BY_ZERO that kills the whole job on real data (one
+    # flat symbol suffices), and DuckDB's double 0/0 is NaN, not an
+    # error. Convention: flat-window RSI is NULL in BOTH engines (the
+    # engine-wide NULL-ratio rule; the oracle carries the same CASE).
+    denom = avg_gain + avg_loss
+    return F.when(warm & (denom > 0), 100.0 - 100.0 * avg_loss / denom)
 
 
 def volatility(n: int = 30, time_col: str = "date", ret: Column | None = None) -> Column:

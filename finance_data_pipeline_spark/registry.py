@@ -313,7 +313,7 @@ r AS (SELECT symbol, bar_ts, close,
         row_number() OVER ({_W_BAR}) AS rn
       FROM gl WINDOW w14 AS ({_W_BAR} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
 SELECT symbol, bar_ts, close,
-       CASE WHEN rn >= 14 THEN round(100 - 100 * al / (ag + al), 4) END AS rsi_14
+       CASE WHEN rn >= 14 AND ag + al > 0 THEN round(100 - 100 * al / (ag + al), 4) END AS rsi_14
 FROM r""",
 )
 def q_rsi(spark, sf_dir):
@@ -330,7 +330,7 @@ def q_rsi(spark, sf_dir):
     "daily_return",
     f"""WITH {STOCKS}
 SELECT symbol, date, close,
-  round((close / lag(close) OVER ({_W_DATE}) - 1) * 100, 6) AS daily_return
+  round((close / lag(close) OVER ({_W_DATE}) - 1) * 100, 6) + 0.0 AS daily_return
 FROM stocks""",
 )
 def q_daily_return(spark, sf_dir):
@@ -339,7 +339,9 @@ def q_daily_return(spark, sf_dir):
         "symbol",
         "date",
         "close",
-        F.round(indicators.daily_return("close", "date"), 6).alias("daily_return"),
+        (F.round(indicators.daily_return("close", "date"), 6) + F.lit(0.0)).alias(
+            "daily_return"
+        ),
     )
 
 
@@ -2228,11 +2230,11 @@ def q_session_windows(spark, sf_dir):
     "ml_feature_matrix",
     f"""WITH {BARS},
 f AS (SELECT symbol, bar_ts, close,
-        round(close / lag(close, 1) OVER ({_W_BAR}) - 1, 6) AS ret_1,
-        round(close / lag(close, 24) OVER ({_W_BAR}) - 1, 6) AS ret_24,
+        round(close / lag(close, 1) OVER ({_W_BAR}) - 1, 6) + 0.0 AS ret_1,
+        round(close / lag(close, 24) OVER ({_W_BAR}) - 1, 6) + 0.0 AS ret_24,
         round(avg(close) OVER ({_W_BAR} ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 6)
           AS sma_24,
-        round(lead(close, 24) OVER ({_W_BAR}) / close - 1, 6) AS fwd_ret_24
+        round(lead(close, 24) OVER ({_W_BAR}) / close - 1, 6) + 0.0 AS fwd_ret_24
       FROM bars)
 SELECT symbol, bar_ts, close, ret_1, ret_24, sma_24, fwd_ret_24
 FROM f
@@ -2252,10 +2254,10 @@ def q_ml_feature_matrix(spark, sf_dir):
         "symbol",
         "bar_ts",
         "close",
-        F.round(F.col("close") / F.lag("close", 1).over(w) - 1, 6).alias("ret_1"),
-        F.round(F.col("close") / F.lag("close", 24).over(w) - 1, 6).alias("ret_24"),
+        (F.round(F.col("close") / F.lag("close", 1).over(w) - 1, 6) + F.lit(0.0)).alias("ret_1"),
+        (F.round(F.col("close") / F.lag("close", 24).over(w) - 1, 6) + F.lit(0.0)).alias("ret_24"),
         F.round(F.avg("close").over(w.rowsBetween(-23, 0)), 6).alias("sma_24"),
-        F.round(F.lead("close", 24).over(w) / F.col("close") - 1, 6).alias("fwd_ret_24"),
+        (F.round(F.lead("close", 24).over(w) / F.col("close") - 1, 6) + F.lit(0.0)).alias("fwd_ret_24"),
     )
     return out.filter(F.col("ret_24").isNotNull() & F.col("fwd_ret_24").isNotNull())
 
@@ -2852,7 +2854,9 @@ winds AS MATERIALIZED (SELECT symbol, bar_ts, close, rn, ret,
      / count(close) OVER w50 AS sma_50,
    CASE WHEN count(close) OVER w20 >= 20 THEN avg(close) OVER w20 END AS mid,
    CASE WHEN count(close) OVER w20 >= 20 THEN stddev_samp(close) OVER w20 END AS sd,
-   CASE WHEN rn >= 14 THEN 100 - 100 * (avg(loss) OVER w14)
+   CASE WHEN rn >= 14
+         AND (avg(gain) OVER w14) + (avg(loss) OVER w14) > 0
+        THEN 100 - 100 * (avg(loss) OVER w14)
         / ((avg(gain) OVER w14) + (avg(loss) OVER w14)) END AS rsi,
    CASE WHEN count(ret) OVER w30 >= 30 THEN stddev_samp(ret) OVER w30 END AS vol30,
    avg(CAST(volume AS DOUBLE)) OVER w20 AS volume_ma_20
@@ -2895,10 +2899,12 @@ SELECT w.symbol, w.bar_ts, w.close,
   round(sma_50, 6) AS sma_50,
   round(mid, 4) AS bb_middle, round(mid + 2 * sd, 4) AS bb_upper,
   round(mid - 2 * sd, 4) AS bb_lower,
-  round(rsi, 4) AS rsi, round(ret, 6) AS daily_return,
+  round(rsi, 4) AS rsi, round(ret, 6) + 0.0 AS daily_return,
   round(vol30, 4) AS volatility_30d, round(volume_ma_20, 6) AS volume_ma_20,
-  round(a12, 6) AS ema_12, round(a26, 6) AS ema_26, round(macd, 6) AS macd,
-  round(s, 6) AS macd_signal, round(macd - s, 6) AS macd_histogram
+  round(a12, 6) AS ema_12, round(a26, 6) AS ema_26,
+  round(macd, 6) + 0.0 AS macd,
+  round(s, 6) + 0.0 AS macd_signal,
+  round(macd - s, 6) + 0.0 AS macd_histogram
 FROM winds w JOIN sig ON w.symbol = sig.symbol AND w.rn = sig.rn"""
 
 
@@ -2923,8 +2929,16 @@ def q_full_indicator_sweep(spark, sf_dir):
             / F.count("close").over(w),
         )
     four_dp = {"bb_middle", "bb_upper", "bb_lower", "rsi", "volatility_30d"}
+    # + 0.0 on the columns that can hold a tiny NEGATIVE value rounding
+    # to zero (returns and the MACD family): DuckDB's round keeps -0.0,
+    # Spark's does not, and the driver hash is sign-sensitive (the
+    # signed-zero convention; the oracle carries the same + 0.0).
+    signed = {"daily_return", "macd", "macd_signal", "macd_histogram"}
     rounded = [
-        F.round(c, 4 if c in four_dp else 6).alias(c)
+        (
+            (F.round(c, 6) + F.lit(0.0)) if c in signed
+            else F.round(c, 4 if c in four_dp else 6)
+        ).alias(c)
         for c in out.columns
         if c not in ("symbol", "bar_ts", "open", "high", "low", "close", "volume")
     ]
@@ -9234,9 +9248,9 @@ s AS (SELECT symbol,
         CAST(sum(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy
       FROM j GROUP BY symbol)
 SELECT symbol, n,
-  round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6) AS beta,
+  round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6) + 0.0 AS beta,
   round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0) * sx) / n, 6)
-    AS alpha,
+    + 0.0 AS alpha,
   round((n * sxy - sx * sy) * (n * sxy - sx * sy)
         / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
 FROM s""",
@@ -9292,8 +9306,11 @@ def q_capm_regression(spark, sf_dir):
     return stats.select(
         "symbol",
         "n",
-        F.round(beta, 6).alias("beta"),
-        F.round((F.col("sy") - beta * F.col("sx")) / F.col("n"), 6).alias("alpha"),
+        (F.round(beta, 6) + F.lit(0.0)).alias("beta"),
+        (
+            F.round((F.col("sy") - beta * F.col("sx")) / F.col("n"), 6)
+            + F.lit(0.0)
+        ).alias("alpha"),
         F.round(num * num / F.nullif(denx * deny, F.lit(0.0)), 6).alias("r2"),
     )
 
@@ -9903,7 +9920,7 @@ def q_stochastic(spark, sf_dir):
     f"""WITH {BARS}
 SELECT symbol, bar_ts, close,
   round(100.0 * (close - max(high) OVER w14)
-        / nullif(max(high) OVER w14 - min(low) OVER w14, 0.0), 4) AS wr_14
+        / nullif(max(high) OVER w14 - min(low) OVER w14, 0.0), 4) + 0.0 AS wr_14
 FROM bars
 WINDOW w14 AS ({_W_BAR} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""",
 )
@@ -9914,11 +9931,18 @@ def q_williams_r(spark, sf_dir):
     textbook −100·(HH − close)/…: at close == HH the textbook
     numerator is −0.0, DuckDB's round keeps the sign, Spark's
     normalizes it, and the driver's value hash is sign-sensitive
-    (the round-6 red row; see tests/test_signed_zero.py)."""
+    (the round-6 red row; see tests/test_signed_zero.py). The rewrite
+    alone is NOT complete — a close a hair below the high still
+    ROUNDS to −0.0 on the DuckDB side (adversarial probe finding), so
+    both engines also carry the terminal `+ 0.0` normalization."""
     b = _bars(spark, sf_dir)
     return b.select(
         "symbol", "bar_ts", "close",
-        F.round(indicators.williams_r(14, "bar_ts"), 4).alias("wr_14"),
+        # + 0.0 on BOTH engines: the sign-safe form kills the exact
+        # close == HH case, but a close a hair BELOW the high still
+        # rounds to -0.0 in DuckDB and +0.0 in Spark (adversarial
+        # probe finding) — normalization is the only complete fix.
+        (F.round(indicators.williams_r(14, "bar_ts"), 4) + F.lit(0.0)).alias("wr_14"),
     )
 
 
@@ -9981,7 +10005,7 @@ w AS (SELECT symbol, bar_ts, close, tp,
       WINDOW w20 AS ({_W_BAR} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
 SELECT symbol, bar_ts, close,
   round((tp - m) / nullif(0.015 * (list_sum([abs(x - m) for x in tps])
-                                   / len(tps)), 0.0), 4) AS cci_20
+                                   / len(tps)), 0.0), 4) + 0.0 AS cci_20
 FROM w""",
 )
 def q_cci_20(spark, sf_dir):
@@ -9992,7 +10016,8 @@ def q_cci_20(spark, sf_dir):
     F.aggregate — JVM higher-order functions, no UDF, one WindowExec."""
     out = indicators.with_cci(_bars(spark, sf_dir), 20, "bar_ts")
     return out.select(
-        "symbol", "bar_ts", "close", F.round("cci_20", 4).alias("cci_20")
+        "symbol", "bar_ts", "close",
+        (F.round("cci_20", 4) + F.lit(0.0)).alias("cci_20"),
     )
 
 
@@ -10052,7 +10077,7 @@ def q_keltner_20(spark, sf_dir):
     "roc_10",
     f"""WITH {BARS}
 SELECT symbol, bar_ts, close,
-  round(100.0 * (close / lag(close, 10) OVER ({_W_BAR}) - 1.0), 4) AS roc_10
+  round(100.0 * (close / lag(close, 10) OVER ({_W_BAR}) - 1.0), 4) + 0.0 AS roc_10
 FROM bars""",
 )
 def q_roc_10(spark, sf_dir):
@@ -10061,7 +10086,7 @@ def q_roc_10(spark, sf_dir):
     b = _bars(spark, sf_dir)
     return b.select(
         "symbol", "bar_ts", "close",
-        F.round(indicators.roc(10, "close", "bar_ts"), 4).alias("roc_10"),
+        (F.round(indicators.roc(10, "close", "bar_ts"), 4) + F.lit(0.0)).alias("roc_10"),
     )
 
 
@@ -11681,7 +11706,7 @@ m AS (SELECT symbol,
         CAST(count(*) AS BIGINT) AS n_pairs,
         median(slope) AS ts_slope
       FROM p GROUP BY symbol)
-SELECT symbol, n_pairs, round(ts_slope, 6) AS ts_slope
+SELECT symbol, n_pairs, round(ts_slope, 6) + 0.0 AS ts_slope
 FROM m ORDER BY symbol""",
 )
 def q_theil_sen_trend(spark, sf_dir):
@@ -11710,7 +11735,7 @@ def q_theil_sen_trend(spark, sf_dir):
         p.groupBy("symbol")
         .agg(
             F.count("*").cast("long").alias("n_pairs"),
-            F.round(F.median("slope"), 6).alias("ts_slope"),
+            (F.round(F.median("slope"), 6) + F.lit(0.0)).alias("ts_slope"),
         )
         .orderBy("symbol")
     )
@@ -13898,7 +13923,7 @@ g AS (
            + (CAST(17 AS DOUBLE)/20) * g.v
   FROM g JOIN base b ON b.symbol = g.symbol AND b.rn = g.rn + 1
 )
-SELECT symbol, date, round(ret, 6) AS ret,
+SELECT symbol, date, round(ret, 6) + 0.0 AS ret,
   round(sqrt(v) * sqrt(252.0), 6) AS garch_vol_annual
 FROM g
 ORDER BY symbol, date"""
@@ -13943,7 +13968,7 @@ def q_garch_11_vol(spark, sf_dir):
         out.filter(F.col("garch_var").isNotNull())
         .select(
             "symbol", "date",
-            F.round("ret", 6).alias("ret"),
+            (F.round("ret", 6) + F.lit(0.0)).alias("ret"),
             F.round(
                 F.sqrt(F.col("garch_var")) * F.sqrt(F.lit(252.0)), 6
             ).alias("garch_vol_annual"),

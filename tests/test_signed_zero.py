@@ -99,8 +99,9 @@ def test_williams_r_sign_safe_at_envelope_top(spark):
 
 def test_parity_comparator_is_signbit_sensitive():
     """The local gate must have the driver's sensitivity: -0.0 vs +0.0
-    is a mismatch (scalar and inside arrays), matching signs pass, and
-    NaN compares by sign too."""
+    is a mismatch (scalar and inside arrays), matching signs pass,
+    NaN == NaN, and NULL/NaN sentinels are mutually equal (pandas
+    erases the distinction differently per engine)."""
     from tests.test_oracle_parity import _values_match
 
     assert not _values_match(-0.0, 0.0)
@@ -112,6 +113,8 @@ def test_parity_comparator_is_signbit_sensitive():
     nan = float("nan")
     assert _values_match(nan, nan)
     assert _values_match(None, None)
+    assert _values_match(None, nan) and _values_match(nan, None)
+    assert not _values_match(None, 0.0) and not _values_match(nan, 0.0)
     # arrays: element-wise, not str() (str truncates long numpy arrays)
     assert not _values_match([1.0, -0.0], [1.0, 0.0])
     assert _values_match([1.0, -0.0], [1.0, -0.0])

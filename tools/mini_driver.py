@@ -32,7 +32,13 @@ def _canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # Unify NA sentinels BEFORE stringifying: Spark's toPandas
+            # uses None where duckdb's .df() uses np.nan for the same
+            # SQL NULL (seen on nullable booleans) — astype(str) would
+            # freeze them as 'None' vs 'nan' and fake a mismatch.
+            import pandas as _pd
+
+            df[c] = df[c].where(_pd.notna(df[c]), None).astype(str)
     return df.sort_values(list(df.columns), ignore_index=True)
 
 
