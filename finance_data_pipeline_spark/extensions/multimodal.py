@@ -242,11 +242,18 @@ def audio_frame_energy(
     per frame sampled cyclically (index mod payload length), summed as
     an explicit codegen expression, NOT a higher-order-function lambda
     (interpreted, defeats whole-stage codegen)."""
-    src = media.filter(F.col("modality") == "audio").select(
-        "media_id",
-        F.hex("payload").alias("_hx"),
-        F.octet_length("payload").alias("_plen"),
-        F.col("meta.duration_ms").alias("_dur"),
+    # Empty payloads produce NO frames (a decoder cannot sample zero
+    # bytes; the cyclic probe index would be `% 0`) — mirrored in the
+    # oracles as `octet_length(encode(text)) > 0`.
+    src = (
+        media.filter(F.col("modality") == "audio")
+        .filter(F.octet_length("payload") > 0)
+        .select(
+            "media_id",
+            F.hex("payload").alias("_hx"),
+            F.octet_length("payload").alias("_plen"),
+            F.col("meta.duration_ms").alias("_dur"),
+        )
     )
     frames = src.select(
         "media_id",
@@ -517,7 +524,9 @@ def audio_silence_runs(
     pass. Gaps-and-islands on (frame_idx − row_number) keeps it pure
     window algebra over the bounded frame fan-out; energies are exact
     integers so the threshold compare replays bit-identically in SQL.
-    Clips with no silent frame report zero runs (left join keeps them).
+    Clips with no silent frame report zero runs (left join keeps them);
+    clips with an empty payload have no frames at all and are excluded
+    (audio_frame_energy's empty-payload contract).
     """
     frames = audio_frame_energy(media, frame_ms=frame_ms, probes=probes)
     silent = frames.filter(F.col("energy") < max_energy)

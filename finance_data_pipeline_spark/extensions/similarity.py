@@ -21,6 +21,26 @@ from finance_data_pipeline_spark.extensions.dedup import _spread
 from finance_data_pipeline_spark.functions import cosine, dot, l2_norm
 
 
+def valid_vectors(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Corpus-ingestion contract shared by every vector operator
+    (similarity search, clustering, dedup, MMR, outlier ranking): a
+    usable vector is non-NULL with at least one nonzero component.
+    NULL embeddings are missing data (a failed encoder) and zero-norm
+    vectors have no direction, so cosine against them is undefined —
+    both are excluded from the candidate corpus rather than scored as
+    0 or propagated as NULL/NaN through windows and argmaxes.
+
+    The predicate is pure boolean (no float accumulation), so it is
+    exactly order-independent and every oracle mirrors it verbatim as
+    ``WHERE embedding IS NOT NULL AND
+    len(list_filter(embedding, x -> x <> 0)) > 0``.
+    """
+    c = F.col(vec_col)
+    return vectors.filter(
+        c.isNotNull() & F.exists(c, lambda x: x != F.lit(0.0))
+    )
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -33,7 +53,10 @@ def brute_force_topk(
     ``queries`` (few rows) is broadcast and crossJoined against the
     corpus — each executor scans its corpus partition once per batch of
     queries; top-k via per-query window. Excludes self-matches.
+    NULL / zero-norm vectors are excluded on both sides (valid_vectors).
     """
+    vectors = valid_vectors(vectors, vec_col)
+    queries = valid_vectors(queries, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -75,7 +98,9 @@ def knn_label_vote(
     brute_force_topk's broadcast scan — the corpus shuffles only for
     the per-query top-k window, votes aggregate map-side on ≤ k rows
     per query. Returns (query_id, true_label, predicted_label, votes).
+    NULL / zero-norm vectors are excluded up front (valid_vectors).
     """
+    vectors = valid_vectors(vectors, vec_col)
     q = vectors.filter(F.col(id_col) < n_queries).select(id_col, vec_col)
     top = brute_force_topk(vectors, q, k=k, id_col=id_col, vec_col=vec_col)
     lab = vectors.select(
@@ -133,7 +158,10 @@ def hyperplane_lsh_topk(
     The bucket id is the plain bit integer Σ(sign(dot)·2^p) — no
     engine-specific hash. Scale path: the corpus is bucketed once
     (narrow map), the join shuffles only (table, bucket) keys.
+    NULL / zero-norm vectors are excluded on both sides (valid_vectors).
     """
+    vectors = valid_vectors(vectors, vec_col)
+    queries = valid_vectors(queries, vec_col)
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])  # one-row probe
 
@@ -238,7 +266,10 @@ def ivf_topk(
     Scale shape at 100 TB: corpus hashed once and written partitioned
     by cell; a query touches n_probe/n_cells of the data. Recall is
     tunable via n_probe (n_probe = n_cells ⇒ exact).
+    NULL / zero-norm vectors are excluded on both sides (valid_vectors).
     """
+    vectors = valid_vectors(vectors, vec_col)
+    queries = valid_vectors(queries, vec_col)
     cents = _train_ivf_centroids(
         vectors, n_cells, sample_size, train_iters, seed, id_col, vec_col
     )
@@ -382,7 +413,9 @@ def cosine_dup_pairs(
     this within cells — at low thresholds with mass near the boundary
     (measured: median true pair sits at 0.46 for t=0.45) candidate
     hashing cannot separate, and blocked-exact is the honest default.
+    NULL / zero-norm vectors are excluded up front (valid_vectors).
     """
+    vectors = valid_vectors(vectors, vec_col)
     cands = _blocked_gemm_pairs(
         vectors, threshold - 1e-4, id_col, vec_col, n_blocks
     ).select("id_a", "id_b")
@@ -432,8 +465,11 @@ def cosine_dup_pairs_blocked(
     block fits executor memory and the replication factor stays ~√tasks.
     This is the IVF-bucket inner loop: at 100 TB you'd first partition
     by a coarse quantizer and run this within cells.
+    NULL / zero-norm vectors are excluded up front (valid_vectors).
     """
-    return _blocked_gemm_pairs(vectors, threshold, id_col, vec_col, n_blocks)
+    return _blocked_gemm_pairs(
+        valid_vectors(vectors, vec_col), threshold, id_col, vec_col, n_blocks
+    )
 
 
 def semantic_dedup(
@@ -468,8 +504,9 @@ def semantic_dedup(
     SQL oracle's naive pair join. Per-bucket pair count is (N/k)², so k
     is the knob — SemDeDup at production scale runs k ≈ 0.1–1% of N,
     keeping buckets in the hundreds. Returns kept (vec_id, cluster_id)
-    rows.
+    rows. NULL / zero-norm vectors are excluded up front (valid_vectors).
     """
+    vectors = valid_vectors(vectors, vec_col)
     v = _spread(
         vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_e"))
     )
@@ -596,7 +633,9 @@ def kmeans_clusters(
     registry configuration at sample-sized test SFs.
 
     Returns the final assignment (vec_id, cluster_id).
+    NULL / zero-norm vectors are excluded up front (valid_vectors).
     """
+    vectors = valid_vectors(vectors, vec_col)
     v = _spread(
         vectors.select(
             F.col(id_col).alias("_id"),
@@ -653,7 +692,9 @@ def kmeans_centroids(
     SQL-replayable — the pq_codebooks discipline; assumes DENSE
     0-BASED ids and fails fast via _bounded_train_set when the bound
     selects fewer than k vectors); None = full corpus, the
-    oracle-checked default."""
+    oracle-checked default. NULL / zero-norm vectors are excluded up
+    front (valid_vectors)."""
+    vectors = valid_vectors(vectors, vec_col)
     v = _spread(
         vectors.select(
             F.col(id_col).alias("_id"),
@@ -719,7 +760,9 @@ def kmeans_cluster_quality(
     long sums are order-independent) — the same discipline as the
     trainer's fixed-point centroid update, which is what lets the
     whole iterative pipeline + quality report replay in SQL.
+    NULL / zero-norm vectors are excluded up front (valid_vectors).
     """
+    vectors = valid_vectors(vectors, vec_col)
     v = _spread(
         vectors.select(
             F.col(id_col).alias("_id"),
@@ -795,7 +838,10 @@ def ivf_topk_deterministic(
     n_probe/n_cells of the corpus), exact cosine re-rank within probed
     cells. Query's own cell is always its top probe, so self-matches
     are filtered explicitly.
+    NULL / zero-norm vectors are excluded on both sides (valid_vectors).
     """
+    vectors = valid_vectors(vectors, vec_col)
+    queries = valid_vectors(queries, vec_col)
     cents = kmeans_centroids(vectors, n_cells, train_iters, id_col, vec_col)
     v = _spread(
         vectors.select(
@@ -866,7 +912,12 @@ def pairwise_label_cosine(
     sample, the cap BOUNDS the pair count (≤ cap²/2 per label) no
     matter how large a label grows at 100 TB; the mean over a 200-row
     uniform sample estimates the label mean to ~1/√(2·10⁴) regardless
-    of corpus size."""
+    of corpus size.
+
+    NULL / zero-norm vectors are excluded BEFORE the cap window
+    (valid_vectors) — they have no defined cosine, and filtering after
+    the cap would waste sample slots on unusable rows."""
+    vectors = valid_vectors(vectors, vec_col)
     w = Window.partitionBy("label").orderBy(
         F.md5(F.col("vec_id").cast("string")), "vec_id"
     )
@@ -1142,7 +1193,10 @@ def ann_topk_pq(
     of the corpus float math brute_force_topk pays, and the candidate
     set it returns is what a production pipeline re-ranks with exact
     scores.
+    NULL / zero-norm vectors are excluded on both sides (valid_vectors).
     """
+    vectors = valid_vectors(vectors, vec_col)
+    queries = valid_vectors(queries, vec_col)
     books = pq_codebooks(
         vectors, n_blocks, sub_dim, id_col=id_col, vec_col=vec_col,
         train_n=train_n,
@@ -1592,8 +1646,13 @@ def prefix_energy_report(
     in vectors×dims, embarrassingly parallel, acceptable for a
     report-style query), then one map-side-combined groupBy on
     (label, k) — output bounded by |labels|·|dims|.
+    NULL / zero-norm vectors are excluded up front (valid_vectors) —
+    energy fractions are undefined for them; embedding_stats is the
+    hygiene scan that reports such rows.
     """
     from finance_data_pipeline_spark.functions import dot
+
+    vectors = valid_vectors(vectors, vec_col)
 
     full = dot(vec_col, vec_col)
     entries = F.array(
@@ -1651,7 +1710,9 @@ def mmr_select(
     is the zip_with/aggregate sequential fold, so the unrolled SQL
     oracle (same pool window, same greedy arithmetic) is bit-exact;
     ties break to the lower id via the struct-max trick in both
-    engines."""
+    engines. NULL / zero-norm vectors are excluded up front
+    (valid_vectors)."""
+    vectors = valid_vectors(vectors, vec_col)
     v = vectors.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("e")
     )

@@ -4021,8 +4021,10 @@ def q_streaming_doc_quality(spark, sf_dir):
     "embedding_stats",
     """SELECT vec_id,
   CAST(len(embedding) AS BIGINT) AS dim,
-  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6)
-    AS l2_norm
+  CASE WHEN embedding IS NULL THEN NULL
+       ELSE round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))), 6)
+  END AS l2_norm
 FROM embeddings""",
 )
 def q_embedding_stats(spark, sf_dir):
@@ -4034,8 +4036,8 @@ def q_embedding_stats(spark, sf_dir):
     "embedding_outliers",
     """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
            FROM embeddings
-           WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
-                                  CAST(embedding AS DOUBLE[])) > 0),
+           WHERE embedding IS NOT NULL
+             AND len(list_filter(embedding, x -> x <> 0)) > 0),
 comp AS (SELECT label, p.pos AS pos, e[p.pos] AS c
          FROM v CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p),
 means AS (SELECT label, pos,
@@ -4123,7 +4125,8 @@ _PQ_UPDATE = """SELECT b, cid, list(m ORDER BY pos) AS ce FROM (
 
 # Shared PQ chain: train codebooks (2 Lloyd rounds per block), encode
 # the corpus, build per-query LUTs, ADC-score every (query, vector).
-_PQ_CHAIN = f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+_PQ_CHAIN = f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0),
 vb AS ({_PQ_VB}),
 c0 AS (SELECT b, vec_id AS cid, e AS ce FROM vb WHERE vec_id < 16),
 s1 AS ({_PQ_SCORE.format(cents="c0")}),
@@ -4427,7 +4430,8 @@ def q_streaming_neardup_gate(spark, sf_dir):
 
 @query(
     "ann_topk",
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0),
 q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
 scored AS (
   SELECT q.query_id, v.vec_id AS neighbor_id,
@@ -4458,7 +4462,8 @@ _LSH_PLANE_ROWS = ",\n".join(
     for p in range(_LSH_PLANES)
 )
 _LSH_ORACLE = f"""WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0),
 planes(t, p, pl) AS (VALUES {_LSH_PLANE_ROWS}),
 vd AS (SELECT vec_id, t, p, list_dot_product(e, pl) AS d
        FROM v CROSS JOIN planes),
@@ -4502,7 +4507,8 @@ def q_ann_ivf(spark, sf_dir):
 
 @query(
     "cosine_dup_pairs",
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0)
 SELECT id_a, id_b, cosine_sim FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(list_dot_product(a.e, b.e)
@@ -4528,7 +4534,9 @@ def q_cosine_dup_blocked(spark, sf_dir):
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
   FROM (SELECT *, row_number() OVER (
           PARTITION BY label ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-        FROM embeddings)
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> x <> 0)) > 0)
   WHERE rn <= 200)
 SELECT a.label,
   round(avg(list_dot_product(a.e, b.e)
@@ -4547,7 +4555,8 @@ def q_intra_label(spark, sf_dir):
 
 @query(
     "semantic_dedup",
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0),
 c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
 scored AS (
   SELECT v.vec_id, c.cid,
@@ -4602,7 +4611,8 @@ _KM_UPDATE = """SELECT cid, list(m ORDER BY pos) AS ce FROM (
 
 @query(
     "kmeans_clusters",
-    f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0),
 c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
 s1 AS ({_KM_SCORE.format(cents="c0")}),
 a1 AS ({_KM_ASSIGN.format(scored="s1")}),
@@ -4627,7 +4637,8 @@ def q_kmeans_clusters(spark, sf_dir):
 
 @query(
     "ann_topk_ivf_exact",
-    f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0),
 c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
 s1 AS ({_KM_SCORE.format(cents="c0")}),
 a1 AS ({_KM_ASSIGN.format(scored="s1")}),
@@ -4676,7 +4687,8 @@ def q_ann_ivf_exact(spark, sf_dir):
 
 @query(
     "semantic_dedup_kmeans",
-    f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0),
 c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
 s1 AS ({_KM_SCORE.format(cents="c0")}),
 a1 AS ({_KM_ASSIGN.format(scored="s1")}),
@@ -4757,11 +4769,13 @@ vals AS (
   SELECT doc_id, n, i % 8 AS j,
     (strpos('0123456789ABCDEF', substring(hx, 2*i+1, 1)) - 1) * 16
     + (strpos('0123456789ABCDEF', substring(hx, 2*i+2, 1)) - 1) AS byte
-  FROM bytes)
-SELECT doc_id AS media_id, 'text' AS modality, n AS n_bytes,
-  CAST(j AS INTEGER) AS dim_idx,
-  round((sum(byte) % 997) / 997.0, 6) AS feat
-FROM vals GROUP BY doc_id, n, j""",
+  FROM bytes),
+sums AS (SELECT doc_id, j, sum(byte) AS s FROM vals GROUP BY doc_id, j),
+lanes AS (SELECT doc_id, n, unnest(range(0, 8)) AS j FROM hexed)
+SELECT l.doc_id AS media_id, 'text' AS modality, l.n AS n_bytes,
+  CAST(l.j AS INTEGER) AS dim_idx,
+  round((coalesce(s.s, 0) % 997) / 997.0, 6) AS feat
+FROM lanes l LEFT JOIN sums s ON s.doc_id = l.doc_id AND s.j = l.j""",
 )
 def q_media_features(spark, sf_dir):
     """mapInPandas Arrow decode pipeline, fully oracle-checked: the
@@ -5488,32 +5502,40 @@ def q_cms_term_counts(spark, sf_dir):
 @query(
     "dup_reach_sql",
     f"""WITH RECURSIVE {_NEAR_PAIRS_CTE},
-e AS (SELECT id_a AS src, id_b AS dst FROM np),
+par AS (SELECT min(id_a) AS src, id_b AS dst FROM np GROUP BY id_b),
 reach(src, dst) AS (
-  SELECT src, dst FROM e
+  SELECT src, dst FROM par
   UNION ALL
-  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
-SELECT DISTINCT src, dst FROM reach""",
+  SELECT p.src, r.dst FROM reach r JOIN par p ON p.dst = r.src)
+SELECT src, dst FROM reach""",
 )
 def q_dup_reach_sql(spark, sf_dir):
     """Spark-NATIVE recursive CTE (WITH RECURSIVE, Spark 4 SQL
-    surface): transitive reachability over the ascending-oriented
-    near-dup edge set — the engine executes the recursion itself
-    rather than a Python loop. Ascending orientation (id_a < id_b)
-    makes the edge set a DAG, so UNION ALL recursion terminates
-    (Spark does not yet support UNION-dedup recursion; cyclic closure
-    stays on the iterative connected_components path). Duplicate
-    multi-path rows collapse in the final DISTINCT."""
-    pairs = dedup.near_dup_pairs(
-        table(spark, sf_dir, "documents"), threshold=0.7
-    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    pairs.createOrReplaceTempView("_np_edges")
+    surface): keep-first duplicate LINEAGE — each doc's chain of
+    ancestors in the min-parent forest (every doc's parent is its
+    LOWEST-id near-dup neighbor), the provenance a keep-first dedup
+    pass emits. Spark executes the recursion itself rather than a
+    Python loop.
+
+    Why a forest, not the raw edge set: Spark recursion is UNION ALL
+    only (no UNION-dedup yet), which enumerates PATHS — on a dense
+    duplicate clique the ascending-oriented path count is 2^(clique),
+    a combinatorial explosion the adversarial-docs probe actually
+    hit. Min-parent edges make every ancestor chain unique, so the
+    recursion does Σ depth(node) work at ANY edge density and needs
+    no de-dup pass. Cyclic/full closure stays on the iterative
+    connected_components path (dup_clusters)."""
+    pairs = dedup.near_dup_pairs(table(spark, sf_dir, "documents"), threshold=0.7)
+    parent = pairs.groupBy(F.col("id_b").alias("dst")).agg(
+        F.min("id_a").alias("src")
+    )
+    parent.createOrReplaceTempView("_np_parent")
     return spark.sql(
         """WITH RECURSIVE reach(src, dst) AS (
-  SELECT src, dst FROM _np_edges
+  SELECT src, dst FROM _np_parent
   UNION ALL
-  SELECT r.src, e.dst FROM reach r JOIN _np_edges e ON r.dst = e.src)
-SELECT DISTINCT src, dst FROM reach"""
+  SELECT p.src, r.dst FROM reach r JOIN _np_parent p ON p.dst = r.src)
+SELECT src, dst FROM reach"""
     )
 
 
@@ -6759,7 +6781,8 @@ def q_hll_users_by_event_type(spark, sf_dir):
   SELECT doc_id AS media_id, hex(encode(text)) AS hx,
          CAST(octet_length(encode(text)) AS BIGINT) AS plen,
          CAST(1000 + (n_chars * 7) % 5000 AS BIGINT) AS dur
-  FROM documents WHERE doc_id % 3 = 1),
+  FROM documents
+  WHERE doc_id % 3 = 1 AND octet_length(encode(text)) > 0),
 fr AS (SELECT media_id, hx, plen, unnest(range(0, dur // 250)) AS f FROM aud)
 SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
        CAST(f * 250 AS BIGINT) AS t_ms,
@@ -6784,7 +6807,8 @@ def q_media_audio_energy(spark, sf_dir):
 
 @query(
     "kmeans_cluster_quality",
-    f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0),
 c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
 s1 AS ({_KM_SCORE.format(cents="c0")}),
 a1 AS ({_KM_ASSIGN.format(scored="s1")}),
@@ -6828,7 +6852,9 @@ def q_kmeans_cluster_quality(spark, sf_dir):
 @query(
     "knn_label_vote",
     """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
-           FROM embeddings),
+           FROM embeddings
+           WHERE embedding IS NOT NULL
+             AND len(list_filter(embedding, x -> x <> 0)) > 0),
 q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 20),
 scored AS (
   SELECT q.query_id, v.vec_id AS neighbor_id, v.label AS nl,
@@ -8520,7 +8546,8 @@ def q_benford_audit(spark, sf_dir):
 
 @query(
     "embedding_prefix_energy",
-    """WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    """WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0),
 fr AS (
   SELECT label, k,
     list_dot_product(e[1:k], e[1:k])
@@ -10779,7 +10806,8 @@ def _duck_audio_energy_sql(probes: int = 8) -> str:
   SELECT doc_id AS media_id, hex(encode(text)) AS hx,
          CAST(octet_length(encode(text)) AS BIGINT) AS plen,
          CAST(1000 + (n_chars * 7) % 5000 AS BIGINT) AS dur
-  FROM documents WHERE doc_id % 3 = 1),
+  FROM documents
+  WHERE doc_id % 3 = 1 AND octet_length(encode(text)) > 0),
 fr AS (SELECT media_id, hx, plen, unnest(range(0, dur // 250)) AS f FROM aud),
 e AS (SELECT media_id, f, CAST({_duck_audio_energy_sql(8)} AS BIGINT) AS energy
       FROM fr),
@@ -12242,7 +12270,9 @@ def _mmr_oracle(k: int = 10, lam: float = 0.7, pool: int = 200) -> str:
         )
 
     ctes = [
-        "v AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        "v AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings"
+        " WHERE embedding IS NOT NULL"
+        " AND len(list_filter(embedding, x -> x <> 0)) > 0)",
         "q AS (SELECT vid AS qid, e AS qe FROM v ORDER BY vid LIMIT 1)",
         f"c0 AS (SELECT vid, e, {cos('e', 'qe')} AS rel FROM v CROSS JOIN q WHERE vid <> qid)",
         "c AS MATERIALIZED (SELECT vid, e, rel FROM (SELECT *, row_number() OVER (ORDER BY rel DESC, vid) AS rn FROM c0) WHERE rn <= %d)" % pool,

@@ -131,11 +131,17 @@ def test_gopher_quality_single_token_and_empty_docs(degenerate_docs):
     assert bool(got[4].keep) is False and bool(got[5].keep) is False
 
 
-def test_cosine_ops_survive_zero_norm_vectors(spark):
-    """Engine-wide zero-norm convention: a zero vector scores cosine
-    0.0 to everything (never a job-failing ANSI division), so argmax
-    assignment and top-k stay well-defined. Pins kmeans assignment,
-    brute-force top-k, and SemDeDup over a corpus with a zero vector."""
+def test_cosine_ops_exclude_invalid_vectors(spark):
+    """Valid-vector corpus contract (round 7, supersedes the round-6
+    'zero vector scores 0.0' rule for corpus-level operators): NULL
+    and zero-norm embeddings are EXCLUDED from the candidate corpus by
+    similarity.valid_vectors — counting them as 0-similarity rows
+    deflated means and hit engine-asymmetric NULL/ANSI paths (the
+    adversarial-docs probe's 20 divergences). Pins kmeans assignment,
+    brute-force top-k, and SemDeDup over a corpus holding one zero and
+    one NULL vector: both drop, nothing crashes. The scalar cosine()
+    function keeps its own conventions (zero-norm -> 0.0, NULL ->
+    NULL) for ad-hoc column math — see the test below."""
     import random
 
     from finance_data_pipeline_spark.extensions import similarity as sim
@@ -143,16 +149,19 @@ def test_cosine_ops_survive_zero_norm_vectors(spark):
     rng = random.Random(1)
     rows = [(i, [rng.uniform(-1, 1) for _ in range(64)], "en") for i in range(20)]
     rows.append((20, [0.0] * 64, "en"))
+    rows.append((21, None, "en"))
     vecs = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>, label string"
     )
     from pyspark.sql import functions as F
 
+    assert sim.valid_vectors(vecs).count() == 20
     assigned = sim.kmeans_clusters(vecs).collect()
-    assert len(assigned) == 21  # the zero vector is assigned, not dropped
+    assert len(assigned) == 20  # zero + NULL vectors excluded, not crashed
     topk = sim.brute_force_topk(vecs, vecs.filter(F.col("vec_id") < 2)).collect()
     assert topk
-    assert sim.semantic_dedup(vecs).count() == 21
+    assert {r.neighbor_id for r in topk}.isdisjoint({20, 21})
+    assert sim.semantic_dedup(vecs).count() == 20
 
 
 def test_cosine_null_vector_propagates_null_zero_norm_scores_zero(spark):
