@@ -1960,10 +1960,16 @@ GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())"""
 
 @query(
     "events_json",
-    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    """SELECT event_id,
+  CAST(CASE WHEN json_valid(props)
+            THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
 FROM events WHERE event_type = 'click'""",
 )
 def q_events_json(spark, sf_dir):
+    """F11 — per-access JSON field pull. Malformed/NULL props yield
+    NULL k on both engines: Spark's get_json_object is tolerant by
+    design; DuckDB's json_extract_string ERRORS on malformed input, so
+    the oracle carries an explicit json_valid guard."""
     e = table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
     return e.select(
         "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
@@ -1973,18 +1979,23 @@ def q_events_json(spark, sf_dir):
 @query(
     "events_variant",
     """SELECT event_type, count(*) AS n_events,
-  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
-  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+  CAST(sum(CAST(CASE WHEN json_valid(props)
+                     THEN json_extract_string(props, '$.k') END AS BIGINT))
+       AS BIGINT) AS k_total,
+  max(CAST(CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.k') END AS BIGINT)) AS k_max
 FROM events GROUP BY event_type""",
 )
 def q_events_variant(spark, sf_dir):
     """F11 via Spark 4's VARIANT type: props parsed ONCE into the
-    binary variant encoding (parse_json), fields pulled with
+    binary variant encoding (try_parse_json — malformed/NULL props
+    become NULL variants instead of an ANSI job kill; the oracle's
+    json_valid guard is the same convention), fields pulled with
     variant_get — the modern semi-structured path (storage-shreddable,
     no per-access string re-parse, unlike events_json's
     get_json_object). Downstream aggregates are plain longs."""
     e = table(spark, sf_dir, "events").select(
-        "event_type", F.parse_json("props").alias("_v")
+        "event_type", F.try_parse_json("props").alias("_v")
     )
     return (
         e.select(
@@ -2447,7 +2458,8 @@ def q_user_retention(spark, sf_dir):
     "value_histogram",
     """SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bin,
        count(*) AS n,
-       round(min(value), 6) AS bin_min, round(max(value), 6) AS bin_max
+       round(min(value), 6) + 0.0 AS bin_min,
+       round(max(value), 6) + 0.0 AS bin_max
 FROM events GROUP BY event_type, bin ORDER BY event_type, bin""",
 )
 def q_value_histogram(spark, sf_dir):
@@ -2461,8 +2473,11 @@ def q_value_histogram(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n"),
-            F.round(F.min("value"), 6).alias("bin_min"),
-            F.round(F.max("value"), 6).alias("bin_max"),
+            # + 0.0: min/max over a bin holding −0.0 is engine-order-
+            # dependent in SIGN only — normalize per the signed-zero
+            # convention
+            (F.round(F.min("value"), 6) + 0.0).alias("bin_min"),
+            (F.round(F.max("value"), 6) + 0.0).alias("bin_max"),
         )
         .orderBy("event_type", "bin")
     )
@@ -12129,10 +12144,10 @@ m AS (SELECT event_type, CAST(n AS BIGINT) AS n,
         b0s / n AS b0, b1s / n AS b1, b2s / n AS b2, b3s / n AS b3
       FROM s)
 SELECT event_type, n,
-  round(b0, 6) AS l1,
-  round(2 * b1 - b0, 6) AS l2,
-  round((6 * b2 - 6 * b1 + b0) / nullif(2 * b1 - b0, 0.0), 6) AS l_skew,
-  round((20 * b3 - 30 * b2 + 12 * b1 - b0) / nullif(2 * b1 - b0, 0.0), 6)
+  round(b0, 6) + 0.0 AS l1,
+  round(2 * b1 - b0, 6) + 0.0 AS l2,
+  round((6 * b2 - 6 * b1 + b0) / nullif(2 * b1 - b0, 0.0), 6) + 0.0 AS l_skew,
+  round((20 * b3 - 30 * b2 + 12 * b1 - b0) / nullif(2 * b1 - b0, 0.0), 6) + 0.0
     AS l_kurt
 FROM m ORDER BY event_type""",
 )
@@ -12177,14 +12192,19 @@ def q_l_moments_by_type(spark, sf_dir):
     b2 = F.col("b2s") / F.col("n")
     b3 = F.col("b3s") / F.col("n")
     l2 = 2 * b1 - b0
+    # terminal + 0.0 normalizes −0.0 (a tiny negative moment rounding
+    # to zero) to +0.0 on both engines — the signed-zero convention
     return s.select(
         "event_type",
         F.col("n").cast("long").alias("n"),
-        F.round(b0, 6).alias("l1"),
-        F.round(l2, 6).alias("l2"),
-        F.round((6 * b2 - 6 * b1 + b0) / F.nullif(l2, F.lit(0.0)), 6).alias("l_skew"),
-        F.round(
-            (20 * b3 - 30 * b2 + 12 * b1 - b0) / F.nullif(l2, F.lit(0.0)), 6
+        (F.round(b0, 6) + 0.0).alias("l1"),
+        (F.round(l2, 6) + 0.0).alias("l2"),
+        (F.round((6 * b2 - 6 * b1 + b0) / F.nullif(l2, F.lit(0.0)), 6) + 0.0).alias(
+            "l_skew"
+        ),
+        (
+            F.round((20 * b3 - 30 * b2 + 12 * b1 - b0) / F.nullif(l2, F.lit(0.0)), 6)
+            + 0.0
         ).alias("l_kurt"),
     ).orderBy("event_type")
 
