@@ -330,7 +330,7 @@ def test_prefix_energy_frontloaded_and_zero_vector(spark):
 
     front = [1.0] * 8 + [0.0] * 56     # all energy in first 8 dims
     flat = [1.0] * 64                  # uniform energy
-    zero = [0.0] * 64                  # excluded via nullif guard
+    zero = [0.0] * 64                  # excluded by valid_vectors
     df = spark.createDataFrame(
         [(1, front, 0), (2, flat, 1), (3, zero, 2)],
         "vec_id long, embedding array<float>, label int",
@@ -340,9 +340,9 @@ def test_prefix_energy_frontloaded_and_zero_vector(spark):
     assert out[(0, 32)].avg_energy_frac == 1.0
     assert out[(1, 8)].avg_energy_frac == round(8 / 64, 6)
     assert out[(1, 32)].avg_energy_frac == 0.5
-    # zero vector: frac is NULL everywhere -> aggregates over no rows
-    assert out[(2, 8)].avg_energy_frac is None
-    assert out[(2, 8)].min_energy_frac is None
+    # zero vector: excluded from the corpus up front (round-7
+    # valid-vector contract) — its label emits NO rows at all
+    assert not any(lbl == 2 for (lbl, _k) in out)
 
 
 def test_drawdown_duration_counts_longest_run(spark):
