@@ -110,15 +110,53 @@ def write_bucketed(
 
 
 def export_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """CSV export (S7; reference README.md:99-107 does `aws s3 cp`)."""
-    df.write.mode(mode).option("header", "true").csv(path)
+    """CSV export (S7; reference README.md:99-107 does `aws s3 cp`).
+
+    Value-fidelity options (the defaults silently corrupt real text):
+    Spark's CSV WRITER strips leading/trailing whitespace from values
+    unless told not to, and writes empty string and NULL identically
+    (both read back as NULL). Whitespace is preserved explicitly and
+    empty strings are written quoted (``""``) so the round trip keeps
+    the empty-vs-NULL distinction."""
+    (
+        df.write.mode(mode)
+        .option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .option("emptyValue", '""')
+        .csv(path)
+    )
 
 
-def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+def read_csv(
+    spark: SparkSession, path: str, schema=None, multiline: bool = True
+) -> DataFrame:
     """CSV source. An explicit schema keeps the read single-pass;
     without one, inference costs an extra scan — never do that at
-    100 TB (pass the canonical StructType from schemas.py instead)."""
-    reader = spark.read.option("header", "true")
+    100 TB (pass the canonical StructType from schemas.py instead).
+
+    ``multiline=True`` (default) parses quoted values containing
+    embedded newlines correctly — without it the reader splits such
+    rows mid-value and fabricates garbage rows, SILENTLY. The cost is
+    that multiLine files are not splittable (one task per file), so
+    at scale either keep CSV files small at the producer, or pass
+    ``multiline=False`` only when values are guaranteed newline-free
+    (restores intra-file splits). CSV is the interchange path —
+    parquet/ORC are the scale formats.
+
+    ``nullValue`` is the MySQL-style ``\\N`` token rather than the
+    default empty string: with the default, a QUOTED empty field
+    (export_csv's spelling of empty string) also reads back as NULL,
+    collapsing the empty-vs-NULL distinction the writer preserves.
+    Unquoted empty fields still parse as NULL either way; only a
+    literal ``\\N`` value in third-party data is affected."""
+    reader = (
+        spark.read.option("header", "true")
+        .option("multiLine", str(multiline).lower())
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .option("nullValue", "\\N")
+    )
     if schema is not None:
         reader = reader.schema(schema)
     else:

@@ -67,6 +67,51 @@ def test_normalize_stocks_fills_nan_defaults(spark):
     assert row["volume"] == 0
 
 
+ADVERSARIAL_STRINGS = [
+    (1, "plain"),
+    (2, "comma, inside"),
+    (3, 'quote " inside'),
+    (4, "newline\ninside"),
+    (5, "crlf\r\ninside"),
+    (6, "unicode 数据 🚀 café"),
+    (7, ""),
+    (8, None),
+    (9, "trailing space   "),
+    (10, "tab\tinside"),
+]
+
+
+def test_csv_roundtrip_value_fidelity(spark, tmp_path):
+    """CSV round-trip must preserve VALUES, not just row counts: the
+    default reader splits quoted embedded newlines into garbage rows
+    (silently — found by adversarial-string probing), the default
+    writer strips trailing whitespace, and empty-vs-NULL collapses
+    without the emptyValue/nullValue pairing. Pins export_csv +
+    read_csv as an exact round trip over all of those."""
+    from finance_data_pipeline_spark.io import export_csv, read_csv
+
+    df = spark.createDataFrame(ADVERSARIAL_STRINGS, "id int, txt string")
+    path = str(tmp_path / "csv_adv")
+    export_csv(df, path)
+    back = read_csv(spark, path, schema=df.schema)
+    got = {r.id: r.txt for r in back.collect()}
+    assert got == dict(ADVERSARIAL_STRINGS)
+
+
+def test_json_roundtrip_value_fidelity(spark, tmp_path):
+    """Same adversarial strings through the JSON path — natively exact
+    (JSON escapes everything), pinned so a future option change can't
+    regress it."""
+    from finance_data_pipeline_spark.io import export_json, read_json
+
+    df = spark.createDataFrame(ADVERSARIAL_STRINGS, "id int, txt string")
+    path = str(tmp_path / "json_adv")
+    export_json(df, path)
+    back = read_json(spark, path, schema=df.schema)
+    got = {r.id: r.txt for r in back.collect()}
+    assert got == dict(ADVERSARIAL_STRINGS)
+
+
 def test_csv_export_roundtrip(spark, tmp_path):
     df = fixtures.stocks(spark, SF_DIR).select("symbol", "date", "close")
     path = str(tmp_path / "csv_out")
