@@ -426,12 +426,29 @@ def export_xml(
 
 
 def read_xml(
-    spark: SparkSession, path: str, schema=None, row_tag: str = "row"
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    row_tag: str = "row",
+    ignore_surrounding_spaces: bool = False,
 ) -> DataFrame:
     """XML source with an explicit schema (inference costs a second
     pass and widens everything to string — same rule as
-    read_csv_permissive)."""
-    reader = spark.read.format("xml").option("rowTag", row_tag)
+    read_csv_permissive).
+
+    ``ignore_surrounding_spaces=False`` (NOT Spark's default) keeps
+    leading/trailing whitespace inside element values — export_xml
+    writes values tight, so the round trip is exact. Pass True for
+    third-party pretty-printed XML where values are wrapped in
+    indentation whitespace that is layout, not data."""
+    reader = (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .option(
+            "ignoreSurroundingSpaces",
+            str(ignore_surrounding_spaces).lower(),
+        )
+    )
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load(path)

@@ -112,6 +112,23 @@ def test_json_roundtrip_value_fidelity(spark, tmp_path):
     assert got == dict(ADVERSARIAL_STRINGS)
 
 
+def test_xml_roundtrip_value_fidelity(spark, tmp_path):
+    """XML path over the adversarial strings (plus XML's own hazards:
+    markup characters, ]]> and an ampersand). The reader's
+    ignoreSurroundingSpaces default (true) silently trims meaningful
+    trailing whitespace — read_xml flips it off since export_xml
+    writes values tight."""
+    from finance_data_pipeline_spark.io import export_xml, read_xml
+
+    rows = ADVERSARIAL_STRINGS + [(11, "<tag> & ampersand"), (12, "]]> closer")]
+    df = spark.createDataFrame(rows, "id int, txt string")
+    path = str(tmp_path / "xml_adv")
+    export_xml(df, path)
+    back = read_xml(spark, path, schema=df.schema)
+    got = {r.id: r.txt for r in back.collect()}
+    assert got == dict(rows)
+
+
 def test_csv_export_roundtrip(spark, tmp_path):
     df = fixtures.stocks(spark, SF_DIR).select("symbol", "date", "close")
     path = str(tmp_path / "csv_out")
