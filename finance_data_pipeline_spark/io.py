@@ -177,6 +177,12 @@ def read_csv_permissive(
     FAILFAST on real-world exports is a guaranteed 3 a.m. page. The
     explicit schema is mandatory: inference both costs a second scan
     and masks corruption by widening types to string.
+
+    Carries read_csv's value-fidelity options (multiLine, preserved
+    whitespace, \\N null token): without multiLine, a VALID quoted
+    value containing a newline would be split and quarantined as two
+    fake corrupt rows — quarantine should catch producer garbage, not
+    manufacture it.
     """
     # Copy before extending: StructType.add mutates (and returns) the
     # receiver, so extending the caller's schema in place would leak a
@@ -190,6 +196,10 @@ def read_csv_permissive(
         spark.read.option("header", "true")
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("multiLine", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .option("nullValue", "\\N")
         .schema(full)
         .csv(path)
     )
