@@ -199,6 +199,17 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     assert part.rdd.getNumPartitions() == 3
     assert part.count() == src.count()
 
+    # Value fidelity over the adversarial strings (same corpus as the
+    # CSV/XML pins, plus a single quote — SQL's own hazard): the JDBC
+    # wire path is natively exact, pinned so it stays that way.
+    adv = ADVERSARIAL_STRINGS + [(11, "single ' quote")]
+    df = spark.createDataFrame(adv, "id int, txt string")
+    write_jdbc(df, url, "adv_copy", mode="overwrite", driver=driver)
+    got = {
+        r.id: r.txt for r in read_jdbc(spark, url, "adv_copy", driver=driver).collect()
+    }
+    assert got == dict(adv)
+
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Two tables bucketed on the join key must join with zero Exchange
