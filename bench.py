@@ -255,7 +255,18 @@ def main() -> None:
         if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
     ]
     next_round = (max(rounds) + 1) if rounds else 1
-    spread_path = os.path.join(repo_dir, f"BENCH_SPREAD_r{next_round:02d}.json")
+    # Only a HEADLINE-SF run may claim the round's committed spread
+    # record: tools/bench_regress.py gates on sf==0.1 records, and a
+    # quick sf0.001 probe run overwriting BENCH_SPREAD_r{N}.json would
+    # silently evict the round's real baseline from gating history.
+    if diag["sf"] == 0.1:
+        spread_path = os.path.join(
+            repo_dir, f"BENCH_SPREAD_r{next_round:02d}.json"
+        )
+    else:
+        spread_path = os.path.join(
+            repo_dir, f"BENCH_SPREAD_probe_sf{sf}.json"
+        )
     try:
         with open(spread_path, "w") as fh:
             json.dump(diag, fh, indent=1)
