@@ -147,6 +147,11 @@ def build_embeddings_pdf():
     for i in range(160):
         vecs.append(unit(i))
         labels.append(i % 10)
+    # ...with degenerates INSIDE the deterministic seed/query id range
+    # (kmeans c0 = ids < 8, PQ c0 = ids < 16, queries = ids < 5): both
+    # engines must drop them from seeds and query sets identically
+    vecs[3] = np.zeros(DIM, dtype=np.float32)
+    vecs[5] = None
     # 2. exact-duplicate cluster (8 copies, mixed labels)
     d = unit(7)
     for i in range(8):
@@ -188,8 +193,7 @@ def build_embeddings_pdf():
         vecs.append(unit(i))
         labels.append(i % 10)
         i += 1
-    # 8. NULL embedding rows and degenerate labels, at the tail so the
-    #    dense-id train_n prefix stays all non-NULL
+    # 8. more NULL embedding rows and degenerate labels at the tail
     vecs.append(None)
     labels.append(9)
     vecs.append(None)
