@@ -58,6 +58,27 @@ def json_prop(col: Column | str, key: str) -> Column:
     return F.get_json_object(col, f"$.{key}")
 
 
+def round_portable(col: Column, k: int) -> Column:
+    """Cross-engine-STABLE rounding of a float expression to k digits:
+    scale, round at the integer level, descale — mirror in SQL as
+    ``round(x * 1eK, 0) / 1eK``.
+
+    ``round(x, k)`` itself is NOT portable: Spark converts the double
+    to its EXACT decimal expansion before HALF_UP, while DuckDB rounds
+    the float-scaled value, and for a double whose exact expansion sits
+    within an ulp of the .5 boundary at digit k the two disagree in the
+    last digit (the round-7 sf0.1 sweep measured ~1-in-10^4 rows on a
+    round(x, 10) column; driver-SF corpora just happen not to contain
+    boundary rows). ``round(y, 0)`` on the scaled double IS identical
+    in both engines — exact halves are representable doubles and both
+    round half away from zero — the same integer-level trick
+    force_index_eom's micro-unit smoothing documents. Like round(),
+    this can emit −0.0 for tiny negatives; add ``+ 0.0`` per the
+    signed-zero convention where the column can go negative."""
+    s = float(10**k)
+    return F.round(col * s, 0) / F.lit(s)
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """F11 — array dot product via higher-order functions (JVM-side,
     no UDF): fold over zip_with products in array order. Elements are

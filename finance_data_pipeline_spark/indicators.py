@@ -761,10 +761,24 @@ def range_volatility(df: DataFrame, time_col: str = "bar_ts") -> DataFrame:
     result is summation-order exact (the registry's float-sum
     discipline). At 100 TB this is a pure partial-aggregate scan —
     no window state beyond the one lag, no data movement besides the
-    per-symbol combine."""
+    per-symbol combine.
+
+    Bars with any nonpositive price have undefined log-range terms —
+    a zero low exists in real (and sf0.1) data and the bare ratio is
+    an ANSI job-killing division by zero. Such bars contribute NULL
+    terms (skipped by the count/sum pairs) in BOTH engines."""
     ln2 = 0.6931471805599453
     w = sym_window(time_col)
-    r = F.log(F.col("close") / F.lag("close").over(w))
+    pos = (
+        (F.col("open") > 0)
+        & (F.col("high") > 0)
+        & (F.col("low") > 0)
+        & (F.col("close") > 0)
+    )
+    lagc = F.lag("close").over(w)
+    r = F.when(
+        (F.col("close") > 0) & (lagc > 0), F.log(F.col("close") / lagc)
+    )
     hl = F.log(F.col("high") / F.col("low"))
     co = F.log(F.col("close") / F.col("open"))
     rs_term = (
@@ -774,9 +788,9 @@ def range_volatility(df: DataFrame, time_col: str = "bar_ts") -> DataFrame:
     base = df.select(
         "symbol",
         r.alias("_r"),
-        (hl * hl).alias("_hl2"),
-        (0.5 * hl * hl - (2.0 * ln2 - 1.0) * co * co).alias("_gk"),
-        rs_term.alias("_rs"),
+        F.when(pos, hl * hl).alias("_hl2"),
+        F.when(pos, 0.5 * hl * hl - (2.0 * ln2 - 1.0) * co * co).alias("_gk"),
+        F.when(pos, rs_term).alias("_rs"),
     )
     dec = lambda c: F.sum(F.col(c).cast("decimal(38,18)")).cast("double")
     stats = base.groupBy("symbol").agg(

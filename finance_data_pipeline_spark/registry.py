@@ -11442,12 +11442,17 @@ def q_cmf_20(spark, sf_dir):
     "range_volatility",
     f"""WITH {BARS},
 t AS (SELECT symbol,
-        ln(close / lag(close) OVER ({_W_BAR})) AS r,
-        ln(high / low) * ln(high / low) AS hl2,
-        0.5 * ln(high / low) * ln(high / low)
-          - (2.0 * ln(2) - 1.0) * ln(close / open) * ln(close / open) AS gk,
-        ln(high / close) * ln(high / open)
-          + ln(low / close) * ln(low / open) AS rs
+        CASE WHEN close > 0 AND lag(close) OVER ({_W_BAR}) > 0
+             THEN ln(close / lag(close) OVER ({_W_BAR})) END AS r,
+        CASE WHEN open > 0 AND high > 0 AND low > 0 AND close > 0
+             THEN ln(high / low) * ln(high / low) END AS hl2,
+        CASE WHEN open > 0 AND high > 0 AND low > 0 AND close > 0
+             THEN 0.5 * ln(high / low) * ln(high / low)
+                  - (2.0 * ln(2) - 1.0) * ln(close / open) * ln(close / open)
+        END AS gk,
+        CASE WHEN open > 0 AND high > 0 AND low > 0 AND close > 0
+             THEN ln(high / close) * ln(high / open)
+                  + ln(low / close) * ln(low / open) END AS rs
       FROM bars),
 s AS (SELECT symbol,
         CAST(count(r) AS BIGINT) AS n_rets,
@@ -12792,10 +12797,12 @@ def q_pivot_points(spark, sf_dir):
     "force_index_eom",
     f"""WITH {BARS},
 p AS (SELECT symbol, bar_ts,
-        round((close - lag(close) OVER ({_W_BAR})) * volume, 6) + 0.0 AS fi,
+        round((close - lag(close) OVER ({_W_BAR})) * volume
+              * 1000000.0, 0) / 1000000.0 + 0.0 AS fi,
         round(((high + low) / 2
            - (lag(high) OVER ({_W_BAR}) + lag(low) OVER ({_W_BAR})) / 2)
-          * (high - low) / volume, 10) + 0.0 AS eom
+          * (high - low) / volume * 10000000000.0, 0) / 10000000000.0
+          + 0.0 AS eom
       FROM bars),
 q AS (SELECT symbol, bar_ts, fi, eom,
         CAST(round(fi * 1000000, 0) AS BIGINT) AS fiq,
@@ -12839,10 +12846,13 @@ def q_force_index_eom(spark, sf_dir):
     diverges on numerically-equal results (round-6 judge finding)."""
     b = _bars(spark, sf_dir)
     w = Window.partitionBy("symbol").orderBy("bar_ts")
-    fi = F.round(
+    # fx.round_portable, not F.round: at sf0.1 the raw eom straddles a
+    # .5 boundary at digit 10 on a handful of rows and the engines'
+    # round() implementations disagree there (see round_portable)
+    fi = fx.round_portable(
         (F.col("close") - F.lag("close").over(w)) * F.col("volume"), 6
     ) + F.lit(0.0)
-    eom = F.round(
+    eom = fx.round_portable(
         (
             (F.col("high") + F.col("low")) / 2
             - (F.lag("high").over(w) + F.lag("low").over(w)) / 2
@@ -12977,9 +12987,9 @@ e3 AS (
 ),
 m3 AS MATERIALIZED (SELECT symbol, date, rn, a AS x3 FROM e3)
 SELECT m2.symbol, m2.date,
-  round(m2.x1, 6) AS ema_20,
-  round(2 * m2.x1 - m2.x2, 6) AS dema_20,
-  round(3 * m2.x1 - 3 * m2.x2 + m3.x3, 6) AS tema_20
+  round(m2.x1 * 1000000.0, 0) / 1000000.0 AS ema_20,
+  round((2 * m2.x1 - m2.x2) * 1000000.0, 0) / 1000000.0 AS dema_20,
+  round((3 * m2.x1 - 3 * m2.x2 + m3.x3) * 1000000.0, 0) / 1000000.0 AS tema_20
 FROM m2 JOIN m3 ON m2.symbol = m3.symbol AND m2.rn = m3.rn
 ORDER BY m2.symbol, m2.date"""
 
@@ -12993,11 +13003,13 @@ def q_dema_tema_20(spark, sf_dir):
     indicators.with_dema_tema."""
     s = _stocks(spark, sf_dir)
     out = indicators.with_dema_tema(s, span=20)
+    # round_portable: the 2E1−E2 / 3E1−3E2+E3 combinations straddle .5
+    # round boundaries at larger SFs (sf0.1 sweep finding)
     return out.select(
         "symbol", "date",
-        F.round("ema_20", 6).alias("ema_20"),
-        F.round("dema_20", 6).alias("dema_20"),
-        F.round("tema_20", 6).alias("tema_20"),
+        fx.round_portable(F.col("ema_20"), 6).alias("ema_20"),
+        fx.round_portable(F.col("dema_20"), 6).alias("dema_20"),
+        fx.round_portable(F.col("tema_20"), 6).alias("tema_20"),
     ).orderBy("symbol", "date")
 
 
