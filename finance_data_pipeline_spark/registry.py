@@ -7884,15 +7884,19 @@ def q_dau_wau_stickiness(spark, sf_dir):
 @query(
     "dup_kcore",
     f"""WITH {_NEAR_PAIRS_CTE},
-und AS (SELECT DISTINCT id_a AS u, id_b AS v FROM np),
-e0 AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
-k1 AS (SELECT u FROM e0 GROUP BY u HAVING count(*) >= 2),
-e1 AS (SELECT e.u, e.v FROM e0 e JOIN k1 x ON e.u = x.u JOIN k1 y ON e.v = y.u),
-k2 AS (SELECT u FROM e1 GROUP BY u HAVING count(*) >= 2),
-e2 AS (SELECT e.u, e.v FROM e1 e JOIN k2 x ON e.u = x.u JOIN k2 y ON e.v = y.u),
-k3 AS (SELECT u FROM e2 GROUP BY u HAVING count(*) >= 2),
-e3 AS (SELECT e.u, e.v FROM e2 e JOIN k3 x ON e.u = x.u JOIN k3 y ON e.v = y.u),
-k4 AS (SELECT u FROM e3 GROUP BY u HAVING count(*) >= 2),
+und AS MATERIALIZED (SELECT DISTINCT id_a AS u, id_b AS v FROM np),
+e0 AS MATERIALIZED (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+k1 AS MATERIALIZED (SELECT u FROM e0 GROUP BY u HAVING count(*) >= 2),
+e1 AS MATERIALIZED (
+  SELECT e.u, e.v FROM e0 e JOIN k1 x ON e.u = x.u JOIN k1 y ON e.v = y.u),
+k2 AS MATERIALIZED (SELECT u FROM e1 GROUP BY u HAVING count(*) >= 2),
+e2 AS MATERIALIZED (
+  SELECT e.u, e.v FROM e1 e JOIN k2 x ON e.u = x.u JOIN k2 y ON e.v = y.u),
+k3 AS MATERIALIZED (SELECT u FROM e2 GROUP BY u HAVING count(*) >= 2),
+e3 AS MATERIALIZED (
+  SELECT e.u, e.v FROM e2 e JOIN k3 x ON e.u = x.u JOIN k3 y ON e.v = y.u),
+k4 AS MATERIALIZED (SELECT u FROM e3 GROUP BY u HAVING count(*) >= 2),
 e4 AS (SELECT e.u, e.v FROM e3 e JOIN k4 x ON e.u = x.u JOIN k4 y ON e.v = y.u)
 SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
 FROM e4 GROUP BY u""",
