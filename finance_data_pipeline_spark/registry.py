@@ -8213,7 +8213,7 @@ SELECT symbol, date,
           OVER ({_W_DATE} ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
         / nullif(var_samp(mret)
           OVER ({_W_DATE} ROWS BETWEEN 29 PRECEDING AND CURRENT ROW), 0),
-        4) AS beta_30
+        4) + 0.0 AS beta_30
 FROM j""",
 )
 def q_rolling_beta(spark, sf_dir):
@@ -8249,12 +8249,15 @@ def q_rolling_beta(spark, sf_dir):
     return j.select(
         "symbol",
         "date",
-        F.round(
-            F.try_divide(
-                F.covar_samp("ret", "mret").over(w30),
-                F.nullif(F.var_samp("mret").over(w30), F.lit(0.0)),
-            ),
-            4,
+        (
+            F.round(
+                F.try_divide(
+                    F.covar_samp("ret", "mret").over(w30),
+                    F.nullif(F.var_samp("mret").over(w30), F.lit(0.0)),
+                ),
+                4,
+            )
+            + 0.0  # a tiny negative covariance rounds to −0.0 (sf0.1)
         ).alias("beta_30"),
     )
 
@@ -8342,8 +8345,8 @@ ew AS (
   FROM ew JOIN base b ON b.symbol = ew.symbol AND b.rn = ew.rn + 1
 )
 SELECT symbol, date, ret,
-       round(a, 10) AS ewma_var,
-       round(sqrt(a * 252), 6) AS ewma_vol_ann
+       round(a * 10000000000.0, 0) / 10000000000.0 AS ewma_var,
+       round(sqrt(a * 252) * 1000000.0, 0) / 1000000.0 AS ewma_vol_ann
 FROM ew"""
 
 
@@ -8357,12 +8360,15 @@ def q_ewma_volatility(spark, sf_dir):
     NaN-skipped) so weights are a pure function of row index. See
     indicators.with_ewma_volatility."""
     out = indicators.with_ewma_volatility(_stocks(spark, sf_dir), span=20)
+    # round_portable: ewma_var at digit 10 is SUB-ULP for large ret²
+    # (observed magnitude 3e5 at sf0.1) — only the scaled spelling is
+    # cross-engine stable there
     return out.select(
         "symbol",
         "date",
         "ret",
-        F.round("ewma_var", 10).alias("ewma_var"),
-        F.round("ewma_vol_ann", 6).alias("ewma_vol_ann"),
+        fx.round_portable(F.col("ewma_var"), 10).alias("ewma_var"),
+        fx.round_portable(F.col("ewma_vol_ann"), 6).alias("ewma_vol_ann"),
     )
 
 
@@ -9704,8 +9710,12 @@ h AS (
       + CAST(0.5 AS DOUBLE) * h.b
   FROM h JOIN base nb ON nb.symbol = h.symbol AND nb.rn = h.rn + 1
 )
-SELECT symbol, date, round(l, 6) AS level, round(b, 6) AS trend,
-       round(round(l, 6) + round(b, 6), 6) AS forecast_next
+SELECT symbol, date,
+  round(l * 1000000.0, 0) / 1000000.0 AS level,
+  round(b * 1000000.0, 0) / 1000000.0 AS trend,
+  round((round(l * 1000000.0, 0) / 1000000.0
+         + round(b * 1000000.0, 0) / 1000000.0) * 1000000.0, 0)
+    / 1000000.0 AS forecast_next
 FROM h"""
 
 
@@ -9719,18 +9729,20 @@ def q_holt_linear(spark, sf_dir):
     recursive-CTE oracle — the EMA parity discipline extended to
     level+trend. See indicators.with_holt_linear."""
     out = indicators.with_holt_linear(_stocks(spark, sf_dir))
-    # forecast derives from the ROUNDED level+trend: the sum of two 6dp
-    # decimals is never within an ulp of a .5 rounding boundary, where
-    # the engines' round() implementations can disagree (observed on 2
-    # of 2826 rows when rounding the raw l+b independently).
+    # round_portable throughout: α=β=½ makes the Holt states exact
+    # binary fractions, so raw values sit ON (or one ulp off) the .5
+    # boundary at digit 6 and the engines' native round() disagree
+    # (sf0.1 sweep: 2 rows where level itself split). The forecast
+    # still derives from the ROUNDED level+trend so the three columns
+    # stay mutually consistent.
+    lvl = fx.round_portable(F.col("level"), 6)
+    trd = fx.round_portable(F.col("trend"), 6)
     return out.select(
         "symbol",
         "date",
-        F.round("level", 6).alias("level"),
-        F.round("trend", 6).alias("trend"),
-        F.round(F.round("level", 6) + F.round("trend", 6), 6).alias(
-            "forecast_next"
-        ),
+        lvl.alias("level"),
+        trd.alias("trend"),
+        fx.round_portable(lvl + trd, 6).alias("forecast_next"),
     )
 
 
