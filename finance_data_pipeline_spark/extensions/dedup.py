@@ -898,6 +898,31 @@ def containment_pairs(
 
 # --- X2b: prefix-filtered exact string similarity join --------------------
 
+# Multi-word bitmask dispatch bounds. Vocab cap keeps the per-pair
+# popcount expression small (≤16 codegen terms) and each mask ≤128 B;
+# sets cap bounds the broadcast of distinct-set triples (~24 B + mask
+# each, ≈20 MB worst case). Past either cap the prefix-filter path
+# takes over — a large vocabulary is exactly what makes it effective.
+_MASK_VOCAB_CAP = 1024
+_MASK_SETS_CAP = 200_000
+
+
+def _popcount_sum(col: str, n_words: int):
+    """Σ bit_count(col[i]) over the fixed mask width — a static codegen
+    expression tree, not an interpreted HOF fold."""
+    out = F.bit_count(F.col(col)[0])
+    for i in range(1, n_words):
+        out = out + F.bit_count(F.col(col)[i])
+    return out
+
+
+def _popcount_and(col_a: str, col_b: str, n_words: int):
+    """Σ bit_count(a[i] & b[i]) — the set-intersection size."""
+    out = F.bit_count(F.col(col_a)[0].bitwiseAND(F.col(col_b)[0]))
+    for i in range(1, n_words):
+        out = out + F.bit_count(F.col(col_a)[i].bitwiseAND(F.col(col_b)[i]))
+    return out
+
 
 def string_sim_join(
     docs: DataFrame,
@@ -927,6 +952,12 @@ def string_sim_join(
     duplicate-cluster size, and the exploded (pair × token) join form
     of verification multiplies that by tokens-per-doc; the array form
     shuffles each pair exactly once (measured ~10× faster at sf0.1).
+
+    Small vocabularies (≤ _MASK_VOCAB_CAP distinct tokens) dispatch to
+    a multi-word bitmask path instead — prefix filtering can't prune a
+    corpus with no rare tokens. See the inline dispatch comment; the
+    sf0.1→sf1 growth probe (GROWTH_PROBE.json) is the regression
+    witness for the dispatch cliff this replaces.
     """
     # The gram column (default word tokens; char_ngrams for the n-gram
     # Jaccard variant) is already array_distinct per doc; hashing AFTER
@@ -943,42 +974,121 @@ def string_sim_join(
     # Global document frequency orders tokens rarest-first; ties break
     # on the hash so the prefix choice is deterministic.
     freq = base.groupBy("tok").agg(F.count("*").alias("df"))
-    # Adaptive small-vocabulary path: when the global dictionary fits in
-    # 64 bits, a token set is a bitmask and Jaccard collapses to two
-    # popcounts — whole-stage-codegen arithmetic, no prefix index, no
-    # array intersections. The candidate "join" is a broadcast
-    # nested-loop over the (id, mask, n) triples (16 bytes/doc); at
-    # corpus sizes past the broadcast limit, block one side and loop
-    # blocks — the mask arithmetic is unchanged. Exactness is identical
-    # to the general path, so the dispatch is invisible to callers.
+    # Adaptive small-vocabulary path: when the global dictionary is small
+    # (≤ _MASK_VOCAB_CAP tokens) a token set is a fixed array of 64-bit
+    # words and Jaccard collapses to whole-stage-codegen popcount sums —
+    # no prefix index, no array intersections. The prefix filter is the
+    # wrong tool in this regime: with no rare tokens every posting list
+    # is dense, so candidates degenerate to near-all-pairs (the sf0.1→sf1
+    # growth probe measured the old 64-bit-only dispatch falling off this
+    # cliff at 10× data: ×27.6 wall growth on a 31→310-word vocabulary).
+    # The quadratic loop runs over DISTINCT token sets, not documents:
+    # identical sets collapse to one representative before the broadcast
+    # nested-loop, and member expansion afterwards is a distributed,
+    # output-bound join. On a fixed small vocabulary the distinct-set
+    # count saturates as the corpus grows, so the m² loop is
+    # asymptotically CONSTANT and the whole operator linear+output-bound
+    # — the property that makes this the 100 TB path for low-diversity
+    # token sets (categorical signatures, template corpora). Exactness
+    # is identical to the general path, so the dispatch is invisible.
     n_vocab = freq.count()
-    if n_vocab <= 64:
+    if 0 < n_vocab <= _MASK_VOCAB_CAP:
+        n_words = (n_vocab + 63) // 64
         bits = freq.select(
             "tok",
             (F.row_number().over(Window.orderBy("df", "tok")) - 1).alias("bit"),
         )
-        masks = (
+        # Per-doc mask: group bits into 64-bit words, then assemble the
+        # fixed-width array (absent words zero-filled via the map).
+        word_masks = (
             base.join(F.broadcast(bits), "tok")
-            .groupBy("_id")
-            .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("mask"))
-            .select("_id", "mask", F.bit_count("mask").alias("n"))
+            .groupBy("_id", F.expr("bit DIV 64").alias("w"))
+            .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), bit % 64)")).alias("m"))
         )
-        a = masks.select(F.col("_id").alias("id_a"), F.col("mask").alias("ma"), F.col("n").alias("na"))
-        b = masks.select(F.col("_id").alias("id_b"), F.col("mask").alias("mb"), F.col("n").alias("nb"))
-        common = F.bit_count(F.col("ma").bitwiseAND(F.col("mb")))
-        return (
-            a.join(
-                F.broadcast(b),
-                (F.col("id_a") < F.col("id_b"))
-                & (F.least("na", "nb") >= threshold * F.greatest("na", "nb")),
-            )
-            .select(
-                "id_a",
-                "id_b",
-                (common / (F.col("na") + F.col("nb") - common)).alias("jaccard"),
-            )
-            .filter(F.col("jaccard") >= threshold)
+        arr = F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(F.col("_mm")[i], F.lit(0).cast("long")),
         )
+        masks = (
+            word_masks.groupBy("_id")
+            .agg(F.map_from_entries(F.collect_list(F.struct("w", "m"))).alias("_mm"))
+            .select("_id", arr.alias("arr"))
+        )
+        # Distinct-set grouping: gid = smallest member id (exact, no
+        # hash-collision risk). members is consumed four times below, so
+        # pin it once; the checkpoint is n_docs × (8B + 8·n_words) —
+        # corpus-linear and tiny.
+        members = (
+            masks.withColumn("gid", F.min("_id").over(Window.partitionBy("arr")))
+            .select("_id", "gid", "arr")
+            .localCheckpoint()
+        )
+        sets = (
+            members.groupBy("gid")
+            .agg(F.first("arr").alias("arr"))
+            .withColumn("n", _popcount_sum("arr", n_words))
+        )
+        # Cap guard: member count (one fast count on the checkpoint)
+        # upper-bounds the distinct-set count, so the exact m count only
+        # runs in the rare past-the-bound case.
+        n_members = members.count()
+        if n_members <= _MASK_SETS_CAP or sets.count() <= _MASK_SETS_CAP:
+            # Explicit repartition of the streamed side: the tiny sets
+            # frame otherwise AQE-coalesces to ONE partition and the m²
+            # nested loop runs single-threaded (measured 56 s vs 2 s at
+            # the 10× probe SF).
+            par = docs.sparkSession.sparkContext.defaultParallelism
+            sa = sets.repartition(par).select(
+                F.col("gid").alias("gid_a"), F.col("arr").alias("ma"), F.col("n").alias("na")
+            )
+            sb = sets.select(
+                F.col("gid").alias("gid_b"), F.col("arr").alias("mb"), F.col("n").alias("nb")
+            )
+            common = _popcount_and("ma", "mb", n_words)
+            jac = common / (F.col("na") + F.col("nb") - common)
+            # Every predicate (canonical order, length filter, the exact
+            # Jaccard threshold) lives INSIDE the join condition: the
+            # broadcast nested-loop then emits only qualifying set pairs
+            # instead of materializing the full m² grid for a later
+            # filter.
+            cross = sa.join(
+                F.broadcast(sb),
+                (F.col("gid_a") < F.col("gid_b"))
+                & (F.least("na", "nb") >= threshold * F.greatest("na", "nb"))
+                & (jac >= threshold),
+            ).select("gid_a", "gid_b", jac.alias("jaccard"))
+            # Expansion is output-bound: qualifying set pairs × members.
+            # Cross-group members interleave in id space, so orient each
+            # doc pair with least/greatest (groups are disjoint — every
+            # unordered pair surfaces exactly once). Identical-set pairs
+            # have Jaccard exactly 1.0.
+            mem_a = members.select(F.col("gid").alias("gid_a"), F.col("_id").alias("xa"))
+            mem_b = members.select(F.col("gid").alias("gid_b"), F.col("_id").alias("xb"))
+            cross_pairs = (
+                cross.join(F.broadcast(mem_a), "gid_a")
+                .join(F.broadcast(mem_b), "gid_b")
+                .select(
+                    F.least("xa", "xb").alias("id_a"),
+                    F.greatest("xa", "xb").alias("id_b"),
+                    "jaccard",
+                )
+            )
+            intra = (
+                members.alias("p")
+                .join(
+                    members.alias("q"),
+                    (F.col("p.gid") == F.col("q.gid")) & (F.col("p._id") < F.col("q._id")),
+                )
+                .select(
+                    F.col("p._id").alias("id_a"),
+                    F.col("q._id").alias("id_b"),
+                    F.lit(1.0).alias("jaccard"),
+                )
+            )
+            return cross_pairs.unionByName(intra)
+        # Set diversity too high for a bounded broadcast — fall through
+        # to the prefix-filter path (high diversity implies enough rare
+        # tokens for the prefix index to prune on).
     tokset = base.groupBy("_id").agg(
         F.array_sort(F.collect_list("tok")).alias("toks"), F.count("*").alias("n")
     )
