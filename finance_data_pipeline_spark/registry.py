@@ -868,8 +868,16 @@ def q_quality_summary(spark, sf_dir):
     """SELECT l_returnflag, l_linestatus,
   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))
+                      AS DECIMAL(18,8))), 2)
+       AS DOUBLE) AS sum_disc_price,
+  CAST(round(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))
+                           AS DECIMAL(22,8))
+                      * (CAST(1 AS DECIMAL(8,6)) + CAST(l_tax AS DECIMAL(8,6)))
+                 AS DECIMAL(18,8))), 2)
+       AS DOUBLE) AS sum_charge,
   count(*) AS count_order,
   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
@@ -882,20 +890,38 @@ def q_pricing_summary(spark, sf_dir):
     l = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-12-01 00:00:00").cast("timestamp")
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-
     # Fixed-point columns (2dp prices, 6dp discounts) sum as scaled
     # longs (fx.fixed_point_sum) — numerically identical to the
     # oracle's sum(DECIMAL)::DOUBLE at half the wall-clock (measured
-    # 1.1s → 0.55s on the sf0.1 scan). Products (disc_price, charge)
-    # are NOT fixed-point — those sum in double and self-round to the
-    # cent, matching the oracle's round(sum(...), 2).
+    # 1.1s → 0.55s on the sf0.1 scan). The PRODUCT columns are exact
+    # DECIMAL: the input casts are boundary-safe (the data is
+    # 2dp/6dp-clean, so each double sits an ulp from its decimal,
+    # ~0.005 from any cast boundary), the multiplies are exact, and
+    # the sums are order-independent. A double sum + round(,2) is NOT
+    # safe here: the sf1 sweep caught the group total (2.9e10) landing
+    # on a .xx5 cent boundary where Spark's exact-expansion round and
+    # DuckDB's float-scaled round split a cent (28647410339.50 vs
+    # .49) — and the double accumulation itself is partition-order
+    # dependent at that magnitude. Each product is held at
+    # DECIMAL(18,8) — compact-long backed, so per-row ops never box a
+    # BigDecimal (measured 1.1s → 0.86s at sf0.1): disc_price's
+    # narrowing is width-only (values < 1e10, no rounding); charge
+    # carries ONE defined per-row rounding, its exact 14dp value to
+    # 8dp, HALF_UP in both engines (the oracle spells the identical
+    # cast sequence).
+    one6 = F.lit(1).cast("decimal(8,6)")
+    disc_price_d = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (one6 - F.col("l_discount").cast("decimal(8,6)"))
+    ).cast("decimal(18,8)")
+    charge_d = (
+        disc_price_d * (one6 + F.col("l_tax").cast("decimal(8,6)"))
+    ).cast("decimal(18,8)")
     out = l.groupBy("l_returnflag", "l_linestatus").agg(
         fx.fixed_point_sum("l_quantity", 100).alias("sum_qty"),
         fx.fixed_point_sum("l_extendedprice", 100).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(charge), 2).alias("sum_charge"),
+        F.round(F.sum(disc_price_d), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(charge_d), 2).cast("double").alias("sum_charge"),
         F.count("*").alias("count_order"),
         fx.fixed_point_sum("l_discount", 1_000_000).alias("_sum_disc"),
     )
@@ -5413,10 +5439,10 @@ def q_curated_mix(spark, sf_dir):
 @query(
     "dup_triangles",
     f"""WITH {_NEAR_PAIRS_CTE},
-und AS (SELECT DISTINCT id_a AS u, id_b AS v FROM np),
-sym AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
-deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
-e AS (SELECT s.u, s.v, du.d AS d, dv.d AS dv
+und AS MATERIALIZED (SELECT DISTINCT id_a AS u, id_b AS v FROM np),
+sym AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+deg AS MATERIALIZED (SELECT u, count(*) AS d FROM sym GROUP BY u),
+e AS MATERIALIZED (SELECT s.u, s.v, du.d AS d, dv.d AS dv
       FROM sym s JOIN deg du ON s.u = du.u
       JOIN deg dv ON s.v = dv.u
       WHERE du.d < dv.d OR (du.d = dv.d AND s.u < s.v)),
