@@ -993,46 +993,58 @@ def string_sim_join(
     # is identical to the general path, so the dispatch is invisible.
     n_vocab = freq.count()
     if 0 < n_vocab <= _MASK_VOCAB_CAP:
-        n_words = (n_vocab + 63) // 64
-        bits = freq.select(
-            "tok",
-            (F.row_number().over(Window.orderBy("df", "tok")) - 1).alias("bit"),
-        )
-        # Per-doc mask: group bits into 64-bit words, then assemble the
-        # fixed-width array (absent words zero-filled via the map).
-        word_masks = (
-            base.join(F.broadcast(bits), "tok")
-            .groupBy("_id", F.expr("bit DIV 64").alias("w"))
-            .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), bit % 64)")).alias("m"))
-        )
-        arr = F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda i: F.coalesce(F.col("_mm")[i], F.lit(0).cast("long")),
-        )
-        masks = (
-            word_masks.groupBy("_id")
-            .agg(F.map_from_entries(F.collect_list(F.struct("w", "m"))).alias("_mm"))
-            .select("_id", arr.alias("arr"))
-        )
-        # Distinct-set grouping: gid = smallest member id (exact, no
-        # hash-collision risk). members is consumed four times below, so
-        # pin it once; the checkpoint is n_docs × (8B + 8·n_words) —
-        # corpus-linear and tiny.
-        members = (
-            masks.withColumn("gid", F.min("_id").over(Window.partitionBy("arr")))
-            .select("_id", "gid", "arr")
-            .localCheckpoint()
-        )
-        sets = (
-            members.groupBy("gid")
-            .agg(F.first("arr").alias("arr"))
-            .withColumn("n", _popcount_sum("arr", n_words))
-        )
-        # Cap guard: member count (one fast count on the checkpoint)
-        # upper-bounds the distinct-set count, so the exact m count only
-        # runs in the rare past-the-bound case.
-        n_members = members.count()
-        if n_members <= _MASK_SETS_CAP or sets.count() <= _MASK_SETS_CAP:
+        # Cap guard BEFORE any mask work (ADVICE r7): the doc count
+        # upper-bounds the distinct-set count, so the exact set count
+        # (one groupBy over base — no bit assignment, no mask assembly)
+        # only runs in the past-the-bound case, and a fall-through to
+        # the prefix path computes and pins nothing it then discards.
+        n_members = sizes.count()
+        if n_members > _MASK_SETS_CAP:
+            n_sets = (
+                base.groupBy("_id")
+                .agg(F.sort_array(F.collect_set("tok")).alias("_ts"))
+                .agg(F.countDistinct("_ts").alias("m"))
+                .first()["m"]
+            )
+        else:
+            n_sets = n_members
+        if n_sets <= _MASK_SETS_CAP:
+            n_words = (n_vocab + 63) // 64
+            bits = freq.select(
+                "tok",
+                (F.row_number().over(Window.orderBy("df", "tok")) - 1).alias("bit"),
+            )
+            # Per-doc mask: group bits into 64-bit words, then assemble the
+            # fixed-width array (absent words zero-filled via the map).
+            word_masks = (
+                base.join(F.broadcast(bits), "tok")
+                .groupBy("_id", F.expr("bit DIV 64").alias("w"))
+                .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), bit % 64)")).alias("m"))
+            )
+            arr = F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.coalesce(F.col("_mm")[i], F.lit(0).cast("long")),
+            )
+            masks = (
+                word_masks.groupBy("_id")
+                .agg(F.map_from_entries(F.collect_list(F.struct("w", "m"))).alias("_mm"))
+                .select("_id", arr.alias("arr"))
+            )
+            # Distinct-set grouping: gid = smallest member id (exact, no
+            # hash-collision risk). members is consumed four times below,
+            # so pin it once; the checkpoint is n_docs × (8B + 8·n_words)
+            # — corpus-linear and tiny, and it lives only for this call's
+            # plan (the fall-through branch above never builds it).
+            members = (
+                masks.withColumn("gid", F.min("_id").over(Window.partitionBy("arr")))
+                .select("_id", "gid", "arr")
+                .localCheckpoint()
+            )
+            sets = (
+                members.groupBy("gid")
+                .agg(F.first("arr").alias("arr"))
+                .withColumn("n", _popcount_sum("arr", n_words))
+            )
             # Explicit repartition of the streamed side: the tiny sets
             # frame otherwise AQE-coalesces to ONE partition and the m²
             # nested loop runs single-threaded (measured 56 s vs 2 s at
@@ -1061,12 +1073,16 @@ def string_sim_join(
             # Cross-group members interleave in id space, so orient each
             # doc pair with least/greatest (groups are disjoint — every
             # unordered pair surfaces exactly once). Identical-set pairs
-            # have Jaccard exactly 1.0.
+            # have Jaccard exactly 1.0. No broadcast hints here (ADVICE
+            # r7): members is one row PER DOCUMENT — corpus-sized, not
+            # cap-bounded — so these join as bounded-key shuffles on the
+            # long gid (16-byte rows); AQE still picks broadcast-hash
+            # when the frames really are small.
             mem_a = members.select(F.col("gid").alias("gid_a"), F.col("_id").alias("xa"))
             mem_b = members.select(F.col("gid").alias("gid_b"), F.col("_id").alias("xb"))
             cross_pairs = (
-                cross.join(F.broadcast(mem_a), "gid_a")
-                .join(F.broadcast(mem_b), "gid_b")
+                cross.join(mem_a, "gid_a")
+                .join(mem_b, "gid_b")
                 .select(
                     F.least("xa", "xb").alias("id_a"),
                     F.greatest("xa", "xb").alias("id_b"),

@@ -811,6 +811,8 @@ def skyline_2d(
     from pyspark.sql import Window
 
     mt = df.groupBy(x).agg(F.max(y).alias("_mt"))
+    # Unpartitioned window — WindowExec warns, but the frame is the
+    # distinct-x aggregate (bounded by the x value domain), not rows.
     w = (
         Window.orderBy(F.desc(x)).rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -922,6 +924,8 @@ def global_rank(
         bin_expr = bin_expr + (c > F.lit(s)).cast("int")
     binned = df.select(*keep_cols, col, bin_expr.alias("_bin"))
     counts = binned.groupBy("_bin").agg(F.count(F.lit(1)).alias("_bn"))
+    # Unpartitioned window — WindowExec warns, but it runs over the
+    # ≤ bins-row counts frame (bounded driver state by design).
     wcum = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "_bin", F.coalesce(F.sum("_bn").over(wcum), F.lit(0)).alias("_before")
@@ -996,6 +1000,8 @@ def binned_cum_weights(
     counts = binned.groupBy("_bin").agg(
         *[F.sum(w).alias(f"_bn_{w}") for w in weight_cols]
     )
+    # Unpartitioned window — WindowExec warns, but it runs over the
+    # ≤ bins-row counts frame (bounded driver state by design).
     wcum = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "_bin",

@@ -137,3 +137,33 @@ def test_determinism(up_dir, tmp_path):
             f" SELECT * FROM '{up_dir}/{t}.parquet'))"
         ).fetchone()[0]
         assert diff == 0, t
+
+
+def test_stride_collision_guard(tmp_path):
+    """ADVICE r7: a source key >= STRIDE must fail loudly, not silently
+    produce colliding replica key ranges."""
+    import tools.sf_upsample as u
+
+    src = str(tmp_path / "bad_src")
+    os.makedirs(src)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM '{REAL_SF}/{t}.parquet') "
+            f"TO '{src}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.execute(
+        f"COPY (SELECT * REPLACE (CAST(doc_id + {u.STRIDE} AS BIGINT) AS doc_id) "
+        f"FROM '{REAL_SF}/documents.parquet') "
+        f"TO '{src}/documents.parquet' (FORMAT PARQUET)"
+    )
+    with pytest.raises(SystemExit, match="STRIDE .* too small"):
+        u.upsample(src, str(tmp_path / "dst"), replicas=2)
+
+
+def test_offset_keys_cover_every_fact_table():
+    """Every replicated table must have its offset columns validated —
+    a FACT_SQL entry without an OFFSET_KEYS entry would skip the guard."""
+    import tools.sf_upsample as u
+
+    assert set(u.OFFSET_KEYS) == set(u.FACT_SQL)

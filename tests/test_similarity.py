@@ -86,31 +86,76 @@ def test_ivf_full_probe_is_exact(spark, vectors):
     }
 
 
-def test_string_sim_join_general_path_matches_bruteforce(spark):
-    """Force the >64-token-vocabulary branch (prefix filter + array
-    intersection) and check it against brute-force exact Jaccard; the
-    small-vocab corpora in testdata exercise the bitmask branch."""
-    from finance_data_pipeline_spark.extensions import dedup
-
-    words = [f"w{i:03d}" for i in range(120)]
+def _string_sim_corpus(spark, n_vocab: int, n_docs: int = 30):
+    """Deterministic corpus with `n_vocab` distinct tokens and a
+    near-duplicate (one token swapped) for every third doc."""
+    words = [f"w{i:04d}" for i in range(n_vocab)]
     rows = []
-    for d in range(30):
-        base = [words[(d * 7 + j) % 120] for j in range(12)]
+    for d in range(n_docs):
+        base = [words[(d * 7 + j) % n_vocab] for j in range(12)]
         rows.append((d, " ".join(base)))
         if d % 3 == 0:  # near-duplicate: one token swapped
-            rows.append((100 + d, " ".join(base[:-1] + [words[(d + 53) % 120]])))
-    docs = spark.createDataFrame(rows, "doc_id long, text string")
+            rows.append((100 + d, " ".join(base[:-1] + [words[(d + 53) % n_vocab]])))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _string_sim_vs_bruteforce(docs, threshold=0.7):
+    from finance_data_pipeline_spark.extensions import dedup
+
     out = {
         (r.id_a, r.id_b): r.jaccard
-        for r in dedup.string_sim_join(docs, threshold=0.7).collect()
+        for r in dedup.string_sim_join(docs, threshold=threshold).collect()
     }
     truth = {
         (r.id_a, r.id_b): r.jaccard
-        for r in dedup.shingle_pairs_jaccard(docs, k=1).filter("jaccard >= 0.7").collect()
+        for r in dedup.shingle_pairs_jaccard(docs, k=1)
+        .filter(f"jaccard >= {threshold}")
+        .collect()
     }
     assert out.keys() == truth.keys()
     for k in truth:
         assert out[k] == pytest.approx(truth[k], abs=1e-12)
+    return out
+
+
+def test_string_sim_join_multiword_mask_matches_bruteforce(spark):
+    """120 distinct tokens — above one 64-bit word, below _MASK_VOCAB_CAP
+    — pins the MULTI-WORD bitmask assembly (bit→word grouping, zero-fill,
+    popcount sum across words) against brute-force exact Jaccard."""
+    from finance_data_pipeline_spark.extensions import dedup
+
+    assert 64 < 120 <= dedup._MASK_VOCAB_CAP  # corpus rides the mask path
+    _string_sim_vs_bruteforce(_string_sim_corpus(spark, 120))
+
+
+def test_string_sim_join_prefix_path_matches_bruteforce(spark):
+    """>_MASK_VOCAB_CAP distinct tokens forces the general prefix-filter
+    + array-intersect branch (ADVICE r7: the cap raise to 1024 left this
+    path without forced unit coverage); check it against brute force."""
+    from finance_data_pipeline_spark.extensions import dedup
+
+    n_vocab = dedup._MASK_VOCAB_CAP + 76  # 1100 with the current cap
+    # 12 tokens/doc over an 1100-word rotating window: every token is
+    # rare, which is exactly the regime the prefix filter prunes on.
+    _string_sim_vs_bruteforce(_string_sim_corpus(spark, n_vocab, n_docs=40))
+
+
+def test_string_sim_join_dispatch_invariant_under_caps(spark, monkeypatch):
+    """The three dispatches (bitmask; vocab-cap fall-through to prefix;
+    sets-cap fall-through to prefix) must agree pair-for-pair on one
+    corpus — the dispatch is a performance choice, never a semantic one.
+    The sets-cap case also covers the early fall-through that skips the
+    mask build entirely (ADVICE r7 restructure)."""
+    from finance_data_pipeline_spark.extensions import dedup
+
+    docs = _string_sim_corpus(spark, 120)
+    via_mask = _string_sim_vs_bruteforce(docs)
+    monkeypatch.setattr(dedup, "_MASK_VOCAB_CAP", 0)
+    via_prefix = _string_sim_vs_bruteforce(docs)
+    monkeypatch.setattr(dedup, "_MASK_VOCAB_CAP", 1024)
+    monkeypatch.setattr(dedup, "_MASK_SETS_CAP", 1)
+    via_sets_fallthrough = _string_sim_vs_bruteforce(docs)
+    assert via_mask == via_prefix == via_sets_fallthrough
 
 
 def test_connected_components_chain_cliques_and_isolated_pair(spark):

@@ -113,10 +113,36 @@ FACT_SQL = {
 }
 DIM_TABLES = ("region", "nation")
 
+# Every column the templates offset by ``i * STRIDE``. Validated against
+# the source before writing: a source key >= STRIDE (e.g. lineitem
+# orderkeys at sf>=2) would silently collide replica key ranges,
+# corrupting PK/FK structure and invalidating the probe's growth factors.
+OFFSET_KEYS = {
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
 
 def upsample(src_dir: str, dst_dir: str, replicas: int) -> None:
     os.makedirs(dst_dir, exist_ok=True)
     con = duckdb.connect()
+    for name, keys in OFFSET_KEYS.items():
+        maxes = con.execute(
+            "SELECT " + ", ".join(f"max({k})" for k in keys)
+            + f" FROM '{src_dir}/{name}.parquet'"
+        ).fetchone()
+        for key, mx in zip(keys, maxes):
+            if mx is not None and mx >= STRIDE:
+                raise SystemExit(
+                    f"STRIDE {STRIDE} too small: {name}.{key} max is {mx}; "
+                    f"replica key ranges would collide. Raise STRIDE."
+                )
     con.execute(f"CREATE TEMP TABLE reps AS SELECT range AS i FROM range({replicas})")
     for name in DIM_TABLES:
         con.execute(
