@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from finance_data_pipeline_spark.functions import micro_avg
+
 NIBBLES = "0123456789abcdef"
 
 
@@ -363,11 +365,7 @@ def dsir_select(
         .select(
             F.col("_id").alias(id_col),
             "n_tokens",
-            F.round(
-                F.col("_s").cast("double")
-                / (F.lit(1_000_000.0) * F.col("n_tokens")),
-                6,
-            ).alias("avg_log_ratio"),
+            micro_avg(F.col("_s"), F.col("n_tokens")).alias("avg_log_ratio"),
         )
     )
     return per_doc.orderBy(F.desc("avg_log_ratio"), id_col).limit(top_n)

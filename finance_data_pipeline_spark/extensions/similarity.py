@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from finance_data_pipeline_spark.extensions.dedup import _spread
-from finance_data_pipeline_spark.functions import cosine, dot, l2_norm
+from finance_data_pipeline_spark.functions import cosine, dot, l2_norm, micro_avg
 
 
 def valid_vectors(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -804,12 +804,8 @@ def kmeans_cluster_quality(
     )
     return per.groupBy("cluster_id").agg(
         F.count("*").alias("n_vectors"),
-        F.round(
-            F.sum("_ow").cast("double") / (F.lit(float(scale)) * F.count("*")), 6
-        ).alias("mean_cohesion"),
-        F.round(
-            F.sum("_mg").cast("double") / (F.lit(float(scale)) * F.count("*")), 6
-        ).alias("mean_margin"),
+        micro_avg(F.sum("_ow"), F.count("*"), scale).alias("mean_cohesion"),
+        micro_avg(F.sum("_mg"), F.count("*"), scale).alias("mean_margin"),
     )
 
 

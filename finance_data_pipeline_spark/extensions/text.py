@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from finance_data_pipeline_spark.extensions.dedup import normalized, tokens, word_shingles
+from finance_data_pipeline_spark.functions import micro_avg
 
 # Tiny per-language stopword kernels for the n-gram/stopword language
 # heuristic (public common-word lists).
@@ -384,9 +385,7 @@ def unigram_logprob(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
         .select(
             F.col("_id").alias(id_col),
             "n_tokens",
-            F.round(
-                F.col("_s").cast("double") / (F.lit(1_000_000.0) * F.col("n_tokens")), 6
-            ).alias("avg_logprob"),
+            micro_avg(F.col("_s"), F.col("n_tokens")).alias("avg_logprob"),
         )
     )
 
@@ -890,11 +889,7 @@ def bigram_logprob(
         .select(
             F.col("_id").alias(id_col),
             "n_tokens",
-            F.round(
-                F.col("_s").cast("double")
-                / (F.lit(1_000_000.0) * F.col("n_tokens")),
-                6,
-            ).alias("avg_logprob"),
+            micro_avg(F.col("_s"), F.col("n_tokens")).alias("avg_logprob"),
         )
     )
 
@@ -1501,11 +1496,7 @@ def trigram_backoff_logprob(
         .select(
             F.col("_id").alias(id_col),
             "n_tokens",
-            F.round(
-                F.col("_s").cast("double")
-                / (F.lit(1_000_000.0) * F.col("n_tokens")),
-                6,
-            ).alias("avg_backoff_logprob"),
+            micro_avg(F.col("_s"), F.col("n_tokens")).alias("avg_backoff_logprob"),
         )
     )
 

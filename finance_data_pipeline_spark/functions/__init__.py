@@ -134,3 +134,25 @@ def fixed_point_sum(col: Column | str, scale: int) -> Column:
     (extreme-scale global sums) use the decimal path."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(F.round(c * scale).cast("long")) / float(scale)
+
+
+def micro_avg(s: Column, n: Column, scale: int = 1_000_000) -> Column:
+    """Exact fixed-point mean of a micro-unit BIGINT sum: integer
+    half-away-from-zero rounding of ``s / n`` (still in micro-units),
+    then one division by ``scale`` — both engines derive the IDENTICAL
+    double from identical BIGINTs, so there is no ``round(double, 6)``
+    whose half-boundary Spark (exact decimal expansion, HALF_UP) and
+    DuckDB (scaled-float) can resolve differently. The natural-text
+    probe caught exactly that divergence in dsir_selected_corpus
+    (-0.06262 vs -0.062619 on the same exact sums); this is the
+    class-level fix, paired with ``micro_avg_sql`` in registry.py so
+    the rounding is spelled identically on both sides.
+
+    The inner division is exact: ``mag - mag % d`` is divisible by
+    ``d``, both fit in 2^53, and the integer quotient is exactly
+    representable, so the IEEE division returns it exactly.
+    """
+    mag = 2 * F.abs(s) + n
+    d = 2 * n
+    q = ((mag - mag % d) / d).cast("long")
+    return F.when(s < 0, -q).otherwise(q).cast("double") / F.lit(float(scale))

@@ -88,6 +88,22 @@ def _date(s: str):
     return F.lit(s).cast("date")
 
 
+def _micro_avg_sql(s: str, n: str, scale: int = 1_000_000) -> str:
+    """DuckDB twin of functions.micro_avg: exact fixed-point mean of a
+    micro-unit BIGINT sum — integer half-away-from-zero rounding of
+    ``s / n`` in BIGINT arithmetic, then one division by ``scale``, so
+    there is no round(double, 6) whose half-boundary the two engines
+    can resolve differently (the natural-text probe caught that
+    divergence in dsir_selected_corpus). ``//`` is DuckDB integer
+    division; operands are made non-negative before dividing so
+    floor == round-toward-zero."""
+    return (
+        f"CAST(CASE WHEN ({s}) < 0"
+        f" THEN -((2*(-({s})) + ({n})) // (2*({n})))"
+        f" ELSE (2*({s}) + ({n})) // (2*({n})) END AS DOUBLE) / {scale}.0"
+    )
+
+
 # =========================================================================
 # §2.1/§1 — fixtures as queries (validates the derivation itself)
 # =========================================================================
@@ -3972,7 +3988,7 @@ lp_scored AS (SELECT tok.doc_id,
        AS BIGINT) AS lp
   FROM tok JOIN freq ON tok.w = freq.w CROSS JOIN tot),
 lm AS (SELECT doc_id, count(*) AS n_tokens,
-       round(CAST(sum(lp) AS DOUBLE) / (1000000.0 * count(*)), 6) AS avg_logprob
+       {_micro_avg_sql('sum(lp)', 'count(*)')} AS avg_logprob
        FROM lp_scored GROUP BY doc_id)"""
 
 
@@ -6869,10 +6885,8 @@ per AS (SELECT a.cid AS cluster_id,
         FROM asg a JOIN own o ON o.vec_id = a.vec_id
         JOIN oth t ON t.vec_id = a.vec_id)
 SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vectors,
-       round(CAST(sum(ow) AS DOUBLE) / (1000000.0 * count(*)), 6)
-         AS mean_cohesion,
-       round(CAST(sum(mg) AS DOUBLE) / (1000000.0 * count(*)), 6)
-         AS mean_margin
+       {_micro_avg_sql('sum(ow)', 'count(*)')} AS mean_cohesion,
+       {_micro_avg_sql('sum(mg)', 'count(*)')} AS mean_margin
 FROM per GROUP BY cluster_id""",
 )
 def q_kmeans_cluster_quality(spark, sf_dir):
@@ -6973,7 +6987,7 @@ def q_user_paths(spark, sf_dir):
 
 @query(
     "value_winsorized_stats",
-    """WITH st AS (
+    f"""WITH st AS (
   SELECT min(value) AS vmin, max(value) AS vmax, CAST(count(*) AS BIGINT) AS n
   FROM events),
 b AS (
@@ -7002,8 +7016,7 @@ w AS (SELECT event_type,
                   AS BIGINT) AS vmic
       FROM events CROSS JOIN bounds)
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-       round(CAST(sum(vmic) AS DOUBLE) / (1000000.0 * count(*)), 6)
-         AS winsorized_mean
+       {_micro_avg_sql('sum(vmic)', 'count(*)')} AS winsorized_mean
 FROM w GROUP BY event_type""",
 )
 def q_value_winsorized_stats(spark, sf_dir):
@@ -7073,9 +7086,7 @@ def q_value_winsorized_stats(spark, sf_dir):
     )
     return w.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(
-            F.sum("vmic").cast("double") / (F.lit(1_000_000.0) * F.count("*")), 6
-        ).alias("winsorized_mean"),
+        fx.micro_avg(F.sum("vmic"), F.count("*")).alias("winsorized_mean"),
     )
 
 
@@ -7161,9 +7172,9 @@ per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                CAST(sum(lr) AS BIGINT) AS s
         FROM srcs JOIN lr ON srcs.b = lr.b GROUP BY doc_id)
 SELECT doc_id, n_tokens,
-       round(CAST(s AS DOUBLE) / (1000000.0 * n_tokens), 6) AS avg_log_ratio
+       {_micro_avg_sql('s', 'n_tokens')} AS avg_log_ratio
 FROM (SELECT *, row_number() OVER (
-        ORDER BY CAST(s AS DOUBLE) / (1000000.0 * n_tokens) DESC, doc_id)
+        ORDER BY {_micro_avg_sql('s', 'n_tokens')} DESC, doc_id)
         AS rn
       FROM per) WHERE rn <= 100""",
 )
@@ -7210,8 +7221,7 @@ sc AS (SELECT p.doc_id,
   LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
   LEFT JOIN ctx x ON x.w1 = p.w1)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       round(CAST(sum(lp) AS DOUBLE) / (1000000.0 * count(*)), 6)
-         AS avg_logprob
+       {_micro_avg_sql('sum(lp)', 'count(*)')} AS avg_logprob
 FROM sc GROUP BY doc_id""",
 )
 def q_bigram_logprob(spark, sf_dir):
@@ -12105,8 +12115,7 @@ sc AS (SELECT tr.doc_id,
   LEFT JOIN tri g ON g.w1 = tr.w1 AND g.w2 = tr.w2 AND g.w3 = tr.w3
   LEFT JOIN tctx gc ON gc.w1 = tr.w1 AND gc.w2 = tr.w2)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       round(CAST(sum(lp) AS DOUBLE) / (1000000.0 * count(*)), 6)
-         AS avg_backoff_logprob
+       {_micro_avg_sql('sum(lp)', 'count(*)')} AS avg_backoff_logprob
 FROM sc GROUP BY doc_id""",
 )
 def q_trigram_backoff_logprob(spark, sf_dir):
