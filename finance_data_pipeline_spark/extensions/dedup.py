@@ -998,7 +998,11 @@ def string_sim_join(
         # (one groupBy over base — no bit assignment, no mask assembly)
         # only runs in the past-the-bound case, and a fall-through to
         # the prefix path computes and pins nothing it then discards.
-        n_members = sizes.count()
+        # docs.count() (a metadata-cheap scan, usually parquet
+        # count-star) rather than sizes.count(): the bound doesn't need
+        # the tokenized frame, and re-evaluating base here would cost an
+        # extra explode+hash pass in the common small-corpus case.
+        n_members = docs.count()
         if n_members > _MASK_SETS_CAP:
             n_sets = (
                 base.groupBy("_id")
