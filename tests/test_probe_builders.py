@@ -83,3 +83,25 @@ def test_bars_builder_determinism():
     assert list(p1.columns) == _real_columns("events")
     pd.testing.assert_frame_equal(p1, p2)
     assert p1["event_id"].is_unique
+
+
+def test_natural_text_builder_schema_and_determinism():
+    from tools.natural_text_probe import build_documents_pdf
+
+    d1, d2 = build_documents_pdf(), build_documents_pdf()
+    assert list(d1.columns) == _real_columns("documents")
+    pd.testing.assert_frame_equal(d1, d2)
+    assert (d1["n_chars"] == d1["text"].str.len()).all()
+    assert d1["doc_id"].is_unique
+    # the shapes THIS probe exists for: sentence terminators and the
+    # Gopher stop set present in the bulk (primary-branch coverage)
+    import re
+
+    stop = set("the be to of and that have with".split())
+    hits = d1["text"].apply(
+        lambda t: sum(w in stop for w in re.findall(r"[a-z]+", t.lower()))
+    )
+    assert (hits > 0).mean() > 0.9  # stopwords are the NORM here
+    assert d1["text"].str.contains(r"[.!?]").mean() > 0.95
+    assert d1["text"].str.contains("\n").any()  # multi-line paragraphs
+    assert d1["text"].duplicated().any()  # dedup structure
