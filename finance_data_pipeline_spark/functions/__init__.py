@@ -148,11 +148,13 @@ def micro_avg(s: Column, n: Column, scale: int = 1_000_000) -> Column:
     class-level fix, paired with ``micro_avg_sql`` in registry.py so
     the rounding is spelled identically on both sides.
 
-    The inner division is exact: ``mag - mag % d`` is divisible by
-    ``d``, both fit in 2^53, and the integer quotient is exactly
-    representable, so the IEEE division returns it exactly.
+    The inner division uses Spark's integer ``div`` (IntegralDivide),
+    which matches DuckDB's BIGINT ``//`` bit-for-bit over the full
+    int64 range — a double-rounded ``(mag - mag % d) / d`` would be
+    exact only while ``mag = 2*|s| + n`` stays below 2^53 (ADVICE r8:
+    sums above ~9e15 micro-units could diverge by one ulp).
     """
     mag = 2 * F.abs(s) + n
     d = 2 * n
-    q = ((mag - mag % d) / d).cast("long")
+    q = F.call_function("div", mag, d)
     return F.when(s < 0, -q).otherwise(q).cast("double") / F.lit(float(scale))

@@ -70,3 +70,26 @@ def test_days_back_cutoff_is_relative(spark):
         (F.current_date() >= fx.days_back_cutoff(30)).alias("ok")
     ).collect()[0]["ok"]
     assert out
+
+
+def test_micro_avg_exact_beyond_2pow53(spark):
+    """micro_avg's inner quotient uses Spark's integer div (ADVICE r8):
+    bit-for-bit with DuckDB's BIGINT // over the full int64 range. Pin
+    against Python exact integer arithmetic at magnitudes where the old
+    (mag - mag % d) / d double path is off by one ulp (mag > 2^53),
+    plus negative sums and a half-boundary case."""
+    cases = [
+        (9_007_199_254_740_993, 2),       # mag = 2|s|+n > 2^53
+        (-9_007_199_254_740_993, 2),      # negative branch at scale
+        (4_611_686_018_427_387_900, 1),   # near int64/2: mag near max
+        (7, 2),                           # 3.5 micro-units: half boundary
+        (-7, 2),                          # half-away-from-zero, negative
+        (1_234_567, 3),
+    ]
+    df = spark.createDataFrame(cases, "s long, n long")
+    rows = df.select("s", "n", fx.micro_avg(F.col("s"), F.col("n")).alias("v")).collect()
+    for r in rows:
+        mag, d = 2 * abs(r.s) + r.n, 2 * r.n
+        q = mag // d
+        expect = float(-q if r.s < 0 else q) / 1_000_000.0
+        assert r.v == expect, (r.s, r.n, r.v, expect)
