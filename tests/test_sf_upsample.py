@@ -161,6 +161,28 @@ def test_stride_collision_guard(tmp_path):
         u.upsample(src, str(tmp_path / "dst"), replicas=2)
 
 
+def test_negative_key_guard(tmp_path):
+    """ADVICE r8: a negative source key must fail loudly — replica i's
+    offset range [i*S + min, i*S + max] would dip into replica i-1's."""
+    import tools.sf_upsample as u
+
+    src = str(tmp_path / "neg_src")
+    os.makedirs(src)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM '{REAL_SF}/{t}.parquet') "
+            f"TO '{src}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.execute(
+        "COPY (SELECT * REPLACE (CAST(doc_id - 1000000 AS BIGINT) AS doc_id) "
+        f"FROM '{REAL_SF}/documents.parquet') "
+        f"TO '{src}/documents.parquet' (FORMAT PARQUET)"
+    )
+    with pytest.raises(SystemExit, match="negative source key"):
+        u.upsample(src, str(tmp_path / "dst"), replicas=2)
+
+
 def test_offset_keys_cover_every_fact_table():
     """Every replicated table must have its offset columns validated —
     a FACT_SQL entry without an OFFSET_KEYS entry would skip the guard."""

@@ -133,15 +133,23 @@ def upsample(src_dir: str, dst_dir: str, replicas: int) -> None:
     os.makedirs(dst_dir, exist_ok=True)
     con = duckdb.connect()
     for name, keys in OFFSET_KEYS.items():
-        maxes = con.execute(
-            "SELECT " + ", ".join(f"max({k})" for k in keys)
+        bounds = con.execute(
+            "SELECT " + ", ".join(f"min({k}), max({k})" for k in keys)
             + f" FROM '{src_dir}/{name}.parquet'"
         ).fetchone()
-        for key, mx in zip(keys, maxes):
+        for idx, key in enumerate(keys):
+            mn, mx = bounds[2 * idx], bounds[2 * idx + 1]
             if mx is not None and mx >= STRIDE:
                 raise SystemExit(
                     f"STRIDE {STRIDE} too small: {name}.{key} max is {mx}; "
                     f"replica key ranges would collide. Raise STRIDE."
+                )
+            # ADVICE r8: a negative source key would let replica i's
+            # offset range [i*S + mn, i*S + mx] dip into replica i-1's.
+            if mn is not None and mn < 0:
+                raise SystemExit(
+                    f"negative source key: {name}.{key} min is {mn}; "
+                    f"replica key ranges would collide. Keys must be >= 0."
                 )
     con.execute(f"CREATE TEMP TABLE reps AS SELECT range AS i FROM range({replicas})")
     for name in DIM_TABLES:
