@@ -930,6 +930,7 @@ def string_sim_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     grams=None,
+    vocab_size_hint: int | None = None,
 ) -> DataFrame:
     """Exact token-Jaccard self-join with prefix filtering (the
     AllPairs/PPJoin candidate-pruning family; cf. "Highly Efficient
@@ -958,6 +959,16 @@ def string_sim_join(
     corpus with no rare tokens. See the inline dispatch comment; the
     sf0.1→sf1 growth probe (GROWTH_PROBE.json) is the regression
     witness for the dispatch cliff this replaces.
+
+    ``vocab_size_hint`` (VERDICT r8 item 7): a caller that already
+    knows the distinct-token count exceeds ``_MASK_VOCAB_CAP`` (any
+    lower bound above the cap is enough) can pass it to skip the
+    dispatch's one distinct-token count over the tokenized frame — one
+    corpus pass saved per call at 100 TB. Hints ≤ the cap are IGNORED
+    and the exact count is taken: the mask path needs the true count
+    for its bit-width, so dispatching onto it from a trusted hint could
+    silently truncate masks. A hint therefore only ever selects the
+    always-exact prefix path; no hint value can change results.
     """
     # The gram column (default word tokens; char_ngrams for the n-gram
     # Jaccard variant) is already array_distinct per doc; hashing AFTER
@@ -991,7 +1002,10 @@ def string_sim_join(
     # — the property that makes this the 100 TB path for low-diversity
     # token sets (categorical signatures, template corpora). Exactness
     # is identical to the general path, so the dispatch is invisible.
-    n_vocab = freq.count()
+    if vocab_size_hint is not None and vocab_size_hint > _MASK_VOCAB_CAP:
+        n_vocab = vocab_size_hint  # past the cap: prefix path, no count
+    else:
+        n_vocab = freq.count()
     if 0 < n_vocab <= _MASK_VOCAB_CAP:
         # Cap guard BEFORE any mask work (ADVICE r7): the doc count
         # upper-bounds the distinct-set count, so the exact set count

@@ -149,13 +149,42 @@ def test_string_sim_join_dispatch_invariant_under_caps(spark, monkeypatch):
     from finance_data_pipeline_spark.extensions import dedup
 
     docs = _string_sim_corpus(spark, 120)
-    via_mask = _string_sim_vs_bruteforce(docs)
-    monkeypatch.setattr(dedup, "_MASK_VOCAB_CAP", 0)
+    orig_vocab_cap = dedup._MASK_VOCAB_CAP  # ADVICE r8: not a literal,
+    via_mask = _string_sim_vs_bruteforce(docs)  # so a cap change can't
+    monkeypatch.setattr(dedup, "_MASK_VOCAB_CAP", 0)  # stale this leg
     via_prefix = _string_sim_vs_bruteforce(docs)
-    monkeypatch.setattr(dedup, "_MASK_VOCAB_CAP", 1024)
+    monkeypatch.setattr(dedup, "_MASK_VOCAB_CAP", orig_vocab_cap)
     monkeypatch.setattr(dedup, "_MASK_SETS_CAP", 1)
     via_sets_fallthrough = _string_sim_vs_bruteforce(docs)
     assert via_mask == via_prefix == via_sets_fallthrough
+
+
+def test_string_sim_join_vocab_hint_never_changes_results(spark):
+    """VERDICT r8 item 7: vocab_size_hint is a planning hint only. A
+    WRONG above-cap hint on a mask-eligible corpus forces the prefix
+    path — results must still match the counted dispatch exactly; a
+    below-cap hint must be ignored (exact count still taken)."""
+    from finance_data_pipeline_spark.extensions import dedup
+
+    docs = _string_sim_corpus(spark, 120)
+    counted = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.string_sim_join(docs, threshold=0.5).collect()
+    }
+    hinted_wrong = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.string_sim_join(
+            docs, threshold=0.5, vocab_size_hint=10**6
+        ).collect()
+    }
+    hinted_low = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.string_sim_join(
+            docs, threshold=0.5, vocab_size_hint=1
+        ).collect()
+    }
+    assert counted == hinted_wrong == hinted_low
+    assert len(counted) > 0
 
 
 def test_connected_components_chain_cliques_and_isolated_pair(spark):

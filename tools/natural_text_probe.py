@@ -89,14 +89,13 @@ def build_documents_pdf():
         p1 = _paragraph(200 + i, 2)
         p2 = _paragraph(300 + i, 3)
         add(p1 + "\n" + p2 + "\n" + p1)
-    # 3. long sentences straddling the 25-word segmenter cap: 20-40
-    #    words per sentence, so udtf_sentences runs BOTH the punctuation
-    #    split AND the over-cap word chunking on the same doc.
+    # 3. long sentences straddling the 25-word segmenter cap: 23-41
+    #    words per sentence (n words + "holds the lock."), so
+    #    udtf_sentences runs BOTH the punctuation split AND the
+    #    over-cap word chunking on the same doc.
     for i in range(10):
-        n = 20 + i * 2  # 20..38 words
-        long_sent = " ".join(
-            (_SUBJECTS[j % 8] + " and").split()[0] for j in range(n)
-        )
+        n = 20 + i * 2  # 20..38 words before the 3-word tail
+        long_sent = " ".join(_SUBJECTS[j % 8].split()[0] for j in range(n))
         add(long_sent + " holds the lock. " + _paragraph(400 + i, 2))
     # 4. hashtags and ellipses (Gopher symbol_word_ratio numerators)
     for i in range(6):
