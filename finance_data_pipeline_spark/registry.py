@@ -4280,20 +4280,20 @@ FROM nodes n LEFT JOIN (
 
 @query(
     "supplier_customer_pagerank",
-    f"""WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
+    f"""WITH e0 AS MATERIALIZED (SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-edges AS (SELECT s AS src, c AS dst FROM e0
+edges AS MATERIALIZED (SELECT s AS src, c AS dst FROM e0
           UNION ALL SELECT c AS src, s AS dst FROM e0),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
-deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
 params AS (SELECT count(*) AS n FROM nodes),
-r0 AS (SELECT node, CAST(1000000000 // (SELECT n FROM params) AS BIGINT) AS r
+r0 AS MATERIALIZED (SELECT node, CAST(1000000000 // (SELECT n FROM params) AS BIGINT) AS r
        FROM nodes),
-r1 AS ({_pr_round("r0")}),
-r2 AS ({_pr_round("r1")}),
-r3 AS ({_pr_round("r2")}),
-r4 AS ({_pr_round("r3")}),
-r5 AS ({_pr_round("r4")})
+r1 AS MATERIALIZED ({_pr_round("r0")}),
+r2 AS MATERIALIZED ({_pr_round("r1")}),
+r3 AS MATERIALIZED ({_pr_round("r2")}),
+r4 AS MATERIALIZED ({_pr_round("r3")}),
+r5 AS MATERIALIZED ({_pr_round("r4")})
 SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS node_type,
        node // 2 AS entity_key, r AS rank_scaled,
        r / 1000000000.0 AS pagerank
@@ -8884,23 +8884,23 @@ FROM nodes n LEFT JOIN seeds sd ON sd.node = n.node LEFT JOIN (
 
 @query(
     "personalized_pagerank",
-    f"""WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
+    f"""WITH e0 AS MATERIALIZED (SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-edges AS (SELECT s AS src, c AS dst FROM e0
+edges AS MATERIALIZED (SELECT s AS src, c AS dst FROM e0
           UNION ALL SELECT c AS src, s AS dst FROM e0),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
-deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-seeds AS (SELECT node FROM nodes WHERE node % 2 = 0 AND node // 2 <= 3),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+seeds AS MATERIALIZED (SELECT node FROM nodes WHERE node % 2 = 0 AND node // 2 <= 3),
 sparams AS (SELECT count(*) AS ns FROM seeds),
-r0 AS (SELECT n.node,
+r0 AS MATERIALIZED (SELECT n.node,
          CAST(CASE WHEN sd.node IS NOT NULL
               THEN 1000000000 // (SELECT ns FROM sparams) ELSE 0 END AS BIGINT) AS r
        FROM nodes n LEFT JOIN seeds sd ON sd.node = n.node),
-r1 AS ({_ppr_round("r0")}),
-r2 AS ({_ppr_round("r1")}),
-r3 AS ({_ppr_round("r2")}),
-r4 AS ({_ppr_round("r3")}),
-r5 AS ({_ppr_round("r4")})
+r1 AS MATERIALIZED ({_ppr_round("r0")}),
+r2 AS MATERIALIZED ({_ppr_round("r1")}),
+r3 AS MATERIALIZED ({_ppr_round("r2")}),
+r4 AS MATERIALIZED ({_ppr_round("r3")}),
+r5 AS MATERIALIZED ({_ppr_round("r4")})
 SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS node_type,
        node // 2 AS entity_key, r AS rank_scaled,
        r / 1000000000.0 AS pagerank
