@@ -1322,8 +1322,15 @@ def embedding_standardize(
     return exploded.join(F.broadcast(stats), "dim").select(
         id_col,
         "dim",
-        F.round(
-            (F.col("_x") - F.col("_mean")) / F.nullif("_std", F.lit(0.0)), 6
+        # + 0.0: a tiny negative (x − mean) rounds to −0.0 in DuckDB
+        # but +0.0 in Spark — normalize per the signed-zero convention
+        # (the oracle carries the same + 0.0).
+        (
+            F.round(
+                (F.col("_x") - F.col("_mean")) / F.nullif("_std", F.lit(0.0)),
+                6,
+            )
+            + 0.0
         ).alias("z"),
     )
 

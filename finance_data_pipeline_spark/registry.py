@@ -5195,14 +5195,16 @@ m AS (SELECT dim,
                   - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
                     * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS std
       FROM st)
-SELECT vec_id, dim, round((x - mean) / nullif(std, 0.0), 6) AS z
+SELECT vec_id, dim, round((x - mean) / nullif(std, 0.0), 6) + 0.0 AS z
 FROM e JOIN m USING (dim)""",
 )
 def q_embedding_standardize(spark, sf_dir):
     """Per-dimension z-score standardization of the embedding column:
     decimal-summed moments (order-independent) + IEEE-double
     mean/std/z — float math over a shuffle held to a full oracle.
-    Long-format output; zero-variance dims yield NULL z."""
+    Long-format output; zero-variance dims yield NULL z. + 0.0 on z:
+    a tiny negative (x - mean) rounds to −0.0 in DuckDB but +0.0 in
+    Spark (signed-zero round class, first hit at sf2 row 1.42M)."""
     return similarity.embedding_standardize(table(spark, sf_dir, "embeddings"))
 
 
