@@ -558,40 +558,92 @@ def semantic_dedup(
     )
 
 
+def _let(col: F.Column, fn) -> F.Column:
+    """Single-use let-binding at the expression level: evaluate ``col``
+    ONCE per row and reference it any number of times inside ``fn`` (a
+    lambda Column → Column). HOF lambda variables are bound VALUES, so
+    this survives CollapseProject / predicate pushdown, which re-inline
+    a plain column alias into every downstream reference and would
+    re-evaluate an expensive fold per reference."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
+def _packed_centroids(centroids: DataFrame) -> DataFrame:
+    """One-row frame holding every (_cid, _ce, _cn) struct sorted by
+    _cid — the broadcastable form a ROW-LOCAL argmax iterates. k is
+    bounded (centroid/codebook frames are k ≤ a few thousand rows by
+    construction), so the packed array is a few hundred KB at most."""
+    cn = centroids.select("_cid", "_ce", l2_norm("_ce").alias("_cn"))
+    return cn.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("_cid", "_ce", "_cn"))
+        ).alias("_cents")
+    )
+
+
+def _row_local_scores(
+    vec_norm: F.Column, vec: F.Column, cents_arr: F.Column | None = None
+) -> F.Column:
+    """array<struct<s,n,cid>> of cosine scores of one vector against
+    a packed centroid array (default: the ``_cents`` column): per
+    centroid the IDENTICAL float ops as the former crossJoin
+    formulation (one dot fold, the precomputed norms' product, round
+    to 6 dp; zero-norm pairs score 0.0), so the argmax — array_max
+    struct ordering = (max sim, then lowest cid) — is bit-equal to the
+    old max_by(struct(_sim, -_cid))."""
+    return F.transform(
+        F.col("_cents") if cents_arr is None else cents_arr,
+        lambda c: F.struct(
+            F.round(
+                F.when(
+                    vec_norm * c["_cn"] != 0,
+                    dot(vec, c["_ce"]) / (vec_norm * c["_cn"]),
+                ).otherwise(0.0),
+                6,
+            ).alias("s"),
+            (-c["_cid"]).alias("n"),
+            c["_cid"].alias("cid"),
+        ),
+    )
+
+
 def _assign_to_centroids(v: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment by cosine (rounded to 6 dp; argmax
-    ties → lowest centroid id). One broadcast crossJoin + map-side
-    max_by — the k rows per vector collapse to one BEFORE the shuffle.
-    ``v`` carries (_id, _e); centroids carry (_cid, _ce).
+    ties → lowest centroid id). ``v`` carries (_id, _e); centroids
+    carry (_cid, _ce).
 
-    Norms are folded ONCE per vector / per centroid below the join and
-    the pair score divides by their product — the identical float ops
-    as an inline cosine() (sqrt of the same dot fold), so results are
-    bit-equal, but each (vector, centroid) row costs 1 interpreted HOF
-    fold instead of 3 (HOF lambdas don't enter codegen; measured ~3×
-    on the sf0.1 bench)."""
+    ROW-LOCAL argmax (guide §2.4 — remove shuffles outright): the k
+    centroids are packed into ONE broadcast row and every vector scores
+    them inside a single projection — the former broadcast crossJoin
+    (k-fold row fan-out) + max_by hash-aggregate needed a corpus-sized
+    shuffle of k·N rows back to one row per vector; this needs NO
+    exchange at all. Per-pair float ops are identical (one interpreted
+    HOF dot fold each — same count as before), so assignments are
+    bit-equal; only the plan shape changes (measured: 2 exchanges + a
+    sort-aggregate removed per assignment pass).
+
+    Zero-norm guard: same rule as _assign_blocks — scores 0, never a
+    job-failing ANSI division (a zero vector lands on the lowest id).
+    """
     vn = v.select("_id", "_e", l2_norm("_e").alias("_vn"))
-    cn = centroids.select("_cid", "_ce", l2_norm("_ce").alias("_cn"))
-    # Zero-norm guard: same rule as _assign_blocks — scores 0, never a
-    # job-failing ANSI division (a zero vector lands on the lowest id).
-    scored = vn.crossJoin(F.broadcast(cn)).select(
+    # The 0/1-element explode is (a) the empty-centroid guard — the old
+    # inner join emitted no rows when the centroid frame was empty, and
+    # array_max over the empty packed array is NULL — and (b) a
+    # projection barrier: the argmax lands as a Generate output
+    # attribute, so downstream field accesses are cheap references
+    # instead of re-inlined copies of the k-fold scoring expression.
+    return vn.crossJoin(F.broadcast(_packed_centroids(centroids))).select(
         "_id",
         "_e",
-        "_cid",
-        F.round(
-            F.when(
-                F.col("_vn") * F.col("_cn") != 0,
-                dot("_e", "_ce") / (F.col("_vn") * F.col("_cn")),
-            ).otherwise(0.0),
-            6,
-        ).alias("_sim"),
-    )
-    return scored.groupBy("_id").agg(
-        F.max_by(
-            "_cid", F.struct(F.col("_sim"), (-F.col("_cid")).alias("_neg"))
-        ).alias("cluster_id"),
-        F.first("_e").alias("_e"),
-    )
+        F.explode(
+            F.filter(
+                F.array(
+                    F.array_max(_row_local_scores(F.col("_vn"), F.col("_e")))
+                ),
+                lambda e: e.isNotNull(),
+            )
+        ).alias("_best"),
+    ).select("_id", F.col("_best")["cid"].alias("cluster_id"), "_e")
 
 
 def kmeans_clusters(
@@ -770,35 +822,42 @@ def kmeans_cluster_quality(
         )
     )
     cents = kmeans_centroids(vectors, k, iters, id_col, vec_col, scale)
+    # ROW-LOCAL own/other extraction (guide §2.4): score the packed
+    # broadcast centroids inside one projection, take the argmax struct
+    # (own) and the max sim among the OTHER centroids in place. The
+    # former shape scored a k-fold crossJoin stream, hash-aggregated it
+    # per _id, then JOINED the stream back against the assignment to
+    # max the non-own sims — three corpus-sized exchanges (and the
+    # scored subtree computed twice); this needs zero until the final
+    # k-row rollup. Per-pair float ops are unchanged → same sims, same
+    # argmax, same micro-unit sums.
     vn = v.select("_id", "_e", l2_norm("_e").alias("_vn"))
-    cn = cents.select("_cid", "_ce", l2_norm("_ce").alias("_cn"))
-    scored = vn.crossJoin(F.broadcast(cn)).select(
-        "_id",
-        "_cid",
-        F.round(
-            F.when(
-                F.col("_vn") * F.col("_cn") != 0,
-                dot("_e", "_ce") / (F.col("_vn") * F.col("_cn")),
-            ).otherwise(0.0),
-            6,
-        ).alias("_sim"),
+    rep = _let(
+        _row_local_scores(F.col("_vn"), F.col("_e")),
+        lambda arr: _let(
+            F.array_max(arr),
+            lambda best: F.struct(
+                best["cid"].alias("cluster_id"),
+                best["s"].alias("_own"),
+                F.array_max(
+                    F.filter(arr, lambda e: e["cid"] != best["cid"])
+                )["s"].alias("_other"),
+            ),
+        ),
     )
-    assigned = scored.groupBy("_id").agg(
-        F.max_by(
-            "_cid", F.struct(F.col("_sim"), (-F.col("_cid")).alias("_neg"))
-        ).alias("cluster_id"),
-        F.max("_sim").alias("_own"),
+    # k=1 / empty-centroid parity: the old inner join against the
+    # other-centroid max emitted no rows when there was no other
+    # centroid — the 0/1-element explode drops those rows (and doubles
+    # as the projection barrier so the scoring array is computed once).
+    scored = vn.crossJoin(F.broadcast(_packed_centroids(cents))).select(
+        F.explode(
+            F.filter(F.array(rep), lambda e: e["_other"].isNotNull())
+        ).alias("_r")
     )
-    other = (
-        scored.join(assigned.select("_id", "cluster_id"), "_id")
-        .filter(F.col("_cid") != F.col("cluster_id"))
-        .groupBy("_id")
-        .agg(F.max("_sim").alias("_other"))
-    )
-    per = assigned.join(other, "_id").select(
-        "cluster_id",
-        F.round(F.col("_own") * scale, 0).cast("long").alias("_ow"),
-        F.round((F.col("_own") - F.col("_other")) * scale, 0)
+    per = scored.select(
+        F.col("_r")["cluster_id"].alias("cluster_id"),
+        F.round(F.col("_r")["_own"] * scale, 0).cast("long").alias("_ow"),
+        F.round((F.col("_r")["_own"] - F.col("_r")["_other"]) * scale, 0)
         .cast("long")
         .alias("_mg"),
     )
@@ -1013,34 +1072,60 @@ def _block_slices(vec: F.Column, n_blocks: int, sub_dim: int) -> F.Column:
     )
 
 
+def _packed_codebooks(cents: DataFrame) -> DataFrame:
+    """One-row frame holding map<_b → sorted array<(_cid,_ce,_cn)>> —
+    the broadcastable per-block codebook a ROW-LOCAL block assignment
+    indexes by its block id. n_blocks·k is bounded (≤ a few thousand
+    codewords by construction)."""
+    cn = cents.select("_b", "_cid", "_ce", l2_norm("_ce").alias("_cn"))
+    per_block = cn.groupBy("_b").agg(
+        F.array_sort(F.collect_list(F.struct("_cid", "_ce", "_cn"))).alias("_cb")
+    )
+    return per_block.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("_b", "_cb"))).alias("_books")
+    )
+
+
 def _assign_blocks(vb: DataFrame, cents: DataFrame) -> DataFrame:
     """Per-block nearest-codeword assignment (cosine, 6 dp, ties to the
     lowest code) — _assign_to_centroids generalized to a (block, code)
-    codebook joined on the block key, so ONE distributed pass assigns
-    every block of every vector. A zero-norm sub-vector (or codeword)
-    scores 0 to everything instead of NULL/NaN, so the argmax stays
-    well-defined and lands on the lowest code in both engines."""
+    codebook, so ONE distributed pass assigns every block of every
+    vector. A zero-norm sub-vector (or codeword) scores 0 to everything
+    instead of NULL/NaN, so the argmax stays well-defined and lands on
+    the lowest code in both engines.
+
+    ROW-LOCAL argmax (guide §2.4): the whole codebook packs into one
+    broadcast map<block → codewords> and each exploded (_id, _b, _be)
+    row scores ONLY its block's codewords in place — the former shape
+    broadcast-joined the codebook on _b (k-fold row fan-out) and
+    hash-aggregated k·n_blocks·N rows back down, a corpus-sized
+    exchange this formulation never performs. Per-pair float ops are
+    identical → bit-equal codes."""
     vn = vb.withColumn("_vn", l2_norm("_be"))
-    cn = cents.withColumn("_cn", l2_norm("_ce"))
-    scored = vn.join(F.broadcast(cn), "_b").select(
+    # A block id absent from the codebook (impossible for non-empty
+    # training input) previously emitted no row via the inner join;
+    # element_at yields NULL there and the 0/1-element explode drops
+    # the row — and doubles as the projection barrier so the argmax is
+    # computed once per row.
+    return vn.crossJoin(F.broadcast(_packed_codebooks(cents))).select(
         "_id",
         "_b",
         "_be",
-        "_cid",
-        F.round(
-            F.when(
-                F.col("_vn") * F.col("_cn") != 0,
-                dot("_be", "_ce") / (F.col("_vn") * F.col("_cn")),
-            ).otherwise(0.0),
-            6,
-        ).alias("_sim"),
-    )
-    return scored.groupBy("_id", "_b").agg(
-        F.max_by("_cid", F.struct(F.col("_sim"), (-F.col("_cid")).alias("_n"))).alias(
-            "code"
-        ),
-        F.first("_be").alias("_be"),
-    )
+        F.explode(
+            F.filter(
+                F.array(
+                    F.array_max(
+                        _row_local_scores(
+                            F.col("_vn"),
+                            F.col("_be"),
+                            F.element_at("_books", F.col("_b")),
+                        )
+                    )
+                ),
+                lambda e: e.isNotNull(),
+            )
+        ).alias("_best"),
+    ).select("_id", "_b", F.col("_best")["cid"].alias("code"), "_be")
 
 
 def pq_codebooks(
@@ -1136,27 +1221,37 @@ def pq_encode(
     nearest codeword of block b — n_blocks bytes of state per vector
     instead of n_blocks·sub_dim floats (32× here), THE reason PQ
     exists: at 100 TB the codes + 16 KiB of codebooks fit where raw
-    embeddings cannot."""
+    embeddings cannot.
+
+    ROW-LOCAL (guide §2.4): all n_blocks codes of a vector are computed
+    inside one projection against the broadcast packed codebooks — the
+    former posexplode → per-block assignment → groupBy(_id) collect
+    needed a corpus-sized shuffle to reassemble the codes array this
+    version never takes apart. Per-block float ops are identical
+    (_row_local_scores = the old join-form scoring), so codes are
+    bit-equal; block order is the natural 0..n_blocks-1, matching the
+    old array_sort(collect_list(struct(_b, code)))."""
     v = _spread(
         vectors.select(
             F.col(id_col).alias("_id"),
             F.transform(vec_col, lambda x: x.cast("double")).alias("_e"),
         )
     )
-    vb = v.select(
-        "_id",
-        F.posexplode(_block_slices(F.col("_e"), n_blocks, sub_dim)).alias(
-            "_b", "_be"
-        ),
+    # Two-step transform: the per-block struct (slice, norm) is
+    # materialized first so the norm fold runs once per block, not once
+    # per (block, codeword) score.
+    pre = F.transform(
+        _block_slices(F.col("_e"), n_blocks, sub_dim),
+        lambda be: F.struct(be.alias("be"), l2_norm(be).alias("vn")),
     )
-    assigned = _assign_blocks(vb, codebooks)
-    return (
-        assigned.groupBy("_id")
-        .agg(F.array_sort(F.collect_list(F.struct("_b", "code"))).alias("_bc"))
-        .select(
-            F.col("_id").alias(id_col),
-            F.transform("_bc", lambda s: s["code"]).alias("codes"),
-        )
+    codes = F.transform(
+        pre,
+        lambda p, b: F.array_max(
+            _row_local_scores(p["vn"], p["be"], F.element_at("_books", b))
+        )["cid"],
+    )
+    return v.crossJoin(F.broadcast(_packed_codebooks(codebooks))).select(
+        F.col("_id").alias(id_col), codes.alias("codes")
     )
 
 
@@ -1215,15 +1310,45 @@ def ann_topk_pq(
         "_cid",
         F.round(dot("_qe", "_ce"), 6).cast("decimal(12,6)").alias("_ip"),
     )
-    cv = codes.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.posexplode("codes").alias("_b", "_cid"),
+    # ROW-LOCAL ADC (guide §2.4): each query's n_blocks×k LUT packs
+    # into one broadcast map keyed on _b·256+_cid and every corpus
+    # vector's 8-term DECIMAL sum folds in place over its codes array —
+    # the former shape exploded the codes stream ×n_blocks, hash-joined
+    # the LUT and re-aggregated n_blocks·|corpus|·|queries| rows back
+    # down through a corpus-sized exchange. Decimal addition is exact
+    # at scale 6 (the fold widens the accumulator to decimal(26,6) —
+    # headroom far past n_blocks·max|ip| — then casts to double once),
+    # so scores replay the old sum bit-for-bit.
+    lutp = lut.groupBy("query_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("_b") * 256 + F.col("_cid")).cast("int").alias("k"),
+                    F.col("_ip").alias("v"),
+                )
+            )
+        ).alias("_lut")
     )
     scored = (
-        cv.join(F.broadcast(lut), ["_b", "_cid"])
+        codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+        .crossJoin(F.broadcast(lutp))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("_ip").cast("double").alias("adc_score"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.transform(
+                    "codes",
+                    lambda c, b: F.element_at(
+                        "_lut", (b * 256 + c).cast("int")
+                    ),
+                ),
+                F.lit(0).cast("decimal(26,6)"),
+                lambda acc, x: (acc + x).cast("decimal(26,6)"),
+            )
+            .cast("double")
+            .alias("adc_score"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), "neighbor_id")
     return (
