@@ -302,9 +302,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     Returns (doc_id, cluster_id) for every node appearing in ``pairs``,
     cluster_id = min doc_id of the component.
     """
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    )
+    # Row-local symmetrization: each pair emits both orientations via
+    # one explode — the former two-branch union evaluated the upstream
+    # pair pipeline (often the whole MinHash/LSH/verify cascade) twice
+    # past its reused exchanges.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))

