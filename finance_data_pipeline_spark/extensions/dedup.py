@@ -89,13 +89,13 @@ def shingle_pairs_jaccard(
     # join/group shuffles fixed-width longs (the string text never
     # leaves the first projection). Hash collisions across *distinct
     # shingles of one pair* are the only error source (~1e-11 per pair).
-    sh = (
-        _spread(docs.select(F.col(id_col).alias("_id"), F.col(text_col)))
-        .select("_id", F.explode(word_shingles(text_col, k)).alias("sh"))
-        .select("_id", F.xxhash64("sh").alias("h"))
-    )
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("n_sh"))
     if candidates is None:
+        sh = (
+            _spread(docs.select(F.col(id_col).alias("_id"), F.col(text_col)))
+            .select("_id", F.explode(word_shingles(text_col, k)).alias("sh"))
+            .select("_id", F.xxhash64("sh").alias("h"))
+        )
+        sizes = sh.groupBy("_id").agg(F.count("*").alias("n_sh"))
         pairs = (
             sh.alias("a")
             .join(sh.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a._id") < F.col("b._id")))
@@ -109,11 +109,33 @@ def shingle_pairs_jaccard(
         # JVM-side — the exploded (pair × shingle) join form walks the
         # shingle stream three times and shuffles every matching
         # shingle per pair (measured ~2× slower end-to-end at sf0.1).
+        #
+        # Semi-join reduction (guide §3.2): only docs that appear in a
+        # candidate pair need their shingle set — the candidate set is
+        # ~|output|-sized, so pruning BEFORE tokenization drops the
+        # verify pass from O(corpus) to O(candidate docs). The pair set
+        # is localCheckpointed once (the split_leakage discipline): it
+        # is referenced three times (endpoint extraction + both
+        # enrichment joins) and without the seam each reference would
+        # re-derive the upstream LSH cascade.
+        cands = candidates.select("id_a", "id_b").localCheckpoint()
+        cand_ids = cands.select(
+            F.explode(F.array("id_a", "id_b")).alias("_id")
+        ).distinct()
+        sh = (
+            _spread(
+                docs.select(F.col(id_col).alias("_id"), F.col(text_col)).join(
+                    cand_ids, "_id", "left_semi"
+                )
+            )
+            .select("_id", F.explode(word_shingles(text_col, k)).alias("sh"))
+            .select("_id", F.xxhash64("sh").alias("h"))
+        )
         tokset = sh.groupBy("_id").agg(
             F.array_sort(F.collect_list("h")).alias("hs"), F.count("*").alias("n_sh")
         )
         return (
-            candidates.join(
+            cands.join(
                 tokset.select(F.col("_id").alias("id_a"), F.col("hs").alias("_ha"), F.col("n_sh").alias("n_a")),
                 "id_a",
             )
