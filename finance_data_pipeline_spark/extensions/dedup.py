@@ -1383,6 +1383,23 @@ def _bloom_positions(sh: F.Column, m: int) -> F.Column:
     )
 
 
+def _bloom_wb(sh: F.Column, m: int) -> F.Column:
+    """_bloom_positions pre-split into array<struct<w,b>> (word index,
+    bit-in-word) — the row-local probe form. Same md5-slice positions,
+    same 63-bit word layout as the build side."""
+    md = F.md5(sh)
+    out = []
+    for j in range(3):
+        pos = F.conv(F.substring(md, 1 + 10 * j, 10), 16, 10).cast("long") % m
+        out.append(
+            F.struct(
+                F.floor(pos / 63).cast("long").alias("w"),
+                (pos % 63).cast("int").alias("b"),
+            )
+        )
+    return F.array(*out)
+
+
 def bloom_decontaminate(
     docs: DataFrame,
     bench_nibble: str = "f",
@@ -1442,29 +1459,38 @@ def bloom_decontaminate(
     tsh = _spread(docs.filter(~is_bench)).select(
         F.col(id_col), F.explode(word_shingles(text_col, k)).alias("sh")
     )
-    probes = tsh.select(
+    # ROW-LOCAL probe (guide §2.4): the 16 KiB bitmap packs into one
+    # broadcast map<word → mask> and every shingle tests its 3 bits in
+    # place — the former shape exploded the probe stream ×3, joined the
+    # word table and re-aggregated 3·|shingles| rows through a
+    # (doc, shingle-hash) exchange before the per-doc rollup. forall
+    # over the 3 (w, b) probes ⇔ the old sum(bit) == 3 (duplicate
+    # positions cannot break the equivalence: sum hits 3 iff every
+    # exploded row's bit is set). All-integer ops — bit-identical
+    # hits, including the Bloom false positives the oracle replays.
+    packed = bloom.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "mask"))).alias("_bm")
+    )
+    probed = tsh.crossJoin(F.broadcast(packed)).select(
         id_col,
         md5_token_hash("sh").alias("_h"),
-        F.explode(_bloom_positions(F.col("sh"), m)).alias("pos"),
-    ).select(
-        id_col,
-        "_h",
-        F.expr("pos div 63").alias("w"),
-        (F.col("pos") % 63).cast("int").alias("b"),
-    )
-    sh_hits = (
-        probes.join(F.broadcast(bloom), "w", "left")
-        .withColumn(
-            "_bit",
-            F.expr(
-                "CAST(shiftright(coalesce(mask, CAST(0 AS BIGINT)), b) & 1 AS INT)"
-            ),
+        F.forall(
+            _bloom_wb(F.col("sh"), m),
+            lambda e: F.call_function(
+                "shiftright",
+                F.coalesce(
+                    F.element_at(F.col("_bm"), e["w"]),
+                    F.lit(0).cast("bigint"),
+                ),
+                e["b"],
+            ).bitwiseAND(F.lit(1).cast("bigint"))
+            == 1,
         )
-        .groupBy(id_col, "_h")
-        .agg((F.sum("_bit") == 3).cast("int").alias("_in_bloom"))
+        .cast("int")
+        .alias("_in_bloom"),
     )
     return (
-        sh_hits.join(bench_h, "_h", "left")
+        probed.join(bench_h, "_h", "left")
         .groupBy(id_col)
         .agg(
             F.max("_in_bloom").cast("long").alias("bloom_hit"),
@@ -1546,19 +1572,52 @@ def source_ngram_overlap(
     Returns (source_a, source_b, common, jaccard) with source_a <
     source_b, jaccard rounded to 6 dp.
     """
-    sh = (
-        docs.select(
-            F.col(source_col).alias("_src"),
-            F.explode(word_shingles(text_col, k)).alias("_sh"),
+    # ONE corpus-scale shuffle (guide §2.4): collect each shingle's
+    # distinct source set (collect_set partially aggregates map-side),
+    # then fan out the C(|set|, 2) ordered source pairs ROW-LOCALLY —
+    # the former shape paid a distinct over (source, shingle), a
+    # re-shuffle of BOTH sides of a self-join on the shingle string,
+    # and a separate sizes groupBy (4 corpus-scale exchanges total).
+    # The per-shingle fan-out stays bounded by C(n_sources, 2); sizes
+    # and pair counts aggregate over bounded keys. Counts are integer
+    # and the source sets identical → same rows.
+    srcs = (
+        _spread(
+            docs.select(
+                F.col(source_col).alias("_src"),
+                F.explode(word_shingles(text_col, k)).alias("_sh"),
+            )
         )
-        .distinct()
+        .groupBy("_sh")
+        .agg(F.array_sort(F.collect_set("_src")).alias("_ss"))
     )
-    sizes = sh.groupBy("_src").agg(F.count("*").alias("_n"))
+    sizes = (
+        srcs.select(F.explode("_ss").alias("_src"))
+        .groupBy("_src")
+        .agg(F.count("*").alias("_n"))
+    )
     pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), F.col("a._sh") == F.col("b._sh"))
-        .filter(F.col("a._src") < F.col("b._src"))
-        .groupBy(F.col("a._src").alias("source_a"), F.col("b._src").alias("source_b"))
+        srcs.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "_ss",
+                        lambda a, i: F.transform(
+                            F.slice(
+                                "_ss", i + 2, F.greatest(F.size("_ss") - i - 1, F.lit(0))
+                            ),
+                            lambda b: F.struct(
+                                a.alias("source_a"), b.alias("source_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("_p")
+        )
+        .groupBy(
+            F.col("_p")["source_a"].alias("source_a"),
+            F.col("_p")["source_b"].alias("source_b"),
+        )
         .agg(F.count("*").alias("common"))
     )
     return (

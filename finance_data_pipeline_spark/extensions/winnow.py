@@ -117,9 +117,13 @@ def winnowing_shared_spans(
     )
     # distinct hashes per doc (positions collapse for matching)
     fp = fp.distinct()
+    # (_id, gram_hash) is distinct after the line above, so per-hash
+    # doc frequency and per-pair shared counts are plain count(*) —
+    # countDistinct planned an extra Expand + second exchange per
+    # aggregate for rows that cannot contain duplicates (guide §2.4).
     rare = (
         fp.groupBy("gram_hash")
-        .agg(F.countDistinct("_id").alias("_df"))
+        .agg(F.count("*").alias("_df"))
         .filter(F.col("_df") <= max_df)
         .select("gram_hash")
     )
@@ -130,6 +134,6 @@ def winnowing_shared_spans(
         a.join(b, "gram_hash")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.countDistinct("gram_hash").alias("shared"))
+        .agg(F.count("*").cast("long").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
