@@ -1154,9 +1154,6 @@ def string_sim_join(
         # Set diversity too high for a bounded broadcast — fall through
         # to the prefix-filter path (high diversity implies enough rare
         # tokens for the prefix index to prune on).
-    tokset = base.groupBy("_id").agg(
-        F.array_sort(F.collect_list("tok")).alias("toks"), F.count("*").alias("n")
-    )
     w = Window.partitionBy("_id").orderBy("df", "tok")
     prefix = (
         base.join(freq, "tok")
@@ -1176,6 +1173,22 @@ def string_sim_join(
         )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
+        # Bounded (~|output|-sized) pair set, referenced three times
+        # below — pin it once (the shingle_pairs_jaccard discipline).
+        .localCheckpoint()
+    )
+    # Semi-join reduction (guide §3.2): only candidate-pair endpoints
+    # need their sorted token array — pruning before the collect_list
+    # groupBy drops the verify shuffle from O(corpus) to O(candidate
+    # docs). Token streams and values are unchanged.
+    cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias("_id")).distinct()
+    tokset = (
+        base.join(cand_ids, "_id", "left_semi")
+        .groupBy("_id")
+        .agg(
+            F.array_sort(F.collect_list("tok")).alias("toks"),
+            F.count("*").alias("n"),
+        )
     )
     return (
         cands.join(tokset.select(F.col("_id").alias("id_a"), F.col("toks").alias("_ta"), F.col("n").alias("n_a")), "id_a")

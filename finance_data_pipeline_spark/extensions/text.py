@@ -657,15 +657,19 @@ def bm25_topk(
         F.col(id_col), F.explode(tokens(text_col)).alias("_t")
     ).select(F.col(id_col), F.xxhash64("_t").alias("_h"))
     tf = toks.groupBy(id_col, "_h").agg(F.count("*").alias("_tf"))
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("_dl"))
+    # dl/df/stats all derive from tf (guide §2.3 — aggregate before you
+    # shuffle): summing tf per doc equals counting raw tokens, so the
+    # raw token stream is tokenized and aggregated exactly once and the
+    # downstream rollups ride tf's reused exchange instead of
+    # re-exploding the text. qterms needs no distinct — tf is unique
+    # per (doc, term) by construction.
+    dl = tf.groupBy(id_col).agg(F.sum("_tf").alias("_dl"))
     stats = dl.agg(
         F.count("*").alias("_n"), F.sum("_dl").alias("_sumdl")
     )
     df_ = tf.groupBy("_h").agg(F.count("*").alias("_df"))
-    qterms = (
-        tf.filter(F.col(id_col) < n_queries)
-        .select(F.col(id_col).alias("query_id"), "_h")
-        .distinct()
+    qterms = tf.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), "_h"
     )
     scored = (
         tf.join(F.broadcast(qterms), "_h")
