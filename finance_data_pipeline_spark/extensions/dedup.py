@@ -465,18 +465,19 @@ def training_corpus(
     re-run the embedded MinHash/LSH/verify/CC chain. Default (None)
     computes it from ``docs``.
     """
-    from finance_data_pipeline_spark.extensions.text import quality_score
+    from finance_data_pipeline_spark.extensions.text import quality_score_expr
 
     survivors = exact_dedup(docs).select("doc_id", "text")
     if clusters is None:
         clusters = dup_clusters(docs, threshold=near_dup_threshold)
     non_reps = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    quality = quality_score(docs).filter(
-        F.col("quality_score") >= quality_threshold
-    ).select("doc_id")
+    # The quality gate is a pure function of the text column the
+    # survivors already carry — a row-local filter instead of the
+    # former corpus self-join against a quality_score frame derived
+    # from the same docs (guide §2.4).
     return (
         survivors.join(non_reps, "doc_id", "left_anti")
-        .join(quality, "doc_id", "left_semi")
+        .filter(quality_score_expr("text") >= quality_threshold)
         .select("doc_id")
     )
 
@@ -1797,16 +1798,16 @@ def dedup_stage_funnel(
     the dup_triangles lesson: never let two count branches re-derive
     the MinHash/LSH/verify/CC chain.
     """
-    from finance_data_pipeline_spark.extensions.text import quality_score
+    from finance_data_pipeline_spark.extensions.text import quality_score_expr
 
-    survivors = exact_dedup(docs).select("doc_id")
+    survivors = exact_dedup(docs).select("doc_id", "text")
     clusters = dup_clusters(docs, threshold=near_dup_threshold).localCheckpoint()
     non_reps = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     s2 = survivors.join(non_reps, "doc_id", "left_anti")
-    quality = quality_score(docs).filter(
-        F.col("quality_score") >= quality_threshold
-    ).select("doc_id")
-    s3 = s2.join(quality, "doc_id", "left_semi")
+    # Row-local quality gate on the text the survivors already carry —
+    # see training_corpus (the former semi-join re-shuffled the corpus
+    # by id for a pure function of the text column).
+    s3 = s2.filter(quality_score_expr("text") >= quality_threshold)
 
     def stage(idx: int, name: str, frame: DataFrame) -> DataFrame:
         return frame.agg(

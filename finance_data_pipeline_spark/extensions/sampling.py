@@ -106,11 +106,19 @@ def token_budget_sample(
     """
     from pyspark.sql import Window
 
-    from finance_data_pipeline_spark.extensions.text import token_count, quality_score
+    from finance_data_pipeline_spark.extensions.text import (
+        quality_score_expr,
+        token_count,
+    )
 
+    # Row-local score projection — the former quality_score ⋈ docs
+    # self-join shuffled the corpus twice by id (guide §2.4).
     base = docs.select(
-        F.col(id_col), F.col(lang_col), token_count(text_col).cast("long").alias("n_tokens")
-    ).join(quality_score(docs, id_col, text_col), id_col)
+        F.col(id_col),
+        F.col(lang_col),
+        token_count(text_col).cast("long").alias("n_tokens"),
+        quality_score_expr(text_col).alias("quality_score"),
+    )
     w = (
         Window.partitionBy(lang_col)
         .orderBy(F.desc("quality_score"), id_col)
@@ -353,15 +361,27 @@ def dsir_select(
             )
         )
 
+    # The source stream is tokenized ONCE into per-(doc, bucket)
+    # counts; both consumers derive from that aggregate (guide §2.3 —
+    # aggregate before you shuffle): the global bucket histogram is its
+    # per-bucket rollup, and the per-doc fold scores count·log-ratio
+    # per (doc, bucket) instead of log-ratio per token — Σ_b n·lr ≡
+    # Σ_tokens lr exactly (long multiplication), so values and the
+    # top-n cut are unchanged, and the former second tokenize pass
+    # over the training half is gone.
+    g = src.groupBy("_id", "_b").agg(F.count("*").alias("_n"))
     lt = log_micro(tgt.groupBy("_b").agg(F.count("*").alias("_c")), "_lt")
-    ls = log_micro(src.groupBy("_b").agg(F.count("*").alias("_c")), "_ls")
+    ls = log_micro(g.groupBy("_b").agg(F.sum("_n").alias("_c")), "_ls")
     lr = lt.join(ls, "_b").select(
         "_b", (F.col("_lt") - F.col("_ls")).alias("_lr")
     )
     per_doc = (
-        src.join(F.broadcast(lr), "_b")
+        g.join(F.broadcast(lr), "_b")
         .groupBy("_id")
-        .agg(F.count("*").alias("n_tokens"), F.sum("_lr").alias("_s"))
+        .agg(
+            F.sum("_n").alias("n_tokens"),
+            F.sum(F.col("_n") * F.col("_lr")).alias("_s"),
+        )
         .select(
             F.col("_id").alias(id_col),
             "n_tokens",

@@ -76,9 +76,13 @@ def _marker_hits(toks: Column, words: list[str]) -> Column:
     return hit
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Heuristic quality score in [0,1]: length band + punctuation
-    sanity + stopword presence (the classic pretraining-filter trio)."""
+def quality_score_expr(text_col: str = "text") -> Column:
+    """The heuristic quality score as a ROW-LOCAL Column (rounded to
+    6 dp, exactly quality_score's output). Exposed so composed
+    pipelines can filter or project the score on a frame they already
+    hold instead of re-deriving it through a corpus self-join on the
+    id — the join form shuffles both sides by id for a value that is a
+    pure function of the text column (guide §2.4)."""
     toks = tokens(text_col)
     n_tok = F.size(toks)
     # nullif: an empty doc must score 0, not fail the job under ANSI
@@ -92,7 +96,15 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         + F.when(punct_ratio <= 0.2, 0.3).otherwise(0.0)
         + F.when(stop_hits >= 2, 0.3).otherwise(0.0)
     )
-    return docs.select(F.col(id_col), F.round(score, 6).alias("quality_score"))
+    return F.round(score, 6)
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]: length band + punctuation
+    sanity + stopword presence (the classic pretraining-filter trio)."""
+    return docs.select(
+        F.col(id_col), quality_score_expr(text_col).alias("quality_score")
+    )
 
 
 def quality_cdf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -718,8 +730,13 @@ def quality_percentile_by_lang(
     """
     from pyspark.sql import Window
 
-    scored = quality_score(docs, id_col, text_col).join(
-        docs.select(id_col, "lang"), id_col
+    # Row-local score projection — the former quality_score ⋈ docs
+    # self-join shuffled the corpus twice by id for a pure function of
+    # the text column (guide §2.4).
+    scored = docs.select(
+        F.col(id_col),
+        "lang",
+        quality_score_expr(text_col).alias("quality_score"),
     )
     w = Window.partitionBy("lang").orderBy("quality_score", id_col)
     return scored.select(

@@ -5462,10 +5462,9 @@ def q_curated_mix(spark, sf_dir):
     source by ascending md5 rank. One plan end-to-end — the quality
     filter pushes below the dedup window, the quota frame broadcasts."""
     docs = dedup._spread(table(spark, sf_dir, "documents"))
-    qs = text.quality_score(docs)
-    good = docs.join(
-        qs.filter(F.col("quality_score") >= 0.5).select("doc_id"), "doc_id"
-    )
+    # Row-local quality gate — the former docs ⋈ quality_score(docs)
+    # self-join shuffled the corpus twice by id (guide §2.4).
+    good = docs.filter(text.quality_score_expr("text") >= 0.5)
     kept = dedup.exact_dedup(good).select("doc_id", "source")
     return sampling.temperature_mix(kept, alpha=0.5, budget_docs=200)
 
@@ -11067,9 +11066,8 @@ def q_robust_quality_by_lang(spark, sf_dir):
     engines; quality scores are one-decimal doubles so every
     comparison is exact."""
     d = table(spark, sf_dir, "documents")
-    q = text.quality_score(d).join(d.select("doc_id", "lang"), "doc_id").select(
-        "lang", F.col("quality_score").alias("q")
-    )
+    # Row-local score projection — see q_curated_mix (guide §2.4).
+    q = d.select("lang", text.quality_score_expr("text").alias("q"))
     med = q.groupBy("lang").agg(F.median("q").alias("med"))
     dev = q.join(F.broadcast(med), "lang").withColumn(
         "adev", F.abs(F.col("q") - F.col("med"))
