@@ -31,26 +31,65 @@ def tokens(col="text"):
     return F.split(normalized(col), r"\s+")
 
 
+def _let(col, fn):
+    """Expression-level let-binding (see functions.let_): evaluate
+    ``col`` once per row; reference it as a bound VALUE inside ``fn``.
+    HOF lambda bodies are interpreted with NO invariant hoisting — a
+    sliding-window transform whose lambda references the tokenizer
+    expression re-runs the regex split once PER WINDOW (quadratic in
+    doc length); binding the token array first makes it once per row
+    (measured ~25% off the shingle-explode stage at sf0.1 on short
+    docs; the gap grows with document length)."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def word_shingles(col="text", k: int = 3):
     """Distinct k-word shingles per document (X2 candidate unit)."""
-    toks = tokens(col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
-    # A doc shorter than k words yields its whole text as one shingle.
-    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.array_join(toks, " "))))
+
+    def build(tk):
+        n = F.size(tk)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        sh = F.transform(idx, lambda i: F.array_join(F.slice(tk, i + 1, k), " "))
+        # A doc shorter than k words yields its whole text as one shingle.
+        return F.array_distinct(
+            F.when(n >= k, sh).otherwise(F.array(F.array_join(tk, " ")))
+        )
+
+    return _let(tokens(col), build)
 
 
 def char_ngrams(col="text", n: int = 4):
     """Distinct character n-grams of normalized text (X2d candidate
     unit). A doc shorter than n chars yields its whole text as the one
     gram (mirrors word_shingles' short-doc rule)."""
-    s = normalized(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, F.lit(n))))
+
+    def build(s):
+        idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.substring(s, i, F.lit(n)))
+        )
+
+    return _let(normalized(col), build)
 
 
 # --- X1: exact dedup ------------------------------------------------------
+
+
+def _sliding_grams(text_col: str, n: int):
+    """Non-distinct length-``n`` token windows joined with single
+    spaces; [] for docs shorter than n tokens. The token array is
+    _let-bound so the regex split runs once per row, not once per
+    window (the word_shingles fix)."""
+
+    def build(tk):
+        cnt = F.size(tk)
+        idx = F.sequence(F.lit(0), cnt - n)
+        return F.when(
+            cnt >= n,
+            F.transform(idx, lambda i: F.array_join(F.slice(tk, i + 1, n), " ")),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return _let(tokens(text_col), build)
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -618,11 +657,7 @@ def repeated_ngram_stats(
     """
     toks = tokens(text_col)
     cnt = F.size(toks)
-    idx = F.sequence(F.lit(0), cnt - n)
-    grams = F.when(
-        cnt >= n,
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _sliding_grams(text_col, n)
     g = (
         _spread(docs.select(F.col(id_col).alias("_id"), F.col(text_col)))
         .select("_id", F.explode(grams).alias("_gram"))
@@ -681,11 +716,7 @@ def remove_duplicate_spans(
     """
     toks = tokens(text_col)
     cnt = F.size(toks)
-    idx = F.sequence(F.lit(0), cnt - n)
-    grams = F.when(
-        cnt >= n,
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _sliding_grams(text_col, n)
     g = (
         _spread(docs.select(F.col(id_col).alias("_id"), F.col(text_col)))
         .select("_id", F.posexplode(grams).alias("_s", "_gram"))
@@ -768,11 +799,7 @@ def decontaminate_spans(
     """
     toks = tokens(text_col)
     cnt = F.size(toks)
-    idx = F.sequence(F.lit(0), cnt - n)
-    grams = F.when(
-        cnt >= n,
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _sliding_grams(text_col, n)
     ids = bench_ids.select(F.col(bench_ids.columns[0]).alias("_bid"))
     base = _spread(docs.select(F.col(id_col).alias("_id"), F.col(text_col)))
     train = base.join(ids, base["_id"] == ids["_bid"], "left_anti")
@@ -786,31 +813,49 @@ def decontaminate_spans(
         "_id", "_s", F.xxhash64("_gram").alias("_h")
     )
     removed_w = g.join(F.broadcast(bench_h), "_h", "left_semi").select("_id", "_s")
-    removed_p = removed_w.select(
-        "_id", F.explode(F.sequence(F.col("_s"), F.col("_s") + (n - 1))).alias("_p")
-    ).distinct()
-    tokp = train.select("_id", F.posexplode(toks).alias("_p", "_w"))
-    kept = tokp.join(removed_p, ["_id", "_p"], "left_anti")
-    rebuilt = kept.groupBy("_id").agg(
-        F.count("*").alias("_n_kept"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_p", "_w"))),
-                    lambda x: x["_w"],
+    # ROW-LOCAL rebuild (guide §2.4): only hit documents carry state —
+    # their window starts aggregate into one small per-doc array
+    # (bounded by the doc's window count; hits are eval-set-sparse),
+    # left-joined back onto the training stream; each doc then drops
+    # covered tokens and rebuilds its digest inside one projection.
+    # The former shape posexploded EVERY training token, anti-joined
+    # the removed positions and re-collected whole documents through a
+    # corpus-sized groupBy — three corpus-scale stages for a per-row
+    # computation. A token at 0-based position i is covered iff some
+    # start s has s ≤ i ≤ s+n-1 — exactly the old exploded [s, s+n-1]
+    # position set, so kept tokens, counts and digests are identical
+    # (empty docs and all-removed docs both land on md5("")).
+    rs = removed_w.groupBy("_id").agg(F.collect_list("_s").alias("_ss"))
+    starts = F.coalesce(F.col("_ss"), F.array().cast("array<int>"))
+    kept_arr = F.transform(
+        F.filter(
+            F.transform(
+                toks,
+                lambda w, i: F.struct(
+                    w.alias("w"),
+                    (
+                        ~F.exists(
+                            starts, lambda s: (s <= i) & (i <= s + (n - 1))
+                        )
+                    ).alias("keep"),
                 ),
-                " ",
-            )
-        ).alias("cleaned_md5"),
+            ),
+            lambda m: m["keep"],
+        ),
+        lambda m: m["w"],
     )
     return (
-        train.select("_id", cnt.cast("long").alias("n_tokens"))
-        .join(rebuilt, "_id", "left")
+        train.join(rs, "_id", "left")
+        .select(
+            "_id",
+            cnt.cast("long").alias("n_tokens"),
+            kept_arr.alias("_kept"),
+        )
         .select(
             F.col("_id").alias(id_col),
             "n_tokens",
-            (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0))).alias("n_removed"),
-            F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
+            (F.col("n_tokens") - F.size("_kept")).cast("long").alias("n_removed"),
+            F.md5(F.array_join("_kept", " ")).alias("cleaned_md5"),
         )
     )
 
@@ -1337,16 +1382,19 @@ def line_dedup(
     validation pass (fetch_and_store.py) — no native analogue.
     Returns (doc_id, n_segments, n_removed, cleaned_md5).
     """
-    toks = tokens(text_col)
-    n = F.size(toks)
-    n_segs = F.ceil(n / F.lit(float(seg_len))).cast("int")
-    segs = F.when(
-        n_segs >= 1,
-        F.transform(
-            F.sequence(F.lit(0), n_segs - 1),
-            lambda i: F.array_join(F.slice(toks, i * seg_len + 1, seg_len), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    def _build_segs(tk):
+        n = F.size(tk)
+        n_segs = F.ceil(n / F.lit(float(seg_len))).cast("int")
+        return F.when(
+            n_segs >= 1,
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.array_join(F.slice(tk, i * seg_len + 1, seg_len), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # token array _let-bound: one regex split per row, not per segment
+    segs = _let(tokens(text_col), _build_segs)
     seg_rows = _spread(docs).select(
         F.col(id_col), F.posexplode(segs).alias("seg_idx", "seg")
     ).withColumn("_h", md5_token_hash("seg"))
@@ -1359,24 +1407,55 @@ def line_dedup(
         .filter(F.col("_nd") >= min_docs)
         .select("_h", F.lit(1).alias("_dup"))
     )
-    marked = seg_rows.join(dup_h, "_h", "left")
-    kept_struct = F.when(F.col("_dup").isNull(), F.struct("seg_idx", "seg"))
+    # ROW-LOCAL rebuild (guide §2.4, the decontaminate_spans move):
+    # only documents containing a boilerplate segment carry state —
+    # their removed segment indexes aggregate into one small per-doc
+    # array, left-joined back onto the doc stream; each doc then drops
+    # those indexes from its (row-local) segment array and rebuilds
+    # count/digest inside one projection. The former shape re-collected
+    # EVERY document's segments through a corpus-sized groupBy.
+    removed = (
+        seg_rows.join(dup_h, "_h")
+        .groupBy(id_col)
+        .agg(F.collect_list("seg_idx").alias("_ri"))
+    )
+    from finance_data_pipeline_spark.functions import let_
+
+    ri = F.coalesce(F.col("_ri"), F.array().cast("array<int>"))
+    # let_-bind the segment array so the (interpreted) segmentation
+    # transform runs ONCE per row across all three consumers (size,
+    # kept filter, digest); the 0/1-element explode is the projection
+    # barrier AND the zero-token contract — docs with no segments
+    # produced no exploded rows before and were absent from the
+    # per-doc rollup.
+    rep = let_(
+        segs,
+        lambda sg: F.when(
+            F.size(sg) > 0,
+            F.struct(
+                F.size(sg).cast("long").alias("n_segments"),
+                F.size(ri).cast("long").alias("n_removed"),
+                F.md5(
+                    F.array_join(
+                        F.filter(sg, lambda s, i: ~F.array_contains(ri, i)),
+                        " ",
+                    )
+                ).alias("cleaned_md5"),
+            ),
+        ),
+    )
     return (
-        marked.groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_segments"),
-            F.sum(F.coalesce("_dup", F.lit(0)).cast("long")).alias("n_removed"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(kept_struct)),
-                        lambda s: s["seg"],
-                    ),
-                    " ",
-                )
-            ).alias("cleaned_md5"),
+        docs.join(removed, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.explode(F.filter(F.array(rep), lambda e: e.isNotNull())).alias("_r"),
         )
-        .select(id_col, "n_segments", "n_removed", "cleaned_md5")
+        .select(
+            id_col,
+            F.col("_r")["n_segments"].alias("n_segments"),
+            F.col("_r")["n_removed"].alias("n_removed"),
+            F.col("_r")["cleaned_md5"].alias("cleaned_md5"),
+        )
     )
 
 

@@ -11,7 +11,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from finance_data_pipeline_spark.extensions.dedup import normalized, tokens, word_shingles
-from finance_data_pipeline_spark.functions import micro_avg
+from finance_data_pipeline_spark.functions import let_, micro_avg
 
 # Tiny per-language stopword kernels for the n-gram/stopword language
 # heuristic (public common-word lists).
@@ -208,15 +208,21 @@ def gopher_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     # n_words >= 2 guard matters under ANSI: sequence(1, 0) counts
     # DOWN through an out-of-range index and element_at would fail the
     # job on any single-token document.
-    bigrams = F.when(
-        n_words >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n_words - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+    # token array let_-bound: the per-element element_at would
+    # otherwise re-run the regex split twice per bigram (quadratic in
+    # doc length) — see dedup._let.
+    bigrams = let_(
+        toks,
+        lambda tk: F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(tk, i), F.element_at(tk, i + 1)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>")),
+    )
     top = (
         docs.select(F.col(id_col), F.explode(bigrams).alias("_g"))
         .groupBy(id_col, "_g")
@@ -530,17 +536,22 @@ def _bpe_learn(docs: DataFrame, n_merges: int, text_col: str = "text"):
 
     merges = []
     for rank in range(1, n_merges + 1):
-        syms = F.expr(r"regexp_extract_all(s, '\\(([^)]*)\\)', 1)")
-        pair_arr = F.when(
-            F.size(syms) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(syms) - 1),
-                lambda i: F.struct(
-                    F.element_at(syms, i).alias("a"),
-                    F.element_at(syms, i + 1).alias("b"),
+        # symbol array let_-bound: element_at per pair would otherwise
+        # re-run the regexp_extract_all twice per adjacent pair
+        # (quadratic in word length) — see dedup._let.
+        pair_arr = let_(
+            F.expr(r"regexp_extract_all(s, '\\(([^)]*)\\)', 1)"),
+            lambda sy: F.when(
+                F.size(sy) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(sy) - 1),
+                    lambda i: F.struct(
+                        F.element_at(sy, i).alias("a"),
+                        F.element_at(sy, i + 1).alias("b"),
+                    ),
                 ),
-            ),
-        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>")),
+        )
         best = (
             vocab.select("freq", F.explode(pair_arr).alias("p"))
             .groupBy("p.a", "p.b")
@@ -1360,11 +1371,16 @@ def raw_word_ngrams(col: str = "text", k: int = 3) -> Column:
     """Non-distinct k-word grams of the normalized text (frequency
     carries signal — unlike dedup.word_shingles, nothing is deduped).
     A doc shorter than k words yields its whole text as the one gram."""
-    toks = tokens(col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
-    return F.when(n >= k, grams).otherwise(F.array(F.array_join(toks, " ")))
+    from finance_data_pipeline_spark.functions import let_
+
+    def _build(tk):
+        n = F.size(tk)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        grams = F.transform(idx, lambda i: F.array_join(F.slice(tk, i + 1, k), " "))
+        return F.when(n >= k, grams).otherwise(F.array(F.array_join(tk, " ")))
+
+    # token array let_-bound: one regex split per row, not per gram
+    return let_(tokens(col), _build)
 
 
 def distinct_ngram_frac(

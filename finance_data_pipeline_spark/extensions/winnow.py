@@ -38,10 +38,15 @@ _POS_BASE = 2_000_000_000
 def _grams_with_pos(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(id, pos, gram) for every overlapping k-gram, 1-based positions.
     Docs shorter than k tokens contribute their whole text at pos 1."""
-    toks = tokens(text_col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    from finance_data_pipeline_spark.functions import let_
+
+    def _build(tk):
+        n = F.size(tk)
+        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+        return F.transform(idx, lambda i: F.array_join(F.slice(tk, i, k), " "))
+
+    # token array let_-bound: one regex split per row, not per window
+    grams = let_(tokens(text_col), _build)
     return docs.select(
         F.col(id_col), F.posexplode(grams).alias("_p0", "gram")
     ).select(

@@ -11,6 +11,16 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def let_(col: Column, fn) -> Column:
+    """Expression-level let-binding: evaluate ``col`` ONCE per row and
+    reference it any number of times inside ``fn`` (a lambda Column →
+    Column). HOF lambda variables are bound VALUES, so this survives
+    CollapseProject / predicate pushdown, which re-inline a plain
+    column alias into every downstream reference and would re-evaluate
+    an expensive expression per reference."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def norm_symbol(col: Column | str) -> Column:
     """F1 — .strip().upper() on ticker input (fetch_and_store.py:356)."""
     return F.upper(F.trim(col))
