@@ -535,7 +535,11 @@ def semantic_dedup(
         n_blocks=4,
         part_col="cluster_id",
     ).select("id_a", "id_b")
-    side = assigned.select("_id", "_e", l2_norm("_e").alias("_n"))
+    # The verify side needs only (_id, _e, norm) — every valid vector,
+    # which is exactly ``v`` (assignment keeps every row): reading v
+    # directly drops one of the three re-evaluations of the per-row
+    # centroid scoring the assignment performs (guide §1.2 step 2).
+    side = v.select("_id", "_e", l2_norm("_e").alias("_n"))
     dropped = (
         cands.join(
             side.select(F.col("_id").alias("id_a"), F.col("_e").alias("_ea"), F.col("_n").alias("_na")),
