@@ -707,12 +707,14 @@ def remove_duplicate_spans(
 
     Scale shape: the positioned gram stream shuffles as 64-bit hashes;
     canonical selection is one map-side-combined (count, min) groupBy
-    on the gram hash; removed positions fan out ≤ n per removed window
-    and distinct per doc; the rebuild is one per-doc groupBy. Linear in
-    corpus token count — the partition-friendly alternative to the
-    suffix-array construction. The occ-key encoding bounds positions at
-    10⁶ tokens/doc (chunk longer docs first — doc_chunks exists for
-    exactly that).
+    on the gram hash; removed window starts aggregate into one per-doc
+    array (bounded per row by the doc's own window count) and the
+    rebuild is a row-local projection after one left join — document
+    text crosses at most one exchange, never the per-token stream.
+    Linear in corpus token count — the partition-friendly alternative
+    to the suffix-array construction. The occ-key encoding bounds
+    positions at 10⁶ tokens/doc (chunk longer docs first — doc_chunks
+    exists for exactly that).
     """
     toks = tokens(text_col)
     cnt = F.size(toks)
@@ -735,33 +737,51 @@ def remove_duplicate_spans(
         .filter((F.col("_c") >= 2) & (F.col("_occ") != F.col("_canon")))
         .select("_id", "_s")
     )
-    removed_p = removed_w.select(
-        "_id", F.explode(F.sequence(F.col("_s"), F.col("_s") + (n - 1))).alias("_p")
-    ).distinct()
-    tokp = _spread(docs.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
-        "_id", F.posexplode(toks).alias("_p", "_w")
-    )
-    kept = tokp.join(removed_p, ["_id", "_p"], "left_anti")
-    rebuilt = kept.groupBy("_id").agg(
-        F.count("*").alias("_n_kept"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_p", "_w"))),
-                    lambda x: x["_w"],
+    # ROW-LOCAL rebuild (guide §2.4, decontaminate_spans' shape): the
+    # removed window starts aggregate into one per-doc array — bounded
+    # per row by the doc's own window count, since every start lives in
+    # [0, len) of its doc — and left-join back onto the doc stream;
+    # each doc drops covered tokens and rebuilds its digest inside one
+    # projection. The former shape posexploded EVERY corpus token,
+    # anti-joined the exploded removed positions and re-collected whole
+    # documents through a corpus-sized groupBy — the (pos, word) token
+    # stream crossed two exchanges and the text was tokenized a third
+    # time for n_tokens. A 0-based token position i is covered iff some
+    # start s has s ≤ i ≤ s+n-1 — exactly the old exploded [s, s+n-1]
+    # position set, so kept tokens, counts and digests are identical
+    # (docs with every token removed land on md5(""), as before).
+    rs = removed_w.groupBy("_id").agg(F.collect_list("_s").alias("_ss"))
+    starts = F.coalesce(F.col("_ss"), F.array().cast("array<int>"))
+    kept_arr = F.transform(
+        F.filter(
+            F.transform(
+                toks,
+                lambda w, i: F.struct(
+                    w.alias("w"),
+                    (
+                        ~F.exists(
+                            starts, lambda s: (s <= i) & (i <= s + (n - 1))
+                        )
+                    ).alias("keep"),
                 ),
-                " ",
-            )
-        ).alias("cleaned_md5"),
+            ),
+            lambda m: m["keep"],
+        ),
+        lambda m: m["w"],
     )
+    base = _spread(docs.select(F.col(id_col).alias("_id"), F.col(text_col)))
     return (
-        docs.select(F.col(id_col), cnt.cast("long").alias("n_tokens"))
-        .join(rebuilt.withColumnRenamed("_id", id_col), id_col, "left")
+        base.join(rs, "_id", "left")
         .select(
-            id_col,
+            "_id",
+            cnt.cast("long").alias("n_tokens"),
+            kept_arr.alias("_kept"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
             "n_tokens",
-            (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0))).alias("n_removed"),
-            F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
+            (F.col("n_tokens") - F.size("_kept")).cast("long").alias("n_removed"),
+            F.md5(F.array_join("_kept", " ")).alias("cleaned_md5"),
         )
     )
 
@@ -1480,6 +1500,13 @@ def _bloom_wb(sh: F.Column, m: int) -> F.Column:
     """_bloom_positions pre-split into array<struct<w,b>> (word index,
     bit-in-word) — the row-local probe form. Same md5-slice positions,
     same 63-bit word layout as the build side."""
+    # The build side computes the word index with integer 'pos div 63';
+    # this probe side uses floor(pos / 63) (double division) because
+    # its pos is an anonymous expression where SQL div is unreachable.
+    # Double division is bit-exact only while pos < 2^53, and pos < m
+    # always — fail loudly instead of diverging from the build side if
+    # a caller ever asks for a bitmap that large.
+    assert m <= 1 << 52, f"bloom m={m} exceeds the exact float-div range"
     md = F.md5(sh)
     out = []
     for j in range(3):

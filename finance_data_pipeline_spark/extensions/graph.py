@@ -64,7 +64,16 @@ def pagerank(
     stays < 2^63 while N·scale·damping_pct < 9.2e18 — at scale=1e9
     that is ~10⁸ nodes; shrink ``scale`` for larger graphs.
     """
-    ed = _spread(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    # The edge list is materialized ONCE up front (guide §1.2 — don't
+    # compute things twice): nd and ed_deg are both eager
+    # localCheckpoints, and without this seam each re-derived the whole
+    # upstream edge pipeline (for the supplier↔customer graph that is
+    # the lineitem⋈orders distinct join) in its own job. Edges are two
+    # longs per row — materializing them is the same safe trade the
+    # ed_deg checkpoint below already makes.
+    ed = _spread(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    ).localCheckpoint()
     # Fused node-set + out-degree pass (guide §2.4): each edge emits
     # its endpoints row-locally (src tagged 1, dst tagged 0) and ONE
     # map-side-combined groupBy yields both the distinct node set and
@@ -247,6 +256,7 @@ def label_propagation(
     rounds: int = 3,
     a: str = "id_a",
     b: str = "id_b",
+    checkpoint_every: int = 6,
 ) -> DataFrame:
     """Synchronous frequency label propagation over an undirected pair
     graph — community detection that, unlike connected components
@@ -273,8 +283,11 @@ def label_propagation(
     graph size. The symmetrized edge list is localCheckpoint()ed once
     up front so `rounds` iterations re-read a materialized frame
     instead of re-deriving the upstream near-dup cascade per round
-    (the dup_triangles lesson), and each round's labels are
-    checkpointed so plans stay O(1) deep regardless of `rounds`.
+    (the dup_triangles lesson). Rounds CHAIN LAZILY — each round
+    references the previous label vector exactly once, so the former
+    per-round eager localCheckpoint (one blocking job per round) is
+    pure overhead (pagerank's r9 lesson, guide §2.4/§1.2);
+    ``checkpoint_every`` bounds lineage for rounds ≫ the default.
 
     Returns (node, community) for every node in the pair graph.
     """
@@ -296,7 +309,7 @@ def label_propagation(
         .select("node", F.col("node").alias("lbl"))
         .localCheckpoint()
     )
-    for _ in range(rounds):
+    for i in range(rounds):
         votes = (
             sym.join(labels, sym["v"] == labels["node"])
             .select(F.col("u").alias("node"), "lbl")
@@ -308,8 +321,9 @@ def label_propagation(
             votes.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("node", "lbl")
-            .localCheckpoint()
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and (i + 1) < rounds:
+            labels = labels.localCheckpoint()
     return labels.select("node", F.col("lbl").alias("community"))
 
 
@@ -344,7 +358,11 @@ def personalized_pagerank(
     truncating lineage past round 6 (see pagerank's docstring for the
     measured per-round-barrier cost this removes).
     """
-    ed = _spread(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    # Edge list materialized once — see pagerank() above (nd, seed_nodes
+    # and ed_deg all sit downstream of it).
+    ed = _spread(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    ).localCheckpoint()
     # Fused node-set + out-degree pass — see pagerank() above.
     nd = (
         ed.select(

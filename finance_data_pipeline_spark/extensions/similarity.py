@@ -616,6 +616,12 @@ def _assign_to_centroids(v: DataFrame, centroids: DataFrame) -> DataFrame:
     ties → lowest centroid id). ``v`` carries (_id, _e); centroids
     carry (_cid, _ce).
 
+    PRECONDITION: ``v`` has one row per ``_id``. This projection emits
+    exactly one output row per INPUT ROW (the pre-r9 groupBy('_id')
+    collapsed duplicates; the row-local form does not) — every current
+    caller passes a one-row-per-id frame (valid_vectors output), and a
+    duplicate-id input would silently double rows downstream.
+
     ROW-LOCAL argmax (guide §2.4 — remove shuffles outright): the k
     centroids are packed into ONE broadcast row and every vector scores
     them inside a single projection — the former broadcast crossJoin
@@ -1292,6 +1298,15 @@ def ann_topk_pq(
     """
     vectors = valid_vectors(vectors, vec_col)
     queries = valid_vectors(queries, vec_col)
+    # The ADC map key packs (_b, _cid) as _b·256+_cid, which collides
+    # (silently wrong scores) if the codebooks ever carry more than 256
+    # codewords per block — fail loudly if pq_codebooks' default k is
+    # raised past the packing stride.
+    import inspect
+
+    assert inspect.signature(pq_codebooks).parameters["k"].default <= 256, (
+        "ADC packing stride 256 requires pq_codebooks k <= 256"
+    )
     books = pq_codebooks(
         vectors, n_blocks, sub_dim, id_col=id_col, vec_col=vec_col,
         train_n=train_n,
@@ -1379,21 +1394,31 @@ def ann_topk_pq_rerank(
     final top-``k`` — full-precision math on k·|queries| rows instead
     of the whole corpus. Returns (query_id, neighbor_id, cosine_sim).
 
-    Scale note: the re-rank side reads the corpus through a semi-join
-    on the shortlist ids (a pushed-down scan of |queries|·shortlist
-    rows at 100 TB), which is why the shortlist/re-rank split — not
-    brute force, not raw ADC ranks — is what ANN services deploy."""
+    Scale note: the shortlist (|queries|·shortlist rows, with the query
+    embeddings attached) broadcasts onto the corpus scan, so the
+    re-rank prunes the corpus in place — the raw embeddings of
+    non-candidates are never shuffled — which is why the
+    shortlist/re-rank split — not brute force, not raw ADC ranks — is
+    what ANN services deploy."""
     cands = ann_topk_pq(
         vectors, queries, shortlist, n_blocks, sub_dim, id_col, vec_col,
         train_n=train_n,
     ).select("query_id", "neighbor_id")
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_ve")
-    ).join(cands.select("neighbor_id").distinct(), "neighbor_id", "left_semi")
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qe"))
+    # Fused re-rank (guide §2.4/§3.1): the shortlist is bounded at
+    # |queries|·shortlist rows, so (cands ⋈ query embedding) broadcasts
+    # as ONE hash relation straight onto the corpus scan — the former
+    # shape evaluated the whole PQ subtree twice (once for a semi-join
+    # pruning pass, once for the pair join) and shuffled the pruned
+    # corpus by neighbor_id. The inner join prunes identically to the
+    # old semi-join (every shortlist neighbor_id exists in vectors),
+    # and the corpus embeddings never shuffle at all.
+    pairs = cands.join(F.broadcast(q), "query_id")
     rescored = (
-        cands.join(F.broadcast(q), "query_id")
-        .join(v, "neighbor_id")
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_ve")
+        )
+        .join(F.broadcast(pairs), "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",

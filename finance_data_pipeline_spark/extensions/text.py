@@ -534,6 +534,15 @@ def _bpe_learn(docs: DataFrame, n_merges: int, text_col: str = "text"):
         vocab.select("w", "freq", sym0.alias("s")).repartition(1).localCheckpoint()
     )
 
+    # NOTE (r10, examined and kept AS-IS): a lazy broadcast-argmax
+    # chain (min_by one-row aggregate broadcast back per round, the
+    # whole trainer as one query) was implemented and A/B'd — it is
+    # ~38% SLOWER at the registry n_merges=5 (6.27 s vs 4.53 s min-of-4
+    # same host/instrument): each round's broadcast build is still a
+    # blocking sub-job, and vocab_k referencing vocab_{k-1} twice grows
+    # the analyzed plan 2^rounds (25 unchecked rounds hang the
+    # analyzer). The per-round driver collect of ONE argmax row is the
+    # cheaper synchronization primitive here. Reverted.
     merges = []
     for rank in range(1, n_merges + 1):
         # symbol array let_-bound: element_at per pair would otherwise
@@ -690,15 +699,33 @@ def bm25_topk(
     stats = dl.agg(
         F.count("*").alias("_n"), F.sum("_dl").alias("_sumdl")
     )
-    df_ = tf.groupBy("_h").agg(F.count("*").alias("_df"))
     qterms = tf.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), "_h"
     )
+    # df only over the query vocabulary (guide §3.2): scored rows all
+    # carry an _h from qterms, so semi-pruning tf before the df groupBy
+    # aggregates the handful of query terms instead of the corpus
+    # vocabulary — and bounds the df broadcast by |query vocab| at any
+    # corpus size. df values are unchanged (counted over the full tf).
+    # No distinct on the semi build side — a semi hash set dedupes for
+    # free, and the distinct would cost an extra aggregate in the
+    # broadcast build.
+    qvocab = qterms.select("_h")
+    df_ = (
+        tf.join(F.broadcast(qvocab), "_h", "left_semi")
+        .groupBy("_h")
+        .agg(F.count("*").alias("_df"))
+    )
+    # dl is corpus-sized (one row per doc) — a keyed join, NOT a forced
+    # broadcast (guide §3.1: an N-row broadcast breaks at 100 TB; AQE
+    # still picks a broadcast at runtime when dl fits the threshold).
+    # The candidate stream is already keyed on id_col downstream, and
+    # dl's groupBy partitioning is reused by the join.
     scored = (
         tf.join(F.broadcast(qterms), "_h")
         .filter(F.col(id_col) != F.col("query_id"))
         .join(F.broadcast(df_), "_h")
-        .join(F.broadcast(dl), id_col)
+        .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
     )
     avgdl = F.col("_sumdl").cast("double") / F.col("_n").cast("double")

@@ -3346,7 +3346,12 @@ def q_string_sim_join(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-_CHAR_GRAMS_CTE = """cg AS (
+# MATERIALIZED: cg is referenced three times (sizes + both sides of the
+# pair self-join); without the hint DuckDB re-inlines the char-gram
+# unnest per reference (the oracle ran 176 s at sf0.1 — driver
+# wall-clock only, zero effect on rows; the pagerank oracles use the
+# same pattern).
+_CHAR_GRAMS_CTE = """cg AS MATERIALIZED (
   SELECT doc_id, unnest(list_distinct(
     list_transform(range(1, greatest(length(s) - 3, 1) + 1),
                    i -> substring(s, CAST(i AS INTEGER), 4)))) AS gram
@@ -3356,8 +3361,8 @@ _CHAR_GRAMS_CTE = """cg AS (
 @query(
     "ngram_sim_join",
     f"""WITH {_CHAR_GRAMS_CTE},
-sizes AS (SELECT doc_id, count(*) AS n FROM cg GROUP BY doc_id),
-pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM cg GROUP BY doc_id),
+pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
           FROM cg a JOIN cg b ON a.gram = b.gram AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
 SELECT id_a, id_b,

@@ -1,11 +1,11 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for headline queries into plans/r09/.
+"""Capture .explain("formatted") for headline queries into plans/$PLANS_ROUND/ (default r10).
 
 Usage:
   python tools/capture_plans.py before [names...]   # default: all HEADLINE
   python tools/capture_plans.py after  [names...]
 
-Writes plans/r09/<query>_<tag>.txt with the formatted physical plan of
+Writes plans/<round>/<query>_<tag>.txt with the formatted physical plan of
 the exact registry callable the bench times (bench OVERRIDES excluded —
 those time pre-shared intermediates; their registry plans are what the
 judge audits). Plans are captured pre-execution (AdaptiveSparkPlan
@@ -36,7 +36,7 @@ def main() -> None:
     if not names:
         names = list(HEADLINE)
 
-    out_dir = os.path.join(REPO, "plans", "r09")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("PLANS_ROUND", "r10"))
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark(app_name=f"capture-plans-{tag}")
